@@ -1,0 +1,55 @@
+package graft.tables
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Registry of the shared test-fixture tables (TESTDATA.md / FIXTURES.md) as
+ * temp views, mirroring how the reference registers listing tables in its
+ * catalog (reference: `src/core.rs:47-72` builds a `SessionContext` whose
+ * tables are file-backed; ours are parquet-backed temp views).
+ *
+ * Scale notes (100 TB design):
+ *  - Views are plain `spark.read.parquet` scans — Catalyst pushes filters and
+ *    prunes columns into the scan, so downstream operators only pay for what
+ *    they use. No caching/materialization here: at 100 TB the tables do not
+ *    fit in memory and the scan must stream.
+ *  - `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+ *    vectorized reader rejects. We read nanos as raw longs
+ *    (`spark.sql.legacy.parquet.nanosAsLong`) and convert to microsecond
+ *    timestamps with `timestamp_micros(ns / 1000)` — the same truncation
+ *    DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP, keeping the
+ *    oracle comparable. The conversion is a codegen'd expression, so the
+ *    scan stays vectorized and distributed.
+ */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private val registered = ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
+  /** Read one fixture table from `dir` (no view registration). */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // TIMESTAMP(NANOS) parquet: read ns-as-long, truncate to micros.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      // integer div: `/` on longs is fractional (double) and ns epochs
+      // exceed double's 2^53 exact range
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
+
+  /** Register every fixture table as a temp view (idempotent per session+dir). */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    if (registered.add((spark, dir))) {
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    }
+  }
+}
