@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/**
+ * Scalar/aggregate function-library coverage (SURVEY.md §2.4 aggregate
+ * table, §2.8 scalar families): string, math, datetime, conditional,
+ * regex, encoding, median/percentile, moment statistics, first/last/nth
+ * window values, string_agg / array_agg, bit/bool aggregates, min_by /
+ * max_by. Reference evidence: `datafusion-functions` (Cargo.lock:783),
+ * `datafusion-functions-aggregate` (Cargo.lock:809).
+ *
+ * Determinism: transcendentals rounded to 9 digits (JVM vs libm ≤1-ulp),
+ * moment statistics rounded to the documented margins, all output types
+ * pinned with explicit CASTs where Spark/DuckDB inference diverges
+ * (FLOOR/CEIL → BIGINT vs DOUBLE, LENGTH/INSTR → INT vs BIGINT,
+ * DATE_TRUNC('month') → TIMESTAMP vs DATE, EPOCH fractional vs integral).
+ */
+object Functions {
+
+  // ---------------------------------------------------------------- q34
+  val q34 = Q.sql(
+    "q34_fn_string",
+    """SELECT p_partkey,
+      |  UPPER(p_name) AS up, LOWER(p_brand) AS lo,
+      |  CAST(LENGTH(p_name) AS INT) AS len,
+      |  SUBSTR(p_name, 1, 5) AS sub,
+      |  REPLACE(p_name, ' ', '_') AS rep,
+      |  CONCAT(p_brand, ':', p_type) AS cat,
+      |  CONCAT_WS('-', p_brand, p_type) AS catws,
+      |  LPAD(p_brand, 12, '*') AS lp, RPAD(p_brand, 12, '.') AS rp,
+      |  TRIM(CONCAT(' ', p_name, ' ')) AS trimmed,
+      |  LTRIM(CONCAT('  ', p_name)) AS ltrimmed,
+      |  RTRIM(CONCAT(p_name, '  ')) AS rtrimmed,
+      |  REVERSE(p_type) AS rev,
+      |  LEFT(p_name, 4) AS lft, RIGHT(p_name, 3) AS rgt,
+      |  REPEAT(p_brand, 2) AS rep2,
+      |  CAST(INSTR(p_name, 'e') AS INT) AS pos_e,
+      |  SPLIT_PART(p_name, ' ', 1) AS first_word,
+      |  TRANSLATE(p_type, 'AEO', 'aeo') AS tr,
+      |  CAST(ASCII(p_brand) AS INT) AS asc_b,
+      |  CHR(65 + p_size % 26) AS chr_c,
+      |  CAST(LEVENSHTEIN(p_name, p_type) AS INT) AS lev
+      |FROM part ORDER BY p_partkey""".stripMargin)
+
+  // ---------------------------------------------------------------- q35
+  val q35 = Q.sql(
+    "q35_fn_math",
+    """SELECT l_orderkey, l_linenumber,
+      |  ABS(l_discount - 0.05) AS ab,
+      |  ROUND(l_extendedprice, 1) AS rnd,
+      |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS flr,
+      |  CAST(CEIL(l_extendedprice) AS BIGINT) AS cl,
+      |  SQRT(l_quantity) AS sq,
+      |  ROUND(POWER(1.0 + l_discount, 3.0), 9) AS pw,
+      |  ROUND(EXP(l_discount), 9) AS ex,
+      |  ROUND(LN(l_quantity), 9) AS lnv,
+      |  ROUND(LOG10(l_extendedprice), 9) AS lg,
+      |  ROUND(SIN(l_discount), 9) AS sn,
+      |  ROUND(COS(l_tax), 9) AS cs,
+      |  ROUND(ATAN2(l_quantity, 10.0), 9) AS at2,
+      |  ROUND(CBRT(l_quantity), 9) AS cb,
+      |  ROUND(DEGREES(l_discount), 9) AS dg,
+      |  ROUND(RADIANS(l_quantity), 9) AS rd,
+      |  PI() AS pi_v,
+      |  CAST(SIGN(l_discount - 0.04) AS INT) AS sg,
+      |  CAST(MOD(l_orderkey, 7) AS BIGINT) AS md,
+      |  GREATEST(l_tax, l_discount) AS gr,
+      |  LEAST(l_tax, l_discount) AS ls
+      |FROM lineitem WHERE l_orderkey <= 500 ORDER BY l_orderkey, l_linenumber""".stripMargin)
+
+  // ---------------------------------------------------------------- q36
+  val q36 = Q.sql2(
+    "q36_fn_datetime",
+    """SELECT event_id, ts,
+      |  CAST(YEAR(ts) AS INT) AS y, CAST(MONTH(ts) AS INT) AS mo,
+      |  CAST(DAY(ts) AS INT) AS d, CAST(HOUR(ts) AS INT) AS h,
+      |  CAST(MINUTE(ts) AS INT) AS mi, CAST(SECOND(ts) AS INT) AS sec,
+      |  DATE_TRUNC('month', ts) AS mon_ts,
+      |  DATE_TRUNC('day', ts) AS day_ts,
+      |  DATE_TRUNC('hour', ts) AS hour_ts,
+      |  CAST(CAST(ts AS DATE) AS TIMESTAMP) AS dt,
+      |  CAST(MAKE_DATE(2024, CAST(MONTH(ts) AS INT), 15) AS TIMESTAMP) AS mid_month,
+      |  CAST(UNIX_TIMESTAMP(ts) AS BIGINT) AS epoch_s,
+      |  DATE_FORMAT(ts, 'yyyy-MM-dd HH:mm:ss') AS fmt,
+      |  ts + INTERVAL 1 DAY AS next_day,
+      |  CAST(DATEDIFF(CAST(ts AS DATE), DATE '2024-01-01') AS INT) AS days_since
+      |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
+    """SELECT event_id, ts,
+      |  CAST(EXTRACT(YEAR FROM ts) AS INT) AS y, CAST(EXTRACT(MONTH FROM ts) AS INT) AS mo,
+      |  CAST(EXTRACT(DAY FROM ts) AS INT) AS d, CAST(EXTRACT(HOUR FROM ts) AS INT) AS h,
+      |  CAST(EXTRACT(MINUTE FROM ts) AS INT) AS mi, CAST(EXTRACT(SECOND FROM ts) AS INT) AS sec,
+      |  CAST(DATE_TRUNC('month', ts) AS TIMESTAMP) AS mon_ts,
+      |  CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day_ts,
+      |  CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour_ts,
+      |  CAST(CAST(ts AS DATE) AS TIMESTAMP) AS dt,
+      |  CAST(MAKE_DATE(2024, CAST(EXTRACT(MONTH FROM ts) AS INT), 15) AS TIMESTAMP) AS mid_month,
+      |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS epoch_s,
+      |  STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS fmt,
+      |  ts + INTERVAL 1 DAY AS next_day,
+      |  CAST(DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS days_since
+      |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin)
+
+  // ---------------------------------------------------------------- q37
+  val q37 = Q.sql(
+    "q37_fn_conditional",
+    """SELECT p_partkey,
+      |  COALESCE(TRY_CAST(p_brand AS INT), p_size, -1) AS co,
+      |  NULLIF(p_type, 'ECONOMY') AS nif,
+      |  IFNULL(NULLIF(p_type, 'ECONOMY'), 'none') AS ifn,
+      |  GREATEST(p_size, 25) AS g, LEAST(p_size, 25) AS l,
+      |  CASE p_type WHEN 'ECONOMY' THEN 1 WHEN 'SMALL' THEN 2 ELSE 0 END AS cse
+      |FROM part ORDER BY p_partkey""".stripMargin)
+
+  // ---------------------------------------------------------------- q38
+  // Rust-regex (reference) ∩ Java-regex (Spark) ∩ RE2 (DuckDB): the
+  // character-class subset used here behaves identically in all three.
+  // DuckDB regexp_replace is first-match-only without the 'g' flag.
+  val q38 = Q.sql2(
+    "q38_fn_regex",
+    """SELECT doc_id,
+      |  REGEXP_REPLACE(text, '[aeiou]', '*') AS repl,
+      |  REGEXP_EXTRACT(text, '([a-z]+)', 1) AS first_word,
+      |  CAST(SIZE(REGEXP_EXTRACT_ALL(text, '\\w+', 0)) AS INT) AS wcount,
+      |  CASE WHEN text RLIKE 'spark' THEN 1 ELSE 0 END AS has_spark
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    """SELECT doc_id,
+      |  REGEXP_REPLACE(text, '[aeiou]', '*', 'g') AS repl,
+      |  REGEXP_EXTRACT(text, '([a-z]+)', 1) AS first_word,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '\w+')) AS INT) AS wcount,
+      |  CASE WHEN REGEXP_MATCHES(text, 'spark') THEN 1 ELSE 0 END AS has_spark
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)
+
+  // ---------------------------------------------------------------- q39
+  val q39 = Q.sql2(
+    "q39_fn_encoding",
+    """SELECT p_partkey,
+      |  BASE64(CAST(p_name AS BINARY)) AS b64,
+      |  CAST(UNBASE64(BASE64(CAST(p_name AS BINARY))) AS STRING) AS roundtrip,
+      |  HEX(p_name) AS hx
+      |FROM part ORDER BY p_partkey""".stripMargin,
+    """SELECT p_partkey,
+      |  base64(encode(p_name)) AS b64,
+      |  decode(from_base64(base64(encode(p_name)))) AS roundtrip,
+      |  hex(p_name) AS hx
+      |FROM part ORDER BY p_partkey""".stripMargin)
+
+  // ---------------------------------------------------------------- q40
+  // approx_count_distinct (HyperLogLog) — sketch values are engine-
+  // specific, so no SQL oracle; exact distinct included for eyeballing.
+  // Scale: HLL is the right tool at 100 TB (constant memory per group vs
+  // the exact distinct's per-key shuffle).
+  val q40 = Q.dfOnly("q40_approx_distinct") { (spark, dir) =>
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  // ---------------------------------------------------------------- q41
+  val q41 = Q.sql(
+    "q41_median_percentile",
+    """SELECT l_returnflag,
+      |  MEDIAN(l_quantity) AS med_qty,
+      |  ROUND(MEDIAN(l_extendedprice), 4) AS med_price,
+      |  PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q1_qty,
+      |  ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS q3_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
+  // ---------------------------------------------------------------- q42
+  val q42 = Q.sql(
+    "q42_agg_stats",
+    """SELECT l_returnflag,
+      |  ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+      |  ROUND(STDDEV_POP(l_quantity), 6) AS sdp_qty,
+      |  ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+      |  ROUND(VAR_POP(l_quantity), 6) AS varp_qty,
+      |  ROUND(CORR(l_quantity, l_extendedprice), 9) AS corr_qp,
+      |  ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS cov_qp,
+      |  ROUND(COVAR_POP(l_quantity, l_extendedprice), 4) AS covp_qp,
+      |  ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,
+      |  ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS icept,
+      |  ROUND(REGR_R2(l_extendedprice, l_quantity), 9) AS r2
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
+  // ---------------------------------------------------------------- q43
+  val q43 = Q.sql(
+    "q43_window_firstlast",
+    """SELECT event_id, user_id,
+      |  FIRST_VALUE(value) OVER w AS first_v,
+      |  LAST_VALUE(value) OVER w AS last_v,
+      |  NTH_VALUE(value, 3) OVER w AS third_v
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY user_id, event_id""".stripMargin)
+
+  // ---------------------------------------------------------------- q44
+  val q44 = Q.sql2(
+    "q44_string_agg",
+    """SELECT CAST(n_regionkey AS INT) AS rk,
+      |  LISTAGG(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names
+      |FROM nation GROUP BY n_regionkey ORDER BY rk""".stripMargin,
+    """SELECT CAST(n_regionkey AS INT) AS rk,
+      |  STRING_AGG(n_name, ',' ORDER BY n_name) AS names
+      |FROM nation GROUP BY n_regionkey ORDER BY rk""".stripMargin)
+
+  // ---------------------------------------------------------------- q45
+  val q45 = Q.sql2(
+    "q45_array_agg",
+    """SELECT l_orderkey, SORT_ARRAY(COLLECT_LIST(l_linenumber)) AS lines
+      |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    """SELECT l_orderkey, LIST_SORT(LIST(l_linenumber)) AS lines
+      |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
+
+  // ---------------------------------------------------------------- q46
+  val q46 = Q.sql(
+    "q46_bit_bool_agg",
+    """SELECT l_returnflag,
+      |  CAST(BIT_AND(l_orderkey) AS BIGINT) AS band,
+      |  CAST(BIT_OR(l_orderkey) AS BIGINT) AS bor,
+      |  CAST(BIT_XOR(l_orderkey) AS BIGINT) AS bxor,
+      |  BOOL_AND(l_quantity > 0.5) AS ball,
+      |  BOOL_OR(l_discount > 0.09) AS bany
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
+  // ---------------------------------------------------------------- q47
+  val q47 = Q.sql(
+    "q47_arg_minmax",
+    """SELECT o_orderpriority,
+      |  MAX_BY(o_orderstatus, o_orderkey) AS status_of_latest,
+      |  MIN_BY(o_orderstatus, o_orderkey) AS status_of_first,
+      |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+      |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
+  def defs: Seq[Q] = Seq(
+    q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47)
+}
