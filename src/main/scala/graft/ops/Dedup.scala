@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Deduplication operators for large-scale training-data pipelines: exact,
+ * MinHash+LSH, and SimHash near-dup mining. All are built to hold at
+ * 100 TB:
+ *
+ *  - **no O(n²) stage anywhere** — candidate generation is a bucket
+ *    equi-join on LSH band keys, so cost scales with Σ(bucket²) which is
+ *    bounded by actual duplicate-cluster sizes, not corpus size;
+ *  - **signatures are computed map-side** with higher-order Catalyst
+ *    expressions and **persisted before fan-out**: higher-order lambdas are
+ *    interpreted and `CollapseProject` inlines any referenced projection
+ *    into every lambda call site, so an uncached signature would be
+ *    re-evaluated once per band and once per join side — the persist
+ *    makes signature cost exactly one pass over the corpus (at full scale
+ *    this is the standard "signature table" materialization; swap
+ *    `persist` for a parquet checkpoint);
+ *  - **verification joins only the candidate pairs** back to their shingle
+ *    sets for exact Jaccard.
+ */
+object Dedup {
+
+  /** Exact dedup: group identical `text`, keep the smallest doc_id.
+    * The shuffle carries the full text; see `exactByHash` for the
+    * payload-light variant. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      .select(col("keep_id"), col("dup_count"))
+      .orderBy(col("keep_id"))
+
+  /** Scale path for exact dedup: shuffle 8-byte xxhash64(text) keys
+    * instead of document text (~2^-64 collision odds per pair). */
+  def exactByHash(docs: DataFrame): DataFrame =
+    docs.groupBy(xxhash64(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      .select(col("keep_id"), col("dup_count"))
+      .orderBy(col("keep_id"))
+
+  /** MinHash signature of a shingle array: `numPerm` permutations
+    * simulated as seeded xxhash64 min-hashes. Pure per-row expression —
+    * evaluate it exactly once (persist!) before fanning out to bands. */
+  def minhashSignature(shingles: Column, numPerm: Int): Column =
+    transform(sequence(lit(0), lit(numPerm - 1)), i =>
+      array_min(transform(shingles, s => xxhash64(i, s))))
+
+  /** LSH band keys over a *materialized* signature column: hash `bands`
+    * contiguous slices of length numPerm/bands. Pair-collision
+    * probability for true Jaccard j is 1-(1-j^r)^b — with (64, 16, r=4)
+    * the S-curve crosses 50% near j≈0.55, the right operating point for
+    * 0.7+ dedup. */
+  def bandKeys(sig: Column, numPerm: Int, bands: Int): Column = {
+    val r = numPerm / bands
+    transform(sequence(lit(0), lit(bands - 1)), j =>
+      xxhash64(j, slice(sig, j * lit(r) + 1, lit(r))))
+  }
+
+  /**
+   * Full MinHash+LSH near-dup pipeline over a (doc_id, text) frame:
+   * shingle → signature (one cached pass) → band bucketing → candidate
+   * equi-join → exact-Jaccard verification. Returns
+   * (doc_a, doc_b, jaccard) with jaccard ≥ minJaccard.
+   */
+  def minhashLsh(docs: DataFrame, numPerm: Int = 64, bands: Int = 16,
+      minJaccard: Double = 0.7): DataFrame = {
+    val sig = docs.select(
+        col("doc_id"),
+        Text.shingles3(Text.tokens(col("text"))).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        minhashSignature(col("sh"), numPerm).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val bandRows = sig.select(col("doc_id"),
+      posexplode(bandKeys(col("sig"), numPerm, bands)).as(Seq("band_id", "band_key")))
+    val cand = bandRows.as("a").join(bandRows.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val shA = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(shA, "doc_a").join(shB, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(Text.jaccard(col("sh_a"), col("sh_b")), 9).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Per-doc 64-bit SimHash signatures (doc_id, simhash). Each token votes
+    * ±1 on every bit of its xxhash64; the sign of the vote total becomes
+    * the bit. Implemented as ONE nested-aggregate expression (per-bit
+    * inner fold over tokens) so nothing is re-evaluated across lambda call
+    * sites — cost is exactly 64·|tokens| hash-bit probes per row. */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, b) ->
+          |  acc + CASE WHEN
+          |    aggregate(toks, 0L, (a2, t) ->
+          |      a2 + CASE WHEN (shiftrightunsigned(xxhash64(t), CAST(b AS INT)) & 1) = 1
+          |               THEN 1L ELSE -1L END) > 0
+          |    THEN shiftleft(1L, CAST(b AS INT)) ELSE 0L END)""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+
+  /**
+   * SimHash near-dup mining: signature per doc (one cached pass), 4×16-bit
+   * band bucketing (any pair within Hamming distance 3 shares ≥1 identical
+   * band by pigeonhole), candidate equi-join, exact Hamming verification.
+   * Returns (doc_a, doc_b, hamming) with hamming ≤ maxHamming.
+   */
+  def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(
+      col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), j -> (shiftrightunsigned(simhash, CAST(j * 16 AS INT)) & 65535))"))
+        .as(Seq("band_id", "band_val")))
+
+    banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

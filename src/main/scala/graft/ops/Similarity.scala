@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`Array[Float]`).
+ *
+ * Scale design (100 TB / billions of vectors):
+ *  - the dot product / norm are higher-order Catalyst expressions
+ *    (zip_with + aggregate) — codegen'd, no UDF boxing, computed where the
+ *    vectors live;
+ *  - brute-force top-k BROADCASTS the (small) query set and keeps the big
+ *    side streaming: cost is one scan of the corpus per query batch, the
+ *    per-query top-k is a TakeOrdered-style window, and nothing is ever
+ *    collected to the driver;
+ *  - the LSH path buckets vectors by random-hyperplane signatures
+ *    (deterministic, seeded by xxhash64) so each query probes only its
+ *    buckets: candidate count ≈ L·n/2^bits, independent of corpus scale
+ *    when bits grows with log(n).
+ */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as a left-to-right fold — deterministic for a fixed array
+    * order (the basis for the cross-engine oracle). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, v) => s + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact cosine for adjacent (vec_id, vec_id+1) pairs — linear, used as
+    * the oracle-checkable correctness anchor for the cosine expression. */
+  def adjacentCosine(embeddings: DataFrame): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = embeddings.select((col("vec_id") - 1).as("vec_a"), col("embedding").as("eb"),
+      col("vec_id").as("vec_b"))
+    a.join(b, "vec_a")
+      .select(col("vec_a"), col("vec_b"), round(cosine(col("ea"), col("eb")), 9).as("cos_sim"))
+      .orderBy(col("vec_a"))
+  }
+
+  /**
+   * Brute-force top-k cosine neighbors: exact baseline. `queries` is
+   * broadcast; ranking is deterministic (rounded similarity, then vec_id).
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = c.join(broadcast(q))
+      .select(col("qid"), col("cid"), round(cosine(col("qe"), col("ce")), 9).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Random-hyperplane signature: `bits` sign bits of projections onto
+    * deterministic ±1 hyperplanes (seeded per (table, bit, dim)). */
+  private def rhpBucket(v: Column, table: Int, bits: Int, dim: Int): Column = {
+    val bitCols = (0 until bits).map { b =>
+      val proj = aggregate(
+        zip_with(v, signPlane(table, b, dim), (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, 1L << b).otherwise(0L)
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Deterministic ±1.0 hyperplane as a literal array expression. */
+  private def signPlane(table: Int, bit: Int, dim: Int): Column = {
+    // seeded pseudo-random signs; computed once at plan time per (table,bit)
+    val signs = (0 until dim).map { i =>
+      val h = scala.util.hashing.MurmurHash3.productHash((table, bit, i))
+      if ((h & 1) == 1) 1.0 else -1.0
+    }
+    array(signs.map(lit): _*)
+  }
+
+  /**
+   * LSH-bucketed ANN: L hash tables of `bits`-bit random-hyperplane
+   * buckets; candidates = corpus vectors sharing any (table, bucket) with
+   * a query, re-ranked by exact cosine, top-k per query.
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      tables: Int = 8, bits: Int = 6, dim: Int = 64): DataFrame = {
+    def banded(df: DataFrame, idName: String, vecName: String): DataFrame = {
+      val buckets = array((0 until tables).map(t =>
+        struct(lit(t).as("t"), rhpBucket(col("embedding"), t, bits, dim).as("bucket"))): _*)
+      df.select(col("vec_id").as(idName), col("embedding").as(vecName),
+          explode(buckets).as("tb"))
+        .select(col(idName), col(vecName), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    }
+    val qb = banded(queries, "qid", "qe")
+    val cb = banded(corpus, "cid", "ce")
+    val cand = cb.join(broadcast(qb), Seq("t", "bucket"))
+      .select(col("qid"), col("cid"), col("qe"), col("ce"))
+      .distinct()
+    val scored = cand.select(col("qid"), col("cid"),
+      round(cosine(col("qe"), col("ce")), 9).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+}

@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, Text}
+import graft.tables.Tables
+
+/**
+ * Training-data pipeline extensions (builder-prompt north star): dedup
+ * (exact / MinHash+LSH / SimHash / n-gram Jaccard), similarity search
+ * (brute-force + LSH ANN over `embeddings.embedding`), text analysis
+ * (language-ID, quality, token counts, fingerprints) and multimodal
+ * column plumbing. Implementations in `graft.ops.*`; SQL oracles where
+ * the semantics are expressible in DuckDB (LSH/hash pipelines are seeded
+ * by Spark's xxhash64, which DuckDB lacks → rows-only checks).
+ */
+object Extensions {
+
+  // ---------------------------------------------------------------- x01
+  val x01 = Q.df(
+    "x01_dedup_exact",
+    """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin) { (spark, dir) =>
+    Dedup.exact(Tables.load(spark, dir, "documents"))
+  }
+
+  // ---------------------------------------------------------------- x02
+  // MinHash+LSH near-dup pairs (xxhash64-seeded → no SQL oracle). The
+  // exact-Jaccard verification step inside makes the output trustworthy.
+  val x02 = Q.dfOnly("x02_dedup_minhash_lsh") { (spark, dir) =>
+    Dedup.minhashLsh(Tables.load(spark, dir, "documents"), numPerm = 64, bands = 16,
+      minJaccard = 0.7)
+  }
+
+  // ---------------------------------------------------------------- x03
+  val x03 = Q.dfOnly("x03_dedup_simhash") { (spark, dir) =>
+    Dedup.simhash(Tables.load(spark, dir, "documents"), maxHamming = 3)
+  }
+
+  // ---------------------------------------------------------------- x04
+  // n-gram Jaccard with a full SQL oracle: adjacent-pair similarity is
+  // linear in corpus size and DuckDB-expressible (list comprehension).
+  val x04 = Q.df(
+    "x04_ngram_jaccard",
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM documents),
+      |g AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(w) >= 3
+      |         THEN [concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in generate_series(1, len(w)-2)]
+      |         ELSE [array_to_string(w, ' ')] END) AS g
+      |  FROM w)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.g, b.g))), 9) AS jaccard
+      |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+      |ORDER BY doc_a""".stripMargin) { (spark, dir) =>
+    val g = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), Text.shingles3(Text.tokens(col("text"))).as("g"))
+    val a = g.select(col("doc_id").as("doc_a"), col("g").as("ga"))
+    val b = g.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"), col("g").as("gb"))
+    a.join(b, "doc_a")
+      .select(col("doc_a"), col("doc_b"),
+        round(Text.jaccard(col("ga"), col("gb")), 9).as("jaccard"))
+      .orderBy(col("doc_a"))
+  }
+
+  // ---------------------------------------------------------------- x05
+  val x05 = Q.df(
+    "x05_embedding_cosine",
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |        a.embedding AS ea, b.embedding AS eb
+      |      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1)
+      |SELECT vec_a, vec_b,
+      |  ROUND(
+      |    list_sum(list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(generate_series(1, len(eb)), i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))))), 9) AS cos_sim
+      |FROM p ORDER BY vec_a""".stripMargin) { (spark, dir) =>
+    Similarity.adjacentCosine(Tables.load(spark, dir, "embeddings"))
+  }
+
+  // ---------------------------------------------------------------- x06
+  val x06 = Q.df(
+    "x06_ann_bruteforce",
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 5),
+      |s AS (SELECT qid, cid,
+      |    ROUND(
+      |      list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(generate_series(1, len(ce)), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))), 9) AS sim
+      |  FROM q CROSS JOIN c)
+      |SELECT qid, cid, sim, CAST(rn AS INT) AS rank FROM (
+      |  SELECT qid, cid, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn FROM s)
+      |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(
+        e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5), k = 5)
+      .select(col("qid"), col("cid"), col("sim"), col("rank").cast("int").as("rank"))
+  }
+
+  // ---------------------------------------------------------------- x07
+  val x07 = Q.dfOnly("x07_ann_lsh") { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+    Similarity.lshTopK(
+      e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
+      k = 3, tables = 8, bits = 6, dim = 64)
+  }
+
+  // ---------------------------------------------------------------- x08
+  val x08 = Q.dfOnly("x08_lang_id") { (spark, dir) =>
+    TextAnalysis.languageId(Tables.load(spark, dir, "documents"))
+  }
+
+  // ---------------------------------------------------------------- x09
+  val x09 = Q.df(
+    "x09_text_quality",
+    """WITH t AS (SELECT doc_id, text,
+      |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(text) AS INT) AS n_char,
+      |  CAST(len(regexp_extract_all(text, '\w+')) AS INT) AS n_tokens,
+      |  CAST(len(list_distinct(regexp_extract_all(lower(text), '\w+'))) AS INT) AS n_types,
+      |  CAST(len(regexp_extract_all(text, '[^\w\s]')) AS INT) AS n_punct,
+      |  ROUND(CAST(len(list_distinct(regexp_extract_all(lower(text), '\w+'))) AS DOUBLE)
+      |        / greatest(len(regexp_extract_all(text, '\w+')), 1), 9) AS ttr,
+      |  ROUND(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+      |        / greatest(length(text), 1), 9) AS punct_ratio,
+      |  ROUND(CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','or','to','in','is','it'))) AS DOUBLE)
+      |        / greatest(len(toks), 1), 9) AS stop_ratio,
+      |  ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+      |        / greatest(len(toks), 1), 9) AS avg_word_len,
+      |  ROUND(least(CAST(len(regexp_extract_all(text, '\w+')) AS DOUBLE) / 100.0, 1.0)
+      |        * (1.0 - ROUND(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+      |                       / greatest(length(text), 1), 9)), 9) AS quality_score
+      |FROM t ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    TextAnalysis.quality(Tables.load(spark, dir, "documents"))
+  }
+
+  // ---------------------------------------------------------------- x10
+  val x10 = Q.df(
+    "x10_token_count",
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS re_tokens,
+      |  CAST(length(text) AS INT) AS n_char,
+      |  ROUND(CAST(length(text) AS DOUBLE)
+      |        / greatest(len(regexp_extract_all(text, '\w+|[^\w\s]')), 1), 9) AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    TextAnalysis.tokenCounts(Tables.load(spark, dir, "documents"))
+  }
+
+  // ---------------------------------------------------------------- x11
+  val x11 = Q.df(
+    "x11_fingerprint",
+    """WITH t AS (SELECT doc_id,
+      |    list_sort(list_distinct(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> ''))) AS toks
+      |  FROM documents)
+      |SELECT doc_id, md5(array_to_string(toks, ' ')) AS fingerprint,
+      |  CAST(len(toks) AS INT) AS n_types
+      |FROM t ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    TextAnalysis.fingerprint(Tables.load(spark, dir, "documents"))
+  }
+
+  // ---------------------------------------------------------------- x12
+  val x12 = Q.dfOnly("x12_multimodal_features") { (spark, dir) =>
+    Multimodal.pipeline(spark, Tables.load(spark, dir, "documents"))
+  }
+
+  def defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12)
+}
