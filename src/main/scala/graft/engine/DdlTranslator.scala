@@ -1,0 +1,51 @@
+package graft.engine
+
+/**
+ * Pre-parse rewriting of DataFusion-dialect DDL into Spark DDL.
+ *
+ * The reference registers file-backed listing tables via
+ * `CREATE [UNBOUNDED] EXTERNAL TABLE name [(cols)] STORED AS
+ * PARQUET|CSV|JSON [WITH HEADER ROW] [DELIMITER 'c'] LOCATION 'url'`
+ * (DataFusion dialect, parsed by `DFParser` — reference:
+ * `src/core.rs:103`; URL schemes resolved by the object-store registry,
+ * `src/object_store.rs:44-73`). Spark expresses the same table as
+ * `CREATE TABLE name [(cols)] USING format OPTIONS (path 'url', ...)`.
+ *
+ * `s3://` URLs are rewritten to `s3a://` (the Hadoop S3 connector —
+ * a superset of the reference's opendal S3 path: range reads and
+ * multipart work here, reference `src/unsafe_opendal_store.rs:100-107`
+ * lacks them).
+ */
+object DdlTranslator {
+
+  private val External =
+    ("""(?is)^\s*CREATE\s+(?:UNBOUNDED\s+)?EXTERNAL\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`"]+)\s*""" +
+      """(\([^)]*\))?\s*STORED\s+AS\s+(\w+)\s*(.*?)\s*LOCATION\s+'([^']+)'\s*;?\s*$""").r
+
+  /** Rewrite one statement; non-DDL statements pass through unchanged. */
+  def translate(stmt: String): String = stmt match {
+    case External(ifNotExists, name, cols, fmt, opts, location) =>
+      val sparkFmt = fmt.toLowerCase match {
+        case "parquet" => "parquet"
+        case "csv" => "csv"
+        case "json" | "ndjson" => "json"
+        case other => other
+      }
+      val extraOpts = new StringBuilder
+      val o = if (opts == null) "" else opts
+      if ("""(?i)WITH\s+HEADER\s+ROW""".r.findFirstIn(o).isDefined)
+        extraOpts ++= ", header 'true'"
+      """(?i)DELIMITER\s+'([^']+)'""".r.findFirstMatchIn(o).foreach { m =>
+        extraOpts ++= s", sep '${m.group(1)}'"
+      }
+      val ine = if (ifNotExists != null) "IF NOT EXISTS " else ""
+      val colsPart = if (cols != null) s" $cols" else ""
+      s"CREATE TABLE $ine$name$colsPart USING $sparkFmt " +
+        s"OPTIONS (path '${rewriteUrl(location)}'${extraOpts.toString})"
+    case other => other
+  }
+
+  /** s3:// → s3a:// so the Hadoop connector resolves the bucket. */
+  def rewriteUrl(url: String): String =
+    if (url.startsWith("s3://")) "s3a://" + url.stripPrefix("s3://") else url
+}

@@ -1,0 +1,92 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * The engine façade — a Spark-native replica of the reference's complete
+ * public API, `DataFusionContext` with its five methods (reference:
+ * `src/core.rs:34-99`):
+ *
+ * | reference                  | here               |
+ * |----------------------------|--------------------|
+ * | `greet()`                  | `SqlEngine.greet`  |
+ * | `DataFusionContext::new()` | `SqlEngine(spark)` |
+ * | `execute_sql(sql)`         | `executeSql(sql)`  |
+ * | `set_s3_config(...)`       | `setS3Config(...)` |
+ * | `set_result_format(fmt)`   | `setResultFormat`  |
+ *
+ * `executeSql` accepts multi-statement SQL, plans/executes each statement
+ * through Catalyst (the reference's parse → plan → optimize → execute
+ * pipeline, `src/core.rs:102-128`, with Spark as the engine instead of
+ * DataFusion), formats each result, and joins them with `\n`.
+ *
+ * Deliberate deviations, documented per SURVEY.md:
+ *  - `setResultFormat(Json)` is honored. The reference stores the format
+ *    but `execute_inner` hard-codes the table path (`src/core.rs:120-122`)
+ *    — Json is dead code there (SURVEY §3.4); we treat that as a bug.
+ *  - No `target_partitions=1`: that is a WASM single-thread constraint,
+ *    not a semantic (SURVEY §3.1). Execution parallelism follows the
+ *    SparkSession.
+ *  - Spill stays enabled (reference disables its disk manager,
+ *    `src/core.rs:55`, because WASM has no disk) — a strict superset.
+ */
+class SqlEngine(val spark: SparkSession) {
+
+  private var resultFormat: ResultFormat = ResultFormat.Table
+
+  def setResultFormat(fmt: ResultFormat): Unit = { resultFormat = fmt }
+
+  /**
+   * Map the reference's S3 credential surface (`src/core.rs:78-94` →
+   * `src/object_store.rs:38-56`) onto Hadoop s3a configuration. The
+   * reference hard-codes the AWS endpoint and stores (root, bucket,
+   * region, keys); s3a scopes credentials per-bucket so concurrent
+   * buckets work (superset).
+   */
+  def setS3Config(root: String, bucket: String, region: String,
+      accessKeyId: String, secretAccessKey: String): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set(s"fs.s3a.bucket.$bucket.access.key", accessKeyId)
+    hc.set(s"fs.s3a.bucket.$bucket.secret.key", secretAccessKey)
+    hc.set(s"fs.s3a.bucket.$bucket.endpoint.region", region)
+  }
+
+  /** Execute one-or-many `;`-separated statements; returns the formatted
+    * results joined by `\n` (reference: `src/core.rs:104,124,127`). */
+  def executeSql(sql: String): String =
+    StatementSplitter.split(sql)
+      .map(stmt => Formatter.format(executeStatement(stmt), resultFormat))
+      .mkString("\n")
+
+  /** Execute a single statement to a DataFrame (no formatting). */
+  def executeStatement(stmt: String): DataFrame = {
+    val translated = DdlTranslator.translate(stmt)
+    val rewritten =
+      if (InfoSchema.mentionsInfoSchema(translated)) {
+        InfoSchema.refresh(spark)
+        InfoSchema.rewrite(translated)
+      } else translated
+    spark.sql(rewritten)
+  }
+}
+
+object SqlEngine {
+  /** Reference parity: `DataFusionContext.greet()` (`src/core.rs:43-45`)
+    * is a wiring smoke test; ours identifies this engine. */
+  def greet(): String = "hello from graft-spark"
+
+  /** Session factory mirroring `DataFusionContext::new()` defaults the
+    * engine relies on (UTC session, ANSI on, AQE on). */
+  def newSession(master: String = "local[*]"): SqlEngine = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft-sql-engine")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    new SqlEngine(spark)
+  }
+}

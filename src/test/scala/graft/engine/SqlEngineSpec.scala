@@ -1,0 +1,95 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSessions
+
+class SqlEngineSpec extends AnyFunSuite {
+  private lazy val spark = TestSessions.spark
+  private lazy val engine = new SqlEngine(spark)
+
+  test("greet is wired") {
+    assert(SqlEngine.greet() == "hello from graft-spark")
+  }
+
+  test("multi-statement executeSql: results joined by newline") {
+    val out = engine.executeSql("SELECT 1 AS a; SELECT 'x' AS b")
+    assert(out.contains("| a |") && out.contains("| b |"))
+    assert(out.contains("| 1 |") && out.contains("| x |"))
+    // two bordered tables = one join newline between the blocks
+    assert(out.split("\n\\+").length >= 2)
+  }
+
+  test("CREATE EXTERNAL TABLE ... STORED AS PARQUET LOCATION is translated and queryable") {
+    engine.executeSql(
+      s"CREATE EXTERNAL TABLE ext_nation STORED AS PARQUET LOCATION '${TestSessions.sf0001}/nation.parquet'")
+    val out = engine.executeSql("SELECT count(*) AS n FROM ext_nation")
+    assert(out.contains("| 25 |"))
+    spark.sql("DROP TABLE IF EXISTS ext_nation")
+  }
+
+  test("CREATE VIEW / SELECT / DROP lifecycle in one call") {
+    val out = engine.executeSql(
+      """CREATE OR REPLACE TEMP VIEW v_two AS SELECT 2 AS two;
+        |SELECT two * 2 AS four FROM v_two;
+        |DROP VIEW v_two""".stripMargin)
+    assert(out.contains("| four |") && out.contains("| 4"))
+  }
+
+  test("information_schema.tables lists registered views") {
+    spark.sql("CREATE OR REPLACE TEMP VIEW info_probe AS SELECT 1 AS x")
+    val out = engine.executeSql(
+      "SELECT table_name FROM information_schema.tables WHERE table_name = 'info_probe'")
+    assert(out.contains("info_probe"))
+  }
+
+  test("information_schema.columns exposes column metadata") {
+    spark.sql("CREATE OR REPLACE TEMP VIEW info_probe2 AS SELECT 1 AS some_col")
+    val out = engine.executeSql(
+      "SELECT column_name, data_type FROM information_schema.columns WHERE table_name = 'info_probe2'")
+    assert(out.contains("some_col"))
+  }
+
+  test("df_settings exposes session configuration") {
+    val out = engine.executeSql(
+      "SELECT name FROM information_schema.df_settings WHERE name = 'spark.sql.session.timeZone'")
+    assert(out.contains("spark.sql.session.timeZone"))
+  }
+
+  test("SHOW TABLES passes through") {
+    spark.sql("CREATE OR REPLACE TEMP VIEW show_probe AS SELECT 1 AS x")
+    val out = engine.executeSql("SHOW TABLES")
+    assert(out.contains("show_probe"))
+  }
+
+  test("set_result_format(Json) is honored (fixes reference dead-code bug, SURVEY §3.4)") {
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      val out = engine.executeSql("SELECT 1 AS id, 'Alice' AS name")
+      assert(out == """[{"id":1,"name":"Alice"}]""")
+    } finally engine.setResultFormat(ResultFormat.Table)
+  }
+
+  test("values / set ops / windows run through the SQL surface") {
+    val out = engine.executeSql(
+      """SELECT id, ROW_NUMBER() OVER (ORDER BY id DESC) AS rn
+        |FROM VALUES (1), (2), (3) AS t(id)
+        |ORDER BY id""".stripMargin)
+    assert(out.contains("| 1  | 3  |"))
+  }
+
+  test("setS3Config maps to per-bucket hadoop s3a settings") {
+    engine.setS3Config("root", "my-bucket", "us-west-2", "AKID", "SECRET")
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.bucket.my-bucket.access.key") == "AKID")
+    assert(hc.get("fs.s3a.bucket.my-bucket.endpoint.region") == "us-west-2")
+  }
+
+  test("DdlTranslator rewrites s3 urls and csv options") {
+    val t = DdlTranslator.translate(
+      "CREATE EXTERNAL TABLE t (a INT) STORED AS CSV WITH HEADER ROW DELIMITER '|' LOCATION 's3://bkt/path/'")
+    assert(t.contains("USING csv"))
+    assert(t.contains("path 's3a://bkt/path/'"))
+    assert(t.contains("header 'true'") && t.contains("sep '|'"))
+  }
+}

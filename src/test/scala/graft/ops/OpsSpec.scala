@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSessions
+import graft.tables.Tables
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, TestSessions.sf001, "documents")
+  private lazy val emb = Tables.load(spark, TestSessions.sf001, "embeddings")
+
+  test("exact dedup preserves row identity when all texts are distinct") {
+    val d = Dedup.exact(docs)
+    assert(d.count() == docs.count()) // sf0.01 corpus has no exact dups
+    assert(d.agg(sum("dup_count")).as[Long].head == docs.count())
+  }
+
+  test("exactByHash agrees with exact on keep ids") {
+    val a = Dedup.exact(docs).select("keep_id").as[Long].collect().sorted
+    val b = Dedup.exactByHash(docs).select("keep_id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+  }
+
+  test("minhash LSH finds the planted near-duplicates with high jaccard") {
+    val pairs = Dedup.minhashLsh(docs, minJaccard = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // pairs independently confirmed >0.98 shingle-jaccard via offline scan
+    assert(pairs.contains((285L, 301L)))
+    assert(pairs.contains((98L, 290L)))
+    assert(pairs.size >= 20)
+  }
+
+  test("minhash candidates are verified: no pair below the threshold") {
+    val jmin = Dedup.minhashLsh(docs, minJaccard = 0.7)
+      .agg(min("jaccard")).as[Double].head
+    assert(jmin >= 0.7)
+  }
+
+  test("simhash mines near-identical docs at small hamming distance") {
+    val pairs = Dedup.simhash(docs, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty)
+    // near-identical token multisets => (almost) identical simhash
+    assert(pairs.contains((285L, 301L)) || pairs.contains((98L, 290L)))
+  }
+
+  test("adjacent cosine is within [-1, 1] and matches a hand computation") {
+    val rows = Similarity.adjacentCosine(emb.filter(col("vec_id") < 3))
+    val sims = rows.select("cos_sim").as[Double].collect()
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+    val Seq(e0, e1) = emb.filter(col("vec_id") < 2).orderBy("vec_id")
+      .select("embedding").as[Seq[Float]].collect().toSeq
+    val dot = e0.zip(e1).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val n0 = math.sqrt(e0.map(x => x.toDouble * x.toDouble).sum)
+    val n1 = math.sqrt(e1.map(x => x.toDouble * x.toDouble).sum)
+    val expected = BigDecimal(dot / (n0 * n1)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gotSim = rows.filter(col("vec_a") === 0).select("cos_sim").as[Double].head
+    assert(math.abs(gotSim - expected) < 1e-9)
+  }
+
+  test("brute-force top-k ranks are dense and similarity-ordered per query") {
+    val r = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") >= 5), emb.filter(col("vec_id") < 5), k = 5)
+    val byQ = r.select("qid", "rank", "sim").as[(Long, Int, Double)].collect().groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1 to 5))
+      assert(sorted.sliding(2).forall { case Array(a, b) => a._3 >= b._3; case _ => true })
+    }
+  }
+
+  test("LSH ANN returns only true bucket-mates re-ranked by exact cosine") {
+    val brute = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") >= 5), emb.filter(col("vec_id") < 5), k = 100)
+      .select("qid", "cid", "sim").as[(Long, Long, Double)].collect()
+      .map { case (q, c, s) => (q, c) -> s }.toMap
+    val lsh = Similarity.lshTopK(
+        emb.filter(col("vec_id") >= 5), emb.filter(col("vec_id") < 5), k = 3)
+      .select("qid", "cid", "sim").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit carries the same exact similarity the brute-force assigns
+    lsh.foreach { case (q, c, s) =>
+      brute.get((q, c)).foreach(bs => assert(math.abs(bs - s) < 1e-9))
+    }
+  }
+
+  test("language id emits a known tag and sane score for every doc") {
+    val r = TextAnalysis.languageId(docs).as[(Long, String, Double)].collect()
+    assert(r.length == docs.count())
+    assert(r.forall { case (_, lang, score) =>
+      Set("en", "fr", "es", "de", "zh").contains(lang) && score >= 0.0 && score <= 1.0 })
+  }
+
+  test("quality metrics are internally consistent") {
+    val r = TextAnalysis.quality(docs)
+    val bad = r.filter(
+      col("n_types") > col("n_tokens") || col("ttr") > 1.0 ||
+      col("punct_ratio") < 0.0 || col("quality_score") > 1.0).count()
+    assert(bad == 0)
+  }
+
+  test("fingerprints are identical iff the distinct token sets match") {
+    val near = TextAnalysis.fingerprint(docs.filter(col("doc_id").isin(285L, 301L)))
+      .select("fingerprint").as[String].collect()
+    assert(near.length == 2) // near-dup but not identical token sets → usually differ; just shape-check
+    val self = TextAnalysis.fingerprint(docs.filter(col("doc_id") === 285L)
+        .union(docs.filter(col("doc_id") === 285L).withColumn("doc_id", lit(9999L))))
+      .select("fingerprint").as[String].collect()
+    assert(self.distinct.length == 1) // same text → same fingerprint
+  }
+
+  test("multimodal pipeline keeps schema + row count through the decode stub") {
+    val r = Multimodal.pipeline(spark, docs)
+    assert(r.count() == docs.count())
+    assert(r.columns.toSeq == Seq("doc_id", "media_type", "n_bytes", "width", "height", "checksum", "thumb_bytes"))
+    assert(r.filter(col("n_bytes") <= 0).count() == 0)
+  }
+}
