@@ -49,6 +49,13 @@ object Dedup {
     transform(sequence(lit(0), lit(numPerm - 1)), i =>
       array_min(transform(shingles, s => xxhash64(i, s))))
 
+  /** Signature over pre-hashed shingles (one string hash per shingle,
+    * then numPerm cheap fixed-width re-hashes) — ~20× less hashing work
+    * than `minhashSignature` on long shingle strings. */
+  def minhashSignatureFromHashes(shingleHashes: Column, numPerm: Int): Column =
+    transform(sequence(lit(0), lit(numPerm - 1)), i =>
+      array_min(transform(shingleHashes, h => xxhash64(i, h))))
+
   /** LSH band keys over a *materialized* signature column: hash `bands`
     * contiguous slices of length numPerm/bands. Pair-collision
     * probability for true Jaccard j is 1-(1-j^r)^b — with (64, 16, r=4)
@@ -68,11 +75,20 @@ object Dedup {
    */
   def minhashLsh(docs: DataFrame, numPerm: Int = 64, bands: Int = 16,
       minJaccard: Double = 0.7): DataFrame = {
-    val sig = docs.select(
+    // Signature evaluation is the compute-heavy stage; a small parquet
+    // input arrives as one partition, which would serialize it on a
+    // single core. Round-robin repartition to the session's parallelism
+    // (no-op skew-wise; at full scale the input is already partitioned,
+    // and this exchange is dwarfed by the signature compute it unlocks).
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // stage 1 (cached): hashed trigram shingle sets (no shingle strings)
+    val pre = spread.select(
         col("doc_id"),
-        Text.shingles3(Text.tokens(col("text"))).as("sh"))
-      .select(col("doc_id"), col("sh"),
-        minhashSignature(col("sh"), numPerm).as("sig"))
+        Text.hashedShingles3(Text.tokens(col("text"))).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // stage 2 (cached): 64 permutations over the fixed-width hashes
+    val sig = pre.select(col("doc_id"),
+        minhashSignatureFromHashes(col("sh"), numPerm).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val bandRows = sig.select(col("doc_id"),
@@ -84,8 +100,8 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    val shA = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val shA = pre.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = pre.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     cand.join(shA, "doc_a").join(shB, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(Text.jaccard(col("sh_a"), col("sh_b")), 9).as("jaccard"))
@@ -99,7 +115,8 @@ object Dedup {
     * inner fold over tokens) so nothing is re-evaluated across lambda call
     * sites — cost is exactly 64·|tokens| hash-bit probes per row. */
   def simhashSignatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .withColumn("simhash", expr(
         """aggregate(sequence(0, 63), 0L, (acc, b) ->
           |  acc + CASE WHEN
