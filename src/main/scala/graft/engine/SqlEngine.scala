@@ -32,6 +32,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 class SqlEngine(val spark: SparkSession) {
 
+  graft.functions.GapFillers.register(spark)
+
   private var resultFormat: ResultFormat = ResultFormat.Table
 
   def setResultFormat(fmt: ResultFormat): Unit = { resultFormat = fmt }
@@ -60,7 +62,8 @@ class SqlEngine(val spark: SparkSession) {
 
   /** Execute a single statement to a DataFrame (no formatting). */
   def executeStatement(stmt: String): DataFrame = {
-    val translated = DdlTranslator.translate(stmt)
+    val aliased = graft.functions.GapFillers.rewriteAliases(stmt)
+    val translated = DdlTranslator.translate(aliased)
     val rewritten =
       if (InfoSchema.mentionsInfoSchema(translated)) {
         InfoSchema.refresh(spark)

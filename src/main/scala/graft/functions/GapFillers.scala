@@ -1,0 +1,267 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.unsafe.types.CalendarInterval
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * The function-surface gap between DataFusion 45's scalar library and
+ * Spark built-ins (SURVEY.md §2.8/§7.5). Two mechanisms:
+ *
+ *  1. **Custom Catalyst expressions** registered into the session
+ *     `FunctionRegistry` (`register`): `gcd`, `lcm`, `iszero`, `date_bin`,
+ *     `arrow_typeof`, `arrow_cast`, `version`, `to_char` (chrono-format
+ *     translation), the `encode`/`decode` hex|base64 dispatchers, and
+ *     `approx_median`. These are cold-path functions — CodegenFallback is
+ *     acceptable; the hot relational path stays whole-stage codegen.
+ *  2. **Name aliases** (`rewriteAliases`) applied by the engine pre-parse
+ *     where DataFusion and Spark differ only in spelling
+ *     (`approx_distinct`→`approx_count_distinct`, `to_hex`→`hex`, …).
+ *
+ * Known non-goals (documented, matching SURVEY §7.5): `current_time` /
+ * TIME type (Spark has none), GROUPS window frames, `to_local_time`.
+ */
+object GapFillers {
+
+  // ------------------------------------------------------------ exprs
+
+  /** gcd(a, b) — DataFusion math family; absent from Spark. */
+  case class Gcd(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      var x = math.abs(a.asInstanceOf[Long]); var y = math.abs(b.asInstanceOf[Long])
+      while (y != 0) { val t = x % y; x = y; y = t }
+      x
+    }
+    override def prettyName: String = "gcd"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+  }
+
+  /** lcm(a, b). */
+  case class Lcm(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = math.abs(a.asInstanceOf[Long]); val y = math.abs(b.asInstanceOf[Long])
+      if (x == 0 || y == 0) 0L
+      else {
+        var g = x; var h = y
+        while (h != 0) { val t = g % h; g = h; h = t }
+        x / g * y
+      }
+    }
+    override def prettyName: String = "lcm"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+  }
+
+  /** date_bin(stride, source[, origin]) — DataFusion datetime family:
+    * floors `source` into `stride`-wide bins anchored at `origin`.
+    * Month-bearing strides are rejected, matching DataFusion. */
+  case class DateBin(stride: Expression, source: Expression, anchor: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def first: Expression = stride
+    override def second: Expression = source
+    override def third: Expression = anchor
+    override def dataType: DataType = TimestampType
+    override def nullable: Boolean = children.exists(_.nullable)
+
+    private def strideMicros(v: Any): Long = v match {
+      case c: CalendarInterval =>
+        if (c.months != 0)
+          throw new IllegalArgumentException("date_bin does not support month strides")
+        c.days * 86400000000L + c.microseconds
+      case l: Long => stride.dataType match {
+        case _: DayTimeIntervalType => l // already micros
+        case _ => throw new IllegalArgumentException(
+          s"date_bin stride must be a day-time interval, got ${stride.dataType}")
+      }
+      case other => throw new IllegalArgumentException(s"bad stride: $other")
+    }
+
+    override def nullSafeEval(s: Any, ts: Any, orig: Any): Any = {
+      val st = strideMicros(s)
+      if (st <= 0) throw new IllegalArgumentException("date_bin stride must be positive")
+      val t = ts.asInstanceOf[Long]
+      val o = orig.asInstanceOf[Long]
+      o + Math.floorDiv(t - o, st) * st
+    }
+    override def prettyName: String = "date_bin"
+    override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+      copy(a, b, c)
+  }
+
+  /** arrow_typeof(x) — Arrow type name of the argument (DataFusion debug
+    * helper, used pervasively in its test suites). */
+  case class ArrowTypeOf(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = false
+    override def foldable: Boolean = true
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      UTF8String.fromString(arrowName(child.dataType))
+    override def prettyName: String = "arrow_typeof"
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  private[functions] def arrowName(dt: DataType): String = dt match {
+    case BooleanType => "Boolean"
+    case ByteType => "Int8"
+    case ShortType => "Int16"
+    case IntegerType => "Int32"
+    case LongType => "Int64"
+    case FloatType => "Float32"
+    case DoubleType => "Float64"
+    case StringType => "Utf8"
+    case BinaryType => "Binary"
+    case DateType => "Date32"
+    case _: TimestampType => "Timestamp(Microsecond, Some(\"+00:00\"))"
+    case TimestampNTZType => "Timestamp(Microsecond, None)"
+    case d: DecimalType => s"Decimal128(${d.precision}, ${d.scale})"
+    case a: ArrayType => s"List(Field { name: \"item\", data_type: ${arrowName(a.elementType)} })"
+    case NullType => "Null"
+    case other => other.simpleString
+  }
+
+  private[functions] def sparkTypeOfArrow(name: String): DataType = {
+    val n = name.trim
+    n match {
+      case "Boolean" => BooleanType
+      case "Int8" => ByteType
+      case "Int16" => ShortType
+      case "Int32" => IntegerType
+      case "Int64" => LongType
+      case "UInt8" => ShortType   // widened (SURVEY §1.3)
+      case "UInt16" => IntegerType
+      case "UInt32" => LongType
+      case "UInt64" => DecimalType(20, 0)
+      case "Float16" | "Float32" => FloatType
+      case "Float64" => DoubleType
+      case "Utf8" | "LargeUtf8" | "Utf8View" => StringType
+      case "Binary" | "LargeBinary" | "BinaryView" => BinaryType
+      case "Date32" | "Date64" => DateType
+      case _ if n.startsWith("Timestamp") =>
+        if (n.contains("None")) TimestampNTZType else TimestampType
+      case _ if n.startsWith("Decimal128") || n.startsWith("Decimal256") =>
+        val ps = n.substring(n.indexOf('(') + 1, n.indexOf(')')).split(',')
+        DecimalType(ps(0).trim.toInt, ps(1).trim.toInt)
+      case other => throw new IllegalArgumentException(s"arrow_cast: unsupported type '$other'")
+    }
+  }
+
+  // ------------------------------------------------------ chrono fmt
+  /** chrono strftime → java.time pattern (for DataFusion `to_char`). */
+  private[functions] def chronoToJava(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    def lit(s: String): Unit = if (s.nonEmpty) sb ++= "'" + s.replace("'", "''") + "'"
+    val buf = new StringBuilder
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        lit(buf.toString); buf.clear()
+        fmt.charAt(i + 1) match {
+          case 'Y' => sb ++= "yyyy"; case 'y' => sb ++= "yy"
+          case 'm' => sb ++= "MM"; case 'd' => sb ++= "dd"
+          case 'e' => sb ++= "d"
+          case 'H' => sb ++= "HH"; case 'I' => sb ++= "hh"
+          case 'M' => sb ++= "mm"; case 'S' => sb ++= "ss"
+          case 'f' => sb ++= "SSSSSS"
+          case 'j' => sb ++= "DDD"
+          case 'a' => sb ++= "EEE"; case 'A' => sb ++= "EEEE"
+          case 'b' | 'h' => sb ++= "MMM"; case 'B' => sb ++= "MMMM"
+          case 'p' => sb ++= "a"
+          case '%' => buf += '%'
+          case other => buf += '%' += other
+        }
+        i += 2
+      } else { buf += c; i += 1 }
+    }
+    lit(buf.toString)
+    sb.toString
+  }
+
+  // ------------------------------------------------------------ registry
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def f(name: String)(b: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+
+    f("gcd") { case Seq(a, b) => Gcd(Cast(a, LongType), Cast(b, LongType)) }
+    f("lcm") { case Seq(a, b) => Lcm(Cast(a, LongType), Cast(b, LongType)) }
+    f("iszero") { case Seq(x) => EqualTo(Cast(x, DoubleType), Literal(0.0)) }
+    f("date_bin") {
+      case Seq(stride, ts) =>
+        DateBin(stride, Cast(ts, TimestampType), Literal(0L, TimestampType))
+      case Seq(stride, ts, origin) =>
+        DateBin(stride, Cast(ts, TimestampType), Cast(origin, TimestampType))
+    }
+    f("arrow_typeof") { case Seq(x) => ArrowTypeOf(x) }
+    f("arrow_cast") {
+      case Seq(x, Literal(s: UTF8String, StringType)) =>
+        Cast(x, sparkTypeOfArrow(s.toString))
+      case _ => throw new IllegalArgumentException(
+        "arrow_cast(expr, 'TypeName') requires a literal type name")
+    }
+    f("version") { case Seq() =>
+      Literal(s"graft-spark 0.1.0 (Apache Spark ${org.apache.spark.SPARK_VERSION})")
+    }
+    f("to_char") {
+      case Seq(x, Literal(s: UTF8String, StringType)) =>
+        DateFormatClass(Cast(x, TimestampType), Literal(chronoToJava(s.toString)))
+      case _ => throw new IllegalArgumentException(
+        "to_char(expr, 'format') requires a literal chrono format")
+    }
+    // DataFusion encode/decode (hex|base64) — any other second argument
+    // falls through to Spark's builtin charset encode/decode (captured
+    // before our override shadows it).
+    val builtinEncode = FunctionRegistry.builtin.lookupFunctionBuilder(FunctionIdentifier("encode"))
+    val builtinDecode = FunctionRegistry.builtin.lookupFunctionBuilder(FunctionIdentifier("decode"))
+    f("encode") {
+      case Seq(x, Literal(s: UTF8String, StringType)) if s.toString.equalsIgnoreCase("hex") =>
+        Lower(Hex(x))
+      case Seq(x, Literal(s: UTF8String, StringType)) if s.toString.equalsIgnoreCase("base64") =>
+        Base64(Cast(x, BinaryType))
+      case args => builtinEncode.map(_(args)).getOrElse(
+        throw new IllegalArgumentException("encode: unsupported arguments"))
+    }
+    f("decode") {
+      case Seq(x, Literal(s: UTF8String, StringType)) if s.toString.equalsIgnoreCase("hex") =>
+        Unhex(x)
+      case Seq(x, Literal(s: UTF8String, StringType)) if s.toString.equalsIgnoreCase("base64") =>
+        UnBase64(x)
+      case args => builtinDecode.map(_(args)).getOrElse(
+        throw new IllegalArgumentException("decode: unsupported arguments"))
+    }
+    f("approx_median") { case Seq(x) =>
+      new ApproximatePercentile(x, Literal(0.5)) }
+  }
+
+  // ------------------------------------------------------------ aliases
+
+  /** Pure-rename shims (same argument shapes). Applied textually by the
+    * engine pre-parse; word-boundary + '(' anchored. */
+  val aliases: Map[String, String] = Map(
+    "approx_distinct" -> "approx_count_distinct",
+    "approx_percentile_cont" -> "percentile_approx",
+    "string_agg" -> "listagg",
+    "substr_index" -> "substring_index",
+    "to_unixtime" -> "unix_timestamp",
+    "to_timestamp_seconds" -> "timestamp_seconds",
+    "to_timestamp_millis" -> "timestamp_millis",
+    "to_timestamp_micros" -> "timestamp_micros",
+    "to_hex" -> "hex",
+    "today" -> "current_date",
+    "list_sort" -> "sort_array")
+
+  def rewriteAliases(sql: String): String =
+    aliases.foldLeft(sql) { case (s, (from, to)) =>
+      s.replaceAll("(?i)\\b" + from + "\\s*\\(", to + "(")
+    }
+}

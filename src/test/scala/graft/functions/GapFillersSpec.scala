@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSessions
+import graft.engine.{ResultFormat, SqlEngine}
+
+/** Exercises every gap-filler through the public SQL surface (SURVEY §7.5:
+  * the functions DataFusion 45 ships that Spark lacks or names differently). */
+class GapFillersSpec extends AnyFunSuite {
+  private lazy val engine = {
+    val e = new SqlEngine(TestSessions.spark)
+    e.setResultFormat(ResultFormat.Json)
+    e
+  }
+
+  private def one(sql: String): String = engine.executeSql(sql)
+
+  test("gcd / lcm / iszero") {
+    assert(one("SELECT gcd(12, 18) AS g") == """[{"g":6}]""")
+    assert(one("SELECT gcd(-12, 0) AS g") == """[{"g":12}]""")
+    assert(one("SELECT lcm(4, 6) AS l") == """[{"l":12}]""")
+    assert(one("SELECT lcm(0, 5) AS l") == """[{"l":0}]""")
+    assert(one("SELECT iszero(0.0) AS z, iszero(1.5) AS nz") == """[{"z":true,"nz":false}]""")
+  }
+
+  test("date_bin floors into stride-aligned bins") {
+    assert(one(
+      "SELECT date_bin(INTERVAL '15' MINUTE, TIMESTAMP '2024-01-01 10:37:12', TIMESTAMP '2024-01-01 00:00:00') AS b")
+      == """[{"b":"2024-01-01T10:30:00"}]""")
+    // 2-arg form bins against the unix epoch
+    assert(one(
+      "SELECT date_bin(INTERVAL '1' HOUR, TIMESTAMP '2024-01-01 10:37:12') AS b")
+      == """[{"b":"2024-01-01T10:00:00"}]""")
+  }
+
+  test("arrow_typeof mirrors Arrow type names") {
+    assert(one("SELECT arrow_typeof(CAST(1 AS INT)) AS t") == """[{"t":"Int32"}]""")
+    assert(one("SELECT arrow_typeof(1.5) AS t").contains("Decimal128"))
+    assert(one("SELECT arrow_typeof(CAST(1.5 AS DOUBLE)) AS t") == """[{"t":"Float64"}]""")
+    assert(one("SELECT arrow_typeof('x') AS t") == """[{"t":"Utf8"}]""")
+  }
+
+  test("arrow_cast casts through Arrow type names incl. unsigned widening") {
+    assert(one("SELECT arrow_cast('123', 'Int64') AS v") == """[{"v":123}]""")
+    assert(one("SELECT arrow_cast(200, 'UInt8') AS v") == """[{"v":200}]""")
+    assert(one("SELECT arrow_cast(1, 'Float64') AS v") == """[{"v":1.0}]""")
+  }
+
+  test("version() identifies the engine") {
+    assert(one("SELECT version() AS v").contains("graft-spark"))
+  }
+
+  test("to_char translates chrono formats") {
+    assert(one("SELECT to_char(TIMESTAMP '2024-01-05 07:08:09', '%Y-%m-%d') AS s")
+      == """[{"s":"2024-01-05"}]""")
+    assert(one("SELECT to_char(TIMESTAMP '2024-01-05 07:08:09', '%H:%M:%S on %A') AS s")
+      == """[{"s":"07:08:09 on Friday"}]""")
+  }
+
+  test("encode/decode dispatch hex and base64, charset path still works") {
+    assert(one("SELECT encode('abc', 'hex') AS h") == """[{"h":"616263"}]""")
+    assert(one("SELECT encode('hi', 'base64') AS b") == """[{"b":"aGk="}]""")
+    assert(one("SELECT CAST(decode(encode('hi', 'base64'), 'base64') AS STRING) AS r")
+      == """[{"r":"hi"}]""")
+    assert(one("SELECT CAST(decode(encode('hi', 'hex'), 'hex') AS STRING) AS r")
+      == """[{"r":"hi"}]""")
+    assert(one("SELECT CAST(encode('hi', 'utf-8') AS STRING) AS r") == """[{"r":"hi"}]""")
+  }
+
+  test("approx_median approximates the exact median") {
+    val out = one("SELECT approx_median(x) AS m FROM VALUES (1.0),(2.0),(3.0),(4.0),(100.0) t(x)")
+    assert(out == """[{"m":3.0}]""")
+  }
+
+  test("name aliases: approx_distinct, string_agg, to_hex, substr_index, today") {
+    assert(one("SELECT approx_distinct(x) AS d FROM VALUES (1),(2),(2),(3) t(x)") == """[{"d":3}]""")
+    assert(one("SELECT string_agg(x, ',') AS s FROM VALUES ('a'),('b') t(x)") == """[{"s":"a,b"}]""")
+    assert(one("SELECT to_hex(255) AS h") == """[{"h":"FF"}]""")
+    assert(one("SELECT substr_index('a.b.c', '.', 2) AS s") == """[{"s":"a.b"}]""")
+    assert(one("SELECT (today() = current_date) AS same") == """[{"same":true}]""")
+    assert(one("SELECT to_unixtime(TIMESTAMP '1970-01-01 00:01:00') AS u") == """[{"u":60}]""")
+  }
+}
