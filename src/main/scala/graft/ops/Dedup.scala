@@ -80,15 +80,17 @@ object Dedup {
     // single core. Round-robin repartition to the session's parallelism
     // (no-op skew-wise; at full scale the input is already partitioned,
     // and this exchange is dwarfed by the signature compute it unlocks).
-    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    // stage 1 (cached): hashed trigram shingle sets (no shingle strings)
+    val spark = docs.sparkSession
+    val spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    // stage 1 (cached): hashed trigram shingle sets — one tight-loop
+    // Expression eval per row (TextHashExprs), no interpreted lambdas
     val pre = spread.select(
         col("doc_id"),
-        Text.hashedShingles3(Text.tokens(col("text"))).as("sh"))
+        graft.functions.TextHashExprs.tokenTrigramHashes(spark, col("text")).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // stage 2 (cached): 64 permutations over the fixed-width hashes
     val sig = pre.select(col("doc_id"),
-        minhashSignatureFromHashes(col("sh"), numPerm).as("sig"))
+        graft.functions.TextHashExprs.minhashFromHashes(spark, col("sh"), numPerm).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val bandRows = sig.select(col("doc_id"),
@@ -109,22 +111,14 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Per-doc 64-bit SimHash signatures (doc_id, simhash). Each token votes
-    * ±1 on every bit of its xxhash64; the sign of the vote total becomes
-    * the bit. Implemented as ONE nested-aggregate expression (per-bit
-    * inner fold over tokens) so nothing is re-evaluated across lambda call
-    * sites — cost is exactly 64·|tokens| hash-bit probes per row. */
+  /** Per-doc 64-bit SimHash signatures (doc_id, simhash). Each token
+    * votes ±1 on every bit of its hash; the sign of the vote total
+    * becomes the bit. One tight-loop Expression eval per row
+    * (TextHashExprs.SimHash64). */
   def simhashSignatures(docs: DataFrame): DataFrame =
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, b) ->
-          |  acc + CASE WHEN
-          |    aggregate(toks, 0L, (a2, t) ->
-          |      a2 + CASE WHEN (shiftrightunsigned(xxhash64(t), CAST(b AS INT)) & 1) = 1
-          |               THEN 1L ELSE -1L END) > 0
-          |    THEN shiftleft(1L, CAST(b AS INT)) ELSE 0L END)""".stripMargin))
-      .select(col("doc_id"), col("simhash"))
+      .select(col("doc_id"),
+        graft.functions.TextHashExprs.simhash64(docs.sparkSession, col("text")).as("simhash"))
 
   /**
    * SimHash near-dup mining: signature per doc (one cached pass), 4×16-bit
