@@ -62,7 +62,7 @@ class SqlEngine(val spark: SparkSession) {
 
   /** Execute a single statement to a DataFrame (no formatting). */
   def executeStatement(stmt: String): DataFrame = {
-    val aliased = graft.functions.GapFillers.rewriteAliases(stmt)
+    val aliased = Dialect.rewriteSimilarTo(graft.functions.GapFillers.rewriteAliases(stmt))
     val translated = DdlTranslator.translate(aliased)
     val rewritten =
       if (InfoSchema.mentionsInfoSchema(translated)) {

@@ -118,6 +118,45 @@ object TextHashExprs {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** Random-hyperplane LSH buckets of a float-vector: element t is the
+    * `bits`-bit signature of signs of projections onto deterministic ±1
+    * hyperplanes (seeded per (table, bit, dim) via XXH64). One tight
+    * loop per row — the interpreted-lambda formulation costs
+    * tables·bits·dim expression evals. */
+  case class RhpBuckets(child: Expression, tables: Int, bits: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val dim = arr.numElements()
+      val vec = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { vec(i) = arr.getFloat(i).toDouble; i += 1 }
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var bucket = 0L
+        var b = 0
+        while (b < bits) {
+          var proj = 0.0
+          var d = 0
+          while (d < dim) {
+            val sign = if ((XXH64.hashLong((t.toLong << 32) | (b.toLong << 16) | d.toLong, SEED) & 1L) == 1L) 1.0 else -1.0
+            proj += vec(d) * sign
+            d += 1
+          }
+          if (proj > 0) bucket |= (1L << b)
+          b += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+    override def prettyName: String = "rhp_buckets"
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   // ---------------------------------------------------------- Column API
   // Session-registry-based construction (Column internals are private in
   // Spark 4; call_function resolves through the FunctionRegistry).
@@ -130,6 +169,9 @@ object TextHashExprs {
       { case Seq(x, Literal(n: Int, IntegerType)) => MinHashFromHashes(x, n) }, "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       { case Seq(x) => SimHash64(x) }, "built-in")
+    reg.createOrReplaceTempFunction("rhp_buckets",
+      { case Seq(x, Literal(t: Int, IntegerType), Literal(b: Int, IntegerType)) =>
+        RhpBuckets(x, t, b) }, "built-in")
   }
 
   def tokenTrigramHashes(spark: SparkSession, text: Column): Column = {
@@ -145,5 +187,11 @@ object TextHashExprs {
   def simhash64(spark: SparkSession, text: Column): Column = {
     ensureRegistered(spark)
     call_function("simhash64", text)
+  }
+
+  def rhpBuckets(spark: SparkSession, vec: Column, tables: Int, bits: Int): Column = {
+    ensureRegistered(spark)
+    call_function("rhp_buckets", vec,
+      org.apache.spark.sql.functions.lit(tables), org.apache.spark.sql.functions.lit(bits))
   }
 }

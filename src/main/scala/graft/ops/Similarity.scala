@@ -58,41 +58,20 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** Random-hyperplane signature: `bits` sign bits of projections onto
-    * deterministic ±1 hyperplanes (seeded per (table, bit, dim)). */
-  private def rhpBucket(v: Column, table: Int, bits: Int, dim: Int): Column = {
-    val bitCols = (0 until bits).map { b =>
-      val proj = aggregate(
-        zip_with(v, signPlane(table, b, dim), (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, 1L << b).otherwise(0L)
-    }
-    bitCols.reduce(_ + _)
-  }
-
-  /** Deterministic ±1.0 hyperplane as a literal array expression. */
-  private def signPlane(table: Int, bit: Int, dim: Int): Column = {
-    // seeded pseudo-random signs; computed once at plan time per (table,bit)
-    val signs = (0 until dim).map { i =>
-      val h = scala.util.hashing.MurmurHash3.productHash((table, bit, i))
-      if ((h & 1) == 1) 1.0 else -1.0
-    }
-    array(signs.map(lit): _*)
-  }
-
   /**
    * LSH-bucketed ANN: L hash tables of `bits`-bit random-hyperplane
-   * buckets; candidates = corpus vectors sharing any (table, bucket) with
-   * a query, re-ranked by exact cosine, top-k per query.
+   * buckets (tight-loop `TextHashExprs.RhpBuckets` expression, seeded
+   * deterministically); candidates = corpus vectors sharing any
+   * (table, bucket) with a query, re-ranked by exact cosine, top-k per
+   * query. `dim` is read from the data at eval time.
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       tables: Int = 8, bits: Int = 6, dim: Int = 64): DataFrame = {
     def banded(df: DataFrame, idName: String, vecName: String): DataFrame = {
-      val buckets = array((0 until tables).map(t =>
-        struct(lit(t).as("t"), rhpBucket(col("embedding"), t, bits, dim).as("bucket"))): _*)
+      val spark = df.sparkSession
       df.select(col("vec_id").as(idName), col("embedding").as(vecName),
-          explode(buckets).as("tb"))
-        .select(col(idName), col(vecName), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+          posexplode(graft.functions.TextHashExprs.rhpBuckets(spark, col("embedding"), tables, bits))
+            .as(Seq("t", "bucket")))
     }
     val qb = banded(queries, "qid", "qe")
     val cb = banded(corpus, "cid", "ce")

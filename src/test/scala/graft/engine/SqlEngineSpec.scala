@@ -117,6 +117,18 @@ class SqlEngineSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS ins_t")
   }
 
+  test("SIMILAR TO is rewritten to anchored RLIKE") {
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      assert(engine.executeSql("SELECT 'abc' SIMILAR TO 'a%' AS m") == """[{"m":true}]""")
+      assert(engine.executeSql("SELECT 'abc' SIMILAR TO 'b%' AS m") == """[{"m":false}]""")
+      assert(engine.executeSql("SELECT 'abc' NOT SIMILAR TO '_b_' AS m") == """[{"m":false}]""")
+      assert(engine.executeSql("SELECT 'a.c' SIMILAR TO 'a.c' AS dot, 'axc' SIMILAR TO 'a.c' AS lit") ==
+        """[{"dot":true,"lit":false}]""")
+      assert(engine.executeSql("SELECT 'abab' SIMILAR TO '(ab)+' AS m") == """[{"m":true}]""")
+    } finally engine.setResultFormat(ResultFormat.Table)
+  }
+
   test("DdlTranslator rewrites s3 urls and csv options") {
     val t = DdlTranslator.translate(
       "CREATE EXTERNAL TABLE t (a INT) STORED AS CSV WITH HEADER ROW DELIMITER '|' LOCATION 's3://bkt/path/'")
