@@ -21,8 +21,9 @@ import graft.tables.Tables
 object Functions {
 
   // ---------------------------------------------------------------- q34
-  val q34 = Q.sql(
-    "q34_fn_string",
+  // Shared text except char_length/octet_length (DuckDB 1.0 spells them
+  // len/strlen).
+  private val q34Text =
     """SELECT p_partkey,
       |  UPPER(p_name) AS up, LOWER(p_brand) AS lo,
       |  CAST(LENGTH(p_name) AS INT) AS len,
@@ -42,8 +43,19 @@ object Functions {
       |  TRANSLATE(p_type, 'AEO', 'aeo') AS tr,
       |  CAST(ASCII(p_brand) AS INT) AS asc_b,
       |  CHR(65 + p_size % 26) AS chr_c,
-      |  CAST(LEVENSHTEIN(p_name, p_type) AS INT) AS lev
-      |FROM part ORDER BY p_partkey""".stripMargin)
+      |  CAST(LEVENSHTEIN(p_name, p_type) AS INT) AS lev,
+      |  CAST(CHAR_LENGTH(p_name) AS INT) AS clen,
+      |  CAST(OCTET_LENGTH(p_name) AS INT) AS olen,
+      |  CAST(BIT_LENGTH(p_name) AS INT) AS blen,
+      |  CAST(POSITION('e' IN p_name) AS INT) AS pos_e2
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  val q34 = Q.sql2(
+    "q34_fn_string",
+    q34Text,
+    q34Text
+      .replace("CHAR_LENGTH(p_name)", "LEN(p_name)")
+      .replace("OCTET_LENGTH(p_name)", "STRLEN(p_name)"))
 
   // ---------------------------------------------------------------- q35
   val q35 = Q.sql(
