@@ -166,10 +166,38 @@ object Extensions {
     TextAnalysis.fingerprint(Tables.load(spark, dir, "documents"))
   }
 
+  // ---------------------------------------------------------------- x13
+  // Per-label centroid (element-wise mean over the embedding column) —
+  // the aggregation shape behind k-means / class prototypes. Scale: the
+  // explode shuffles (label, pos, value) triples with map-side partial
+  // aggregation; state is bounded by labels×dims regardless of corpus
+  // size. Values are ~0.02-magnitude floats, so a double sum rounded to
+  // 9 digits absorbs both accumulation-order and cross-engine noise
+  // (the decimal trick is for price-scale values; at this magnitude
+  // decimal ROUNDING ties between engines become the bigger risk).
+  val x13 = Q.df(
+    "x13_embedding_centroids",
+    """SELECT label, CAST(pos AS INT) AS pos,
+      |  ROUND(SUM(v) / COUNT(*), 9) AS centroid_v,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+      |             CAST(unnest(embedding) AS DOUBLE) AS v
+      |      FROM embeddings)
+      |GROUP BY label, pos ORDER BY label, pos""".stripMargin) { (spark, dir) =>
+    Tables.load(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        round(sum(col("v").cast("double")) / count(lit(1)), 9).as("centroid_v"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos").cast("int").as("pos"), col("centroid_v"), col("n"))
+      .orderBy(col("label"), col("pos"))
+  }
+
   // ---------------------------------------------------------------- x12
   val x12 = Q.dfOnly("x12_multimodal_features") { (spark, dir) =>
     Multimodal.pipeline(spark, Tables.load(spark, dir, "documents"))
   }
 
-  def defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12)
+  def defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13)
 }
