@@ -88,7 +88,8 @@ object Formatter {
     case (s: scala.collection.Seq[_], ArrayType(et, _)) =>
       s.map(x => if (x == null) "" else renderValue(x, et)).mkString("[", ", ", "]")
     case (row: Row, StructType(fields)) =>
-      fields.indices.map(i => s"{${fields(i).name}: ${render(row, i, fields(i).dataType)}}").mkString(", ")
+      fields.indices.map(i => s"${fields(i).name}: ${render(row, i, fields(i).dataType)}")
+        .mkString("{", ", ", "}")
     case (m: scala.collection.Map[_, _], MapType(kt, vt, _)) =>
       m.map { case (k, x) => s"${renderValue(k, kt)}: ${renderValue(x, vt)}" }.mkString("{", ", ", "}")
     case (x, _) => x.toString

@@ -49,13 +49,6 @@ object Dedup {
     transform(sequence(lit(0), lit(numPerm - 1)), i =>
       array_min(transform(shingles, s => xxhash64(i, s))))
 
-  /** Signature over pre-hashed shingles (one string hash per shingle,
-    * then numPerm cheap fixed-width re-hashes) — ~20× less hashing work
-    * than `minhashSignature` on long shingle strings. */
-  def minhashSignatureFromHashes(shingleHashes: Column, numPerm: Int): Column =
-    transform(sequence(lit(0), lit(numPerm - 1)), i =>
-      array_min(transform(shingleHashes, h => xxhash64(i, h))))
-
   /** LSH band keys over a *materialized* signature column: hash `bands`
     * contiguous slices of length numPerm/bands. Pair-collision
     * probability for true Jaccard j is 1-(1-j^r)^b — with (64, 16, r=4)

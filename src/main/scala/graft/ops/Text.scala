@@ -25,16 +25,6 @@ object Text {
           element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
       .otherwise(array(array_join(toks, " "))))
 
-  /** Distinct word-trigram shingles pre-hashed to 64 bits via multi-arg
-    * xxhash64 — no intermediate shingle strings are built, which makes
-    * this ~3× cheaper than `shingles3` + string hashing. Set semantics
-    * (Jaccard etc.) carry over with ~2^-64 per-pair collision odds. */
-  def hashedShingles3(toks: Column): Column = array_distinct(
-    when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3), i =>
-        xxhash64(element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
-      .otherwise(array(xxhash64(array_join(toks, " ")))))
-
   /** Jaccard similarity of two pre-deduplicated arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")

@@ -61,6 +61,13 @@ class FormatterSpec extends AnyFunSuite {
     assert(t.contains("2024-01-05T07:08:09.250"))
   }
 
+  test("structs and arrays render arrow-style") {
+    val df = spark.sql("SELECT named_struct('a', 1, 'b', 'x') AS s, array(1, 2) AS arr")
+    val t = Formatter.table(df)
+    assert(t.contains("{a: 1, b: x}"))
+    assert(t.contains("[1, 2]"))
+  }
+
   test("empty result still prints the header block") {
     val df = fixture.filter("id > 99")
     val t = Formatter.table(df)
