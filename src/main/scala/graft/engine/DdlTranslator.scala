@@ -19,8 +19,9 @@ package graft.engine
 object DdlTranslator {
 
   private val External =
+    // column list allows one level of nested parens (DECIMAL(10,2), VARCHAR(n), ...)
     ("""(?is)^\s*CREATE\s+(?:UNBOUNDED\s+)?EXTERNAL\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`"]+)\s*""" +
-      """(\([^)]*\))?\s*STORED\s+AS\s+(\w+)\s*(.*?)\s*LOCATION\s+'([^']+)'\s*;?\s*$""").r
+      """(\((?:[^()]|\([^()]*\))*\))?\s*STORED\s+AS\s+(\w+)\s*(.*?)\s*LOCATION\s+'([^']+)'\s*;?\s*$""").r
 
   /** Rewrite one statement; non-DDL statements pass through unchanged. */
   def translate(stmt: String): String = stmt match {

@@ -118,6 +118,12 @@ object Formatter {
     case (null, _) => "null"
     case (s: String, _) => "\"" + escape(s) + "\""
     case (b: Boolean, _) => b.toString
+    case (d: Double, _) if d.isNaN || d.isInfinity => "null" // not representable in JSON
+    case (f: Float, _) if f.isNaN || f.isInfinity => "null"
+    case (m: scala.collection.Map[_, _], MapType(kt, vt, _)) =>
+      m.map { case (k, x) =>
+        "\"" + escape(renderValue(k, kt)) + "\":" + jsonValue(x, vt)
+      }.mkString("{", ",", "}")
     case (t: Timestamp, _) => "\"" + renderTimestamp(t) + "\""
     case (d: Date, _) => "\"" + d.toString + "\""
     case (b: Array[Byte], _) => "\"" + b.map("%02x".format(_)).mkString + "\""

@@ -62,12 +62,15 @@ class SqlEngine(val spark: SparkSession) {
 
   /** Execute a single statement to a DataFrame (no formatting). */
   def executeStatement(stmt: String): DataFrame = {
-    val aliased = Dialect.rewriteSimilarTo(graft.functions.GapFillers.rewriteAliases(stmt))
+    // alias + info-schema rewrites apply only outside string literals;
+    // SIMILAR TO runs on the raw text because its pattern IS a literal
+    val aliased = Dialect.rewriteSimilarTo(
+      Dialect.outsideLiterals(stmt)(graft.functions.GapFillers.rewriteAliases))
     val translated = DdlTranslator.translate(aliased)
     val rewritten =
-      if (InfoSchema.mentionsInfoSchema(translated)) {
+      if (InfoSchema.mentionsInfoSchema(Dialect.maskLiterals(translated))) {
         InfoSchema.refresh(spark)
-        InfoSchema.rewrite(translated)
+        Dialect.outsideLiterals(translated)(InfoSchema.rewrite)
       } else translated
     spark.sql(rewritten)
   }

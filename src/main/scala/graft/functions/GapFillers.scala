@@ -36,7 +36,8 @@ object GapFillers {
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def nullSafeEval(a: Any, b: Any): Any = {
-      var x = math.abs(a.asInstanceOf[Long]); var y = math.abs(b.asInstanceOf[Long])
+      // absExact: Long.MinValue has no positive abs — raise, as ANSI would
+      var x = Math.absExact(a.asInstanceOf[Long]); var y = Math.absExact(b.asInstanceOf[Long])
       while (y != 0) { val t = x % y; x = y; y = t }
       x
     }
@@ -49,12 +50,12 @@ object GapFillers {
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def nullSafeEval(a: Any, b: Any): Any = {
-      val x = math.abs(a.asInstanceOf[Long]); val y = math.abs(b.asInstanceOf[Long])
+      val x = Math.absExact(a.asInstanceOf[Long]); val y = Math.absExact(b.asInstanceOf[Long])
       if (x == 0 || y == 0) 0L
       else {
         var g = x; var h = y
         while (h != 0) { val t = g % h; g = h; h = t }
-        x / g * y
+        Math.multiplyExact(x / g, y) // overflow raises (ANSI semantics)
       }
     }
     override def prettyName: String = "lcm"

@@ -32,7 +32,9 @@ object TextHashExprs {
   /** Lowercased \W+-split tokens of a UTF8String (parity with
     * `graft.ops.Text.tokens`). */
   private def tokenize(s: UTF8String): Array[String] =
-    s.toString.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    // Locale.ROOT: default-locale lowercasing (e.g. Turkish dotless ı)
+    // would make signatures machine-dependent
+    s.toString.toLowerCase(java.util.Locale.ROOT).split("\\W+").filter(_.nonEmpty)
 
   private def hashString(s: String, seed: Long): Long = {
     val u = UTF8String.fromString(s)

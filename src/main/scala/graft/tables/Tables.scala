@@ -29,7 +29,10 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private val registered = ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+  // temp views are session-global: track which dir each session's views
+  // currently point at, and re-register whenever it changes (a keyed
+  // "already done" set would silently leave views on the previous dir)
+  private val registeredDir = new ConcurrentHashMap[SparkSession, String]()
 
   /** Read one fixture table from `dir` (no view registration). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
@@ -46,9 +49,10 @@ object Tables {
     }
   }
 
-  /** Register every fixture table as a temp view (idempotent per session+dir). */
+  /** Register every fixture table as a temp view (idempotent while the
+    * session keeps reading the same dir; re-registers on dir change). */
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    if (registered.add((spark, dir))) {
+    if (registeredDir.put(spark, dir) != dir) {
       names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
     }
   }

@@ -117,6 +117,36 @@ class SqlEngineSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS ins_t")
   }
 
+  test("function-alias rewriting never touches string literals") {
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      assert(engine.executeSql("SELECT 'meet today(ish)' AS note") ==
+        """[{"note":"meet today(ish)"}]""")
+      assert(engine.executeSql("SELECT 'see information_schema.tables' AS s") ==
+        """[{"s":"see information_schema.tables"}]""")
+    } finally engine.setResultFormat(ResultFormat.Table)
+  }
+
+  test("splitter respects backslash-escaped quotes") {
+    assert(StatementSplitter.split("SELECT 'a\\';b' AS x; SELECT 2") ==
+      Seq("SELECT 'a\\';b' AS x", "SELECT 2"))
+  }
+
+  test("typed external-table DDL with parenthesized types translates") {
+    val t = DdlTranslator.translate(
+      "CREATE EXTERNAL TABLE t (a DECIMAL(10,2), b INT) STORED AS PARQUET LOCATION '/x'")
+    assert(t.contains("USING parquet") && t.contains("DECIMAL(10,2)"))
+  }
+
+  test("SIMILAR TO escaped metachars stay literal") {
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      // SQL text: '.' SIMILAR TO '\.'  (escaped dot must stay literal)
+      assert(engine.executeSql("SELECT '.' SIMILAR TO '\\.' AS dot, 'x' SIMILAR TO '\\.' AS anych") ==
+        """[{"dot":true,"anych":false}]""")
+    } finally engine.setResultFormat(ResultFormat.Table)
+  }
+
   test("SIMILAR TO is rewritten to anchored RLIKE") {
     engine.setResultFormat(ResultFormat.Json)
     try {
