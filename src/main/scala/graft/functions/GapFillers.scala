@@ -242,6 +242,13 @@ object GapFillers {
     }
     f("approx_median") { case Seq(x) =>
       new ApproximatePercentile(x, Literal(0.5)) }
+    // DataFusion approx_percentile_cont_with_weight(expr, weight, pct) —
+    // mapped onto Spark's exact frequency-weighted Percentile (integer
+    // weights; a superset in accuracy, same signature).
+    f("approx_percentile_cont_with_weight") { case Seq(x, w, p) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.Percentile(
+        x, p, Cast(w, LongType))
+    }
   }
 
   // ------------------------------------------------------------ aliases

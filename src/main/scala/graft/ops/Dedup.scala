@@ -114,6 +114,49 @@ object Dedup {
         graft.functions.TextHashExprs.simhash64(docs.sparkSession, col("text")).as("simhash"))
 
   /**
+   * End-to-end corpus dedup: near-dup pairs (MinHash+LSH) → connected
+   * components (iterative min-label propagation — dup clusters have tiny
+   * diameters, so this converges in a handful of join rounds) → keep the
+   * smallest doc_id per cluster. Returns the surviving (doc_id) set.
+   *
+   * Scale: every iteration is one shuffle join of the PAIR set (bounded
+   * by actual duplicates, not corpus size) against the label table; the
+   * corpus itself is touched twice (signatures + final anti-join).
+   */
+  def dedupCorpus(docs: DataFrame, minJaccard: Double = 0.9,
+      maxIter: Int = 10): DataFrame = {
+    val pairs = minhashLsh(docs, minJaccard = minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // undirected edges both ways
+    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnsRenamed(Map("doc_id" -> "doc_b", "label" -> "nbr_label")), "doc_b")
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("nbr_label")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old_label"), "doc_id")
+        .filter(col("label") =!= col("old_label")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.filter(col("doc_id") === col("label"))
+      .select(col("doc_id").as("keep_id"))
+      .orderBy(col("keep_id"))
+  }
+
+  /**
    * SimHash near-dup mining: signature per doc (one cached pass), 4×16-bit
    * band bucketing (any pair within Hamming distance 3 shares ≥1 identical
    * band by pigeonhole), candidate equi-join, exact Hamming verification.

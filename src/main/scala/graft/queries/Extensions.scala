@@ -199,5 +199,18 @@ object Extensions {
     Multimodal.pipeline(spark, Tables.load(spark, dir, "documents"))
   }
 
-  def defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13)
+  // ---------------------------------------------------------------- x14
+  // Full dedup pipeline: LSH pairs → connected components → survivors.
+  // At the 0.999 threshold only exact duplicates merge (shingle-set
+  // Jaccard 1.0), so the survivor set equals min-doc_id-per-text — an
+  // exact SQL oracle. Near-dup clustering below the threshold is
+  // exercised by OpsSpec at 0.7.
+  val x14 = Q.df(
+    "x14_dedup_pipeline",
+    """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id FROM documents
+      |GROUP BY text ORDER BY keep_id""".stripMargin) { (spark, dir) =>
+    Dedup.dedupCorpus(Tables.load(spark, dir, "documents"), minJaccard = 0.999)
+  }
+
+  def defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14)
 }

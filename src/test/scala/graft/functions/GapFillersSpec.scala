@@ -73,6 +73,12 @@ class GapFillersSpec extends AnyFunSuite {
     assert(out == """[{"m":3.0}]""")
   }
 
+  test("approx_percentile_cont_with_weight uses the weight column") {
+    val out = one(
+      "SELECT approx_percentile_cont_with_weight(x, w, 0.5) AS p FROM VALUES (1.0, 1), (2.0, 1), (10.0, 8) t(x, w)")
+    assert(out == """[{"p":10.0}]""")
+  }
+
   test("name aliases: approx_distinct, string_agg, to_hex, substr_index, today") {
     assert(one("SELECT approx_distinct(x) AS d FROM VALUES (1),(2),(2),(3) t(x)") == """[{"d":3}]""")
     assert(one("SELECT string_agg(x, ',') AS s FROM VALUES ('a'),('b') t(x)") == """[{"s":"a,b"}]""")

@@ -48,6 +48,25 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((285L, 301L)) || pairs.contains((98L, 290L)))
   }
 
+  test("dedupCorpus merges near-dup clusters and keeps cluster minima") {
+    val kept = Dedup.dedupCorpus(docs, minJaccard = 0.7)
+      .as[Long].collect().toSet
+    val pairs = Dedup.minhashLsh(docs, minJaccard = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(kept.size == docs.count() - pairs.flatMap(p => Seq(p._1, p._2)).distinct.length +
+      connectedComponents(pairs).size)
+    // the larger member of the planted pair (285, 301) must be dropped
+    assert(kept.contains(285L) && !kept.contains(301L))
+  }
+
+  private def connectedComponents(pairs: Array[(Long, Long)]): Set[Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    pairs.flatMap(p => Seq(p._1, p._2)).map(find).toSet
+  }
+
   test("adjacent cosine is within [-1, 1] and matches a hand computation") {
     val rows = Similarity.adjacentCosine(emb.filter(col("vec_id") < 3))
     val sims = rows.select("cos_sim").as[Double].collect()
