@@ -59,6 +59,33 @@ object Similarity {
   }
 
   /**
+   * Embedding-cosine near-dup mining (the vector-space sibling of
+   * MinHash dedup): random-hyperplane bucket self-join proposes
+   * candidates, exact cosine verifies. Returns (vec_a, vec_b, sim) with
+   * sim ≥ minCosine. Near-identical vectors agree on almost every
+   * hyperplane sign, so across `tables` independent tables the recall at
+   * 0.95+ cosine is ~1. No O(n²) stage: cost tracks Σ(bucket²).
+   */
+  def cosineNearDups(embeddings: DataFrame, minCosine: Double = 0.95,
+      tables: Int = 8, bits: Int = 6): DataFrame = {
+    val spark = embeddings.sparkSession
+    val banded = embeddings.select(
+        col("vec_id"), col("embedding"),
+        posexplode(graft.functions.TextHashExprs.rhpBuckets(spark, col("embedding"), tables, bits))
+          .as(Seq("t", "bucket")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .distinct()
+    cand.select(col("vec_a"), col("vec_b"),
+        round(cosine(col("ea"), col("eb")), 9).as("sim"))
+      .filter(col("sim") >= minCosine)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /**
    * LSH-bucketed ANN: L hash tables of `bits`-bit random-hyperplane
    * buckets (tight-loop `TextHashExprs.RhpBuckets` expression, seeded
    * deterministically); candidates = corpus vectors sharing any

@@ -108,6 +108,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cosine near-dup mining finds planted duplicate vectors") {
+    // plant: vec 9001 = vec 3 exactly; vec 9002 = vec 7 + tiny noise
+    val base = emb.select("vec_id", "embedding")
+    val dup1 = emb.filter(col("vec_id") === 3).select(lit(9001L).as("vec_id"), col("embedding"))
+    val dup2 = emb.filter(col("vec_id") === 7)
+      .select(lit(9002L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
+    val corpus = base.union(dup1).union(dup2)
+    val pairs = Similarity.cosineNearDups(corpus, minCosine = 0.95)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 9001L)))
+    assert(pairs.contains((7L, 9002L)))
+    // fixture corpus itself has no pairs above 0.95 (max true cosine ~0.51)
+    assert(pairs.forall { case (a, b) => b >= 9001L })
+  }
+
   test("language id emits a known tag and sane score for every doc") {
     val r = TextAnalysis.languageId(docs).as[(Long, String, Double)].collect()
     assert(r.length == docs.count())
