@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Join strategies for 100 TB fact-to-fact joins — the two techniques that
+ * decide whether a petabyte join finishes or falls over:
+ *
+ *  - **bucketing**: co-partition both sides on the join key at write
+ *    time so the join runs shuffle-free (`bucketBy` + `sortBy`; Spark
+ *    reads bucket files straight into a sort-merge join with no
+ *    Exchange). At 100 TB, removing the shuffle of the larger fact
+ *    table is the single biggest lever there is.
+ *  - **salting**: when one side's key distribution is skewed (a handful
+ *    of hot keys holding most rows), explode the small side `salt` ways
+ *    and spread the big side's hot keys across salted sub-keys so no
+ *    single task owns a hot key. AQE's skew-join handles moderate skew
+ *    automatically; salting is the explicit tool for extreme skew.
+ */
+object JoinStrategies {
+
+  /** Write both sides bucketed+sorted on the join key into the session
+    * catalog, so subsequent joins on that key are exchange-free. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table) // managed, under spark.sql.warehouse.dir
+  }
+
+  /** Shuffle-free equi-join of two equally-bucketed tables. */
+  def bucketedJoin(spark: org.apache.spark.sql.SparkSession,
+      left: String, right: String, key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+
+  /**
+   * Skew-safe equi-join: big side gets a random salt in [0, salt);
+   * small side is exploded `salt` ways. Result equals a plain inner
+   * join on `key`, but each (key, salt) sub-key carries ~1/salt of a
+   * hot key's rows.
+   */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salt: Int): DataFrame = {
+    val bigS = big.withColumn("__salt", (rand(seed = 42) * salt).cast("int"))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+  }
+}
