@@ -62,6 +62,15 @@ class SqlEngine(val spark: SparkSession) {
 
   /** Execute a single statement to a DataFrame (no formatting). */
   def executeStatement(stmt: String): DataFrame = {
+    // documented gaps (SURVEY §7.5): fail with a clear message instead of
+    // a downstream parse error
+    val masked = Dialect.maskLiterals(stmt)
+    if ("""(?i)\bGROUPS\s+BETWEEN\b""".r.findFirstIn(masked).isDefined)
+      throw new UnsupportedOperationException(
+        "GROUPS window frames are not supported (Spark has no GROUPS frame mode; see README non-goals)")
+    if ("""(?i)\bcurrent_time\s*\(""".r.findFirstIn(masked).isDefined)
+      throw new UnsupportedOperationException(
+        "current_time()/TIME type is not supported (Spark has no TIME type; see README non-goals)")
     // alias + info-schema rewrites apply only outside string literals;
     // SIMILAR TO runs on the raw text because its pattern IS a literal
     val aliased = Dialect.rewriteSimilarTo(

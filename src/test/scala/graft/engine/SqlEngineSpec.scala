@@ -159,6 +159,23 @@ class SqlEngineSpec extends AnyFunSuite {
     } finally engine.setResultFormat(ResultFormat.Table)
   }
 
+  test("documented gaps fail with clear messages") {
+    val e1 = intercept[UnsupportedOperationException] {
+      engine.executeSql(
+        "SELECT sum(x) OVER (ORDER BY x GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM VALUES (1) t(x)")
+    }
+    assert(e1.getMessage.contains("GROUPS"))
+    val e2 = intercept[UnsupportedOperationException] {
+      engine.executeSql("SELECT current_time()")
+    }
+    assert(e2.getMessage.contains("TIME"))
+    // but the words inside literals don't trigger the guard
+    engine.setResultFormat(ResultFormat.Json)
+    try assert(engine.executeSql("SELECT 'GROUPS BETWEEN friends' AS s") ==
+      """[{"s":"GROUPS BETWEEN friends"}]""")
+    finally engine.setResultFormat(ResultFormat.Table)
+  }
+
   test("DdlTranslator rewrites s3 urls and csv options") {
     val t = DdlTranslator.translate(
       "CREATE EXTERNAL TABLE t (a INT) STORED AS CSV WITH HEADER ROW DELIMITER '|' LOCATION 's3://bkt/path/'")
