@@ -81,7 +81,13 @@ class SqlEngine(val spark: SparkSession) {
         InfoSchema.refresh(spark)
         Dialect.outsideLiterals(translated)(InfoSchema.rewrite)
       } else translated
-    spark.sql(rewritten)
+    val df = spark.sql(rewritten)
+    // header parity: Spark names an unaliased COUNT(*) column "count(1)";
+    // the reference engine prints "count(*)" (SURVEY §7.5 watch item)
+    if ("""(?i)count\s*\(\s*\*\s*\)""".r.findFirstIn(masked).isDefined &&
+        df.columns.contains("count(1)")) {
+      df.toDF(df.columns.map(c => if (c == "count(1)") "count(*)" else c).toIndexedSeq: _*)
+    } else df
   }
 }
 

@@ -159,6 +159,11 @@ class SqlEngineSpec extends AnyFunSuite {
     } finally engine.setResultFormat(ResultFormat.Table)
   }
 
+  test("unaliased COUNT(*) keeps the reference's column name") {
+    val out = engine.executeSql("SELECT count(*) FROM VALUES (1), (2) t(x)")
+    assert(out.contains("count(*)") && !out.contains("count(1)"))
+  }
+
   test("documented gaps fail with clear messages") {
     val e1 = intercept[UnsupportedOperationException] {
       engine.executeSql(
