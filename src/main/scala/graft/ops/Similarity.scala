@@ -59,6 +59,75 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) ANN — the second scale path beside RHP-LSH:
+   *
+   *  1. learn `nlist` centroids with a few Lloyd iterations (seeded from
+   *     a deterministic hash-ordered sample; iterations are DataFrame
+   *     aggregations — the only driver-side data is the tiny
+   *     nlist·dim centroid table);
+   *  2. assign every corpus vector to its nearest centroid (one
+   *     broadcast-literal pass) — the inverted index;
+   *  3. a query probes only its `nprobe` nearest lists, so search cost
+   *     is ~nprobe/nlist of the corpus — independent of corpus growth
+   *     when nlist scales with √n.
+   *
+   * Returns top-k (qid, cid, sim, rank) like `bruteForceTopK`; recall
+   * trades off with nprobe.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+    // deterministic seed sample: nlist smallest xxhash64(vec_id)
+    var centroids: Array[(Int, Seq[Double])] = vecs
+      .orderBy(xxhash64(col("vec_id"))).limit(nlist)
+      .select(col("embedding")).as[Seq[Float]].collect()
+      .zipWithIndex.map { case (v, i) => (i, v.map(_.toDouble).toSeq) }
+
+    def centDistances(c: Column): Column = array(centroids.map { case (cid, cv) =>
+      val cvCol = array(cv.map(lit): _*)
+      struct(
+        aggregate(zip_with(c, cvCol, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (s, v) => s + v),
+        lit(cid)).cast("struct<dist:double,cid:int>") // pin field names
+    }: _*)
+    def nearestCentroid(c: Column): Column = array_min(centDistances(c)).getField("cid")
+
+    var it = 0
+    while (it < iters) {
+      val updated = vecs
+        .select(nearestCentroid(col("embedding")).as("cid"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(avg(col("v").cast("double")).as("m"))
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), col("pm.m").as("centroid"))
+        .as[(Int, Seq[Double])].collect()
+      val byId = updated.toMap // keep stale centroids for empty lists
+      centroids = centroids.map { case (cid, old) => (cid, byId.getOrElse(cid, old)) }
+      it += 1
+    }
+
+    val index = vecs.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      nearestCentroid(col("embedding")).as("list_id"))
+    val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("qid"), col("qe"),
+        explode(slice(array_sort(centDistances(col("qe"))), 1, nprobe).getField("cid"))
+          .as("list_id"))
+
+    val scored = index.join(broadcast(probes), "list_id")
+      .select(col("qid"), col("cid"), round(cosine(col("qe"), col("ce")), 9).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /**
    * Embedding-cosine near-dup mining (the vector-space sibling of
    * MinHash dedup): random-hyperplane bucket self-join proposes
    * candidates, exact cosine verifies. Returns (vec_a, vec_b, sim) with

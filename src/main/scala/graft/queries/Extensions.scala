@@ -212,5 +212,17 @@ object Extensions {
     Dedup.dedupCorpus(Tables.load(spark, dir, "documents"), minJaccard = 0.999)
   }
 
-  def defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14)
+  // ---------------------------------------------------------------- x15
+  // IVF ANN (inverted-file index: Lloyd-iterated centroids, nprobe list
+  // probing). Approximate → rows-only; recall vs brute force asserted in
+  // OpsSpec.
+  val x15 = Q.dfOnly("x15_ann_ivf") { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+    Similarity.ivfTopK(
+      e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
+      k = 5, nlist = 16, nprobe = 4, iters = 2)
+  }
+
+  def defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
+    x11, x12, x13, x14, x15)
 }

@@ -124,6 +124,18 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => b >= 9001L })
   }
 
+  test("IVF ANN recalls most brute-force neighbors with nprobe/nlist = 1/2") {
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 5, nlist = 8, nprobe = 4, iters = 2)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(ivf.size == 25) // 5 queries x top-5 (probed lists hold >=5 each here)
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
   test("language id emits a known tag and sane score for every doc") {
     val r = TextAnalysis.languageId(docs).as[(Long, String, Double)].collect()
     assert(r.length == docs.count())
