@@ -3,7 +3,7 @@ package graft.functions
 import scala.collection.mutable
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
@@ -159,6 +159,60 @@ object TextHashExprs {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** nprobe nearest centroid ids (ascending L2 distance) for a float
+    * vector. The centroid matrix rides as a foldable nested-array literal
+    * decoded once per executor — inlining it as 1000+ Literal nodes makes
+    * codegen explode and interpretation crawl. */
+  case class NearestCentroids(vec: Expression, cents: Expression, probes: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def first: Expression = vec
+    override def second: Expression = cents
+    override def third: Expression = probes
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    @transient private lazy val centroids: Array[Array[Double]] = {
+      val ad = cents.eval(null).asInstanceOf[ArrayData]
+      Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+    }
+    @transient private lazy val np: Int = probes.eval(null).asInstanceOf[Int]
+
+    override def nullSafeEval(v: Any, c: Any, p: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val dim = arr.numElements()
+      val x = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { x(i) = arr.getFloat(i).toDouble; i += 1 }
+      val k = centroids.length
+      val dist = new Array[Double](k)
+      var cIdx = 0
+      while (cIdx < k) {
+        val cv = centroids(cIdx)
+        var s = 0.0
+        var d = 0
+        while (d < dim) { val diff = x(d) - cv(d); s += diff * diff; d += 1 }
+        dist(cIdx) = s
+        cIdx += 1
+      }
+      val n = math.min(np, k)
+      val out = new Array[Int](n)
+      val used = new Array[Boolean](k)
+      var r = 0
+      while (r < n) {
+        var best = -1
+        var bd = Double.MaxValue
+        var j = 0
+        while (j < k) { if (!used(j) && dist(j) < bd) { bd = dist(j); best = j }; j += 1 }
+        used(best) = true
+        out(r) = best
+        r += 1
+      }
+      new GenericArrayData(out)
+    }
+    override def prettyName: String = "nearest_centroids"
+    override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+      copy(a, b, c)
+  }
+
   // ---------------------------------------------------------- Column API
   // Session-registry-based construction (Column internals are private in
   // Spark 4; call_function resolves through the FunctionRegistry).
@@ -174,6 +228,8 @@ object TextHashExprs {
     reg.createOrReplaceTempFunction("rhp_buckets",
       { case Seq(x, Literal(t: Int, IntegerType), Literal(b: Int, IntegerType)) =>
         RhpBuckets(x, t, b) }, "built-in")
+    reg.createOrReplaceTempFunction("nearest_centroids",
+      { case Seq(v, c, p) => NearestCentroids(v, c, p) }, "built-in")
   }
 
   def tokenTrigramHashes(spark: SparkSession, text: Column): Column = {
@@ -195,5 +251,13 @@ object TextHashExprs {
     ensureRegistered(spark)
     call_function("rhp_buckets", vec,
       org.apache.spark.sql.functions.lit(tables), org.apache.spark.sql.functions.lit(bits))
+  }
+
+  def nearestCentroids(spark: SparkSession, vec: Column,
+      centroids: Array[Array[Double]], nprobe: Int): Column = {
+    ensureRegistered(spark)
+    call_function("nearest_centroids", vec,
+      org.apache.spark.sql.functions.typedLit(centroids.map(_.toSeq).toSeq),
+      org.apache.spark.sql.functions.lit(nprobe))
   }
 }

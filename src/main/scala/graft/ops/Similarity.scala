@@ -79,21 +79,22 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
 
+    // spread a single-file input across cores before the (interpreted)
+    // centroid-scoring passes — same rationale as Dedup.minhashLsh
     val vecs = corpus.select(col("vec_id"), col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist()
     // deterministic seed sample: nlist smallest xxhash64(vec_id)
     var centroids: Array[(Int, Seq[Double])] = vecs
       .orderBy(xxhash64(col("vec_id"))).limit(nlist)
       .select(col("embedding")).as[Seq[Float]].collect()
       .zipWithIndex.map { case (v, i) => (i, v.map(_.toDouble).toSeq) }
 
-    def centDistances(c: Column): Column = array(centroids.map { case (cid, cv) =>
-      val cvCol = array(cv.map(lit): _*)
-      struct(
-        aggregate(zip_with(c, cvCol, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (s, v) => s + v),
-        lit(cid)).cast("struct<dist:double,cid:int>") // pin field names
-    }: _*)
-    def nearestCentroid(c: Column): Column = array_min(centDistances(c)).getField("cid")
+    // tight-loop expression: the centroid matrix travels as ONE nested
+    // literal, not 1000+ Literal nodes (which blow up codegen)
+    def nearestCentroid(c: Column): Column = element_at(
+      graft.functions.TextHashExprs.nearestCentroids(
+        spark, c, centroids.sortBy(_._1).map(_._2.toArray), 1), 1)
 
     var it = 0
     while (it < iters) {
@@ -115,7 +116,8 @@ object Similarity {
       nearestCentroid(col("embedding")).as("list_id"))
     val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .select(col("qid"), col("qe"),
-        explode(slice(array_sort(centDistances(col("qe"))), 1, nprobe).getField("cid"))
+        explode(graft.functions.TextHashExprs.nearestCentroids(
+          spark, col("qe"), centroids.sortBy(_._1).map(_._2.toArray), nprobe))
           .as("list_id"))
 
     val scored = index.join(broadcast(probes), "list_id")
