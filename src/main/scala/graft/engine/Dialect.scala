@@ -19,12 +19,130 @@ object Dialect {
   private val SimilarTo: Regex =
     """(?i)\s+(NOT\s+)?SIMILAR\s+TO\s+'((?:[^']|'')*)'""".r
 
-  def rewriteSimilarTo(sql: String): String =
-    SimilarTo.replaceAllIn(sql, m => {
-      val not = if (m.group(1) != null) "NOT " else ""
-      val pat = translatePattern(m.group(2))
-      Regex.quoteReplacement(s" ${not}RLIKE '^$pat$$'")
-    })
+  /** Length-preserving literal mask: every character INSIDE a
+    * single-quoted literal (including `''`/backslash escape pairs)
+    * becomes \u0001, the delimiting quotes stay — so regex match offsets
+    * on the masked text are valid offsets into the raw text. */
+  private def maskSameLength(sql: String): String = {
+    val arr = sql.toCharArray
+    var i = 0
+    var inStr = false
+    while (i < arr.length) {
+      val c = arr(i)
+      if (!inStr) { if (c == '\'') inStr = true }
+      else {
+        if (c == '\\' && i + 1 < arr.length) { arr(i) = '\u0001'; arr(i + 1) = '\u0001'; i += 1 }
+        else if (c == '\'' && i + 1 < arr.length && arr(i + 1) == '\'') {
+          arr(i) = '\u0001'; arr(i + 1) = '\u0001'; i += 1
+        }
+        else if (c == '\'') inStr = false
+        else arr(i) = '\u0001'
+      }
+      i += 1
+    }
+    new String(arr)
+  }
+
+  /** `x SIMILAR TO 'pat'` → `x RLIKE '^pat$'`. Match positions are found
+    * on a same-length literal mask so the keyword is only recognized
+    * OUTSIDE string literals — a document containing " SIMILAR TO 'x' "
+    * as DATA passes through untouched (this engine targets text corpora
+    * where SQL fragments inside documents are plausible). The pattern
+    * body itself is then read from the raw text at the match offsets. */
+  def rewriteSimilarTo(sql: String): String = {
+    val ms = SimilarTo.findAllMatchIn(maskSameLength(sql)).toList
+    if (ms.isEmpty) sql
+    else {
+      val sb = new StringBuilder
+      var last = 0
+      ms.foreach { m =>
+        sb ++= sql.substring(last, m.start)
+        val not = if (m.group(1) != null) "NOT " else ""
+        val pat = translatePattern(sql.substring(m.start(2), m.end(2)))
+        sb ++= s" ${not}RLIKE '^$pat$$'"
+        last = m.end
+      }
+      sb ++= sql.substring(last)
+      sb.toString
+    }
+  }
+
+  private val GenSeries: Regex = """(?i)\bgenerate_series\s*\(""".r
+
+  /** DataFusion's FROM-clause TVF `generate_series(start, stop[, step])`
+    * (reference: `Cargo.lock:845`, `datafusion-functions-table`) has no
+    * Spark spelling — rewritten to a sequence-explode subquery producing
+    * the same single `value` column:
+    * `FROM generate_series(a, b[, s])` →
+    * `FROM (SELECT explode(sequence(a, b[, s])) AS value)`.
+    * The keyword is located on the literal mask and the argument parens
+    * are balanced on the mask too, so data inside string arguments can
+    * never derail the scan. */
+  def rewriteGenerateSeries(sql: String): String = {
+    val masked = maskSameLength(sql)
+    val ms = GenSeries.findAllMatchIn(masked).toList
+    if (ms.isEmpty) sql
+    else {
+      val sb = new StringBuilder
+      var last = 0
+      ms.foreach { m =>
+        if (m.start >= last) {
+          var depth = 1
+          var i = m.end // first char after '('
+          while (i < masked.length && depth > 0) {
+            masked.charAt(i) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case _ =>
+            }
+            i += 1
+          }
+          if (depth == 0) {
+            val args = sql.substring(m.end, i - 1)
+            sb ++= sql.substring(last, m.start)
+            sb ++= s"(SELECT explode(sequence($args)) AS value)"
+            last = i
+          }
+        }
+      }
+      sb ++= sql.substring(last)
+      sb.toString
+    }
+  }
+
+  private val AggFirstLast: Regex =
+    """(?i)\b(FIRST_VALUE|LAST_VALUE)\s*\(([^()]+?)\s+ORDER\s+BY\s+([^()]+?)(\s+ASC|\s+DESC)?\s*\)""".r
+
+  /** DataFusion accepts `first_value(x ORDER BY y)` / `last_value(...)` as
+    * AGGREGATES (`Cargo.lock:809`); Spark only has the window forms. With
+    * a deterministic (total) ORDER BY key they are exactly `min_by` /
+    * `max_by`, which Spark does have — rewrite accordingly. The window
+    * form (`... OVER (...)`) has no ORDER BY inside the call parens and
+    * is left untouched. Keyword located on the literal mask. */
+  def rewriteAggFirstLast(sql: String): String = {
+    val masked = maskSameLength(sql)
+    val ms = AggFirstLast.findAllMatchIn(masked).toList
+    if (ms.isEmpty) sql
+    else {
+      val sb = new StringBuilder
+      var last = 0
+      ms.foreach { m =>
+        val fn = m.group(1).toUpperCase(java.util.Locale.ROOT)
+        val expr = sql.substring(m.start(2), m.end(2))
+        val key = sql.substring(m.start(3), m.end(3))
+        val desc = m.group(4) != null && m.group(4).trim.equalsIgnoreCase("DESC")
+        val target = (fn, desc) match {
+          case ("FIRST_VALUE", false) | ("LAST_VALUE", true) => "min_by"
+          case _ => "max_by"
+        }
+        sb ++= sql.substring(last, m.start)
+        sb ++= s"$target($expr, $key)"
+        last = m.end
+      }
+      sb ++= sql.substring(last)
+      sb.toString
+    }
+  }
 
   /** Apply `f` only to the segments of `sql` OUTSIDE single-quoted string
     * literals (respecting `''` and backslash escapes) — textual rewrites
@@ -84,6 +202,10 @@ object Dialect {
         case '%' if !inClass => sb ++= ".*"
         case '_' if !inClass => sb += '.'
         case '.' if !inClass => sb ++= "\\\\."
+        // SIMILAR TO treats ^ and $ as literal characters; unescaped they
+        // would anchor (or break) the emitted Java regex
+        case '^' if !inClass => sb ++= "\\\\^"
+        case '$' if !inClass => sb ++= "\\\\$"
         case other => sb += other
       }
       i += 1

@@ -72,9 +72,11 @@ class SqlEngine(val spark: SparkSession) {
       throw new UnsupportedOperationException(
         "current_time()/TIME type is not supported (Spark has no TIME type; see README non-goals)")
     // alias + info-schema rewrites apply only outside string literals;
-    // SIMILAR TO runs on the raw text because its pattern IS a literal
-    val aliased = Dialect.rewriteSimilarTo(
-      Dialect.outsideLiterals(stmt)(graft.functions.GapFillers.rewriteAliases))
+    // SIMILAR TO locates the keyword on a same-length literal mask (its
+    // pattern IS a literal, but the keyword must sit outside one)
+    val aliased = Dialect.rewriteAggFirstLast(
+      Dialect.rewriteGenerateSeries(Dialect.rewriteSimilarTo(
+        Dialect.outsideLiterals(stmt)(graft.functions.GapFillers.rewriteAliases))))
     val translated = DdlTranslator.translate(aliased)
     val rewritten =
       if (InfoSchema.mentionsInfoSchema(Dialect.maskLiterals(translated))) {

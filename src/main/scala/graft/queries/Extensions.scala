@@ -55,8 +55,14 @@ object Extensions {
       |        / len(list_distinct(list_concat(a.g, b.g))), 9) AS jaccard
       |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
       |ORDER BY doc_a""".stripMargin) { (spark, dir) =>
+    // Trigram sets ride as 64-bit hashes (tight-loop Expression, one eval
+    // per row) — the string-shingle HOF formulation spent 36 s/sf0.1 in
+    // interpreted lambdas. |A∩B|/|A∪B| is unchanged by the hashing unless
+    // xxhash64 collides within one pair's union (~2^-64 per pair), and
+    // the DuckDB oracle (string trigrams) verifies exactly that.
     val g = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), Text.shingles3(Text.tokens(col("text"))).as("g"))
+      .select(col("doc_id"),
+        graft.functions.TextHashExprs.tokenTrigramHashes(spark, col("text")).as("g"))
     val a = g.select(col("doc_id").as("doc_a"), col("g").as("ga"))
     val b = g.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"), col("g").as("gb"))
     a.join(b, "doc_a")
@@ -111,7 +117,28 @@ object Extensions {
   }
 
   // ---------------------------------------------------------------- x08
-  val x08 = Q.dfOnly("x08_lang_id") { (spark, dir) =>
+  // Language-ID argmax IS DuckDB-expressible (VERDICT r01 item 6): the
+  // CASE tests languages in descending tag order to replicate Spark's
+  // array_max-over-(score, lang)-structs tie-break (max score, then max
+  // tag string).
+  val x08 = Q.df(
+    "x08_lang_id",
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |s AS (SELECT doc_id,
+      |    CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','or','to','in','is','it'))) AS DOUBLE) / greatest(len(toks), 1) AS s_en,
+      |    CAST(len(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une','est','en','que'))) AS DOUBLE) / greatest(len(toks), 1) AS s_fr,
+      |    CAST(len(list_filter(toks, x -> x IN ('el','la','los','de','y','un','una','es','en','que'))) AS DOUBLE) / greatest(len(toks), 1) AS s_es,
+      |    CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ein','eine','ist','von','zu','mit'))) AS DOUBLE) / greatest(len(toks), 1) AS s_de,
+      |    CAST(len(list_filter(toks, x -> x IN ('的','了','是','在','我','有','和','就','不','人'))) AS DOUBLE) / greatest(len(toks), 1) AS s_zh
+      |  FROM t)
+      |SELECT doc_id,
+      |  CASE WHEN s_zh = m THEN 'zh' WHEN s_fr = m THEN 'fr' WHEN s_es = m THEN 'es'
+      |       WHEN s_en = m THEN 'en' ELSE 'de' END AS pred_lang,
+      |  ROUND(m, 9) AS best_score
+      |FROM (SELECT *, greatest(s_en, s_fr, s_es, s_de, s_zh) AS m FROM s)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     TextAnalysis.languageId(Tables.load(spark, dir, "documents"))
   }
 

@@ -222,11 +222,14 @@ object Functions {
       |FROM nation GROUP BY n_regionkey ORDER BY rk""".stripMargin)
 
   // ---------------------------------------------------------------- q45
+  // The list is flattened to CSV because the driver's checker cannot sort
+  // list-typed cells (r01: "unhashable type: numpy.ndarray"); array_agg
+  // semantics are unchanged — the aggregate still builds the array.
   val q45 = Q.sql2(
     "q45_array_agg",
-    """SELECT l_orderkey, SORT_ARRAY(COLLECT_LIST(l_linenumber)) AS lines
+    """SELECT l_orderkey, ARRAY_JOIN(SORT_ARRAY(COLLECT_LIST(l_linenumber)), ',') AS lines
       |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
-    """SELECT l_orderkey, LIST_SORT(LIST(l_linenumber)) AS lines
+    """SELECT l_orderkey, ARRAY_TO_STRING(LIST_SORT(LIST(l_linenumber)), ',') AS lines
       |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
 
   // ---------------------------------------------------------------- q46
@@ -293,7 +296,67 @@ object Functions {
       |FROM (SELECT p_partkey, {'brand': p_brand, 'sz': p_size} AS info FROM part) t
       |ORDER BY p_partkey""".stripMargin)
 
+  // ---------------------------------------------------------------- q52
+  // The six regr_* second-moment aggregates q42 leaves out (SURVEY §2.4;
+  // VERDICT r01 missing #4). Rounding the raw moments is tie-prone (the
+  // exact SXY for Brand#15 is -7713.475, a dead 2-dp rounding boundary),
+  // so the hash-compared values are n-scaled moments computed EXACTLY in
+  // integer/decimal arithmetic (n·Σxy−ΣxΣy needs no division), and each
+  // regr_* function is verified against its exact value inside the same
+  // query via an error column that must round to 0.0 in both engines.
+  val q52 = Q.sql(
+    "q52_regr_moments",
+    """WITH m AS (
+      |  SELECT p_brand,
+      |    COUNT(*) AS n,
+      |    SUM(CAST(p_size AS BIGINT)) AS sx,
+      |    SUM(CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT)) AS sxx2,
+      |    CAST(SUM(CAST(p_retailprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS sy,
+      |    CAST(SUM(CAST(p_retailprice AS DECIMAL(14,2)) * CAST(p_retailprice AS DECIMAL(14,2))) AS DECIMAL(18,4)) AS syy2,
+      |    CAST(SUM(CAST(p_retailprice AS DECIMAL(14,2)) * CAST(p_size AS DECIMAL(9,0))) AS DECIMAL(18,2)) AS sxy2,
+      |    REGR_COUNT(p_retailprice, p_size) AS rcount,
+      |    REGR_AVGX(p_retailprice, p_size) AS ravgx,
+      |    REGR_AVGY(p_retailprice, p_size) AS ravgy,
+      |    REGR_SXX(p_retailprice, p_size) AS rsxx,
+      |    REGR_SYY(p_retailprice, p_size) AS rsyy,
+      |    REGR_SXY(p_retailprice, p_size) AS rsxy
+      |  FROM part GROUP BY p_brand)
+      |SELECT p_brand,
+      |  CAST(rcount AS BIGINT) AS rcount,
+      |  CAST(n * sxx2 - sx * sx AS BIGINT) AS sxx_n,
+      |  CAST(CAST(n AS DECIMAL(9,0)) * syy2 - sy * sy AS DOUBLE) AS syy_n,
+      |  CAST(CAST(n AS DECIMAL(9,0)) * sxy2 - CAST(sx AS DECIMAL(18,0)) * sy AS DOUBLE) AS sxy_n,
+      |  ROUND(ravgx - CAST(sx AS DOUBLE) / n, 6) + 0.0 AS avgx_err,
+      |  ROUND(ravgy - CAST(sy AS DOUBLE) / n, 6) + 0.0 AS avgy_err,
+      |  ROUND(rsxx - CAST(n * sxx2 - sx * sx AS DOUBLE) / n, 1) + 0.0 AS sxx_err,
+      |  ROUND(rsyy - CAST(CAST(n AS DECIMAL(9,0)) * syy2 - sy * sy AS DOUBLE) / n, 1) + 0.0 AS syy_err,
+      |  ROUND(rsxy - CAST(CAST(n AS DECIMAL(9,0)) * sxy2 - CAST(sx AS DECIMAL(18,0)) * sy AS DOUBLE) / n, 1) + 0.0 AS sxy_err
+      |FROM m ORDER BY p_brand""".stripMargin)
+
+  // ---------------------------------------------------------------- q53
+  // Aggregate-form first_value/last_value with ORDER BY inside the call
+  // (DataFusion accepts these as aggregates, Cargo.lock:809; SURVEY §2.4)
+  // — exercised through the engine's min_by/max_by rewrite. The DuckDB
+  // oracle spells the same semantics with arg_min/arg_max.
+  val q53 = Q.df(
+    "q53_agg_first_last",
+    """SELECT o_orderpriority,
+      |  ARG_MIN(o_orderstatus, o_orderkey) AS first_status,
+      |  ARG_MAX(o_orderstatus, o_orderkey) AS last_status,
+      |  CAST(ARG_MAX(o_totalprice, o_orderkey) AS DOUBLE) AS latest_price,
+      |  CAST(ARG_MIN(o_totalprice, o_orderkey) AS DOUBLE) AS earliest_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    graft.tables.Tables.registerAll(spark, dir)
+    spark.sql(graft.engine.Dialect.rewriteAggFirstLast(
+      """SELECT o_orderpriority,
+        |  FIRST_VALUE(o_orderstatus ORDER BY o_orderkey) AS first_status,
+        |  LAST_VALUE(o_orderstatus ORDER BY o_orderkey) AS last_status,
+        |  CAST(FIRST_VALUE(o_totalprice ORDER BY o_orderkey DESC) AS DOUBLE) AS latest_price,
+        |  CAST(LAST_VALUE(o_totalprice ORDER BY o_orderkey DESC) AS DOUBLE) AS earliest_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+  }
+
   def defs: Seq[Q] = Seq(
     q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q50)
+    q48, q49, q50, q52, q53)
 }

@@ -470,10 +470,26 @@ object Relational {
     "q32_case_cast",
     """SELECT p_partkey,
       |  CASE WHEN p_size >= 40 THEN 'L' WHEN p_size >= 20 THEN 'M' ELSE 'S' END AS size_class,
-      |  CAST(p_retailprice AS DECIMAL(12,2)) AS price_dec,
+      |  CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
       |  TRY_CAST(p_brand AS INT) AS brand_int,
       |  CAST(p_size AS VARCHAR(10)) AS size_str
       |FROM part ORDER BY p_partkey""".stripMargin)
+
+  // ---------------------------------------------------------------- q51
+  // The DataFusion FROM-clause TVF spelling (SURVEY §2.1, reference
+  // Cargo.lock:845) — exercised through the engine's pre-parse rewrite,
+  // which is exactly what `SqlEngine.executeStatement` applies; DuckDB
+  // has the TVF natively (column named `generate_series`).
+  val q51 = Q.df(
+    "q51_generate_series_tvf",
+    """SELECT CAST(generate_series AS BIGINT) AS value,
+      |  CAST(generate_series * 2 AS BIGINT) AS doubled
+      |FROM generate_series(2, 20, 3) ORDER BY value""".stripMargin) { (spark, dir) =>
+    graft.tables.Tables.registerAll(spark, dir)
+    spark.sql(graft.engine.Dialect.rewriteGenerateSeries(
+      """SELECT CAST(value AS BIGINT) AS value, CAST(value * 2 AS BIGINT) AS doubled
+        |FROM generate_series(2, 20, 3) ORDER BY value""".stripMargin))
+  }
 
   val q33 = Q.df(
     "q33_distinct",
@@ -488,5 +504,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33)
+    q31, q32, q33, q51)
 }

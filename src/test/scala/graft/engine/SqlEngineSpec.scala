@@ -159,6 +159,60 @@ class SqlEngineSpec extends AnyFunSuite {
     } finally engine.setResultFormat(ResultFormat.Table)
   }
 
+  test("SIMILAR TO inside a string literal is data, not syntax") {
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      // the keyword + quoted section live INSIDE a literal — a text corpus
+      // row containing a SQL fragment must pass through unrewritten
+      assert(engine.executeSql("SELECT ' SIMILAR TO ''pat'' ' AS doc") ==
+        """[{"doc":" SIMILAR TO 'pat' "}]""")
+      // and a real predicate AFTER such a literal still rewrites
+      assert(engine.executeSql(
+        "SELECT ' SIMILAR TO ''x'' ' AS doc, 'abc' SIMILAR TO 'a%' AS m") ==
+        """[{"doc":" SIMILAR TO 'x' ","m":true}]""")
+    } finally engine.setResultFormat(ResultFormat.Table)
+  }
+
+  test("SIMILAR TO treats ^ and $ as literal characters") {
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      assert(engine.executeSql("SELECT 'ab$' SIMILAR TO 'ab$' AS m") == """[{"m":true}]""")
+      assert(engine.executeSql("SELECT '^ab' SIMILAR TO '^ab' AS m") == """[{"m":true}]""")
+      assert(engine.executeSql("SELECT 'ab' SIMILAR TO 'ab$' AS m") == """[{"m":false}]""")
+    } finally engine.setResultFormat(ResultFormat.Table)
+  }
+
+  test("generate_series TVF rewrites to a sequence-explode subquery") {
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      assert(engine.executeSql("SELECT * FROM generate_series(1, 4)") ==
+        """[{"value":1},{"value":2},{"value":3},{"value":4}]""")
+      assert(engine.executeSql(
+        "SELECT value * 10 AS v FROM generate_series(2, 8, 3) ORDER BY value") ==
+        """[{"v":20},{"v":50},{"v":80}]""")
+      // inside a literal: data, not syntax
+      assert(engine.executeSql("SELECT 'generate_series(1, 4)' AS doc") ==
+        """[{"doc":"generate_series(1, 4)"}]""")
+    } finally engine.setResultFormat(ResultFormat.Table)
+  }
+
+  test("aggregate-form first_value/last_value with ORDER BY rewrite to min_by/max_by") {
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      assert(engine.executeSql(
+        """SELECT FIRST_VALUE(name ORDER BY id) AS f,
+          |       LAST_VALUE(name ORDER BY id) AS l,
+          |       FIRST_VALUE(name ORDER BY id DESC) AS fd
+          |FROM VALUES (1, 'a'), (2, 'b'), (3, 'c') t(id, name)""".stripMargin) ==
+        """[{"f":"a","l":"c","fd":"c"}]""")
+      // window form (no ORDER BY inside the call parens) is untouched
+      assert(engine.executeSql(
+        """SELECT FIRST_VALUE(name) OVER (ORDER BY id) AS f
+          |FROM VALUES (2, 'b'), (1, 'a') t(id, name) ORDER BY f LIMIT 1""".stripMargin) ==
+        """[{"f":"a"}]""")
+    } finally engine.setResultFormat(ResultFormat.Table)
+  }
+
   test("unaliased COUNT(*) keeps the reference's column name") {
     val out = engine.executeSql("SELECT count(*) FROM VALUES (1), (2) t(x)")
     assert(out.contains("count(*)") && !out.contains("count(1)"))
