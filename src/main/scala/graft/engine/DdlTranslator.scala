@@ -46,6 +46,15 @@ object DdlTranslator {
     case other => other
   }
 
+  /** The table name of a CREATE EXTERNAL TABLE statement, if this is one —
+    * the engine runs partition recovery on it post-create (the reference's
+    * listing tables discover hive-style partitions automatically; Spark
+    * catalog tables need MSCK to register pre-existing partition dirs). */
+  def externalTableName(stmt: String): Option[String] = stmt match {
+    case External(_, name, _, _, _, _) => Some(name)
+    case _ => None
+  }
+
   /** s3:// → s3a:// so the Hadoop connector resolves the bucket. */
   def rewriteUrl(url: String): String =
     if (url.startsWith("s3://")) "s3a://" + url.stripPrefix("s3://") else url

@@ -34,6 +34,14 @@ class SqlEngine(val spark: SparkSession) {
 
   graft.functions.GapFillers.register(spark)
 
+  // http(s) parquet/CSV/JSON scans — reference resolves these URL schemes
+  // in its object store (src/object_store.rs:57-71)
+  locally {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setIfUnset("fs.http.impl", classOf[graft.sources.HttpFileSystem].getName)
+    hc.setIfUnset("fs.https.impl", classOf[graft.sources.HttpsFileSystem].getName)
+  }
+
   private var resultFormat: ResultFormat = ResultFormat.Table
 
   def setResultFormat(fmt: ResultFormat): Unit = { resultFormat = fmt }
@@ -84,6 +92,17 @@ class SqlEngine(val spark: SparkSession) {
         Dialect.outsideLiterals(translated)(InfoSchema.rewrite)
       } else translated
     val df = spark.sql(rewritten)
+    // hive-style partition discovery parity: the reference's listing
+    // tables see partition dirs immediately; Spark catalog tables must
+    // register them (scans of a pre-partitioned LOCATION are empty
+    // otherwise)
+    DdlTranslator.externalTableName(aliased).foreach { name =>
+      val plain = name.replace("`", "").replace("\"", "")
+      if (scala.util.Try(spark.catalog.listColumns(plain).collect()
+            .exists(_.isPartition)).getOrElse(false)) {
+        spark.sql(s"MSCK REPAIR TABLE $name")
+      }
+    }
     // header parity: Spark names an unaliased COUNT(*) column "count(1)";
     // the reference engine prints "count(*)" (SURVEY §7.5 watch item)
     if ("""(?i)count\s*\(\s*\*\s*\)""".r.findFirstIn(masked).isDefined &&

@@ -1,0 +1,161 @@
+package graft.sources
+
+import java.io.{FileNotFoundException, IOException, InputStream}
+import java.net.{HttpURLConnection, URI, URL}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, FSDataOutputStream, FSInputStream, FileStatus, FileSystem, Path}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/**
+ * Minimal read-only Hadoop FileSystem for `http://` / `https://` URLs, so
+ * `CREATE EXTERNAL TABLE ... LOCATION 'http://host/file.parquet'` works —
+ * the reference resolves http(s) URLs in its object store
+ * (`src/object_store.rs:57-71`). The reference can only fetch WHOLE
+ * objects (`get_opts` → NotSupported, `src/unsafe_opendal_store.rs:100-107`,
+ * so even a parquet footer read downloads the file); this implementation
+ * issues HTTP Range requests per seek — at 100 TB a scan reads only the
+ * footers + projected column chunks, a strict superset of the reference.
+ *
+ * Deliberately unsupported (read-only, single-object semantics): create,
+ * append, rename, delete, mkdirs, directory listing beyond the object
+ * itself. Matches the reference's read path; its `put` upload has no
+ * Spark-side equivalent here (use s3a for writable object storage).
+ */
+class HttpFileSystem extends FileSystem {
+
+  private var fsUri: URI = _
+  private var workDir: Path = new Path("/")
+
+  override def getScheme: String = "http"
+
+  override def initialize(uri: URI, conf: Configuration): Unit = {
+    super.initialize(uri, conf)
+    fsUri = URI.create(s"${uri.getScheme}://${uri.getAuthority}")
+    setConf(conf)
+  }
+
+  override def getUri: URI = fsUri
+
+  private def toUrl(f: Path): URL = f.toUri.toURL
+
+  /** Object length via a 1-byte range GET (parses `Content-Range`'s
+    * total), falling back to `Content-Length` for servers that ignore
+    * Range. */
+  private def contentLength(url: URL): Long = {
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestProperty("Range", "bytes=0-0")
+    try {
+      val code = conn.getResponseCode
+      if (code == 404) throw new FileNotFoundException(url.toString)
+      if (code == 206) {
+        val cr = conn.getHeaderField("Content-Range") // "bytes 0-0/12345"
+        if (cr != null && cr.contains("/")) {
+          val total = cr.substring(cr.indexOf('/') + 1).trim
+          if (total != "*") return total.toLong
+        }
+      }
+      if (code / 100 != 2) throw new IOException(s"HTTP $code for $url")
+      val len = conn.getContentLengthLong
+      if (len >= 0) len
+      else throw new IOException(
+        s"no usable length for $url (HTTP $code, no Content-Range/Content-Length)")
+    } finally conn.disconnect()
+  }
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val len = contentLength(toUrl(f))
+    new FileStatus(len, false, 1, getDefaultBlockSize(f), 0L, makeQualified(f))
+  }
+
+  override def listStatus(f: Path): Array[FileStatus] = Array(getFileStatus(f))
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val status = getFileStatus(f)
+    new FSDataInputStream(new HttpRangeInputStream(toUrl(f), status.getLen))
+  }
+
+  private val readOnly =
+    "HttpFileSystem is read-only (reference parity: the http(s) object store exposes reads)"
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long, progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException(readOnly)
+  override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException(readOnly)
+  override def rename(src: Path, dst: Path): Boolean =
+    throw new UnsupportedOperationException(readOnly)
+  override def delete(f: Path, recursive: Boolean): Boolean =
+    throw new UnsupportedOperationException(readOnly)
+  override def mkdirs(f: Path, permission: FsPermission): Boolean =
+    throw new UnsupportedOperationException(readOnly)
+  override def setWorkingDirectory(dir: Path): Unit = { workDir = dir }
+  override def getWorkingDirectory: Path = workDir
+}
+
+/** Same filesystem over TLS. */
+class HttpsFileSystem extends HttpFileSystem {
+  override def getScheme: String = "https"
+}
+
+/**
+ * Seekable stream over HTTP Range requests. A seek is lazy: it only
+ * records the target; the next read opens `Range: bytes=pos-` (or reuses
+ * the current connection when the position is unchanged — sequential
+ * reads cost one request). Servers that ignore Range (respond 200) are
+ * handled by skipping.
+ */
+private[sources] class HttpRangeInputStream(url: URL, length: Long)
+    extends FSInputStream {
+  private var pos = 0L
+  private var stream: InputStream = _
+  private var streamAt = -1L
+
+  override def seek(p: Long): Unit = {
+    if (p < 0 || p > length) throw new java.io.EOFException(s"seek($p) outside [0, $length] for $url")
+    pos = p
+  }
+  override def getPos: Long = pos
+  override def seekToNewSource(targetPos: Long): Boolean = false
+
+  private def ensure(): InputStream = {
+    if (stream == null || streamAt != pos) {
+      if (stream != null) { stream.close(); stream = null }
+      val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+      if (pos > 0) conn.setRequestProperty("Range", s"bytes=$pos-")
+      val code = conn.getResponseCode
+      if (code == 404) throw new FileNotFoundException(url.toString)
+      if (code / 100 != 2) throw new IOException(s"HTTP $code for $url")
+      stream = conn.getInputStream
+      if (pos > 0 && code == 200) { // Range unsupported: full body, skip
+        var toSkip = pos
+        while (toSkip > 0) {
+          val s = stream.skip(toSkip)
+          if (s <= 0) throw new IOException(s"cannot skip to $pos in $url")
+          toSkip -= s
+        }
+      }
+      streamAt = pos
+    }
+    stream
+  }
+
+  override def read(): Int = synchronized {
+    if (pos >= length) return -1
+    val b = ensure().read()
+    if (b >= 0) { pos += 1; streamAt = pos }
+    b
+  }
+
+  override def read(buf: Array[Byte], off: Int, len: Int): Int = synchronized {
+    if (pos >= length) return -1
+    val n = ensure().read(buf, off, len)
+    if (n > 0) { pos += n; streamAt = pos }
+    n
+  }
+
+  override def close(): Unit = synchronized {
+    if (stream != null) { stream.close(); stream = null }
+    super.close()
+  }
+}

@@ -213,6 +213,69 @@ class SqlEngineSpec extends AnyFunSuite {
     } finally engine.setResultFormat(ResultFormat.Table)
   }
 
+  test("HTTP external parquet table scans through the range-request filesystem") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/nation.parquet"))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/nation.parquet", ex => {
+      try {
+        Option(ex.getRequestHeaders.getFirst("Range")) match {
+          case Some(r) if r.startsWith("bytes=") =>
+            val parts = r.stripPrefix("bytes=").split("-", -1)
+            val from = parts(0).toLong
+            val to =
+              if (parts.length > 1 && parts(1).nonEmpty) math.min(parts(1).toLong, bytes.length - 1L)
+              else bytes.length - 1L
+            val len = (to - from + 1).toInt
+            ex.getResponseHeaders.set("Content-Range", s"bytes $from-$to/${bytes.length}")
+            ex.sendResponseHeaders(206, len)
+            ex.getResponseBody.write(bytes, from.toInt, len)
+          case _ =>
+            ex.sendResponseHeaders(200, bytes.length)
+            ex.getResponseBody.write(bytes)
+        }
+      } finally ex.close()
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      engine.executeSql(
+        s"CREATE EXTERNAL TABLE http_nation STORED AS PARQUET LOCATION 'http://127.0.0.1:$port/nation.parquet'")
+      val rows = engine.executeStatement(
+        "SELECT count(*) AS n, min(n_name) AS first_name FROM http_nation").collect()
+      assert(rows(0).getLong(0) == 25)
+      assert(rows(0).getString(1) == "NATION_0")
+    } finally {
+      engine.executeStatement("DROP TABLE IF EXISTS http_nation")
+      server.stop(0)
+    }
+  }
+
+  test("hive-layout external table discovers partitions and prunes them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_partdisc").toString
+    try {
+      val spark = engine.spark
+      import spark.implicits._
+      Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
+        .toDF("id", "region").write.partitionBy("region").parquet(s"$dir/t")
+      engine.executeSql(
+        s"CREATE EXTERNAL TABLE part_disc STORED AS PARQUET LOCATION '$dir/t'")
+      val df = engine.executeStatement(
+        "SELECT id FROM part_disc WHERE region = 'a' ORDER BY id")
+      assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      // the partition predicate must prune directories, not filter rows:
+      // it has to land in PartitionFilters (dir-level) — a region
+      // reference in PushedFilters/Filter would mean row-level filtering
+      val p = df.queryExecution.executedPlan.toString
+      val pf = """PartitionFilters: \[[^\]]*region[^\]]*= a\)""".r
+      assert(pf.findFirstIn(p).isDefined, s"no partition filter on region in:\n$p")
+    } finally {
+      engine.executeStatement("DROP TABLE IF EXISTS part_disc")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("unaliased COUNT(*) keeps the reference's column name") {
     val out = engine.executeSql("SELECT count(*) FROM VALUES (1), (2) t(x)")
     assert(out.contains("count(*)") && !out.contains("count(1)"))
