@@ -8,7 +8,7 @@ import graft.queries._
 object SparkEntry {
 
   /** Every implemented operator, in SURVEY.md §2 inventory order. */
-  def all: Seq[Q] = Relational.defs ++ Functions.defs ++ Extensions.defs
+  def all: Seq[Q] = Relational.defs ++ Functions.defs ++ EngineOps.defs ++ Extensions.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -113,33 +113,60 @@ object Dialect {
   private val AggFirstLast: Regex =
     """(?i)\b(FIRST_VALUE|LAST_VALUE)\s*\(([^()]+?)\s+ORDER\s+BY\s+([^()]+?)(\s+ASC|\s+DESC)?\s*\)""".r
 
-  /** DataFusion accepts `first_value(x ORDER BY y)` / `last_value(...)` as
-    * AGGREGATES (`Cargo.lock:809`); Spark only has the window forms. With
-    * a deterministic (total) ORDER BY key they are exactly `min_by` /
-    * `max_by`, which Spark does have — rewrite accordingly. The window
-    * form (`... OVER (...)`) has no ORDER BY inside the call parens and
-    * is left untouched. Keyword located on the literal mask. */
+  private val AggNthValue: Regex =
+    """(?i)\bNTH_VALUE\s*\(([^()]+?),\s*(\d+)\s+ORDER\s+BY\s+([^()]+?)(\s+ASC|\s+DESC)?\s*\)""".r
+
+  /** DataFusion accepts `first_value(x ORDER BY y)` / `last_value(...)` /
+    * `nth_value(x, n ORDER BY y)` as AGGREGATES (`Cargo.lock:809`); Spark
+    * only has the window forms. With a deterministic (total) ORDER BY key
+    * first/last are exactly `min_by`/`max_by`, and nth is an index into
+    * the key-sorted collected list (negative index from the end for
+    * DESC; `try_element_at` yields NULL past the group size, matching
+    * the aggregate's semantics under ANSI mode). Window forms
+    * (`... OVER (...)`) have no ORDER BY inside the call parens and are
+    * left untouched. Keywords located on the literal mask. */
   def rewriteAggFirstLast(sql: String): String = {
-    val masked = maskSameLength(sql)
-    val ms = AggFirstLast.findAllMatchIn(masked).toList
-    if (ms.isEmpty) sql
+    val pass1 = {
+      val masked = maskSameLength(sql)
+      val ms = AggFirstLast.findAllMatchIn(masked).toList
+      if (ms.isEmpty) sql
+      else {
+        val sb = new StringBuilder
+        var last = 0
+        ms.foreach { m =>
+          val fn = m.group(1).toUpperCase(java.util.Locale.ROOT)
+          val expr = sql.substring(m.start(2), m.end(2))
+          val key = sql.substring(m.start(3), m.end(3))
+          val desc = m.group(4) != null && m.group(4).trim.equalsIgnoreCase("DESC")
+          val target = (fn, desc) match {
+            case ("FIRST_VALUE", false) | ("LAST_VALUE", true) => "min_by"
+            case _ => "max_by"
+          }
+          sb ++= sql.substring(last, m.start)
+          sb ++= s"$target($expr, $key)"
+          last = m.end
+        }
+        sb ++= sql.substring(last)
+        sb.toString
+      }
+    }
+    val masked = maskSameLength(pass1)
+    val ms = AggNthValue.findAllMatchIn(masked).toList
+    if (ms.isEmpty) pass1
     else {
       val sb = new StringBuilder
       var last = 0
       ms.foreach { m =>
-        val fn = m.group(1).toUpperCase(java.util.Locale.ROOT)
-        val expr = sql.substring(m.start(2), m.end(2))
-        val key = sql.substring(m.start(3), m.end(3))
+        val expr = pass1.substring(m.start(1), m.end(1))
+        val n = pass1.substring(m.start(2), m.end(2))
+        val key = pass1.substring(m.start(3), m.end(3))
         val desc = m.group(4) != null && m.group(4).trim.equalsIgnoreCase("DESC")
-        val target = (fn, desc) match {
-          case ("FIRST_VALUE", false) | ("LAST_VALUE", true) => "min_by"
-          case _ => "max_by"
-        }
-        sb ++= sql.substring(last, m.start)
-        sb ++= s"$target($expr, $key)"
+        val idx = if (desc) s"-$n" else n
+        sb ++= pass1.substring(last, m.start)
+        sb ++= s"try_element_at(array_sort(collect_list(named_struct('k', $key, 'v', $expr))), $idx).v"
         last = m.end
       }
-      sb ++= sql.substring(last)
+      sb ++= pass1.substring(last)
       sb.toString
     }
   }

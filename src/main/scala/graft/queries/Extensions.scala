@@ -17,11 +17,17 @@ import graft.tables.Tables
 object Extensions {
 
   // ---------------------------------------------------------------- x01
+  // Verified via the SCALE path: exactByHash shuffles 8-byte xxhash64
+  // keys instead of document text. Its (keep_id, dup_count) output equals
+  // the group-by-text oracle exactly unless xxhash64 collides between two
+  // distinct documents (~2^-64 per pair) — so the oracle doubles as a
+  // collision canary. `exact` (full-text grouping) stays equivalence-
+  // tested against this in OpsSpec.
   val x01 = Q.df(
     "x01_dedup_exact",
     """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS dup_count
       |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin) { (spark, dir) =>
-    Dedup.exact(Tables.load(spark, dir, "documents"))
+    Dedup.exactByHash(Tables.load(spark, dir, "documents"))
   }
 
   // ---------------------------------------------------------------- x02

@@ -344,7 +344,9 @@ object Functions {
       |  ARG_MIN(o_orderstatus, o_orderkey) AS first_status,
       |  ARG_MAX(o_orderstatus, o_orderkey) AS last_status,
       |  CAST(ARG_MAX(o_totalprice, o_orderkey) AS DOUBLE) AS latest_price,
-      |  CAST(ARG_MIN(o_totalprice, o_orderkey) AS DOUBLE) AS earliest_price
+      |  CAST(ARG_MIN(o_totalprice, o_orderkey) AS DOUBLE) AS earliest_price,
+      |  list_sort(list(struct_pack(k := o_orderkey, v := o_orderstatus)))[2].v AS second_status,
+      |  list_sort(list(struct_pack(k := o_orderkey, v := o_orderstatus)))[-3].v AS third_last_status
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
     graft.tables.Tables.registerAll(spark, dir)
     spark.sql(graft.engine.Dialect.rewriteAggFirstLast(
@@ -352,7 +354,9 @@ object Functions {
         |  FIRST_VALUE(o_orderstatus ORDER BY o_orderkey) AS first_status,
         |  LAST_VALUE(o_orderstatus ORDER BY o_orderkey) AS last_status,
         |  CAST(FIRST_VALUE(o_totalprice ORDER BY o_orderkey DESC) AS DOUBLE) AS latest_price,
-        |  CAST(LAST_VALUE(o_totalprice ORDER BY o_orderkey DESC) AS DOUBLE) AS earliest_price
+        |  CAST(LAST_VALUE(o_totalprice ORDER BY o_orderkey DESC) AS DOUBLE) AS earliest_price,
+        |  NTH_VALUE(o_orderstatus, 2 ORDER BY o_orderkey) AS second_status,
+        |  NTH_VALUE(o_orderstatus, 3 ORDER BY o_orderkey DESC) AS third_last_status
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   }
 

@@ -202,9 +202,12 @@ class SqlEngineSpec extends AnyFunSuite {
       assert(engine.executeSql(
         """SELECT FIRST_VALUE(name ORDER BY id) AS f,
           |       LAST_VALUE(name ORDER BY id) AS l,
-          |       FIRST_VALUE(name ORDER BY id DESC) AS fd
+          |       FIRST_VALUE(name ORDER BY id DESC) AS fd,
+          |       NTH_VALUE(name, 2 ORDER BY id) AS n2,
+          |       NTH_VALUE(name, 2 ORDER BY id DESC) AS n2d,
+          |       NTH_VALUE(name, 9 ORDER BY id) AS past_end
           |FROM VALUES (1, 'a'), (2, 'b'), (3, 'c') t(id, name)""".stripMargin) ==
-        """[{"f":"a","l":"c","fd":"c"}]""")
+        """[{"f":"a","l":"c","fd":"c","n2":"b","n2d":"b"}]""") // null past_end omitted (arrow JSON parity)
       // window form (no ORDER BY inside the call parens) is untouched
       assert(engine.executeSql(
         """SELECT FIRST_VALUE(name) OVER (ORDER BY id) AS f
