@@ -137,12 +137,13 @@ object Dedup {
    */
   def dedupCorpus(docs: DataFrame, minJaccard: Double = 0.9,
       maxIter: Int = 10): DataFrame = {
-    // Materialize the pair set once (localCheckpoint: truncates the LSH
-    // lineage so label-propagation retries never re-run the signature
-    // join), then release the signature-table caches — a pipeline that
-    // runs repeatedly must leave no residue in executor storage.
+    // Checkpoint the pair set (lazy: materialized by the first label-prop
+    // action, no extra pass) — truncates the LSH lineage so retries never
+    // re-run the signature join — then release the signature-table caches;
+    // a pipeline that runs repeatedly must leave no residue in executor
+    // storage.
     val (lsh, lshCaches) = minhashLshCached(docs, minJaccard = minJaccard)
-    val pairs = lsh.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val pairs = lsh.select(col("doc_a"), col("doc_b")).localCheckpoint(eager = false)
     lshCaches.foreach(_.unpersist(blocking = false))
     // undirected edges both ways
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -160,10 +161,11 @@ object Dedup {
       val joined = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-      // every 3rd round: cut lineage (eager localCheckpoint) so straggler
-      // recompute depth stays bounded; otherwise a plain persist
+      // every 3rd round: cut lineage (localCheckpoint; lazy — the changed-
+      // count below materializes it) so straggler recompute depth stays
+      // bounded; otherwise a plain persist
       val next =
-        if ((iter + 1) % 3 == 0) joined.localCheckpoint()
+        if ((iter + 1) % 3 == 0) joined.localCheckpoint(eager = false)
         else joined.persist(StorageLevel.MEMORY_AND_DISK)
       val changed = next.join(labels.withColumnRenamed("label", "old_label"), "doc_id")
         .filter(col("label") =!= col("old_label")).limit(1).count()

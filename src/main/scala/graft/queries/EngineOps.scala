@@ -49,6 +49,12 @@ object EngineOps {
       |) ORDER BY k""".stripMargin) { (spark, dir) =>
     val eng = engine(spark, dir)
     eng.executeStatement("DROP TABLE IF EXISTS ctas_nation")
+    // a previous JVM may have left the managed-table directory behind
+    // (DROP only knows tables in the current catalog); Spark refuses to
+    // create a managed table over a non-empty location
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, "ctas_nation")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     eng.executeStatement(
       "CREATE TABLE ctas_nation AS SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey < 3")
     eng.executeStatement(

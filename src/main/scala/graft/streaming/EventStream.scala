@@ -12,8 +12,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * Three canonical shapes a training-data ingest pipeline needs:
  *  1. watermarked tumbling-window aggregation (late data dropped after
  *     the watermark, state bounded — required for unbounded runs);
- *  2. sessionization via `flatMapGroupsWithState` (custom per-key state
- *     with processing-time timeout);
+ *  2. gap-based sessionization via `flatMapGroupsWithState` (custom
+ *     per-key state closed by `EventTimeTimeout` against the watermark);
  *  3. streaming dedup (`dropDuplicates` within the watermark horizon).
  *
  * Scale notes: state is partitioned by the grouping key across executors;
@@ -49,25 +49,45 @@ object EventStream {
   case class SessionState(count: Long, total: Double, lastTs: Long)
   case class SessionOut(user_id: Long, n_events: Long, total_value: Double)
 
-  /** Sessionization: per-user state carried across micro-batches with
-    * `flatMapGroupsWithState`; each batch emits the updated running
-    * session aggregate for the keys it touched. (A production variant
-    * would close sessions on `EventTimeTimeout` against the watermark;
-    * the state-update mechanics — the part Spark makes hard — are
-    * identical.) */
-  def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
+  /** Gap-based sessionization: per-user state carried across
+    * micro-batches with `flatMapGroupsWithState`; a session CLOSES (and
+    * is emitted) when no event arrives for `gapMs` of event time —
+    * within a batch by comparing sorted timestamps, across batches via
+    * `EventTimeTimeout` once the watermark passes `lastTs + gapMs`.
+    * State size is bounded by (active users × one aggregate), and the
+    * watermark guarantees every session eventually closes — the property
+    * that makes an unbounded 100 TB/day feed survivable. */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30 * 60 * 1000L): DataFrame = {
     import spark.implicits._
-    events.selectExpr("event_id", "ts", "user_id", "event_type", "value").as[Event]
+    events
+      .withWatermark("ts", "10 minutes")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value").as[Event]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (uid: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
-          var s = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
-          rows.foreach { e =>
-            s = SessionState(s.count + 1, s.total + e.value,
-              math.max(s.lastTs, e.ts.getTime))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.count, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var s = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (s.count > 0 && t - s.lastTs > gapMs) {
+                closed ::= SessionOut(uid, s.count, s.total)
+                s = SessionState(0L, 0.0, 0L)
+              }
+              s = SessionState(s.count + 1, s.total + e.value, math.max(s.lastTs, t))
+            }
+            state.update(s)
+            // must stay above the current watermark or Spark rejects it
+            state.setTimeoutTimestamp(
+              math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs + 1))
+            closed.reverseIterator
           }
-          state.update(s)
-          Iterator.single(SessionOut(uid, s.count, s.total))
         }).toDF()
   }
 

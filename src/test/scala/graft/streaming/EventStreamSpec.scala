@@ -48,22 +48,37 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("sessionization carries per-user state and emits running aggregates") {
+  test("sessionization closes sessions on event-time gaps with exact aggregates") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sessions").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(sec: Long) = new java.sql.Timestamp(t0 + sec * 1000)
+    Seq(
+      (1L, ts(0), 1L, "a", 1.0, ""),      // user 1, session of 2 events
+      (2L, ts(10), 1L, "a", 2.0, ""),
+      (3L, ts(5), 2L, "b", 5.0, ""),      // user 2, session of 1 event
+      (4L, ts(200), 1L, "a", 10.0, ""),   // user 1, second session (gap > 60s)
+      (5L, ts(7200), 999L, "flush", 0.0, "") // drives the watermark 2h ahead
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
     val q = EventStream.runToMemory(
-      EventStream.sessionize(spark, EventStream.readEvents(spark, streamDir)), "sessions")
+      EventStream.sessionize(spark, EventStream.readEvents(spark, dir), gapMs = 60000L),
+      "sessions_gap")
     try {
-      val events = Tables.load(spark, TestSessions.sf0001, "events")
-      // last emitted running count per user must equal the batch count
-      val last = spark.sql(
-        """SELECT user_id, MAX(n_events) AS n FROM sessions GROUP BY user_id""")
-      last.createOrReplaceTempView("last_sessions")
-      events.groupBy("user_id").count().createOrReplaceTempView("batch_counts")
-      val mismatches = spark.sql(
-        """SELECT COUNT(*) FROM last_sessions l JOIN batch_counts b
-          |ON l.user_id = b.user_id WHERE l.n != b.count""".stripMargin).head.getLong(0)
-      assert(mismatches == 0)
-      assert(spark.table("last_sessions").count() ==
-        events.select("user_id").distinct().count())
+      // the timeout batch fires after the watermark advances; poll briefly
+      var rows = Seq.empty[(Long, Long, Double)]
+      val deadline = System.currentTimeMillis() + 30000
+      while (rows.size < 3 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        rows = spark.sql(
+          "SELECT user_id, n_events, total_value FROM sessions_gap ORDER BY user_id, n_events")
+          .as[(Long, Long, Double)].collect().toSeq
+        if (rows.size < 3) Thread.sleep(500)
+      }
+      // user 1: in-batch gap split (2 events, then 1) — the first session
+      // closes inline, the second by timeout; user 2 closes by timeout;
+      // user 999 is within the gap of stream end and stays open
+      assert(rows == Seq((1L, 1L, 10.0), (1L, 2L, 3.0), (2L, 1L, 5.0)))
     } finally q.stop()
   }
 }
