@@ -52,4 +52,32 @@ class SplitterPropertySpec extends AnyFunSuite {
       assert(masked.startsWith("SELECT '"))
     }
   }
+
+  // keyword-shaped data inside literals — every masked-offset rewrite
+  // must pass it through byte-identical
+  private val sqlFragmentData = Gen.oneOf(
+    " SIMILAR TO ''pat'' ",
+    "x SIMILAR TO 'p'",
+    "generate_series(1, 9)",
+    "FROM generate_series(2, 5)",
+    "FIRST_VALUE(a ORDER BY b)",
+    "NTH_VALUE(a, 2 ORDER BY b DESC)")
+
+  test("property: rewrites never touch keyword-shaped data inside literals") {
+    samples(Gen.zip(word, sqlFragmentData)).foreach { case (w, frag) =>
+      val sql = s"SELECT '$w $frag' AS doc, $w() AS k"
+      val rewritten = Dialect.rewriteAggFirstLast(
+        Dialect.rewriteGenerateSeries(Dialect.rewriteSimilarTo(sql)))
+      assert(rewritten == sql, s"input: $sql")
+    }
+  }
+
+  test("property: rewrites still fire on real predicates after such literals") {
+    samples(sqlFragmentData).foreach { frag =>
+      val sql = s"SELECT '$frag' AS doc, c SIMILAR TO 'a%' AS m FROM t"
+      val rewritten = Dialect.rewriteSimilarTo(sql)
+      assert(rewritten.contains(s"'$frag'"), s"literal mangled: $rewritten")
+      assert(rewritten.contains("RLIKE '^a.*$'"), s"predicate missed: $rewritten")
+    }
+  }
 }
