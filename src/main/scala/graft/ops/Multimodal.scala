@@ -64,6 +64,56 @@ object Multimodal {
       checksum, math.min(m.payload.length, m.width * m.height / 16))
   }
 
+  case class Thumb(doc_id: Long, media_type: String,
+      thumb_w: Int, thumb_h: Int, thumb: Array[Byte])
+
+  /**
+   * Resize stage (STUB decode, real contract): scale every image's
+   * payload down so max(w, h) == `maxDim`, preserving aspect ratio. The
+   * stub "pixel data" is a deterministic byte slice sized w·h/64; a real
+   * implementation swaps only the resample call. 1-in/1-out rows via the
+   * same partition-local-init mapPartitions contract as decode.
+   */
+  def resize(spark: SparkSession, media: DataFrame, maxDim: Int = 64): Dataset[Thumb] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { m =>
+        val scale = math.min(1.0, maxDim.toDouble / math.max(m.width, m.height))
+        val (tw, th) = (math.max(1, (m.width * scale).toInt), math.max(1, (m.height * scale).toInt))
+        val n = math.min(m.payload.length, math.max(1, tw * th / 64))
+        Thumb(m.doc_id, m.media_type, tw, th, m.payload.take(n))
+      }
+    }
+  }
+
+  case class Frame(doc_id: Long, frame_idx: Int, byte_offset: Long, frame_checksum: Long)
+
+  /**
+   * Frame sampling (STUB decode, real contract): each video row fans out
+   * to `framesPerVideo` sampled frames — the 1-in/N-out iterator shape a
+   * real demuxer plugs into. Offsets stride the payload evenly; the
+   * per-frame checksum hashes the frame's byte window. Lazy iterator
+   * composition: no partition is materialized, so a 2-hour video row
+   * streams frames without buffering them all.
+   */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      framesPerVideo: Int = 4): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.filter(_.media_type == "video").flatMap { m =>
+        val stride = math.max(1L, m.payload.length.toLong / framesPerVideo)
+        (0 until framesPerVideo).iterator.map { i =>
+          val off = math.min(i * stride, math.max(0L, m.payload.length - 1L))
+          val end = math.min(off + stride, m.payload.length.toLong).toInt
+          var checksum = 0L
+          var j = off.toInt
+          while (j < end) { checksum = checksum * 31 + (m.payload(j) & 0xff); j += 1 }
+          Frame(m.doc_id, i, off, checksum)
+        }
+      }
+    }
+  }
+
   /** End-to-end pipeline used by the query registry. */
   def pipeline(spark: SparkSession, docs: DataFrame): DataFrame =
     extractFeatures(spark, mediaTable(docs)).toDF().orderBy("doc_id")

@@ -101,8 +101,14 @@ object Similarity {
    * Returns top-k (qid, cid, sim, rank) like `bruteForceTopK`; recall
    * trades off with nprobe.
    */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+  /** A built inverted-file index: the (tiny, nlist·dim) centroid matrix
+    * plus the corpus assigned to lists with precomputed norms. `index` is
+    * a plain DataFrame — persist it, or write it to parquet and reload,
+    * to amortize the build across many query batches (the point of IVF:
+    * build once, search often). */
+  final case class IvfIndex(centroids: Array[Array[Double]], index: DataFrame)
+
+  def buildIvfIndex(corpus: DataFrame, nlist: Int = 16, iters: Int = 3): IvfIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
 
@@ -117,14 +123,14 @@ object Similarity {
 
     // tight-loop expression: the centroid matrix travels as ONE nested
     // literal, not 1000+ Literal nodes (which blow up codegen)
-    def nearestCentroid(c: Column): Column = element_at(
+    def nearestCentroid(c: Column, cents: Array[(Int, Seq[Double])]): Column = element_at(
       TextHashExprs.nearestCentroids(
-        spark, c, centroids.sortBy(_._1).map(_._2.toArray), 1), 1)
+        spark, c, cents.sortBy(_._1).map(_._2.toArray), 1), 1)
 
     var it = 0
     while (it < iters) {
       val updated = vecs
-        .select(nearestCentroid(col("embedding")).as("cid"),
+        .select(nearestCentroid(col("embedding"), centroids).as("cid"),
           posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cid", "pos")
         .agg(avg(col("v").cast("double")).as("m"))
@@ -136,20 +142,27 @@ object Similarity {
       centroids = centroids.map { case (cid, old) => (cid, byId.getOrElse(cid, old)) }
       it += 1
     }
-    // centroids are on the driver now; the remaining (lazy) passes read
-    // the source once each — don't pin the corpus in executor storage
+    // centroids are on the driver now; the assignment pass below is lazy
+    // and reads the source once — don't pin the corpus in executor storage
     vecs.unpersist(blocking = false)
 
-    val corpusN = withNorm(corpus, "cid", "ce", "cn")
-    val index = corpusN.select(col("cid"), col("ce"), col("cn"),
-      nearestCentroid(col("ce")).as("list_id"))
+    val cents = centroids.sortBy(_._1).map(_._2.toArray)
+    val index = withNorm(corpus, "cid", "ce", "cn")
+      .select(col("cid"), col("ce"), col("cn"),
+        nearestCentroid(col("ce"), centroids).as("list_id"))
+    IvfIndex(cents, index)
+  }
+
+  /** Probe a built index: each query searches only its `nprobe` nearest
+    * lists. Cost per batch ≈ nprobe/nlist of the corpus — independent of
+    * how many batches reuse the index. */
+  def ivfSearch(idx: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
     val probes = withNorm(queries, "qid", "qe", "qn")
       .select(col("qid"), col("qe"), col("qn"),
-        explode(TextHashExprs.nearestCentroids(
-          spark, col("qe"), centroids.sortBy(_._1).map(_._2.toArray), nprobe))
+        explode(TextHashExprs.nearestCentroids(spark, col("qe"), idx.centroids, nprobe))
           .as("list_id"))
-
-    val scored = index.join(broadcast(probes), "list_id")
+    val scored = idx.index.join(broadcast(probes), "list_id")
       .select(col("qid"), col("cid"),
         round(TextHashExprs.dotProd(spark, col("qe"), col("ce")) / (col("qn") * col("cn")), 9)
           .as("sim"))
@@ -159,6 +172,11 @@ object Similarity {
       .filter(col("rank") <= k)
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** One-shot convenience: build + search. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame =
+    ivfSearch(buildIvfIndex(corpus, nlist, iters), queries, k, nprobe)
 
   /**
    * Embedding-cosine near-dup mining (the vector-space sibling of

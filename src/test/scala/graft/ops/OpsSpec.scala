@@ -161,6 +161,52 @@ class OpsSpec extends AnyFunSuite {
     assert(self.distinct.length == 1) // same text → same fingerprint
   }
 
+  test("IVF index built once serves multiple query batches identically") {
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val idx = Similarity.buildIvfIndex(corpus, nlist = 8, iters = 2)
+    idx.index.persist() // what a production caller does between batches
+    try {
+      val batch1 = emb.filter(col("vec_id") < 5)
+      val batch2 = emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+      val r1 = Similarity.ivfSearch(idx, batch1, k = 3).collect()
+      val r2 = Similarity.ivfSearch(idx, batch2, k = 3).collect()
+      assert(r1.length == 15 && r2.length == 15)
+      // reused-index results equal a fresh one-shot build (same seed path)
+      val oneShot = Similarity.ivfTopK(corpus, batch1, k = 3, nlist = 8, iters = 2).collect()
+      assert(r1.map(_.toString).sameElements(oneShot.map(_.toString)))
+    } finally idx.index.unpersist()
+  }
+
+  test("multimodal resize preserves aspect ratio and bounds dimensions") {
+    val media = Multimodal.mediaTable(docs)
+    val thumbs = Multimodal.resize(spark, media, maxDim = 64)
+    val rows = thumbs.collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall(t => t.thumb_w <= 64 && t.thumb_h <= 64 && t.thumb.nonEmpty))
+    // aspect preserved within integer truncation
+    val src = media.select("doc_id", "width", "height").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    rows.foreach { t =>
+      val (w, h) = src(t.doc_id)
+      assert(math.abs(t.thumb_w.toDouble / t.thumb_h - w.toDouble / h) < 0.15,
+        s"doc ${t.doc_id}: ${t.thumb_w}x${t.thumb_h} vs ${w}x$h")
+    }
+  }
+
+  test("multimodal frame sampling fans each video out to n frames") {
+    val media = Multimodal.mediaTable(docs)
+    val nVideos = media.filter(col("media_type") === "video").count()
+    val frames = Multimodal.sampleFrames(spark, media, framesPerVideo = 4)
+    val rows = frames.collect()
+    assert(rows.length == nVideos * 4)
+    // strictly increasing offsets within a doc; frame indexes dense 0..3
+    rows.groupBy(_.doc_id).values.foreach { fs =>
+      assert(fs.map(_.frame_idx).sorted.sameElements(0 until 4))
+      val offs = fs.sortBy(_.frame_idx).map(_.byte_offset)
+      assert(offs.zip(offs.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("multimodal pipeline keeps schema + row count through the decode stub") {
     val r = Multimodal.pipeline(spark, docs)
     assert(r.count() == docs.count())
