@@ -177,6 +177,13 @@ object GapFillers {
           case 'a' => sb ++= "EEE"; case 'A' => sb ++= "EEEE"
           case 'b' | 'h' => sb ++= "MMM"; case 'B' => sb ++= "MMMM"
           case 'p' => sb ++= "a"
+          // chrono composite codes (ISO date, clock time, US date, HH:MM)
+          case 'F' => sb ++= "yyyy-MM-dd"
+          case 'T' | 'X' => sb ++= "HH:mm:ss"
+          case 'D' => sb ++= "MM/dd/yy"
+          case 'R' => sb ++= "HH:mm"
+          case 'n' => buf += '\n'
+          case 't' => buf += '\t'
           case '%' => buf += '%'
           case other => buf += '%' += other
         }

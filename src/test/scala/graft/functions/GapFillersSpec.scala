@@ -56,6 +56,11 @@ class GapFillersSpec extends AnyFunSuite {
       == """[{"s":"2024-01-05"}]""")
     assert(one("SELECT to_char(TIMESTAMP '2024-01-05 07:08:09', '%H:%M:%S on %A') AS s")
       == """[{"s":"07:08:09 on Friday"}]""")
+    // chrono composite codes
+    assert(one("SELECT to_char(TIMESTAMP '2024-01-05 07:08:09', '%F %T') AS s")
+      == """[{"s":"2024-01-05 07:08:09"}]""")
+    assert(one("SELECT to_char(TIMESTAMP '2024-01-05 07:08:09', '%D %R') AS s")
+      == """[{"s":"01/05/24 07:08"}]""")
   }
 
   test("encode/decode dispatch hex and base64, charset path still works") {
