@@ -360,7 +360,31 @@ object Functions {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   }
 
+  // ---------------------------------------------------------------- q58
+  // approx_percentile_cont_with_weight (DataFusion's weighted percentile)
+  // maps to Spark's EXACT frequency-weighted Percentile for integer
+  // weights, so the oracle is percentile_cont over the weight-expanded
+  // multiset (lateral generate_series). Quantities are integers, so the
+  // interpolated result is an exact .0/.5 value in both engines.
+  val q58 = Q.df(
+    "q58_weighted_percentile",
+    """SELECT l_returnflag,
+      |  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY q), 6) AS wmed,
+      |  ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY q), 6) AS wp90
+      |FROM (SELECT l_returnflag,
+      |        unnest(list_transform(range(CAST(l_linenumber AS BIGINT)), i -> l_quantity)) AS q
+      |      FROM lineitem)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    graft.functions.GapFillers.register(spark)
+    graft.tables.Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT l_returnflag,
+        |  ROUND(approx_percentile_cont_with_weight(l_quantity, l_linenumber, 0.5), 6) AS wmed,
+        |  ROUND(approx_percentile_cont_with_weight(l_quantity, l_linenumber, 0.9), 6) AS wp90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   def defs: Seq[Q] = Seq(
     q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q50, q52, q53)
+    q48, q49, q50, q52, q53, q58)
 }
