@@ -255,6 +255,24 @@ class SqlEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("INSERT INTO an external parquet table writes files readable back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_extwrite").toString
+    try {
+      engine.executeSql(
+        s"CREATE EXTERNAL TABLE ext_write (id INT, name STRING) STORED AS PARQUET LOCATION '$dir/t'")
+      engine.executeStatement("INSERT INTO ext_write VALUES (1, 'a'), (2, 'b')")
+      engine.executeStatement("INSERT INTO ext_write VALUES (3, 'c')")
+      val rows = engine.executeStatement("SELECT id, name FROM ext_write ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(rows == Seq((1, "a"), (2, "b"), (3, "c")))
+      // the data really landed as parquet files at the location
+      assert(new java.io.File(s"$dir/t").listFiles().exists(_.getName.endsWith(".parquet")))
+    } finally {
+      engine.executeStatement("DROP TABLE IF EXISTS ext_write")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("hive-layout external table discovers partitions and prunes them") {
     val dir = java.nio.file.Files.createTempDirectory("graft_partdisc").toString
     try {
