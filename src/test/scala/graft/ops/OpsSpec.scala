@@ -161,6 +161,26 @@ class OpsSpec extends AnyFunSuite {
     assert(self.distinct.length == 1) // same text → same fingerprint
   }
 
+  test("candidate-dedup exchanges shuffle id pairs only, never embedding vectors") {
+    // the distinct's hash exchange on the pair keys must not carry the
+    // vector payload — vectors re-join AFTER the dedup (scale guard:
+    // at 1B vectors the dedup exchange is 16 bytes/row, not 256+)
+    def distinctExchangesCarryNoVectors(df: org.apache.spark.sql.DataFrame,
+        keyA: String, keyB: String): Unit = {
+      val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
+      val exchanges = lines.filter(l =>
+        l.contains("Exchange hashpartitioning") && l.contains(keyA) && l.contains(keyB))
+      assert(exchanges.nonEmpty, "expected a pair-keyed distinct exchange in:\n" + lines.mkString("\n"))
+      exchanges.foreach(l => assert(!l.contains("embedding") && !l.contains(", ea") &&
+        !l.contains(", eb") && !l.contains(", qe") && !l.contains(", ce"),
+        s"vector column crosses the dedup exchange: $l"))
+    }
+    distinctExchangesCarryNoVectors(Similarity.cosineNearDups(emb), "vec_a", "vec_b")
+    distinctExchangesCarryNoVectors(
+      Similarity.lshTopK(emb.filter(col("vec_id") >= 5), emb.filter(col("vec_id") < 5), k = 3),
+      "qid", "cid")
+  }
+
   test("IVF index built once serves multiple query batches identically") {
     val corpus = emb.filter(col("vec_id") >= 10)
     val idx = Similarity.buildIvfIndex(corpus, nlist = 8, iters = 2)
