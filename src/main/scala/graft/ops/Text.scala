@@ -6,9 +6,13 @@ import org.apache.spark.sql.functions._
 /**
  * Shared text primitives for the training-data pipeline operators
  * (tokenization, shingling, language scoring). Everything here is a pure
- * Catalyst expression tree built from `org.apache.spark.sql.functions`
- * higher-order functions — no UDFs, no serialization boundary, fully
- * codegen-compatible and therefore safe in the hot path of a 100 TB scan.
+ * Catalyst expression tree built from `org.apache.spark.sql.functions` —
+ * no UDFs, no serialization boundary. NOTE: the higher-order functions
+ * (transform/filter/aggregate) evaluate their lambdas INTERPRETED, one
+ * expression-tree walk per element — fine for cold paths and oracles,
+ * but hot 100 TB scans should use the tight-loop expressions in
+ * `graft.functions.TextHashExprs` (TextMetrics, TokenTrigramHashes)
+ * instead; `graft.ops.TextAnalysis` does exactly that.
  */
 object Text {
 
