@@ -37,7 +37,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // host-contamination telemetry (VERDICT r02 #1/#5): a concurrent
+    // local[32] JVM inflates late-alphabet x-queries 4-30x; publishing
+    // cores + load average makes a polluted run self-evident.
+    val procs = Runtime.getRuntime.availableProcessors
+    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","procs":$procs,"load_avg":$load}""")
     spark.stop()
   }
 }

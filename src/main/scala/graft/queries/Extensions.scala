@@ -66,12 +66,15 @@ object Extensions {
     // interpreted lambdas. |A∩B|/|A∪B| is unchanged by the hashing unless
     // xxhash64 collides within one pair's union (~2^-64 per pair), and
     // the DuckDB oracle (string trigrams) verifies exactly that.
-    // Persisted: the self-join would otherwise inline the hash expression
-    // into BOTH sides (CollapseProject) and evaluate it twice per doc.
+    // localCheckpoint (lazy): the self-join would otherwise inline the
+    // hash expression into BOTH sides (CollapseProject) and evaluate it
+    // twice per doc. A persist() here would leave a registered cache
+    // entry behind per invocation (ADVICE r02); the checkpointed RDD is
+    // released by the ContextCleaner once the result frame is dropped.
     val g = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         graft.functions.TextHashExprs.tokenTrigramHashes(spark, col("text")).as("g"))
-      .persist()
+      .localCheckpoint(eager = false)
     val a = g.select(col("doc_id").as("doc_a"), col("g").as("ga"))
     val b = g.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"), col("g").as("gb"))
     a.join(b, "doc_a")

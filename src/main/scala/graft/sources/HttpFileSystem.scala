@@ -40,11 +40,21 @@ class HttpFileSystem extends FileSystem {
 
   private def toUrl(f: Path): URL = f.toUri.toURL
 
+  /** Connect/read timeouts (ms), configurable via the Hadoop conf — a
+    * stalled server must fail the task (and let Spark retry) instead of
+    * hanging an executor thread forever (ADVICE r02). */
+  private[sources] def connectTimeoutMs: Int =
+    getConf.getInt("fs.graft.http.connect.timeout.ms", 15000)
+  private[sources] def readTimeoutMs: Int =
+    getConf.getInt("fs.graft.http.read.timeout.ms", 60000)
+
   /** Object length via a 1-byte range GET (parses `Content-Range`'s
     * total), falling back to `Content-Length` for servers that ignore
     * Range. */
   private def contentLength(url: URL): Long = {
     val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
     conn.setRequestProperty("Range", "bytes=0-0")
     try {
       val code = conn.getResponseCode
@@ -73,7 +83,8 @@ class HttpFileSystem extends FileSystem {
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val status = getFileStatus(f)
-    new FSDataInputStream(new HttpRangeInputStream(toUrl(f), status.getLen))
+    new FSDataInputStream(new HttpRangeInputStream(toUrl(f), status.getLen,
+      connectTimeoutMs, readTimeoutMs))
   }
 
   private val readOnly =
@@ -105,7 +116,8 @@ class HttpsFileSystem extends HttpFileSystem {
  * reads cost one request). Servers that ignore Range (respond 200) are
  * handled by skipping.
  */
-private[sources] class HttpRangeInputStream(url: URL, length: Long)
+private[sources] class HttpRangeInputStream(url: URL, length: Long,
+    connectTimeoutMs: Int = 15000, readTimeoutMs: Int = 60000)
     extends FSInputStream {
   private var pos = 0L
   private var stream: InputStream = _
@@ -122,6 +134,8 @@ private[sources] class HttpRangeInputStream(url: URL, length: Long)
     if (stream == null || streamAt != pos) {
       if (stream != null) { stream.close(); stream = null }
       val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setConnectTimeout(connectTimeoutMs)
+      conn.setReadTimeout(readTimeoutMs)
       if (pos > 0) conn.setRequestProperty("Range", s"bytes=$pos-")
       val code = conn.getResponseCode
       if (code == 404) throw new FileNotFoundException(url.toString)
@@ -140,17 +154,27 @@ private[sources] class HttpRangeInputStream(url: URL, length: Long)
     stream
   }
 
+  /** The server closing early (EOF before the object's known length) is
+    * an ERROR, not EOF — surfacing it as EOF turns into confusing
+    * parquet truncation failures downstream (ADVICE r02). */
+  private def prematureEof(): Nothing = {
+    if (stream != null) { stream.close(); stream = null; streamAt = -1L }
+    throw new IOException(
+      s"premature EOF from $url at byte $pos of $length (server closed early)")
+  }
+
   override def read(): Int = synchronized {
     if (pos >= length) return -1
     val b = ensure().read()
-    if (b >= 0) { pos += 1; streamAt = pos }
+    if (b >= 0) { pos += 1; streamAt = pos } else prematureEof()
     b
   }
 
   override def read(buf: Array[Byte], off: Int, len: Int): Int = synchronized {
     if (pos >= length) return -1
+    if (len == 0) return 0
     val n = ensure().read(buf, off, len)
-    if (n > 0) { pos += n; streamAt = pos }
+    if (n > 0) { pos += n; streamAt = pos } else if (n < 0) prematureEof()
     n
   }
 
