@@ -69,6 +69,8 @@ object Dialect {
 
   private val GenSeries: Regex = """(?i)\bgenerate_series\s*\(""".r
 
+  private val TvfPosition = """(?is).*(\bfrom|\bjoin|,)\s*$""".r.pattern
+
   /** DataFusion's FROM-clause TVF `generate_series(start, stop[, step])`
     * (reference: `Cargo.lock:845`, `datafusion-functions-table`) has no
     * Spark spelling — rewritten to a sequence-explode subquery producing
@@ -77,7 +79,11 @@ object Dialect {
     * `FROM (SELECT explode(sequence(a, b[, s])) AS value)`.
     * The keyword is located on the literal mask and the argument parens
     * are balanced on the mask too, so data inside string arguments can
-    * never derail the scan. */
+    * never derail the scan. Only FROM/JOIN/`,` position is rewritten
+    * (the reference supports only the FROM-clause TVF): an expression-
+    * position `generate_series(...)` would become a multi-row scalar
+    * subquery — a confusing runtime error instead of a clean
+    * "undefined function" (ADVICE r02). */
   def rewriteGenerateSeries(sql: String): String = {
     val masked = maskSameLength(sql)
     val ms = GenSeries.findAllMatchIn(masked).toList
@@ -86,7 +92,8 @@ object Dialect {
       val sb = new StringBuilder
       var last = 0
       ms.foreach { m =>
-        if (m.start >= last) {
+        if (m.start >= last &&
+            TvfPosition.matcher(masked.substring(0, m.start)).matches()) {
           var depth = 1
           var i = m.end // first char after '('
           while (i < masked.length && depth > 0) {
@@ -110,65 +117,266 @@ object Dialect {
     }
   }
 
-  private val AggFirstLast: Regex =
-    """(?i)\b(FIRST_VALUE|LAST_VALUE)\s*\(([^()]+?)\s+ORDER\s+BY\s+([^()]+?)(\s+ASC|\s+DESC)?\s*\)""".r
+  private val AggCall: Regex = """(?i)\b(FIRST_VALUE|LAST_VALUE|NTH_VALUE)\s*\(""".r
 
-  private val AggNthValue: Regex =
-    """(?i)\bNTH_VALUE\s*\(([^()]+?),\s*(\d+)\s+ORDER\s+BY\s+([^()]+?)(\s+ASC|\s+DESC)?\s*\)""".r
+  /** Offsets of the first `ORDER BY` at paren-depth 0 of a (masked)
+    * call-argument string, or None. */
+  private def topLevelOrderBy(maskedArgs: String): Option[(Int, Int)] =
+    """(?i)\bORDER\s+BY\b""".r.findAllMatchIn(maskedArgs).find { m =>
+      val prefix = maskedArgs.substring(0, m.start)
+      prefix.count(_ == '(') == prefix.count(_ == ')')
+    }.map(m => (m.start, m.end))
+
+  /** Split positions of top-level commas in a (masked) string. */
+  private def topLevelCommas(masked: String): List[Int] = {
+    var depth = 0
+    val out = List.newBuilder[Int]
+    var i = 0
+    while (i < masked.length) {
+      masked.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += i
+        case _ =>
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  private def splitTopLevel(raw: String, masked: String): List[String] = {
+    val cuts = topLevelCommas(masked)
+    ((-1 :: cuts) :+ raw.length).sliding(2).map {
+      case List(a, b) => raw.substring(a + 1, b)
+    }.toList
+  }
+
+  /** One ORDER BY sort key: expression text + direction + null placement.
+    * DataFusion defaults match Postgres: NULLS LAST for ASC, NULLS FIRST
+    * for DESC (the opposite of Spark's default — the r02 ADVICE
+    * divergence this rewrite now encodes explicitly). */
+  private case class SortKey(expr: String, asc: Boolean, nullsFirst: Boolean)
+
+  private val KeyTail =
+    """(?is)^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$""".r.pattern
+
+  private def parseSortKeys(raw: String, masked: String): List[SortKey] =
+    splitTopLevel(raw, masked).zip(splitTopLevel(masked, masked)).map {
+      case (seg, segMasked) =>
+        val m = KeyTail.matcher(segMasked)
+        require(m.matches())
+        val asc = m.group(2) == null || m.group(2).equalsIgnoreCase("ASC")
+        val nullsFirst =
+          if (m.group(3) != null) m.group(3).equalsIgnoreCase("FIRST") else !asc
+        SortKey(seg.substring(m.start(1), m.end(1)).trim, asc, nullsFirst)
+    }
+
+  /** Comparator-lambda body for `array_sort` over structs of
+    * (k0..kN, v): lexicographic over the keys with explicit direction
+    * and null placement per key. */
+  private def comparatorCase(keys: List[SortKey]): String = {
+    def level(i: Int): String =
+      if (i == keys.length) "0"
+      else {
+        val SortKey(_, asc, nullsFirst) = keys(i)
+        val (a, b) = (s"a.k$i", s"b.k$i")
+        val nullA = if (nullsFirst) -1 else 1
+        val lt = if (asc) -1 else 1
+        s"CASE WHEN $a IS NULL AND $b IS NULL THEN ${level(i + 1)} " +
+          s"WHEN $a IS NULL THEN $nullA WHEN $b IS NULL THEN ${-nullA} " +
+          s"WHEN $a < $b THEN $lt WHEN $a > $b THEN ${-lt} " +
+          s"ELSE ${level(i + 1)} END"
+      }
+    level(0)
+  }
 
   /** DataFusion accepts `first_value(x ORDER BY y)` / `last_value(...)` /
     * `nth_value(x, n ORDER BY y)` as AGGREGATES (`Cargo.lock:809`); Spark
-    * only has the window forms. With a deterministic (total) ORDER BY key
-    * first/last are exactly `min_by`/`max_by`, and nth is an index into
-    * the key-sorted collected list (negative index from the end for
-    * DESC; `try_element_at` yields NULL past the group size, matching
-    * the aggregate's semantics under ANSI mode). Window forms
-    * (`... OVER (...)`) have no ORDER BY inside the call parens and are
-    * left untouched. Keywords located on the literal mask. */
+    * only has the window forms. Rewritten to an index into a
+    * comparator-sorted collected list:
+    * `try_element_at(array_sort(collect_list(named_struct('k0', y, 'v',
+    * x)), (a, b) -> cmp), idx).v` — first = 1, last = -1, nth = n;
+    * `try_element_at` yields NULL past the group size (ANSI-safe). The
+    * comparator encodes DataFusion's null ordering (ASC → NULLS LAST,
+    * DESC → NULLS FIRST — opposite of Spark's default) and supports
+    * multi-key, mixed-direction ORDER BY; arguments are scanned with
+    * balanced parens, so nested calls like `first_value(round(x, 2)
+    * ORDER BY y)` rewrite correctly (both r02 gaps). Per-group state is
+    * O(group size) — hot 100 TB paths with non-null single keys should
+    * use `min_by`/`max_by` directly; this is the SQL-parity surface.
+    * Window forms (no ORDER BY inside the call parens, or followed by
+    * OVER) are left untouched. Keywords located on the literal mask. */
   def rewriteAggFirstLast(sql: String): String = {
-    val pass1 = {
-      val masked = maskSameLength(sql)
-      val ms = AggFirstLast.findAllMatchIn(masked).toList
-      if (ms.isEmpty) sql
-      else {
-        val sb = new StringBuilder
-        var last = 0
-        ms.foreach { m =>
-          val fn = m.group(1).toUpperCase(java.util.Locale.ROOT)
-          val expr = sql.substring(m.start(2), m.end(2))
-          val key = sql.substring(m.start(3), m.end(3))
-          val desc = m.group(4) != null && m.group(4).trim.equalsIgnoreCase("DESC")
-          val target = (fn, desc) match {
-            case ("FIRST_VALUE", false) | ("LAST_VALUE", true) => "min_by"
-            case _ => "max_by"
+    val masked = maskSameLength(sql)
+    val ms = AggCall.findAllMatchIn(masked).toList
+    if (ms.isEmpty) return sql
+    val sb = new StringBuilder
+    var last = 0
+    ms.foreach { m =>
+      if (m.start >= last) {
+        var depth = 1
+        var i = m.end
+        while (i < masked.length && depth > 0) {
+          masked.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
           }
-          sb ++= sql.substring(last, m.start)
-          sb ++= s"$target($expr, $key)"
-          last = m.end
+          i += 1
         }
-        sb ++= sql.substring(last)
-        sb.toString
+        var j = i
+        while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
+        val isWindow = masked.regionMatches(true, j, "OVER", 0, 4)
+        if (depth == 0 && !isWindow) {
+          val argsRaw = sql.substring(m.end, i - 1)
+          val argsMasked = masked.substring(m.end, i - 1)
+          topLevelOrderBy(argsMasked).foreach { case (obS, obE) =>
+            val fn = m.group(1).toUpperCase(java.util.Locale.ROOT)
+            val exprPartRaw = argsRaw.substring(0, obS)
+            val exprPartMasked = argsMasked.substring(0, obS)
+            val (valueExpr, idx) = fn match {
+              case "NTH_VALUE" =>
+                val segs = splitTopLevel(exprPartRaw, exprPartMasked)
+                val n = segs.lastOption.map(_.trim).getOrElse("")
+                if (segs.length < 2 || !n.forall(_.isDigit))
+                  throw new UnsupportedOperationException(
+                    "nth_value aggregate requires a literal integer position: " +
+                    s"nth_value(expr, n ORDER BY ...), got ($exprPartRaw)")
+                (segs.dropRight(1).mkString(",").trim, n)
+              case "FIRST_VALUE" => (exprPartRaw.trim, "1")
+              case _ => (exprPartRaw.trim, "-1")
+            }
+            val keys = parseSortKeys(argsRaw.substring(obE), argsMasked.substring(obE))
+            val fields = keys.zipWithIndex
+              .map { case (k, n) => s"'k$n', ${k.expr}" }
+              .mkString(", ")
+            sb ++= sql.substring(last, m.start)
+            sb ++= s"try_element_at(array_sort(collect_list(" +
+              s"named_struct($fields, 'v', $valueExpr)), " +
+              s"(a, b) -> ${comparatorCase(keys)}), $idx).v"
+            last = i
+          }
+        }
       }
     }
-    val masked = maskSameLength(pass1)
-    val ms = AggNthValue.findAllMatchIn(masked).toList
-    if (ms.isEmpty) pass1
-    else {
-      val sb = new StringBuilder
-      var last = 0
-      ms.foreach { m =>
-        val expr = pass1.substring(m.start(1), m.end(1))
-        val n = pass1.substring(m.start(2), m.end(2))
-        val key = pass1.substring(m.start(3), m.end(3))
-        val desc = m.group(4) != null && m.group(4).trim.equalsIgnoreCase("DESC")
-        val idx = if (desc) s"-$n" else n
-        sb ++= pass1.substring(last, m.start)
-        sb ++= s"try_element_at(array_sort(collect_list(named_struct('k', $key, 'v', $expr))), $idx).v"
-        last = m.end
+    sb ++= sql.substring(last)
+    sb.toString
+  }
+
+  // ------------------------------------------------------- GROUPS frames
+
+  private case class GroupsSpec(overStart: Int, overEnd: Int,
+      partition: String, order: String, frame: String)
+
+  private def unsupportedGroups(why: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"GROUPS window frames: $why (supported shape: a single-SELECT query " +
+      "without GROUP BY/HAVING/set operations whose GROUPS windows share one " +
+      "PARTITION BY/ORDER BY; Spark has no native GROUPS mode — emulated via " +
+      "a dense_rank-keyed RANGE frame)")
+
+  private val FrameBound =
+    """(?is)^BETWEEN\s+(UNBOUNDED\s+PRECEDING|\d+\s+PRECEDING|\d+\s+FOLLOWING|CURRENT\s+ROW)\s+AND\s+(UNBOUNDED\s+FOLLOWING|\d+\s+PRECEDING|\d+\s+FOLLOWING|CURRENT\s+ROW)$|^(UNBOUNDED\s+PRECEDING|\d+\s+PRECEDING|CURRENT\s+ROW)$""".r.pattern
+
+  private def findTopLevel(masked: String, word: Regex, from: Int = 0): Option[Regex.Match] =
+    word.findAllMatchIn(masked).find { m =>
+      if (m.start < from) false
+      else {
+        val prefix = masked.substring(0, m.start)
+        prefix.count(_ == '(') == prefix.count(_ == ')')
       }
-      sb ++= pass1.substring(last)
-      sb.toString
     }
+
+  /**
+   * SQL-standard GROUPS window frames (SURVEY §2.5 gap: the reference's
+   * planner accepts them, Spark has no GROUPS mode). A GROUPS frame
+   * counts PEER GROUPS of the window ordering; `dense_rank()` numbers
+   * exactly those peer groups consecutively, so
+   *
+   *   agg OVER (PARTITION BY p ORDER BY k GROUPS <frame>)
+   * ≡ agg OVER (PARTITION BY p ORDER BY __grp RANGE <frame>)
+   *   over  SELECT *, DENSE_RANK() OVER (PARTITION BY p ORDER BY k) AS __grp
+   *
+   * — the RANGE offsets land on the integer dense-rank key, one step per
+   * peer group. The statement is restructured into that two-level form
+   * for the common single-SELECT shape; anything else (CTEs, GROUP BY,
+   * set ops, mismatched window specs) raises a clean documented error
+   * instead of a Spark parse error.
+   */
+  def rewriteGroupsFrames(sql: String): String = {
+    val masked = maskSameLength(sql)
+    val groupsKw = """(?i)\bGROUPS\s+(?=BETWEEN\b|UNBOUNDED\b|CURRENT\b|\d)""".r
+    if (groupsKw.findFirstMatchIn(masked).isEmpty) return sql
+
+    // collect every OVER (...) spec containing a GROUPS frame
+    val overRe = """(?i)\bOVER\s*\(""".r
+    val specs = overRe.findAllMatchIn(masked).flatMap { m =>
+      var depth = 1
+      var i = m.end
+      while (i < masked.length && depth > 0) {
+        masked.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      if (depth != 0) None
+      else {
+        val inMasked = masked.substring(m.end, i - 1)
+        val inRaw = sql.substring(m.end, i - 1)
+        findTopLevel(inMasked, groupsKw).map { g =>
+          if ("""(?i)\bEXCLUDE\b""".r.findFirstIn(inMasked).isDefined)
+            unsupportedGroups("EXCLUDE clauses are not supported")
+          val ob = findTopLevel(inMasked, """(?i)\bORDER\s+BY\b""".r)
+            .getOrElse(unsupportedGroups("the window must have an ORDER BY"))
+          val pb = findTopLevel(inMasked, """(?i)\bPARTITION\s+BY\b""".r)
+          val partition = pb.map(p => inRaw.substring(p.end, ob.start).trim).getOrElse("")
+          val order = inRaw.substring(ob.end, g.start).trim
+          val frame = inRaw.substring(g.end).trim
+          if (!FrameBound.matcher(frame.replaceAll("\\s+", " ")).matches())
+            unsupportedGroups(s"unsupported frame '$frame'")
+          GroupsSpec(m.start, i, partition, order, frame)
+        }
+      }
+    }.toList
+    if (specs.isEmpty)
+      unsupportedGroups("a GROUPS frame keyword appears outside a window OVER(...) spec")
+    val canon = specs.map(s => (s.partition, s.order)).distinct
+    if (canon.length > 1)
+      unsupportedGroups("all GROUPS windows in one statement must share the same " +
+        "PARTITION BY and ORDER BY")
+
+    // top-level statement shape: SELECT <list> FROM <rest> [ORDER BY/LIMIT tail]
+    if (!masked.stripLeading().toUpperCase(java.util.Locale.ROOT).startsWith("SELECT"))
+      unsupportedGroups("only plain SELECT statements are supported (no CTEs/DDL)")
+    for (kw <- Seq("""(?i)\bGROUP\s+BY\b""".r, """(?i)\bHAVING\b""".r,
+        """(?i)\bUNION\b""".r, """(?i)\bINTERSECT\b""".r, """(?i)\bEXCEPT\b""".r))
+      if (findTopLevel(masked, kw).isDefined)
+        unsupportedGroups("GROUP BY/HAVING/set operations at the top level are not supported")
+    val fromM = findTopLevel(masked, """(?i)\bFROM\b""".r)
+      .getOrElse(unsupportedGroups("the query must have a FROM clause"))
+    if (specs.exists(_.overStart > fromM.start))
+      unsupportedGroups("GROUPS windows are only supported in the SELECT list")
+    val tailStart = findTopLevel(masked, """(?i)\bORDER\s+BY\b|\bLIMIT\b|\bOFFSET\b""".r,
+        from = fromM.end).map(_.start).getOrElse(sql.length)
+
+    val selStart = (masked.length - masked.stripLeading().length) + "SELECT".length
+    val (partition, order) = (specs.head.partition, specs.head.order)
+    // select list with each GROUPS spec swapped for the RANGE-over-__grp spec
+    val selSb = new StringBuilder
+    var pos = selStart
+    specs.foreach { s =>
+      selSb ++= sql.substring(pos, s.overStart)
+      val part = if (partition.nonEmpty) s"PARTITION BY $partition " else ""
+      selSb ++= s"OVER (${part}ORDER BY __grp RANGE ${s.frame})"
+      pos = s.overEnd
+    }
+    selSb ++= sql.substring(pos, fromM.start)
+    val part = if (partition.nonEmpty) s"PARTITION BY $partition " else ""
+    val dense = s"DENSE_RANK() OVER (${part}ORDER BY $order) AS __grp"
+    s"SELECT ${selSb.toString} FROM (SELECT *, $dense " +
+      s"${sql.substring(fromM.start, tailStart)}) __graft_groups ${sql.substring(tailStart)}"
   }
 
   /** Apply `f` only to the segments of `sql` OUTSIDE single-quoted string

@@ -73,18 +73,20 @@ class SqlEngine(val spark: SparkSession) {
     // documented gaps (SURVEY §7.5): fail with a clear message instead of
     // a downstream parse error
     val masked = Dialect.maskLiterals(stmt)
-    if ("""(?i)\bGROUPS\s+BETWEEN\b""".r.findFirstIn(masked).isDefined)
-      throw new UnsupportedOperationException(
-        "GROUPS window frames are not supported (Spark has no GROUPS frame mode; see README non-goals)")
     if ("""(?i)\bcurrent_time\s*\(""".r.findFirstIn(masked).isDefined)
       throw new UnsupportedOperationException(
         "current_time()/TIME type is not supported (Spark has no TIME type; see README non-goals)")
+    // GROUPS frames: dense_rank-keyed RANGE restructure for the common
+    // shape; unsupported shapes raise the documented clean error inside
+    // the rewrite. Runs first — the other rewrites then see the
+    // restructured text.
     // alias + info-schema rewrites apply only outside string literals;
     // SIMILAR TO locates the keyword on a same-length literal mask (its
     // pattern IS a literal, but the keyword must sit outside one)
     val aliased = Dialect.rewriteAggFirstLast(
       Dialect.rewriteGenerateSeries(Dialect.rewriteSimilarTo(
-        Dialect.outsideLiterals(stmt)(graft.functions.GapFillers.rewriteAliases))))
+        Dialect.outsideLiterals(Dialect.rewriteGroupsFrames(stmt))(
+          graft.functions.GapFillers.rewriteAliases))))
     val translated = DdlTranslator.translate(aliased)
     val rewritten =
       if (InfoSchema.mentionsInfoSchema(Dialect.maskLiterals(translated))) {

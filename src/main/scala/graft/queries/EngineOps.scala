@@ -118,5 +118,113 @@ object EngineOps {
         |FROM v_nation_region GROUP BY r_name ORDER BY r_name""".stripMargin)
   }
 
-  def defs: Seq[Q] = Seq(q54, q55, q56, q57)
+  // ---------------------------------------------------------------- q59
+  // GROUPS window frames (SURVEY §2.5 gap: the reference's planner
+  // accepts them, Spark has no GROUPS mode). Executed through the
+  // dense_rank-keyed RANGE rewrite (`Dialect.rewriteGroupsFrames`).
+  // DuckDB does NOT implement GROUPS either ("not implemented yet"), so
+  // the oracle derives the same frame independently: pre-aggregate each
+  // peer group, window over the per-group rows, join back per row.
+  // Deterministic despite intra-peer-group ties: GROUPS frames always
+  // cover whole peer groups, and SUM over DECIMAL is order-insensitive.
+  private val groupsSql =
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_orderpriority ORDER BY o_orderdate
+      |    GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE) AS grp_sum,
+      |  CAST(COUNT(*) OVER (
+      |    PARTITION BY o_orderpriority ORDER BY o_orderdate
+      |    GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp_cnt
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+  val q59 = Q.df(
+    "q59_groups_frame",
+    """WITH g AS (SELECT o_orderkey, o_orderpriority,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS tp,
+      |    DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate) AS dr
+      |  FROM orders),
+      |s AS (SELECT o_orderpriority, dr, SUM(tp) AS gsum, COUNT(*) AS gcnt
+      |  FROM g GROUP BY o_orderpriority, dr),
+      |c AS (SELECT o_orderpriority, dr,
+      |    SUM(gsum) OVER (PARTITION BY o_orderpriority ORDER BY dr
+      |      RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS w_sum,
+      |    SUM(gcnt) OVER (PARTITION BY o_orderpriority ORDER BY dr
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w_cnt
+      |  FROM s)
+      |SELECT CAST(g.o_orderkey AS BIGINT) AS o_orderkey,
+      |  CAST(c.w_sum AS DOUBLE) AS grp_sum, CAST(c.w_cnt AS BIGINT) AS grp_cnt
+      |FROM g JOIN c ON g.o_orderpriority = c.o_orderpriority AND g.dr = c.dr
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    engine(spark, dir).executeStatement(groupsSql)
+  }
+
+  // ---------------------------------------------------------------- q60
+  // SIMILAR TO predicate (§2.2) — rewritten to anchored RLIKE by the
+  // engine (VERDICT r02 #3: was unit-test-only). DuckDB's SIMILAR TO is
+  // a raw-regex predicate (`%` is NOT a wildcard there), so the oracle
+  // states the same SQL-standard semantics independently via LIKE.
+  val q60 = Q.df(
+    "q60_similar_to",
+    """SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name
+      |FROM part WHERE p_name LIKE '%green%' OR p_name LIKE '%blue%'
+      |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+    engine(spark, dir).executeStatement(
+      """SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name
+        |FROM part WHERE p_name SIMILAR TO '%(green|blue)%' ORDER BY p_partkey""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- q61
+  // Hive-style partition discovery + pruning (§2.1 row 6): nation is
+  // re-laid-out as n_regionkey=K directories, registered via schema-less
+  // external DDL (engine MSCKs discovered partitions), then scanned with
+  // a partition predicate. The DuckDB oracle reads the same directory
+  // tree with hive_partitioning=1 — pinning row SEMANTICS; the dir-level
+  // pruning (PartitionFilters) is plan-asserted in SqlEngineSpec. The
+  // fixed /tmp path appears verbatim in the static oracle text; the
+  // Spark side rewrites it on every run, so Verify→check stays coherent.
+  private val hiveOut = "/tmp/graft_q61_hive_nation"
+  val q61 = Q.df(
+    "q61_hive_pruning",
+    s"""SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+       |  CAST(n_regionkey AS INT) AS n_regionkey
+       |FROM read_parquet('$hiveOut/*/*.parquet', hive_partitioning=1)
+       |WHERE n_regionkey = 2 ORDER BY n_nationkey""".stripMargin) { (spark, dir) =>
+    val eng = engine(spark, dir)
+    Tables.load(spark, dir, "nation")
+      .write.mode("overwrite").partitionBy("n_regionkey").parquet(hiveOut)
+    eng.executeStatement("DROP TABLE IF EXISTS hive_nation")
+    eng.executeStatement(
+      s"CREATE EXTERNAL TABLE hive_nation STORED AS PARQUET LOCATION '$hiveOut'")
+    eng.executeStatement(
+      """SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS INT) AS n_regionkey
+        |FROM hive_nation WHERE n_regionkey = 2 ORDER BY n_nationkey""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- q62
+  // information_schema CONTENT parity (§2.1 row 10; VERDICT r02 #7):
+  // table names, column names, ordinal positions and column types of the
+  // fixture tables cross-checked against DuckDB's native
+  // information_schema over the same parquet. The CASE maps Spark's
+  // catalog type spellings onto DuckDB's (int→INTEGER, string→VARCHAR,
+  // timestamp_ntz→TIMESTAMP) — names differ, the typed CONTENT must not.
+  val q62 = Q.df(
+    "q62_info_schema",
+    """SELECT table_name, column_name,
+      |  CAST(ordinal_position AS INT) AS ordinal_position, data_type
+      |FROM information_schema.columns
+      |WHERE table_name IN ('region', 'nation', 'customer', 'orders')
+      |ORDER BY table_name, ordinal_position""".stripMargin) { (spark, dir) =>
+    engine(spark, dir).executeStatement(
+      """SELECT table_name, column_name,
+        |  CAST(ordinal_position AS INT) AS ordinal_position,
+        |  CASE upper(data_type)
+        |    WHEN 'INT' THEN 'INTEGER' WHEN 'STRING' THEN 'VARCHAR'
+        |    WHEN 'TIMESTAMP_NTZ' THEN 'TIMESTAMP'
+        |    ELSE upper(data_type) END AS data_type
+        |FROM information_schema.columns
+        |WHERE table_name IN ('region', 'nation', 'customer', 'orders')
+        |ORDER BY table_name, ordinal_position""".stripMargin)
+  }
+
+  def defs: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q61, q62)
 }

@@ -216,6 +216,47 @@ class SqlEngineSpec extends AnyFunSuite {
     } finally engine.setResultFormat(ResultFormat.Table)
   }
 
+  test("aggregate first/last: nested parens, multi-key, DataFusion null ordering") {
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      // nested parens inside the value expression (r02: the regex arg
+      // matcher silently missed these and Spark threw a parse error)
+      assert(engine.executeSql(
+        """SELECT FIRST_VALUE(upper(substr(name, 1, 1)) ORDER BY y) AS f
+          |FROM VALUES ('abc', 1), ('xyz', 2) t(name, y)""".stripMargin) ==
+        """[{"f":"A"}]""")
+      // nth_value whose expr itself contains commas
+      assert(engine.executeSql(
+        """SELECT NTH_VALUE(substr(name, 1, 2), 2 ORDER BY y) AS n2
+          |FROM VALUES ('abc', 1), ('xyz', 2) t(name, y)""".stripMargin) ==
+        """[{"n2":"xy"}]""")
+      // multi-key ORDER BY with mixed directions
+      assert(engine.executeSql(
+        """SELECT FIRST_VALUE(name ORDER BY grp, rnk DESC) AS f
+          |FROM VALUES (1, 1, 'a'), (1, 2, 'b'), (2, 9, 'c') t(grp, rnk, name)""".stripMargin) ==
+        """[{"f":"b"}]""")
+      // NULL ordering keys: DataFusion sorts ASC NULLS LAST, so
+      // last_value returns the null-key row's value (a min_by/max_by
+      // mapping silently skips it — the r02 ADVICE divergence)
+      assert(engine.executeSql(
+        """SELECT FIRST_VALUE(name ORDER BY k) AS f, LAST_VALUE(name ORDER BY k) AS l
+          |FROM VALUES (1, 'a'), (2, 'b'), (NULL, 'z') t(k, name)""".stripMargin) ==
+        """[{"f":"a","l":"z"}]""")
+      // explicit NULLS FIRST override
+      assert(engine.executeSql(
+        """SELECT FIRST_VALUE(name ORDER BY k NULLS FIRST) AS f
+          |FROM VALUES (1, 'a'), (NULL, 'z') t(k, name)""".stripMargin) ==
+        """[{"f":"z"}]""")
+    } finally engine.setResultFormat(ResultFormat.Table)
+  }
+
+  test("generate_series outside FROM/JOIN position falls through untouched") {
+    val e = intercept[Exception] {
+      engine.executeSql("SELECT generate_series(1, 3) AS g")
+    }
+    assert(e.getMessage.toLowerCase.contains("generate_series"))
+  }
+
   test("HTTP external parquet table scans through the range-request filesystem") {
     val bytes = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/testdata/sf0.001/nation.parquet"))
@@ -302,10 +343,29 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(out.contains("count(*)") && !out.contains("count(1)"))
   }
 
+  test("GROUPS frames emulate via a dense_rank-keyed RANGE rewrite") {
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      // peer groups of x: {1,1}, {2}, {3} — GROUPS 1 PRECEDING spans the
+      // current peer group plus the previous one
+      assert(engine.executeSql(
+        """SELECT x, sum(x) OVER (ORDER BY x GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+          |FROM VALUES (1), (1), (2), (3) t(x) ORDER BY x""".stripMargin) ==
+        """[{"x":1,"s":2},{"x":1,"s":2},{"x":2,"s":4},{"x":3,"s":5}]""")
+      // partitioned + UNBOUNDED/CURRENT bounds + a shorthand frame
+      assert(engine.executeSql(
+        """SELECT p, x, count(*) OVER (PARTITION BY p ORDER BY x GROUPS CURRENT ROW) AS peers
+          |FROM VALUES ('a', 1), ('a', 1), ('a', 2), ('b', 5) t(p, x) ORDER BY p, x""".stripMargin) ==
+        """[{"p":"a","x":1,"peers":2},{"p":"a","x":1,"peers":2},{"p":"a","x":2,"peers":1},{"p":"b","x":5,"peers":1}]""")
+    } finally engine.setResultFormat(ResultFormat.Table)
+  }
+
   test("documented gaps fail with clear messages") {
+    // GROUPS over an aggregated query stays an explicit documented gap
     val e1 = intercept[UnsupportedOperationException] {
       engine.executeSql(
-        "SELECT sum(x) OVER (ORDER BY x GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM VALUES (1) t(x)")
+        """SELECT sum(sum(x)) OVER (ORDER BY x GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW)
+          |FROM VALUES (1) t(x) GROUP BY x""".stripMargin)
     }
     assert(e1.getMessage.contains("GROUPS"))
     val e2 = intercept[UnsupportedOperationException] {
