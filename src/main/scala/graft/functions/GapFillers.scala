@@ -129,8 +129,61 @@ object GapFillers {
     case other => other.simpleString
   }
 
+  /** Split `s` at top-level commas (ignoring commas nested in (), {} and
+    * double-quoted strings) — for List/Struct arrow type arguments. */
+  private def topSplit(s: String): List[String] = {
+    val out = List.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQ = false
+    s.foreach { c =>
+      if (inQ) { if (c == '"') inQ = false; cur += c }
+      else c match {
+        case '"' => inQ = true; cur += c
+        case '(' | '{' | '[' => depth += 1; cur += c
+        case ')' | '}' | ']' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val FieldForm = """(?s)^Field\s*\{\s*name:\s*"((?:[^"\\]|\\.)*)"\s*,\s*data_type:\s*(.*?)\s*,?\s*\}$""".r
+
+  /** One struct/list member: either Arrow's debug `Field { name: "x",
+    * data_type: T }` spelling (what `arrow_typeof` prints) or the short
+    * `x T` form. */
+  private def parseField(s: String, defaultName: String): StructField = s.trim match {
+    case FieldForm(name, dt) => StructField(name, sparkTypeOfArrow(dt))
+    case short =>
+      val cut = short.indexOf(' ')
+      if (cut < 0) StructField(defaultName, sparkTypeOfArrow(short))
+      else StructField(short.substring(0, cut), sparkTypeOfArrow(short.substring(cut + 1)))
+  }
+
   private[functions] def sparkTypeOfArrow(name: String): DataType = {
     val n = name.trim
+    // nested targets (r02 backlog): List/LargeList/FixedSizeList → array,
+    // Struct → struct. Accepts both the short SQL spelling
+    // ('List(Int32)', 'Struct(a Int32, b Utf8)') and the Field{...} debug
+    // spelling arrow_typeof emits, so typeof→cast round-trips.
+    def inner(prefix: String): String = n.substring(prefix.length, n.length - 1)
+    if (n.startsWith("List(") && n.endsWith(")"))
+      return ArrayType(parseField(inner("List("), "item").dataType)
+    if (n.startsWith("LargeList(") && n.endsWith(")"))
+      return ArrayType(parseField(inner("LargeList("), "item").dataType)
+    if (n.startsWith("FixedSizeList(") && n.endsWith(")")) {
+      val parts = topSplit(inner("FixedSizeList("))
+      // trailing size argument is dropped: Spark arrays are unsized
+      return ArrayType(parseField(parts.head, "item").dataType)
+    }
+    if (n.startsWith("Struct(") && n.endsWith(")")) {
+      val fields = topSplit(inner("Struct(")).zipWithIndex
+        .map { case (f, i) => parseField(f, s"c$i") }
+      return StructType(fields)
+    }
     n match {
       case "Boolean" => BooleanType
       case "Int8" => ByteType
@@ -166,28 +219,42 @@ object GapFillers {
       val c = fmt.charAt(i)
       if (c == '%' && i + 1 < fmt.length) {
         lit(buf.toString); buf.clear()
+        // %:z is chrono's only two-char code (+00:00 offset form)
+        if (fmt.charAt(i + 1) == ':' && i + 2 < fmt.length && fmt.charAt(i + 2) == 'z') {
+          sb ++= "xxx"; i += 3
+        } else {
         fmt.charAt(i + 1) match {
+          // NOTE: %G/%g (ISO week years) stay unmapped — Spark's
+          // formatter rejects week-based 'Y' patterns since 3.0
           case 'Y' => sb ++= "yyyy"; case 'y' => sb ++= "yy"
           case 'm' => sb ++= "MM"; case 'd' => sb ++= "dd"
           case 'e' => sb ++= "d"
+          case 'q' => sb ++= "Q"
           case 'H' => sb ++= "HH"; case 'I' => sb ++= "hh"
+          case 'k' => sb ++= "H"; case 'l' => sb ++= "h" // chrono pads w/ space; closest form
           case 'M' => sb ++= "mm"; case 'S' => sb ++= "ss"
-          case 'f' => sb ++= "SSSSSS"
+          case 'f' => sb ++= "SSSSSS"; case '3' => sb ++= "SSS"
           case 'j' => sb ++= "DDD"
           case 'a' => sb ++= "EEE"; case 'A' => sb ++= "EEEE"
           case 'b' | 'h' => sb ++= "MMM"; case 'B' => sb ++= "MMMM"
           case 'p' => sb ++= "a"
-          // chrono composite codes (ISO date, clock time, US date, HH:MM)
+          case 'z' => sb ++= "xx"; case 'Z' => sb ++= "zzz"
+          // chrono composite codes (ISO date, clock time, US date, HH:MM,
+          // 12-hour clock, VMS date, ctime)
           case 'F' => sb ++= "yyyy-MM-dd"
           case 'T' | 'X' => sb ++= "HH:mm:ss"
-          case 'D' => sb ++= "MM/dd/yy"
+          case 'D' | 'x' => sb ++= "MM/dd/yy"
           case 'R' => sb ++= "HH:mm"
+          case 'r' => sb ++= "hh:mm:ss a"
+          case 'v' => sb ++= "d-MMM-yyyy"
+          case 'c' => sb ++= "EEE MMM d HH:mm:ss yyyy"
           case 'n' => buf += '\n'
           case 't' => buf += '\t'
           case '%' => buf += '%'
           case other => buf += '%' += other
         }
         i += 2
+        }
       } else { buf += c; i += 1 }
     }
     lit(buf.toString)
@@ -221,6 +288,10 @@ object GapFillers {
       Literal(s"graft-spark 0.1.0 (Apache Spark ${org.apache.spark.SPARK_VERSION})")
     }
     f("to_char") {
+      // %s (epoch seconds) is not a field pattern — special-cased as a
+      // whole-format conversion
+      case Seq(x, Literal(s: UTF8String, StringType)) if s.toString == "%s" =>
+        Cast(UnixSeconds(Cast(x, TimestampType)), StringType)
       case Seq(x, Literal(s: UTF8String, StringType)) =>
         DateFormatClass(Cast(x, TimestampType), Literal(chronoToJava(s.toString)))
       case _ => throw new IllegalArgumentException(

@@ -47,6 +47,23 @@ class GapFillersSpec extends AnyFunSuite {
     assert(one("SELECT arrow_cast(1, 'Float64') AS v") == """[{"v":1.0}]""")
   }
 
+  test("arrow_cast nested List/Struct targets (short + Field debug spellings)") {
+    assert(one("SELECT arrow_cast(array(1, 2), 'List(Int64)') AS v") ==
+      """[{"v":[1,2]}]""")
+    assert(one("SELECT arrow_typeof(arrow_cast(array(1), 'List(Float64)')) AS t") ==
+      """[{"t":"List(Field { name: \"item\", data_type: Float64 })"}]""")
+    // arrow_typeof output round-trips back through arrow_cast
+    assert(one(
+      """SELECT arrow_cast(array(1), 'List(Field { name: "item", data_type: Int32 })') AS v""") ==
+      """[{"v":[1]}]""")
+    assert(one("SELECT arrow_cast(named_struct('a', 1, 'b', 'x'), 'Struct(a Int64, b Utf8)') AS v") ==
+      """[{"v":{"a":1,"b":"x"}}]""")
+    assert(one("SELECT arrow_cast(array(array(1)), 'List(List(Int64))') AS v") ==
+      """[{"v":[[1]]}]""")
+    assert(one("SELECT arrow_cast(array(1, 2, 3), 'FixedSizeList(Int32, 3)') AS v") ==
+      """[{"v":[1,2,3]}]""")
+  }
+
   test("version() identifies the engine") {
     assert(one("SELECT version() AS v").contains("graft-spark"))
   }
@@ -61,6 +78,20 @@ class GapFillersSpec extends AnyFunSuite {
       == """[{"s":"2024-01-05 07:08:09"}]""")
     assert(one("SELECT to_char(TIMESTAMP '2024-01-05 07:08:09', '%D %R') AS s")
       == """[{"s":"01/05/24 07:08"}]""")
+  }
+
+  test("to_char residual chrono codes: quarter, 12h clock, ctime, VMS, epoch, offsets") {
+    assert(one("SELECT to_char(TIMESTAMP '2024-01-05 17:08:09', 'Q%q %r') AS s")
+      == """[{"s":"Q1 05:08:09 PM"}]""")
+    assert(one("SELECT to_char(TIMESTAMP '2024-01-05 07:08:09', '%v') AS s")
+      == """[{"s":"5-Jan-2024"}]""")
+    assert(one("SELECT to_char(TIMESTAMP '2024-01-05 07:08:09', '%c') AS s")
+      == """[{"s":"Fri Jan 5 07:08:09 2024"}]""")
+    assert(one("SELECT to_char(TIMESTAMP '1970-01-01 00:01:40', '%s') AS s")
+      == """[{"s":"100"}]""")
+    // UTC session: numeric offsets render as zero
+    assert(one("SELECT to_char(TIMESTAMP '2024-01-05 07:08:09', '%z %:z') AS s")
+      == """[{"s":"+0000 +00:00"}]""")
   }
 
   test("encode/decode dispatch hex and base64, charset path still works") {

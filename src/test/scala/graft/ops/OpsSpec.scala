@@ -48,6 +48,32 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((285L, 301L)) || pairs.contains((98L, 290L)))
   }
 
+  test("parquet checkpoint: second dedupCorpus run reuses the pair-set artifact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    try {
+      val first = Dedup.dedupCorpus(docs, minJaccard = 0.7, checkpointDir = Some(dir))
+        .as[Long].collect().toSet
+      val pairsDir = new java.io.File(s"$dir/pairs")
+      assert(pairsDir.isDirectory && pairsDir.listFiles().exists(_.getName.endsWith(".parquet")))
+      def stamps() = new java.io.File(s"$dir/pairs").listFiles()
+        .map(f => f.getName -> f.lastModified).toMap
+      val s1 = stamps()
+      val second = Dedup.dedupCorpus(docs, minJaccard = 0.7, checkpointDir = Some(dir))
+        .as[Long].collect().toSet
+      assert(second == first)
+      assert(stamps() == s1) // same part files untouched: artifact reused, no recompute
+      // the LSH frame really scans the durable artifact, not the corpus lineage
+      val lsh = Dedup.minhashLsh(docs, minJaccard = 0.7, checkpointDir = Some(dir))
+      assert(lsh.inputFiles.exists(_.contains(dir)))
+      // matches the persist()-based path exactly
+      val plain = Dedup.dedupCorpus(docs, minJaccard = 0.7).as[Long].collect().toSet
+      assert(plain == first)
+      // changed params invalidate the fingerprint -> rebuild (new part files)
+      Dedup.dedupCorpus(docs, minJaccard = 0.999, checkpointDir = Some(dir))
+      assert(stamps() != s1)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("dedupCorpus merges near-dup clusters and keeps cluster minima") {
     val kept = Dedup.dedupCorpus(docs, minJaccard = 0.7)
       .as[Long].collect().toSet
