@@ -48,4 +48,30 @@ class PlanSpec extends AnyFunSuite {
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!read.contains("l_partkey") && !read.contains("l_suppkey"))
   }
+
+  test("x08: text_metrics is evaluated exactly once per row (Generate barrier)") {
+    val p = plan(graft.queries.Extensions.x08)
+    // CollapseProject would inline the metrics struct into every field
+    // access; the inline generator pins it to ONE eval (r02 finding)
+    assert("text_metrics".r.findAllIn(p).length == 1, s"plan:\n$p")
+    assert(p.contains("Generate inline"))
+  }
+
+  test("x08: scan reads only doc_id and text") {
+    val p = plan(graft.queries.Extensions.x08)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text"))
+    assert(!read.contains("lang") && !read.contains("source")) // untouched fixture cols
+  }
+
+  test("q59: GROUPS emulation plans two window stages, no extra shuffle between them") {
+    val df = graft.queries.EngineOps.q59.run(spark, TestSessions.sf001)
+    val p = df.queryExecution.executedPlan.toString
+    // dense_rank and the RANGE-framed aggregates share partitioning on
+    // o_orderpriority: one hash exchange, consecutive Window nodes
+    assert("dense_rank".r.findAllIn(p).nonEmpty)
+    val exchanges = "Exchange hashpartitioning\\(o_orderpriority"
+      .r.findAllIn(p).length
+    assert(exchanges <= 1, s"window stages re-shuffled:\n$p")
+  }
 }

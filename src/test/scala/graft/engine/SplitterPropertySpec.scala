@@ -61,13 +61,16 @@ class SplitterPropertySpec extends AnyFunSuite {
     "generate_series(1, 9)",
     "FROM generate_series(2, 5)",
     "FIRST_VALUE(a ORDER BY b)",
-    "NTH_VALUE(a, 2 ORDER BY b DESC)")
+    "NTH_VALUE(a, 2 ORDER BY b DESC)",
+    "OVER (ORDER BY x GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW)",
+    "GROUPS CURRENT ROW")
 
   test("property: rewrites never touch keyword-shaped data inside literals") {
     samples(Gen.zip(word, sqlFragmentData)).foreach { case (w, frag) =>
       val sql = s"SELECT '$w $frag' AS doc, $w() AS k"
       val rewritten = Dialect.rewriteAggFirstLast(
-        Dialect.rewriteGenerateSeries(Dialect.rewriteSimilarTo(sql)))
+        Dialect.rewriteGenerateSeries(Dialect.rewriteSimilarTo(
+          Dialect.rewriteGroupsFrames(sql))))
       assert(rewritten == sql, s"input: $sql")
     }
   }
