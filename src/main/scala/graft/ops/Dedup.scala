@@ -85,55 +85,6 @@ object Dedup {
       minJaccard: Double = 0.7, checkpointDir: Option[String] = None): DataFrame =
     minhashLshCached(docs, numPerm, bands, minJaccard, checkpointDir)._1
 
-  // ------------------------------------------------- durable checkpoints
-
-  /** Fingerprint of (params, input files+sizes+mtimes) — decides whether
-    * an on-disk signature-table artifact is still valid for this input.
-    * Metadata-only: no data scan. Requires a file-backed input (an
-    * in-memory frame has no identity a marker could pin). */
-  private def artifactFingerprint(df: DataFrame, params: String): String = {
-    val files = df.inputFiles.sorted
-    require(files.nonEmpty,
-      "checkpointDir requires a file-backed input DataFrame (the artifact " +
-      "marker pins the input's file paths/sizes/mtimes)")
-    val hc = df.sparkSession.sparkContext.hadoopConfiguration
-    val entries = files.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      val st = p.getFileSystem(hc).getFileStatus(p)
-      s"$f:${st.getLen}:${st.getModificationTime}"
-    }
-    val bytes = (params +: entries).mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    java.util.Base64.getEncoder.encodeToString(
-      java.security.MessageDigest.getInstance("MD5").digest(bytes))
-  }
-
-  /** Read-through parquet materialization: reuse `path` when its marker
-    * matches `fp`, else build, overwrite, and stamp the marker (marker
-    * written AFTER the data — a crash mid-write leaves an invalid
-    * artifact that the next run rebuilds). This is the durable variant
-    * of the persist() signature table: a 100 TB pipeline re-run (or a
-    * second query batch against the same corpus) resumes from parquet
-    * instead of recomputing signatures (VERDICT r02 #8). */
-  private def parquetCheckpoint(spark: org.apache.spark.sql.SparkSession,
-      path: String, fp: String)(build: => DataFrame): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(p, "_graft_fingerprint")
-    val valid = fs.exists(marker) && {
-      val in = fs.open(marker)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim == fp
-      finally in.close()
-    }
-    if (!valid) {
-      build.write.mode("overwrite").parquet(path)
-      val out = fs.create(marker, true)
-      try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
-    spark.read.parquet(path)
-  }
-
   /** As `minhashLsh`, but also hands back the frames it pinned in executor
     * storage (the signature-table materializations) so pipeline callers
     * like `dedupCorpus` can release them once the pair set is
@@ -155,9 +106,9 @@ object Dedup {
 
     checkpointDir match {
       case Some(dir) =>
-        val fp = artifactFingerprint(docs, s"minhash-v1|numPerm=$numPerm")
-        val pre = parquetCheckpoint(spark, s"$dir/pre", fp)(shingled)
-        val sig = parquetCheckpoint(spark, s"$dir/sig", fp)(signed(pre))
+        val fp = Artifacts.fingerprint(docs, s"minhash-v1|numPerm=$numPerm")
+        val pre = Artifacts.parquetCheckpoint(spark, s"$dir/pre", fp)(shingled)
+        val sig = Artifacts.parquetCheckpoint(spark, s"$dir/sig", fp)(signed(pre))
         (lshVerify(pre, sig, numPerm, bands, minJaccard), Seq.empty)
       case None =>
         // stage 1 (cached): hashed trigram shingle sets — one tight-loop
@@ -221,8 +172,8 @@ object Dedup {
     // label propagation, not signature rebuild (VERDICT r02 #10).
     val pairs = checkpointDir match {
       case Some(dir) =>
-        val fp = artifactFingerprint(docs, s"pairs-v1|minJaccard=$minJaccard")
-        parquetCheckpoint(docs.sparkSession, s"$dir/pairs", fp) {
+        val fp = Artifacts.fingerprint(docs, s"pairs-v1|minJaccard=$minJaccard")
+        Artifacts.parquetCheckpoint(docs.sparkSession, s"$dir/pairs", fp) {
           minhashLshCached(docs, minJaccard = minJaccard,
             checkpointDir = checkpointDir)._1.select(col("doc_a"), col("doc_b"))
         }

@@ -257,17 +257,53 @@ object Extensions {
       checkpointDir = Some(s"${System.getProperty("java.io.tmpdir")}/graft_x14_ckpt"))
   }
 
+  // ---------------------------------------------------------------- x16
+  // Embedding-cosine near-dup MINING (RHP-bucket candidates + exact
+  // verification) with a full oracle: the corpus gets two planted exact
+  // copies (the fixtures have no natural >=0.8 pairs), and DuckDB
+  // verifies by brute-force all-pairs cosine over the same 102 vectors —
+  // an independent check that the LSH path finds exactly the true pairs
+  // and nothing else. Exact copies (not noised ones) keep the oracle
+  // float-exact: cosine(v, v) rounds to 1.0 identically in both engines.
+  val x16 = Q.df(
+    "x16_cosine_near_dups",
+    """WITH e AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100
+      |  UNION ALL
+      |  SELECT vec_id + 9001 AS vec_id, embedding FROM embeddings WHERE vec_id IN (3, 7)),
+      |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS ea, b.embedding AS eb
+      |      FROM e a JOIN e b ON b.vec_id > a.vec_id),
+      |s AS (SELECT vec_a, vec_b,
+      |    ROUND(
+      |      list_sum(list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(generate_series(1, len(eb)), i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))))), 9) AS sim
+      |  FROM p)
+      |SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.95
+      |ORDER BY vec_a, vec_b""".stripMargin) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val corpus = e.filter(col("vec_id") < 100).union(
+      e.filter(col("vec_id").isin(3L, 7L))
+        .select((col("vec_id") + 9001).as("vec_id"), col("embedding")))
+    Similarity.cosineNearDups(corpus, minCosine = 0.95)
+  }
+
   // ---------------------------------------------------------------- x15
   // IVF ANN (inverted-file index: Lloyd-iterated centroids, nprobe list
   // probing). Approximate → rows-only; recall vs brute force asserted in
   // OpsSpec.
+  // Durable index artifact: the bench's second pass (and any new session
+  // over the same corpus) reloads centroids + inverted index from
+  // parquet instead of re-running Lloyd + assignment — IVF's whole
+  // point, "build once, search often", made durable.
   val x15 = Q.dfOnly("x15_ann_ivf") { (spark, dir) =>
     val e = Tables.load(spark, dir, "embeddings")
     Similarity.ivfTopK(
       e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
-      k = 5, nlist = 16, nprobe = 4, iters = 2)
+      k = 5, nlist = 16, nprobe = 4, iters = 2,
+      checkpointDir = Some(s"${System.getProperty("java.io.tmpdir")}/graft_x15_ckpt"))
   }
 
   def defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15)
+    x11, x12, x13, x14, x15, x16)
 }

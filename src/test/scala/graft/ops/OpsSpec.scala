@@ -223,6 +223,32 @@ class OpsSpec extends AnyFunSuite {
     } finally idx.index.unpersist()
   }
 
+  test("IVF parquet checkpoint: rebuilt index is reloaded, filters key the fingerprint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_ckpt").toString
+    try {
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val queries = emb.filter(col("vec_id") < 5)
+      val r1 = Similarity.ivfTopK(corpus, queries, k = 3, nlist = 8, iters = 2,
+        checkpointDir = Some(dir)).collect()
+      def stamps() = new java.io.File(s"$dir/ivf_index").listFiles()
+        .map(f => f.getName -> f.lastModified).toMap
+      val s1 = stamps()
+      // second build over the same corpus reuses both artifacts
+      val r2 = Similarity.ivfTopK(corpus, queries, k = 3, nlist = 8, iters = 2,
+        checkpointDir = Some(dir)).collect()
+      assert(r2.map(_.toString).sameElements(r1.map(_.toString)))
+      assert(stamps() == s1)
+      // ...and matches the non-checkpointed build (same seed path)
+      val plain = Similarity.ivfTopK(corpus, queries, k = 3, nlist = 8, iters = 2).collect()
+      assert(plain.map(_.toString).sameElements(r1.map(_.toString)))
+      // a DIFFERENT corpus from the same parquet must not reuse the
+      // artifact: the canonicalized plan is part of the fingerprint
+      Similarity.ivfTopK(emb.filter(col("vec_id") >= 20), queries, k = 3,
+        nlist = 8, iters = 2, checkpointDir = Some(dir))
+      assert(stamps() != s1)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("multimodal resize preserves aspect ratio and bounds dimensions") {
     val media = Multimodal.mediaTable(docs)
     val thumbs = Multimodal.resize(spark, media, maxDim = 64)
