@@ -91,6 +91,59 @@ object EventStream {
         }).toDF()
   }
 
+  /**
+   * Stream-static near-dup detection — the ingest-time filter of a
+   * training-data pipeline: each incoming `(doc_id, ts, text)` document
+   * is checked against a STATIC corpus by MinHash band keys.
+   *
+   *  - The corpus side is computed ONCE (shingle hashes + banded keys,
+   *    both tight-loop expressions) and persisted; at full scale pass a
+   *    corpus read from the `Dedup` parquet checkpoint artifacts.
+   *  - The band-key lookup and the verification lookup are STATELESS
+   *    stream-static equi-joins: the (huge) corpus side carries only
+   *    24-byte (corpus_id, band_id, band_key) rows; the (small)
+   *    micro-batch side carries its shingle arrays through — the right
+   *    asymmetry when a 100 TB corpus meets a bounded ingest rate.
+   *  - A pair colliding in several bands would emit once per band;
+   *    `dropDuplicatesWithinWatermark` collapses them with state bounded
+   *    by the watermark horizon — the only stateful operator here.
+   *
+   * Returns (doc_id, ts, corpus_id, jaccard) with jaccard ≥ minJaccard.
+   */
+  def nearDupsAgainstCorpus(stream: DataFrame, corpus: DataFrame,
+      numPerm: Int = 64, bands: Int = 16, minJaccard: Double = 0.7,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextHashExprs
+    import graft.ops.{Dedup, Text}
+    val spark = corpus.sparkSession
+
+    val pre = corpus.select(col("doc_id").as("corpus_id"),
+        TextHashExprs.tokenTrigramHashes(spark, col("text")).as("corpus_sh"))
+      .persist()
+    val corpusBands = pre.select(col("corpus_id"),
+        posexplode(Dedup.bandKeys(
+          TextHashExprs.minhashFromHashes(spark, col("corpus_sh"), numPerm),
+          numPerm, bands)).as(Seq("band_id", "band_key")))
+      .persist()
+
+    val streamBands = stream
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        TextHashExprs.tokenTrigramHashes(spark, col("text")).as("sh"))
+      .select(col("doc_id"), col("ts"), col("sh"),
+        posexplode(Dedup.bandKeys(
+          TextHashExprs.minhashFromHashes(spark, col("sh"), numPerm),
+          numPerm, bands)).as(Seq("band_id", "band_key")))
+
+    streamBands
+      .join(corpusBands, Seq("band_id", "band_key"))
+      .join(pre, "corpus_id")
+      .select(col("doc_id"), col("ts"), col("corpus_id"),
+        round(Text.jaccard(col("sh"), col("corpus_sh")), 9).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
+  }
+
   /** Drive a streaming frame to a named in-memory sink until input drains
     * (the synchronous local test harness for streaming operators). */
   def runToMemory(df: DataFrame, name: String,

@@ -48,6 +48,37 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static near-dup detection flags incoming docs against the corpus") {
+    import spark.implicits._
+    val corpus = Tables.load(spark, TestSessions.sf001, "documents")
+    // doc 285's text re-arrives as a "new" document; plus one unique doc
+    val text285 = corpus.filter(org.apache.spark.sql.functions.col("doc_id") === 285L)
+      .select("text").as[String].head
+    val dir = Files.createTempDirectory("graft_neardup_stream").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq((9001L, t0, text285),
+        (9002L, t0, "an entirely unique zebra manuscript about quantum gardening"))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, ts TIMESTAMP, text STRING").parquet(dir)
+    val q = EventStream.runToMemory(
+      EventStream.nearDupsAgainstCorpus(stream, corpus, minJaccard = 0.7), "near_dups")
+    try {
+      val hits = spark.table("near_dups")
+        .select("doc_id", "corpus_id").as[(Long, Long)].collect().toSet
+      // exact copy of 285 → flagged against 285 AND its planted near-dup 301
+      assert(hits.contains((9001L, 285L)) && hits.contains((9001L, 301L)))
+      assert(!hits.exists(_._1 == 9002L)) // the unique doc passes clean
+      // per-pair emission is unique despite multi-band collisions
+      val n = spark.table("near_dups").count()
+      assert(n == hits.size)
+      val j = spark.table("near_dups")
+        .filter(org.apache.spark.sql.functions.col("corpus_id") === 285L)
+        .select("jaccard").as[Double].head
+      assert(j == 1.0)
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions on event-time gaps with exact aggregates") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sessions").toString
