@@ -117,14 +117,18 @@ object EventStream {
     import graft.ops.{Dedup, Text}
     val spark = corpus.sparkSession
 
+    // lazy localCheckpoint, not persist(): materialized once for the
+    // query's lifetime, released by the ContextCleaner when the query's
+    // frames are dropped — repeated calls leave no registered cache
+    // entries behind (the x04/ADVICE r02 cache-residue rule)
     val pre = corpus.select(col("doc_id").as("corpus_id"),
         TextHashExprs.tokenTrigramHashes(spark, col("text")).as("corpus_sh"))
-      .persist()
+      .localCheckpoint(eager = false)
     val corpusBands = pre.select(col("corpus_id"),
         posexplode(Dedup.bandKeys(
           TextHashExprs.minhashFromHashes(spark, col("corpus_sh"), numPerm),
           numPerm, bands)).as(Seq("band_id", "band_key")))
-      .persist()
+      .localCheckpoint(eager = false)
 
     val streamBands = stream
       .withWatermark("ts", watermark)
