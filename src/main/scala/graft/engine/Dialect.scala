@@ -69,7 +69,28 @@ object Dialect {
 
   private val GenSeries: Regex = """(?i)\bgenerate_series\s*\(""".r
 
-  private val TvfPosition = """(?is).*(\bfrom|\bjoin|,)\s*$""".r.pattern
+  private val TvfKeyword = """(?i)\b(SELECT|FROM|WHERE|HAVING|JOIN|ON|GROUP|ORDER|LIMIT|OFFSET)\b""".r
+  private val FromOrJoin = """(?is).*(\bfrom|\bjoin)\s*$""".r.pattern
+
+  /** True when position `at` sits in FROM-clause position: directly after
+    * FROM/JOIN, or after a comma whose governing clause keyword (the last
+    * same-depth SELECT/FROM/WHERE/... before it) is FROM — a comma in a
+    * select list or an argument list does NOT qualify (r03 review: the
+    * old any-comma rule rewrote select-list calls into the very
+    * multi-row-subquery error the guard exists to prevent). */
+  private def inFromPosition(masked: String, at: Int): Boolean = {
+    val before = masked.substring(0, at)
+    if (FromOrJoin.matcher(before).matches()) return true
+    if (!before.trim.endsWith(",")) return false
+    // governing keyword: last keyword before `at` whose paren depth
+    // matches (net parens between the keyword and `at` is zero)
+    TvfKeyword.findAllMatchIn(before).toList.reverseIterator
+      .find { k =>
+        val seg = before.substring(k.end)
+        seg.count(_ == '(') == seg.count(_ == ')')
+      }
+      .exists(_.group(1).equalsIgnoreCase("FROM"))
+  }
 
   /** DataFusion's FROM-clause TVF `generate_series(start, stop[, step])`
     * (reference: `Cargo.lock:845`, `datafusion-functions-table`) has no
@@ -92,8 +113,7 @@ object Dialect {
       val sb = new StringBuilder
       var last = 0
       ms.foreach { m =>
-        if (m.start >= last &&
-            TvfPosition.matcher(masked.substring(0, m.start)).matches()) {
+        if (m.start >= last && inFromPosition(masked, m.start)) {
           var depth = 1
           var i = m.end // first char after '('
           while (i < masked.length && depth > 0) {
@@ -122,10 +142,7 @@ object Dialect {
   /** Offsets of the first `ORDER BY` at paren-depth 0 of a (masked)
     * call-argument string, or None. */
   private def topLevelOrderBy(maskedArgs: String): Option[(Int, Int)] =
-    """(?i)\bORDER\s+BY\b""".r.findAllMatchIn(maskedArgs).find { m =>
-      val prefix = maskedArgs.substring(0, m.start)
-      prefix.count(_ == '(') == prefix.count(_ == ')')
-    }.map(m => (m.start, m.end))
+    findTopLevel(maskedArgs, """(?i)\bORDER\s+BY\b""".r).map(m => (m.start, m.end))
 
   /** Split positions of top-level commas in a (masked) string. */
   private def topLevelCommas(masked: String): List[Int] = {
@@ -192,20 +209,26 @@ object Dialect {
 
   /** DataFusion accepts `first_value(x ORDER BY y)` / `last_value(...)` /
     * `nth_value(x, n ORDER BY y)` as AGGREGATES (`Cargo.lock:809`); Spark
-    * only has the window forms. Rewritten to an index into a
-    * comparator-sorted collected list:
-    * `try_element_at(array_sort(collect_list(named_struct('k0', y, 'v',
-    * x)), (a, b) -> cmp), idx).v` — first = 1, last = -1, nth = n;
-    * `try_element_at` yields NULL past the group size (ANSI-safe). The
-    * comparator encodes DataFusion's null ordering (ASC → NULLS LAST,
-    * DESC → NULLS FIRST — opposite of Spark's default) and supports
-    * multi-key, mixed-direction ORDER BY; arguments are scanned with
-    * balanced parens, so nested calls like `first_value(round(x, 2)
-    * ORDER BY y)` rewrite correctly (both r02 gaps). Per-group state is
-    * O(group size) — hot 100 TB paths with non-null single keys should
-    * use `min_by`/`max_by` directly; this is the SQL-parity surface.
-    * Window forms (no ORDER BY inside the call parens, or followed by
-    * OVER) are left untouched. Keywords located on the literal mask. */
+    * only has the window forms. Two rewrite targets:
+    *
+    *  - **single-key first/last without FILTER** (the hot shape):
+    *    constant-memory `min_by`/`max_by` guarded by null-key CASEs that
+    *    encode DataFusion's null ordering (ASC → NULLS LAST, DESC →
+    *    NULLS FIRST — opposite of Spark's default, and min_by/max_by
+    *    silently skip null keys);
+    *  - **everything else** (multi-key, nth, FILTER clause): an index
+    *    into a comparator-sorted collected list —
+    *    `try_element_at(array_sort(collect_list(named_struct('k0', y,
+    *    'v', x)) [FILTER (...)], (a, b) -> cmp), idx).v`; first = 1,
+    *    last = -1, nth = n; `try_element_at` yields NULL past the group
+    *    size. O(group size) state — hot 100 TB paths should prefer the
+    *    single-key shape or call min_by directly.
+    *
+    * Arguments are scanned with balanced parens, so nested calls like
+    * `first_value(round(x, 2) ORDER BY y)` rewrite correctly (both r02
+    * gaps). Window forms (no ORDER BY inside the call parens, or
+    * followed by OVER) are left untouched. Keywords located on the
+    * literal mask. */
   def rewriteAggFirstLast(sql: String): String = {
     val masked = maskSameLength(sql)
     val ms = AggCall.findAllMatchIn(masked).toList
@@ -227,6 +250,28 @@ object Dialect {
         var j = i
         while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
         val isWindow = masked.regionMatches(true, j, "OVER", 0, 4)
+        // a trailing FILTER (WHERE ...) clause is consumed and re-attached
+        // to the rewritten aggregate (r03 review: leaving it dangling
+        // after a non-aggregate expression is a parse error)
+        var filterClause = ""
+        var filterEnd = i
+        if (!isWindow && masked.regionMatches(true, j, "FILTER", 0, 6)) {
+          var p = j + 6
+          while (p < masked.length && masked.charAt(p).isWhitespace) p += 1
+          if (p < masked.length && masked.charAt(p) == '(') {
+            var d2 = 1
+            var e2 = p + 1
+            while (e2 < masked.length && d2 > 0) {
+              masked.charAt(e2) match {
+                case '(' => d2 += 1
+                case ')' => d2 -= 1
+                case _ =>
+              }
+              e2 += 1
+            }
+            if (d2 == 0) { filterClause = " FILTER " + sql.substring(p, e2); filterEnd = e2 }
+          }
+        }
         if (depth == 0 && !isWindow) {
           val argsRaw = sql.substring(m.end, i - 1)
           val argsMasked = masked.substring(m.end, i - 1)
@@ -247,14 +292,34 @@ object Dialect {
               case _ => (exprPartRaw.trim, "-1")
             }
             val keys = parseSortKeys(argsRaw.substring(obE), argsMasked.substring(obE))
-            val fields = keys.zipWithIndex
-              .map { case (k, n) => s"'k$n', ${k.expr}" }
-              .mkString(", ")
+            val replacement =
+              if (fn != "NTH_VALUE" && keys.length == 1 && filterClause.isEmpty) {
+                // constant-memory path. byKey follows the key direction;
+                // null-key rows win the frame edge when the null ordering
+                // puts them there (nulls first for FIRST, nulls last for
+                // LAST) — min_by/max_by alone would skip them.
+                val SortKey(k, asc, nullsFirst) = keys.head
+                val byKey = if ((fn == "FIRST_VALUE") == asc) "min_by" else "max_by"
+                val nullKeyWins =
+                  if (fn == "FIRST_VALUE") nullsFirst else !nullsFirst
+                if (nullKeyWins)
+                  s"(CASE WHEN count($k) < count(*) " +
+                    s"THEN any_value(CASE WHEN ($k) IS NULL THEN $valueExpr END, true) " +
+                    s"ELSE $byKey($valueExpr, $k) END)"
+                else
+                  s"(CASE WHEN count($k) = 0 THEN any_value($valueExpr) " +
+                    s"ELSE $byKey($valueExpr, $k) END)"
+              } else {
+                val fields = keys.zipWithIndex
+                  .map { case (k, n) => s"'k$n', ${k.expr}" }
+                  .mkString(", ")
+                s"try_element_at(array_sort(collect_list(" +
+                  s"named_struct($fields, 'v', $valueExpr))$filterClause, " +
+                  s"(a, b) -> ${comparatorCase(keys)}), $idx).v"
+              }
             sb ++= sql.substring(last, m.start)
-            sb ++= s"try_element_at(array_sort(collect_list(" +
-              s"named_struct($fields, 'v', $valueExpr)), " +
-              s"(a, b) -> ${comparatorCase(keys)}), $idx).v"
-            last = i
+            sb ++= replacement
+            last = if (filterClause.nonEmpty) filterEnd else i
           }
         }
       }
@@ -362,6 +427,48 @@ object Dialect {
         from = fromM.end).map(_.start).getOrElse(sql.length)
 
     val selStart = (masked.length - masked.stripLeading().length) + "SELECT".length
+    // a top-level star would now also expand the internal __grp column —
+    // wrong schema with no error (r03 review); reject cleanly. A star is
+    // an expansion (not multiplication) when it starts a select item or
+    // follows a qualifier dot.
+    locally {
+      val sel = masked.substring(selStart, fromM.start)
+      var d = 0
+      var lastNonWs = ','
+      sel.foreach { c =>
+        if (!c.isWhitespace) {
+          if (c == '*' && d == 0 && (lastNonWs == ',' || lastNonWs == '.'))
+            unsupportedGroups("SELECT * is not supported with GROUPS frames " +
+              "(the emulation adds an internal column the star would expose); " +
+              "list the columns explicitly")
+          if (c == '(') d += 1
+          if (c == ')') d -= 1
+          lastNonWs = c
+        }
+      }
+    }
+    // single-relation FROM: name the derived table with the relation's
+    // alias (or bare table name) so qualified select-list / PARTITION BY
+    // references keep resolving (r03 review); the inner copy keeps its
+    // own scope. The capture is the LAST plain token before an optional
+    // column-alias list / WHERE — covers `tab`, `tab t`, `tab AS t`,
+    // `VALUES (...) t(x)`. Multi-relation FROMs (top-level JOIN/comma)
+    // keep the synthetic name; their qualified refs were unsupported
+    // either way.
+    val fromPart = masked.substring(fromM.start, tailStart).trim
+    val aliasRe =
+      """(?is)^FROM\s+.*?(?:\bAS\s+)?([A-Za-z_]\w*)(?:\s*\([^()]*\))?\s*(?:WHERE\b.*)?$""".r
+    val reserved = Set("where", "group", "order", "limit", "offset", "join", "on",
+      "inner", "left", "right", "full", "cross", "lateral", "union", "having",
+      "intersect", "except", "values")
+    // VALUES row-constructor commas are separators WITHIN one relation
+    val isValues = """(?is)^FROM\s+VALUES\b.*""".r.pattern.matcher(fromPart).matches()
+    val multiRel = !isValues && findTopLevel(fromPart, """(?i)\bJOIN\b|,""".r).isDefined
+    val subAlias = fromPart match {
+      case aliasRe(a) if !multiRel &&
+        !reserved.contains(a.toLowerCase(java.util.Locale.ROOT)) => a
+      case _ => "__graft_groups"
+    }
     val (partition, order) = (specs.head.partition, specs.head.order)
     // select list with each GROUPS spec swapped for the RANGE-over-__grp spec
     val selSb = new StringBuilder
@@ -376,7 +483,7 @@ object Dialect {
     val part = if (partition.nonEmpty) s"PARTITION BY $partition " else ""
     val dense = s"DENSE_RANK() OVER (${part}ORDER BY $order) AS __grp"
     s"SELECT ${selSb.toString} FROM (SELECT *, $dense " +
-      s"${sql.substring(fromM.start, tailStart)}) __graft_groups ${sql.substring(tailStart)}"
+      s"${sql.substring(fromM.start, tailStart)}) $subAlias ${sql.substring(tailStart)}"
   }
 
   /** Apply `f` only to the segments of `sql` OUTSIDE single-quoted string

@@ -219,9 +219,14 @@ object GapFillers {
       val c = fmt.charAt(i)
       if (c == '%' && i + 1 < fmt.length) {
         lit(buf.toString); buf.clear()
-        // %:z is chrono's only two-char code (+00:00 offset form)
-        if (fmt.charAt(i + 1) == ':' && i + 2 < fmt.length && fmt.charAt(i + 2) == 'z') {
+        // two-char codes: %:z (+00:00 offset) and %3f/%6f/%9f
+        // (milli/micro/nano fractional seconds)
+        val c2 = fmt.charAt(i + 1)
+        if (c2 == ':' && i + 2 < fmt.length && fmt.charAt(i + 2) == 'z') {
           sb ++= "xxx"; i += 3
+        } else if ((c2 == '3' || c2 == '6' || c2 == '9') &&
+            i + 2 < fmt.length && fmt.charAt(i + 2) == 'f') {
+          sb ++= "S" * (c2 - '0'); i += 3
         } else {
         fmt.charAt(i + 1) match {
           // NOTE: %G/%g (ISO week years) stay unmapped — Spark's
@@ -233,7 +238,7 @@ object GapFillers {
           case 'H' => sb ++= "HH"; case 'I' => sb ++= "hh"
           case 'k' => sb ++= "H"; case 'l' => sb ++= "h" // chrono pads w/ space; closest form
           case 'M' => sb ++= "mm"; case 'S' => sb ++= "ss"
-          case 'f' => sb ++= "SSSSSS"; case '3' => sb ++= "SSS"
+          case 'f' => sb ++= "SSSSSS"
           case 'j' => sb ++= "DDD"
           case 'a' => sb ++= "EEE"; case 'A' => sb ++= "EEEE"
           case 'b' | 'h' => sb ++= "MMM"; case 'B' => sb ++= "MMMM"

@@ -93,6 +93,37 @@ object TextHashExprs {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** LSH band keys over a minhash signature: key j hashes the j-th
+    * contiguous slice of length numPerm/bands (seed-chained XXH64, the
+    * same per-element scheme Spark's `xxhash64(j, slice(...))` uses).
+    * Band keys only need SELF-consistency within a run — both sides of
+    * the candidate self-join and the stream/corpus pair use this same
+    * function — so the exact constants are an implementation detail;
+    * artifact fingerprints carry a version bump (`bands-v2`) so
+    * checkpoints from the HOF formulation can never be reused. One
+    * imperative eval per row replaces bands interpreted lambda calls +
+    * slice allocations per row. */
+  case class BandKeysExpr(child: Expression, numPerm: Int, bands: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val sig = v.asInstanceOf[ArrayData]
+      val r = numPerm / bands
+      val out = new Array[Long](bands)
+      var j = 0
+      while (j < bands) {
+        var h = XXH64.hashInt(j, SEED)
+        var i = 0
+        while (i < r) { h = XXH64.hashLong(sig.getLong(j * r + i), h); i += 1 }
+        out(j) = h
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+    override def prettyName: String = "band_keys"
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   /** 64-bit SimHash of a text: every token votes ±1 on each bit of its
     * hash; vote-total signs become the signature bits. */
   case class SimHash64(child: Expression)
@@ -492,6 +523,9 @@ object TextHashExprs {
       { case Seq(x, Literal(n: Int, IntegerType)) => MinHashFromHashes(x, n) }, "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       { case Seq(x) => SimHash64(x) }, "built-in")
+    reg.createOrReplaceTempFunction("band_keys",
+      { case Seq(x, Literal(p: Int, IntegerType), Literal(b: Int, IntegerType)) =>
+        BandKeysExpr(x, p, b) }, "built-in")
     reg.createOrReplaceTempFunction("rhp_buckets",
       { case Seq(x, Literal(t: Int, IntegerType), Literal(b: Int, IntegerType)) =>
         RhpBuckets(x, t, b) }, "built-in")
@@ -520,6 +554,12 @@ object TextHashExprs {
   def simhash64(spark: SparkSession, text: Column): Column = {
     ensureRegistered(spark)
     call_function("simhash64", text)
+  }
+
+  def bandKeys(spark: SparkSession, sig: Column, numPerm: Int, bands: Int): Column = {
+    ensureRegistered(spark)
+    call_function("band_keys", sig,
+      org.apache.spark.sql.functions.lit(numPerm), org.apache.spark.sql.functions.lit(bands))
   }
 
   def rhpBuckets(spark: SparkSession, vec: Column, tables: Int, bits: Int): Column = {

@@ -33,7 +33,12 @@ private[ops] object Artifacts {
       val st = p.getFileSystem(hc).getFileStatus(p)
       s"$f:${st.getLen}:${st.getModificationTime}"
     }
-    val plan = df.queryExecution.logical.canonicalized.toString
+    // full-width treeString: the default toString truncates wide node
+    // lists at maxToStringFields, which would let plans differing only
+    // in late projection columns collide (r03 review)
+    val plan = df.queryExecution.logical.canonicalized
+      .treeString(verbose = true, addSuffix = false, maxFields = Int.MaxValue,
+        printOperatorId = false)
     val bytes = (params +: plan +: entries).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     java.util.Base64.getEncoder.encodeToString(

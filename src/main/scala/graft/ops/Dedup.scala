@@ -53,12 +53,12 @@ object Dedup {
     * contiguous slices of length numPerm/bands. Pair-collision
     * probability for true Jaccard j is 1-(1-j^r)^b — with (64, 16, r=4)
     * the S-curve crosses 50% near j≈0.55, the right operating point for
-    * 0.7+ dedup. */
-  def bandKeys(sig: Column, numPerm: Int, bands: Int): Column = {
-    val r = numPerm / bands
-    transform(sequence(lit(0), lit(bands - 1)), j =>
-      xxhash64(j, slice(sig, j * lit(r) + 1, lit(r))))
-  }
+    * 0.7+ dedup. One tight-loop Expression eval per row
+    * (TextHashExprs.BandKeysExpr) — the HOF formulation cost `bands`
+    * interpreted lambda calls + slice allocations per row. */
+  def bandKeys(sig: Column, numPerm: Int, bands: Int): Column =
+    graft.functions.TextHashExprs.bandKeys(
+      org.apache.spark.sql.SparkSession.active, sig, numPerm, bands)
 
   /**
    * Full MinHash+LSH near-dup pipeline over a (doc_id, text) frame:
@@ -172,7 +172,7 @@ object Dedup {
     // label propagation, not signature rebuild (VERDICT r02 #10).
     val pairs = checkpointDir match {
       case Some(dir) =>
-        val fp = Artifacts.fingerprint(docs, s"pairs-v1|minJaccard=$minJaccard")
+        val fp = Artifacts.fingerprint(docs, s"pairs-v2|minJaccard=$minJaccard")
         Artifacts.parquetCheckpoint(docs.sparkSession, s"$dir/pairs", fp) {
           minhashLshCached(docs, minJaccard = minJaccard,
             checkpointDir = checkpointDir)._1.select(col("doc_a"), col("doc_b"))

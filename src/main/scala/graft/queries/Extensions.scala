@@ -249,12 +249,22 @@ object Extensions {
   // signature rebuild. The artifact is fingerprinted against the input
   // files' paths/sizes/mtimes + params, so a different SF dir or
   // regenerated fixtures rebuild instead of reusing stale pairs.
+  /** /tmp checkpoint dir keyed by the SF dir, so concurrent JVMs over
+    * DIFFERENT scale factors can never race one artifact directory
+    * (same-SF concurrency remains out of contract — the bench must run
+    * alone anyway). */
+  private def ckptDir(tag: String, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      dir.foldLeft(1125899906842597L)((h, c) => 31 * h + c))
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$key"
+  }
+
   val x14 = Q.df(
     "x14_dedup_pipeline",
     """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id FROM documents
       |GROUP BY text ORDER BY keep_id""".stripMargin) { (spark, dir) =>
     Dedup.dedupCorpus(Tables.load(spark, dir, "documents"), minJaccard = 0.999,
-      checkpointDir = Some(s"${System.getProperty("java.io.tmpdir")}/graft_x14_ckpt"))
+      checkpointDir = Some(ckptDir("x14", dir)))
   }
 
   // ---------------------------------------------------------------- x16
@@ -301,7 +311,7 @@ object Extensions {
     Similarity.ivfTopK(
       e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
       k = 5, nlist = 16, nprobe = 4, iters = 2,
-      checkpointDir = Some(s"${System.getProperty("java.io.tmpdir")}/graft_x15_ckpt"))
+      checkpointDir = Some(ckptDir("x15", dir)))
   }
 
   def defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,

@@ -117,18 +117,20 @@ object EventStream {
     import graft.ops.{Dedup, Text}
     val spark = corpus.sparkSession
 
-    // lazy localCheckpoint, not persist(): materialized once for the
-    // query's lifetime, released by the ContextCleaner when the query's
-    // frames are dropped — repeated calls leave no registered cache
-    // entries behind (the x04/ADVICE r02 cache-residue rule)
+    // persist(), NOT localCheckpoint: a localCheckpoint truncates the
+    // lineage, so an executor lost mid-query would leave the static side
+    // unrecomputable and fail every later micro-batch — fatal for a
+    // long-running ingest query. persist recomputes from lineage. The
+    // two cache entries live for the query's lifetime; unpersist them
+    // after stopping the query if the session lives on.
     val pre = corpus.select(col("doc_id").as("corpus_id"),
         TextHashExprs.tokenTrigramHashes(spark, col("text")).as("corpus_sh"))
-      .localCheckpoint(eager = false)
+      .persist()
     val corpusBands = pre.select(col("corpus_id"),
         posexplode(Dedup.bandKeys(
           TextHashExprs.minhashFromHashes(spark, col("corpus_sh"), numPerm),
           numPerm, bands)).as(Seq("band_id", "band_key")))
-      .localCheckpoint(eager = false)
+      .persist()
 
     val streamBands = stream
       .withWatermark("ts", watermark)

@@ -360,6 +360,44 @@ class SqlEngineSpec extends AnyFunSuite {
     } finally engine.setResultFormat(ResultFormat.Table)
   }
 
+  test("GROUPS frames: alias-qualified refs resolve; SELECT * raises cleanly") {
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      // the derived table inherits the original FROM alias
+      assert(engine.executeSql(
+        """SELECT t.x, sum(t.x) OVER (ORDER BY t.x GROUPS CURRENT ROW) AS s
+          |FROM VALUES (1), (1) t(x) ORDER BY t.x""".stripMargin) ==
+        """[{"x":1,"s":2},{"x":1,"s":2}]""")
+    } finally engine.setResultFormat(ResultFormat.Table)
+    // SELECT * would silently expose the internal __grp column
+    val e = intercept[UnsupportedOperationException] {
+      engine.executeSql(
+        "SELECT *, sum(x) OVER (ORDER BY x GROUPS CURRENT ROW) FROM VALUES (1) t(x)")
+    }
+    assert(e.getMessage.contains("SELECT *"))
+  }
+
+  test("aggregate first/last with FILTER clause and select-list generate_series guard") {
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      // FILTER re-attaches to the rewritten aggregate (r03 review)
+      assert(engine.executeSql(
+        """SELECT FIRST_VALUE(name ORDER BY id) FILTER (WHERE id > 1) AS f
+          |FROM VALUES (1, 'a'), (2, 'b'), (3, 'c') t(id, name)""".stripMargin) ==
+        """[{"f":"b"}]""")
+      // comma-position guard: a select-list call is NOT FROM position...
+      val e = intercept[Exception] {
+        engine.executeSql("SELECT a, generate_series(1, 3) FROM VALUES (1) t(a)")
+      }
+      assert(e.getMessage.toLowerCase.contains("generate_series"))
+      // ...but a comma-separated FROM-clause TVF still rewrites
+      assert(engine.executeSql(
+        """SELECT a, value FROM VALUES (7) t(a), generate_series(1, 2)
+          |ORDER BY value""".stripMargin) ==
+        """[{"a":7,"value":1},{"a":7,"value":2}]""")
+    } finally engine.setResultFormat(ResultFormat.Table)
+  }
+
   test("documented gaps fail with clear messages") {
     // GROUPS over an aggregated query stays an explicit documented gap
     val e1 = intercept[UnsupportedOperationException] {

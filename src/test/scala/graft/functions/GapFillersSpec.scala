@@ -92,6 +92,9 @@ class GapFillersSpec extends AnyFunSuite {
     // UTC session: numeric offsets render as zero
     assert(one("SELECT to_char(TIMESTAMP '2024-01-05 07:08:09', '%z %:z') AS s")
       == """[{"s":"+0000 +00:00"}]""")
+    // %3f consumes all three chars (r03 review: the 'f' leaked as literal)
+    assert(one("SELECT to_char(TIMESTAMP '2024-01-05 07:08:09.123456', '%S.%3f') AS s")
+      == """[{"s":"09.123"}]""")
   }
 
   test("encode/decode dispatch hex and base64, charset path still works") {
