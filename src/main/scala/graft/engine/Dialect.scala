@@ -9,46 +9,90 @@ import scala.util.matching.Regex
  * `SIMILAR TO` (SURVEY §2.2 predicate row): SQL-standard pattern
  * matching DataFusion accepts but Spark has no syntax for. Rewritten to
  * an anchored RLIKE: `%`→`.*`, `_`→`.` (outside character classes;
- * `\%`/`\_` escapes preserved as literals), regex metacharacters that
- * SQL patterns treat literally (`.`) escaped. The regex-subset operators
- * SIMILAR TO shares with POSIX (`|`, `*`, `+`, `?`, `()`, `[]`, `{}`)
- * pass through unchanged.
+ * escape-char pairs preserved as literals, ESCAPE clause honored),
+ * regex metacharacters that SQL patterns treat literally (`.`) escaped.
+ * The regex-subset operators SIMILAR TO shares with POSIX (`|`, `*`,
+ * `+`, `?`, `()`, `[]`, `{}`) pass through unchanged.
  */
 object Dialect {
 
-  private val SimilarTo: Regex =
-    """(?i)\s+(NOT\s+)?SIMILAR\s+TO\s+'((?:[^']|'')*)'""".r
+  private val M = '\u0001'
 
-  /** Length-preserving literal mask: every character INSIDE a
-    * single-quoted literal (including `''`/backslash escape pairs)
-    * becomes \u0001, the delimiting quotes stay — so regex match offsets
-    * on the masked text are valid offsets into the raw text. */
+  private val SimilarTo: Regex =
+    """(?i)\s+(NOT\s+)?SIMILAR\s+TO\s+'((?:[^']|'')*)'(\s+ESCAPE\s+'((?:[^']|'')*)')?""".r
+
+  /** Length-preserving mask of every region whose content must never be
+    * keyword-matched: single-quoted string literals (with `''` and
+    * backslash escapes), double-quoted string literals (Spark default:
+    * `"..."` is a string), backtick identifiers, `--` line comments and
+    * multi-line comments — an apostrophe inside a comment or
+    * a double-quoted string would otherwise flip the in-literal state
+    * and derail every mask-based rewrite (r03 review). Content becomes
+    * \u0001; delimiters stay, so regex match offsets on the masked text
+    * are valid offsets into the raw text. */
   private def maskSameLength(sql: String): String = {
     val arr = sql.toCharArray
     var i = 0
-    var inStr = false
+    var state = 0 // 0 code, 1 '…', 2 "…", 3 `…`, 4 --…\n, 5 /*…*/
     while (i < arr.length) {
       val c = arr(i)
-      if (!inStr) { if (c == '\'') inStr = true }
-      else {
-        if (c == '\\' && i + 1 < arr.length) { arr(i) = '\u0001'; arr(i + 1) = '\u0001'; i += 1 }
-        else if (c == '\'' && i + 1 < arr.length && arr(i + 1) == '\'') {
-          arr(i) = '\u0001'; arr(i + 1) = '\u0001'; i += 1
-        }
-        else if (c == '\'') inStr = false
-        else arr(i) = '\u0001'
+      state match {
+        case 0 =>
+          if (c == '\'') state = 1
+          else if (c == '"') state = 2
+          else if (c == '`') state = 3
+          else if (c == '-' && i + 1 < arr.length && arr(i + 1) == '-') { state = 4; i += 1 }
+          else if (c == '/' && i + 1 < arr.length && arr(i + 1) == '*') { state = 5; i += 1 }
+        case 1 =>
+          if (c == '\\' && i + 1 < arr.length) { arr(i) = M; arr(i + 1) = M; i += 1 }
+          else if (c == '\'' && i + 1 < arr.length && arr(i + 1) == '\'') {
+            arr(i) = M; arr(i + 1) = M; i += 1
+          }
+          else if (c == '\'') state = 0
+          else arr(i) = M
+        case 2 =>
+          if (c == '\\' && i + 1 < arr.length) { arr(i) = M; arr(i + 1) = M; i += 1 }
+          else if (c == '"' && i + 1 < arr.length && arr(i + 1) == '"') {
+            arr(i) = M; arr(i + 1) = M; i += 1
+          }
+          else if (c == '"') state = 0
+          else arr(i) = M
+        case 3 =>
+          if (c == '`') state = 0 else arr(i) = M
+        case 4 =>
+          if (c == '\n') state = 0 else arr(i) = M
+        case 5 =>
+          if (c == '*' && i + 1 < arr.length && arr(i + 1) == '/') { state = 0; i += 1 }
+          else arr(i) = M
       }
       i += 1
     }
     new String(arr)
   }
 
-  /** `x SIMILAR TO 'pat'` → `x RLIKE '^pat$'`. Match positions are found
-    * on a same-length literal mask so the keyword is only recognized
-    * OUTSIDE string literals — a document containing " SIMILAR TO 'x' "
-    * as DATA passes through untouched (this engine targets text corpora
-    * where SQL fragments inside documents are plausible). The pattern
-    * body itself is then read from the raw text at the match offsets. */
+  /** Index just past the `)` matching an already-consumed `(` (the scan
+    * starts at `afterOpen`); -1 when unbalanced. */
+  private def skipBalanced(masked: String, afterOpen: Int): Int = {
+    var depth = 1
+    var i = afterOpen
+    while (i < masked.length && depth > 0) {
+      masked.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (depth == 0) i else -1
+  }
+
+  /** `x SIMILAR TO 'pat' [ESCAPE 'c']` → `x RLIKE '^pat$'`. Match
+    * positions are found on a same-length literal mask so the keyword is
+    * only recognized OUTSIDE string literals — a document containing
+    * " SIMILAR TO 'x' " as DATA passes through untouched (this engine
+    * targets text corpora where SQL fragments inside documents are
+    * plausible). The pattern body itself is then read from the raw text
+    * at the match offsets. */
   def rewriteSimilarTo(sql: String): String = {
     val ms = SimilarTo.findAllMatchIn(maskSameLength(sql)).toList
     if (ms.isEmpty) sql
@@ -58,7 +102,15 @@ object Dialect {
       ms.foreach { m =>
         sb ++= sql.substring(last, m.start)
         val not = if (m.group(1) != null) "NOT " else ""
-        val pat = translatePattern(sql.substring(m.start(2), m.end(2)))
+        val esc =
+          if (m.group(3) == null) '\\'
+          else {
+            val e = sql.substring(m.start(4), m.end(4)).replace("''", "'")
+            if (e.length != 1) throw new UnsupportedOperationException(
+              s"SIMILAR TO ESCAPE must be a single character, got '$e'")
+            e.charAt(0)
+          }
+        val pat = translatePattern(sql.substring(m.start(2), m.end(2)), esc)
         sb ++= s" ${not}RLIKE '^$pat$$'"
         last = m.end
       }
@@ -69,14 +121,16 @@ object Dialect {
 
   private val GenSeries: Regex = """(?i)\bgenerate_series\s*\(""".r
 
-  private val TvfKeyword = """(?i)\b(SELECT|FROM|WHERE|HAVING|JOIN|ON|GROUP|ORDER|LIMIT|OFFSET)\b""".r
+  private val TvfKeyword =
+    """(?i)\b(SELECT|FROM|WHERE|HAVING|JOIN|ON|USING|GROUP|ORDER|LIMIT|OFFSET)\b""".r
   private val FromOrJoin = """(?is).*(\bfrom|\bjoin)\s*$""".r.pattern
 
   /** True when position `at` sits in FROM-clause position: directly after
     * FROM/JOIN, or after a comma whose governing clause keyword (the last
-    * same-depth SELECT/FROM/WHERE/... before it) is FROM — a comma in a
-    * select list or an argument list does NOT qualify (r03 review: the
-    * old any-comma rule rewrote select-list calls into the very
+    * same-depth SELECT/FROM/ON/... before it) belongs to the FROM clause
+    * (FROM itself, or the tail of a join condition: ON/USING) — a comma
+    * in a select list or an argument list does NOT qualify (r03 review:
+    * the old any-comma rule rewrote select-list calls into the very
     * multi-row-subquery error the guard exists to prevent). */
   private def inFromPosition(masked: String, at: Int): Boolean = {
     val before = masked.substring(0, at)
@@ -89,7 +143,8 @@ object Dialect {
         val seg = before.substring(k.end)
         seg.count(_ == '(') == seg.count(_ == ')')
       }
-      .exists(_.group(1).equalsIgnoreCase("FROM"))
+      .exists(k => Set("FROM", "ON", "USING")
+        .contains(k.group(1).toUpperCase(java.util.Locale.ROOT)))
   }
 
   /** DataFusion's FROM-clause TVF `generate_series(start, stop[, step])`
@@ -100,8 +155,8 @@ object Dialect {
     * `FROM (SELECT explode(sequence(a, b[, s])) AS value)`.
     * The keyword is located on the literal mask and the argument parens
     * are balanced on the mask too, so data inside string arguments can
-    * never derail the scan. Only FROM/JOIN/`,` position is rewritten
-    * (the reference supports only the FROM-clause TVF): an expression-
+    * never derail the scan. Only FROM-clause position is rewritten (the
+    * reference supports only the FROM-clause TVF): an expression-
     * position `generate_series(...)` would become a multi-row scalar
     * subquery — a confusing runtime error instead of a clean
     * "undefined function" (ADVICE r02). */
@@ -114,17 +169,8 @@ object Dialect {
       var last = 0
       ms.foreach { m =>
         if (m.start >= last && inFromPosition(masked, m.start)) {
-          var depth = 1
-          var i = m.end // first char after '('
-          while (i < masked.length && depth > 0) {
-            masked.charAt(i) match {
-              case '(' => depth += 1
-              case ')' => depth -= 1
-              case _ =>
-            }
-            i += 1
-          }
-          if (depth == 0) {
+          val i = skipBalanced(masked, m.end)
+          if (i > 0) {
             val args = sql.substring(m.end, i - 1)
             sb ++= sql.substring(last, m.start)
             sb ++= s"(SELECT explode(sequence($args)) AS value)"
@@ -188,6 +234,13 @@ object Dialect {
         SortKey(seg.substring(m.start(1), m.end(1)).trim, asc, nullsFirst)
     }
 
+  /** Re-emit sort keys with EXPLICIT direction and null placement —
+    * Spark's defaults (ASC NULLS FIRST) differ from the SQL-standard /
+    * DataFusion ones parseSortKeys encodes. */
+  private def pinSortKeys(keys: List[SortKey]): String =
+    keys.map(k => s"${k.expr} ${if (k.asc) "ASC" else "DESC"} " +
+      s"NULLS ${if (k.nullsFirst) "FIRST" else "LAST"}").mkString(", ")
+
   /** Comparator-lambda body for `array_sort` over structs of
     * (k0..kN, v): lexicographic over the keys with explicit direction
     * and null placement per key. */
@@ -237,42 +290,28 @@ object Dialect {
     var last = 0
     ms.foreach { m =>
       if (m.start >= last) {
-        var depth = 1
-        var i = m.end
-        while (i < masked.length && depth > 0) {
-          masked.charAt(i) match {
-            case '(' => depth += 1
-            case ')' => depth -= 1
-            case _ =>
-          }
-          i += 1
-        }
-        var j = i
+        val i = skipBalanced(masked, m.end)
+        var j = if (i > 0) i else masked.length
         while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
-        val isWindow = masked.regionMatches(true, j, "OVER", 0, 4)
+        // word-boundary guard: an implicit alias like `overall` must not
+        // read as a window OVER clause (r03 review)
+        val isWindow = masked.regionMatches(true, j, "OVER", 0, 4) &&
+          (j + 4 >= masked.length ||
+            { val c = masked.charAt(j + 4); !(c.isLetterOrDigit || c == '_') })
         // a trailing FILTER (WHERE ...) clause is consumed and re-attached
         // to the rewritten aggregate (r03 review: leaving it dangling
         // after a non-aggregate expression is a parse error)
         var filterClause = ""
         var filterEnd = i
-        if (!isWindow && masked.regionMatches(true, j, "FILTER", 0, 6)) {
+        if (i > 0 && !isWindow && masked.regionMatches(true, j, "FILTER", 0, 6)) {
           var p = j + 6
           while (p < masked.length && masked.charAt(p).isWhitespace) p += 1
           if (p < masked.length && masked.charAt(p) == '(') {
-            var d2 = 1
-            var e2 = p + 1
-            while (e2 < masked.length && d2 > 0) {
-              masked.charAt(e2) match {
-                case '(' => d2 += 1
-                case ')' => d2 -= 1
-                case _ =>
-              }
-              e2 += 1
-            }
-            if (d2 == 0) { filterClause = " FILTER " + sql.substring(p, e2); filterEnd = e2 }
+            val e2 = skipBalanced(masked, p + 1)
+            if (e2 > 0) { filterClause = " FILTER " + sql.substring(p, e2); filterEnd = e2 }
           }
         }
-        if (depth == 0 && !isWindow) {
+        if (i > 0 && !isWindow) {
           val argsRaw = sql.substring(m.end, i - 1)
           val argsMasked = masked.substring(m.end, i - 1)
           topLevelOrderBy(argsMasked).foreach { case (obS, obE) =>
@@ -283,7 +322,7 @@ object Dialect {
               case "NTH_VALUE" =>
                 val segs = splitTopLevel(exprPartRaw, exprPartMasked)
                 val n = segs.lastOption.map(_.trim).getOrElse("")
-                if (segs.length < 2 || !n.forall(_.isDigit))
+                if (segs.length < 2 || n.isEmpty || !n.forall(_.isDigit))
                   throw new UnsupportedOperationException(
                     "nth_value aggregate requires a literal integer position: " +
                     s"nth_value(expr, n ORDER BY ...), got ($exprPartRaw)")
@@ -363,10 +402,15 @@ object Dialect {
    *   over  SELECT *, DENSE_RANK() OVER (PARTITION BY p ORDER BY k) AS __grp
    *
    * — the RANGE offsets land on the integer dense-rank key, one step per
-   * peer group. The statement is restructured into that two-level form
-   * for the common single-SELECT shape; anything else (CTEs, GROUP BY,
-   * set ops, mismatched window specs) raises a clean documented error
-   * instead of a Spark parse error.
+   * peer group. The dense_rank ORDER BY is re-emitted with EXPLICIT
+   * direction + null placement (SQL-standard defaults: ASC NULLS LAST /
+   * DESC NULLS FIRST), so null-key peer groups land where the reference
+   * puts them, not where Spark's opposite default would. The statement
+   * is restructured into the two-level form for the common single-SELECT
+   * shape; anything else (CTEs, GROUP BY, set ops, SELECT *, mismatched
+   * window specs) raises a clean documented error instead of a Spark
+   * parse error. A `GROUPS` that is not a window frame (e.g. a column
+   * named `groups` in a BETWEEN predicate) passes through untouched.
    */
   def rewriteGroupsFrames(sql: String): String = {
     val masked = maskSameLength(sql)
@@ -376,17 +420,8 @@ object Dialect {
     // collect every OVER (...) spec containing a GROUPS frame
     val overRe = """(?i)\bOVER\s*\(""".r
     val specs = overRe.findAllMatchIn(masked).flatMap { m =>
-      var depth = 1
-      var i = m.end
-      while (i < masked.length && depth > 0) {
-        masked.charAt(i) match {
-          case '(' => depth += 1
-          case ')' => depth -= 1
-          case _ =>
-        }
-        i += 1
-      }
-      if (depth != 0) None
+      val i = skipBalanced(masked, m.end)
+      if (i < 0) None
       else {
         val inMasked = masked.substring(m.end, i - 1)
         val inRaw = sql.substring(m.end, i - 1)
@@ -397,7 +432,8 @@ object Dialect {
             .getOrElse(unsupportedGroups("the window must have an ORDER BY"))
           val pb = findTopLevel(inMasked, """(?i)\bPARTITION\s+BY\b""".r)
           val partition = pb.map(p => inRaw.substring(p.end, ob.start).trim).getOrElse("")
-          val order = inRaw.substring(ob.end, g.start).trim
+          val order = pinSortKeys(parseSortKeys(
+            inRaw.substring(ob.end, g.start), inMasked.substring(ob.end, g.start)))
           val frame = inRaw.substring(g.end).trim
           if (!FrameBound.matcher(frame.replaceAll("\\s+", " ")).matches())
             unsupportedGroups(s"unsupported frame '$frame'")
@@ -405,8 +441,10 @@ object Dialect {
         }
       }
     }.toList
-    if (specs.isEmpty)
-      unsupportedGroups("a GROUPS frame keyword appears outside a window OVER(...) spec")
+    // GROUPS-shaped text outside any OVER spec is not a window frame
+    // (e.g. a column named `groups` in a BETWEEN predicate) — leave the
+    // statement for Spark to parse (r03 review)
+    if (specs.isEmpty) return sql
     val canon = specs.map(s => (s.partition, s.order)).distinct
     if (canon.length > 1)
       unsupportedGroups("all GROUPS windows in one statement must share the same " +
@@ -486,59 +524,56 @@ object Dialect {
       s"${sql.substring(fromM.start, tailStart)}) $subAlias ${sql.substring(tailStart)}"
   }
 
-  /** Apply `f` only to the segments of `sql` OUTSIDE single-quoted string
-    * literals (respecting `''` and backslash escapes) — textual rewrites
-    * like function aliases must never rewrite data inside literals. */
+  /** Apply `f` only to the segments of `sql` OUTSIDE string literals,
+    * quoted identifiers and comments (the same regions `maskSameLength`
+    * masks) — textual rewrites like function aliases must never rewrite
+    * data inside them. */
   def outsideLiterals(sql: String)(f: String => String): String = {
+    val masked = maskSameLength(sql)
     val sb = new StringBuilder
     val seg = new StringBuilder
     var i = 0
-    var inStr = false
     while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (!inStr) {
-        if (c == '\'') { sb ++= f(seg.toString); seg.clear(); inStr = true; sb += c; i += 1 }
-        else { seg += c; i += 1 }
+      if (masked.charAt(i) == M) {
+        sb ++= f(seg.toString)
+        seg.clear()
+        while (i < sql.length && masked.charAt(i) == M) { sb += sql.charAt(i); i += 1 }
       } else {
-        if (c == '\\' && i + 1 < sql.length) { sb += c += sql.charAt(i + 1); i += 2 }
-        else if (c == '\'' && i + 1 < sql.length && sql.charAt(i + 1) == '\'') { sb ++= "''"; i += 2 }
-        else { if (c == '\'') inStr = false; sb += c; i += 1 }
+        seg += sql.charAt(i)
+        i += 1
       }
     }
     sb ++= f(seg.toString)
     sb.toString
   }
 
-  /** The statement with string-literal contents blanked — for keyword
-    * detection that must not trigger on data. */
-  def maskLiterals(sql: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    var inStr = false
-    while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (!inStr) { if (c == '\'') { inStr = true; sb += c }; if (c != '\'') sb += c; i += 1 }
-      else {
-        if (c == '\\' && i + 1 < sql.length) i += 2
-        else if (c == '\'' && i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 2
-        else { if (c == '\'') { inStr = false; sb += c }; i += 1 }
-      }
-    }
-    sb.toString
-  }
+  /** The statement with masked-region contents (literals, quoted
+    * identifiers, comment bodies) removed — for keyword detection that
+    * must not trigger on data. */
+  def maskLiterals(sql: String): String =
+    maskSameLength(sql).filterNot(_ == M)
 
-  private[engine] def translatePattern(p: String): String = {
+  /** SQL pattern → Java regex. `esc` is the SQL escape character
+    * (backslash unless an ESCAPE clause overrides it): `<esc>c` keeps
+    * `c` literal through BOTH the SQL string unescape and the regex
+    * engine. */
+  private[engine] def translatePattern(p: String, esc: Char = '\\'): String = {
     val sb = new StringBuilder
     var i = 0
     var inClass = false
     while (i < p.length) {
       val c = p.charAt(i)
       c match {
-        case '\\' if i + 1 < p.length =>
-          // user-escaped metachar: keep it literal through BOTH the SQL
-          // string unescape and the regex engine (one backslash would be
-          // eaten by Spark's literal parser, inverting the escape)
-          sb ++= "\\\\" += p.charAt(i + 1); i += 1
+        case e if e == esc && i + 1 < p.length =>
+          val nxt = p.charAt(i + 1)
+          if (nxt == '\\') sb ++= "\\\\\\\\" // regex literal backslash
+          else if ("|*+?(){}[].^$".indexOf(nxt.toInt) >= 0) sb ++= "\\\\" += nxt
+          else sb += nxt // %, _, alphanumerics: plain char is the literal
+          i += 1
+        case '\\' =>
+          // backslash under a custom ESCAPE clause (or trailing) is a
+          // plain character — and a regex metachar, so it must be escaped
+          sb ++= "\\\\\\\\"
         case '[' if !inClass => inClass = true; sb += c
         case ']' if inClass => inClass = false; sb += c
         case '%' if !inClass => sb ++= ".*"

@@ -398,6 +398,72 @@ class SqlEngineSpec extends AnyFunSuite {
     } finally engine.setResultFormat(ResultFormat.Table)
   }
 
+  test("masking understands comments, double-quoted strings and backtick idents") {
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      // an apostrophe inside a -- comment must not derail the mask;
+      // the real SIMILAR TO after it still rewrites
+      assert(engine.executeSql(
+        "SELECT name FROM VALUES ('abc'), ('xyz') t(name) -- don't scan\nWHERE name SIMILAR TO 'a%'") ==
+        """[{"name":"abc"}]""")
+      // same for /* */ comments
+      assert(engine.executeSql(
+        "SELECT /* it's fine */ name FROM VALUES ('abc') t(name) WHERE name SIMILAR TO '%b%'") ==
+        """[{"name":"abc"}]""")
+      // keyword-shaped DATA inside a double-quoted string stays data
+      assert(engine.executeSql(
+        """SELECT "x SIMILAR TO 'b'" AS doc""") ==
+        """[{"doc":"x SIMILAR TO 'b'"}]""")
+    } finally engine.setResultFormat(ResultFormat.Table)
+  }
+
+  test("SIMILAR TO honors an ESCAPE clause") {
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      // '#%' with ESCAPE '#' is a literal percent sign
+      assert(engine.executeSql(
+        """SELECT s FROM VALUES ('50%'), ('50x') t(s)
+          |WHERE s SIMILAR TO '50#%' ESCAPE '#'""".stripMargin) ==
+        """[{"s":"50%"}]""")
+    } finally engine.setResultFormat(ResultFormat.Table)
+  }
+
+  test("a column named groups is not mistaken for a GROUPS frame") {
+    engine.setResultFormat(ResultFormat.Json)
+    try assert(engine.executeSql(
+      "SELECT groups FROM VALUES (1), (5) t(groups) WHERE groups BETWEEN 0 AND 2") ==
+      """[{"groups":1}]""")
+    finally engine.setResultFormat(ResultFormat.Table)
+  }
+
+  test("GROUPS dense_rank key pins SQL-standard null ordering (nulls last for ASC)") {
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      // DataFusion/postgres number the NULL peer group LAST for ASC keys;
+      // Spark's default would number it first and shift every frame
+      assert(engine.executeSql(
+        """SELECT x, count(*) OVER (ORDER BY x GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+          |FROM VALUES (1), (1), (CAST(NULL AS INT)) t(x) ORDER BY x NULLS LAST""".stripMargin) ==
+        """[{"x":1,"c":2},{"x":1,"c":2},{"c":3}]""")
+    } finally engine.setResultFormat(ResultFormat.Table)
+  }
+
+  test("aggregate alias starting with 'over' is not mistaken for a window form") {
+    engine.setResultFormat(ResultFormat.Json)
+    try assert(engine.executeSql(
+      """SELECT FIRST_VALUE(name ORDER BY id) overall
+        |FROM VALUES (1, 'a'), (2, 'b') t(id, name)""".stripMargin) ==
+      """[{"overall":"a"}]""")
+    finally engine.setResultFormat(ResultFormat.Table)
+  }
+
+  test("nth_value without a literal position raises the documented error") {
+    val e = intercept[UnsupportedOperationException] {
+      engine.executeSql("SELECT NTH_VALUE(x, ORDER BY x) FROM VALUES (1) t(x)")
+    }
+    assert(e.getMessage.contains("literal integer position"))
+  }
+
   test("documented gaps fail with clear messages") {
     // GROUPS over an aggregated query stays an explicit documented gap
     val e1 = intercept[UnsupportedOperationException] {
