@@ -443,8 +443,20 @@ object Dialect {
     }.toList
     // GROUPS-shaped text outside any OVER spec is not a window frame
     // (e.g. a column named `groups` in a BETWEEN predicate) — leave the
-    // statement for Spark to parse (r03 review)
-    if (specs.isEmpty) return sql
+    // statement for Spark to parse (r03 review). EXCEPT inside a named
+    // WINDOW clause spec, which IS a frame this rewrite doesn't reach:
+    // keep the documented clean error rather than a raw parse error.
+    if (specs.isEmpty) {
+      val windowClause = """(?i)\bWINDOW\s+\w+\s+AS\s*\(""".r
+      val inNamedWindow = windowClause.findAllMatchIn(masked).exists { w =>
+        val end = skipBalanced(masked, w.end)
+        end > 0 && groupsKw.findFirstMatchIn(masked.substring(w.end, end - 1)).isDefined
+      }
+      if (inNamedWindow)
+        unsupportedGroups("GROUPS frames inside a named WINDOW clause are not " +
+          "supported — inline the frame in the OVER(...) spec")
+      return sql
+    }
     val canon = specs.map(s => (s.partition, s.order)).distinct
     if (canon.length > 1)
       unsupportedGroups("all GROUPS windows in one statement must share the same " +

@@ -154,12 +154,30 @@ object GapFillers {
 
   /** One struct/list member: either Arrow's debug `Field { name: "x",
     * data_type: T }` spelling (what `arrow_typeof` prints) or the short
-    * `x T` form. */
+    * `x T` form. The name/type separator is the first TOP-LEVEL space —
+    * a space inside a parameterized type (`Decimal128(10, 2)`,
+    * `Timestamp(Microsecond, None)`) is part of the type, and a bare
+    * parameterized type has no name at all (r03 review). */
   private def parseField(s: String, defaultName: String): StructField = s.trim match {
     case FieldForm(name, dt) => StructField(name, sparkTypeOfArrow(dt))
     case short =>
-      val cut = short.indexOf(' ')
-      if (cut < 0) StructField(defaultName, sparkTypeOfArrow(short))
+      var depth = 0
+      var cut = -1
+      var i = 0
+      while (cut < 0 && i < short.length) {
+        short.charAt(i) match {
+          case '(' | '{' | '[' => depth += 1
+          case ')' | '}' | ']' => depth -= 1
+          case ' ' if depth == 0 => cut = i
+          case _ =>
+        }
+        i += 1
+      }
+      // a top-level space only separates name from type when the head
+      // token is a plain identifier (no parens) — `Decimal128(10, 2)`
+      // after \s+-normalization has a top-level space INSIDE the type
+      if (cut < 0 || short.substring(0, cut).exists(c => c == '(' || c == '{'))
+        StructField(defaultName, sparkTypeOfArrow(short))
       else StructField(short.substring(0, cut), sparkTypeOfArrow(short.substring(cut + 1)))
   }
 

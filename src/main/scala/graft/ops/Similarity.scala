@@ -42,15 +42,7 @@ object Similarity {
     * under-partitioned. At 100 TB the input already has thousands of
     * partitions and a blanket repartition would be a gratuitous full
     * shuffle (VERDICT r01 "What's wrong" #7). */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // inputFiles reads the analyzed plan's FileIndex; df.rdd would force
-    // full physical planning of the frame a second time and defeat AQE
-    // coalescing for the subtree (VERDICT r02 #4). Non-file sources
-    // (in-memory test frames) report 0 files and get spread, which is
-    // the desired small-input behavior.
-    if (df.inputFiles.length < target) df.repartition(target) else df
-  }
+  private def spread(df: DataFrame): DataFrame = Artifacts.spread(df)
 
   /** Exact cosine for adjacent (vec_id, vec_id+1) pairs — linear, used as
     * the oracle-checkable correctness anchor for the cosine expression. */
@@ -184,7 +176,20 @@ object Similarity {
         }
         val cents = centDf.orderBy("cid").select("centroid")
           .as[Seq[Double]].collect().map(_.toArray)
-        val index = Artifacts.parquetCheckpoint(spark, s"$dir/ivf_index", fp) {
+        // the index artifact binds to the ACTUAL centroid values in use:
+        // if ivf_centroids is lost and Lloyd re-runs (float aggregations
+        // are not bit-reproducible across shuffle orders), a surviving
+        // index marker must not pair stale assignments with the new
+        // centroids (r03 review)
+        val centHash = {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val bb = java.nio.ByteBuffer.allocate(8)
+          cents.foreach(_.foreach { d =>
+            bb.clear(); bb.putDouble(d); md.update(bb.array()) })
+          java.util.Base64.getEncoder.encodeToString(md.digest())
+        }
+        val index = Artifacts.parquetCheckpoint(spark, s"$dir/ivf_index",
+          s"$fp|cents=$centHash") {
           ivfAssignment(corpus, cents)
         }
         IvfIndex(cents, index)

@@ -181,6 +181,11 @@ object EngineOps {
   // pruning (PartitionFilters) is plan-asserted in SqlEngineSpec. The
   // fixed /tmp path appears verbatim in the static oracle text; the
   // Spark side rewrites it on every run, so Verify→check stays coherent.
+  // The path can NOT be SF-keyed (the oracle text is static), but nation
+  // is SF-INVARIANT (TPC-H fixes it at 25 rows for every scale factor),
+  // so a run at another SF overwriting the tree leaves the oracle
+  // comparison unaffected; only truly concurrent writes race, which the
+  // bench-runs-alone contract already excludes.
   private val hiveOut = "/tmp/graft_q61_hive_nation"
   val q61 = Q.df(
     "q61_hive_pruning",

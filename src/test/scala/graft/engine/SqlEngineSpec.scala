@@ -434,6 +434,14 @@ class SqlEngineSpec extends AnyFunSuite {
       "SELECT groups FROM VALUES (1), (5) t(groups) WHERE groups BETWEEN 0 AND 2") ==
       """[{"groups":1}]""")
     finally engine.setResultFormat(ResultFormat.Table)
+    // but a GROUPS frame hidden in a named WINDOW clause keeps the
+    // documented clean error (the rewrite only reaches OVER(...) specs)
+    val e = intercept[UnsupportedOperationException] {
+      engine.executeSql(
+        """SELECT sum(x) OVER w FROM VALUES (1) t(x)
+          |WINDOW w AS (ORDER BY x GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW)""".stripMargin)
+    }
+    assert(e.getMessage.contains("named WINDOW"))
   }
 
   test("GROUPS dense_rank key pins SQL-standard null ordering (nulls last for ASC)") {

@@ -62,6 +62,10 @@ class GapFillersSpec extends AnyFunSuite {
       """[{"v":[[1]]}]""")
     assert(one("SELECT arrow_cast(array(1, 2, 3), 'FixedSizeList(Int32, 3)') AS v") ==
       """[{"v":[1,2,3]}]""")
+    // parameterized element types: the space inside the type's own
+    // parens must not be read as a name/type separator (r03 review)
+    assert(one("SELECT arrow_cast(array(1.5), 'List(Decimal128(10, 2))') AS v") ==
+      """[{"v":[1.50]}]""")
   }
 
   test("version() identifies the engine") {
