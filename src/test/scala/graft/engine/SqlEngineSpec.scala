@@ -472,6 +472,29 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("literal integer position"))
   }
 
+  test("all dialect rewrites compose in one statement") {
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      // SIMILAR TO + aggregate first_value + FROM-comma TVF + a comment
+      // with an apostrophe + keyword-shaped data in a literal, together
+      assert(engine.executeSql(
+        """SELECT FIRST_VALUE(name ORDER BY id) AS f,
+          |       value,
+          |       'x SIMILAR TO ''y''' AS doc -- that's data, don't rewrite
+          |FROM VALUES (1, 'alpha'), (2, 'beta') t(id, name), generate_series(1, 2)
+          |WHERE name SIMILAR TO '%a'
+          |GROUP BY value ORDER BY value""".stripMargin) ==
+        """[{"f":"alpha","value":1,"doc":"x SIMILAR TO 'y'"},""" +
+        """{"f":"alpha","value":2,"doc":"x SIMILAR TO 'y'"}]""")
+      // GROUPS frame + SIMILAR TO in the same statement
+      assert(engine.executeSql(
+        """SELECT name, count(*) OVER (ORDER BY name GROUPS CURRENT ROW) AS peers
+          |FROM VALUES ('aa'), ('aa'), ('ab') t(name)
+          |WHERE name SIMILAR TO 'a%' ORDER BY name""".stripMargin) ==
+        """[{"name":"aa","peers":2},{"name":"aa","peers":2},{"name":"ab","peers":1}]""")
+    } finally engine.setResultFormat(ResultFormat.Table)
+  }
+
   test("documented gaps fail with clear messages") {
     // GROUPS over an aggregated query stays an explicit documented gap
     val e1 = intercept[UnsupportedOperationException] {
