@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, TernaryExpression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
@@ -219,6 +219,22 @@ object TextHashExprs {
     }
   }
 
+  /** Java source for reading element `i` of `arr` as double, or null for
+    * element types (decimal) that stay on the interpreted path. Used by
+    * the vector expressions' real `doGenCode`: the CodegenFallback route
+    * costs a boxed reflective call per ROW, which dominates the ~64-FLOP
+    * loop body of a dot product — inlining the loop into whole-stage
+    * codegen removes exactly that overhead on the ANN hot path. */
+  private def elemJava(dt: DataType, arr: String, i: String): String = dt match {
+    case ArrayType(FloatType, _) => s"(double) $arr.getFloat($i)"
+    case ArrayType(DoubleType, _) => s"$arr.getDouble($i)"
+    case ArrayType(IntegerType, _) => s"(double) $arr.getInt($i)"
+    case ArrayType(LongType, _) => s"(double) $arr.getLong($i)"
+    case ArrayType(ShortType, _) => s"(double) $arr.getShort($i)"
+    case ArrayType(ByteType, _) => s"(double) $arr.getByte($i)"
+    case _ => null
+  }
+
   /** One-pass cosine similarity between two numeric vectors. Accumulates
     * dot / ‖a‖² / ‖b‖² left-to-right in doubles — bit-identical to the
     * former `aggregate(zip_with(...))` formulation (same additions, same
@@ -249,6 +265,30 @@ object TextHashExprs {
       }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      if (elemJava(left.dataType, "", "") == null || elemJava(right.dataType, "", "") == null)
+        return super[CodegenFallback].doGenCode(ctx, ev)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb"); val bad = ctx.freshName("bad")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |boolean $bad = false;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+           |  double $x = ${elemJava(left.dataType, a, i)};
+           |  double $y = ${elemJava(right.dataType, b, i)};
+           |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+           |}
+           |${ev.isNull} = $bad;
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         """.stripMargin
+      })
+    }
     override def prettyName: String = "cosine_sim"
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   }
@@ -276,6 +316,26 @@ object TextHashExprs {
       }
       dot
     }
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      if (elemJava(left.dataType, "", "") == null || elemJava(right.dataType, "", "") == null)
+        return super[CodegenFallback].doGenCode(ctx, ev)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot"); val bad = ctx.freshName("bad")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0;
+           |boolean $bad = false;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+           |  $dot += ${elemJava(left.dataType, a, i)} * ${elemJava(right.dataType, b, i)};
+           |}
+           |${ev.isNull} = $bad;
+           |${ev.value} = $dot;
+         """.stripMargin
+      })
+    }
     override def prettyName: String = "dot_prod"
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   }
@@ -299,6 +359,28 @@ object TextHashExprs {
         i += 1
       }
       math.sqrt(s)
+    }
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      if (elemJava(child.dataType, "", "") == null)
+        return super[CodegenFallback].doGenCode(ctx, ev)
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val s = ctx.freshName("s"); val bad = ctx.freshName("bad")
+        val x = ctx.freshName("x")
+        s"""
+           |int $n = $a.numElements();
+           |double $s = 0.0;
+           |boolean $bad = false;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i)) { $bad = true; break; }
+           |  double $x = ${elemJava(child.dataType, a, i)};
+           |  $s += $x * $x;
+           |}
+           |${ev.isNull} = $bad;
+           |${ev.value} = java.lang.Math.sqrt($s);
+         """.stripMargin
+      })
     }
     override def prettyName: String = "vec_norm"
     override protected def withNewChildInternal(c: Expression) = copy(c)
