@@ -441,22 +441,33 @@ object Dialect {
         }
       }
     }.toList
-    // GROUPS-shaped text outside any OVER spec is not a window frame
-    // (e.g. a column named `groups` in a BETWEEN predicate) — leave the
-    // statement for Spark to parse (r03 review). EXCEPT inside a named
-    // WINDOW clause spec, which IS a frame this rewrite doesn't reach:
+    // A GROUPS frame inside a named WINDOW clause is out of this
+    // rewrite's reach whether or not inline OVER specs also rewrote —
     // keep the documented clean error rather than a raw parse error.
-    if (specs.isEmpty) {
+    // Only an ACTUAL frame triggers it: a top-level GROUPS token whose
+    // trailing text parses as frame bounds; a column named `groups` in
+    // a window-spec expression (PARTITION BY groups BETWEEN 1 AND 2)
+    // passes through (r03 review, both directions).
+    locally {
       val windowClause = """(?i)\bWINDOW\s+\w+\s+AS\s*\(""".r
       val inNamedWindow = windowClause.findAllMatchIn(masked).exists { w =>
         val end = skipBalanced(masked, w.end)
-        end > 0 && groupsKw.findFirstMatchIn(masked.substring(w.end, end - 1)).isDefined
+        end > 0 && {
+          val specMasked = masked.substring(w.end, end - 1)
+          findTopLevel(specMasked, groupsKw).exists { g =>
+            FrameBound.matcher(
+              specMasked.substring(g.end).trim.replaceAll("\\s+", " ")).matches()
+          }
+        }
       }
       if (inNamedWindow)
         unsupportedGroups("GROUPS frames inside a named WINDOW clause are not " +
           "supported — inline the frame in the OVER(...) spec")
-      return sql
     }
+    // GROUPS-shaped text outside any OVER spec is not a window frame
+    // (e.g. a column named `groups` in a BETWEEN predicate) — leave the
+    // statement for Spark to parse (r03 review).
+    if (specs.isEmpty) return sql
     val canon = specs.map(s => (s.partition, s.order)).distinct
     if (canon.length > 1)
       unsupportedGroups("all GROUPS windows in one statement must share the same " +

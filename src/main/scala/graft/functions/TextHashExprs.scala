@@ -219,6 +219,24 @@ object TextHashExprs {
     }
   }
 
+  /** Stricter variant for the fully-codegen'd similarity expressions:
+    * primitive numeric element types only. Decimal arrays would force a
+    * CodegenFallback mixin, and ANY CodegenFallback instance disqualifies
+    * the enclosing operator from whole-stage codegen (verified against
+    * CollapseCodegenStages.supportCodegen in Spark 4.1.2) — exactly the
+    * operator fusion the ANN hot path needs. Nobody stores embeddings as
+    * decimal; a clear analysis error beats losing WSCG for everyone. */
+  private def checkPrimitiveVectorInput(name: String, inputs: Expression*)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    inputs.find(e => elemJava(e.dataType, "a", "i") == null) match {
+      case Some(bad) => TypeCheckResult.TypeCheckFailure(
+        s"$name expects a primitive numeric array " +
+        s"(float/double/int/long/short/byte elements), got ${bad.dataType.catalogString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
   /** Java source for reading element `i` of `arr` as double, or null for
     * element types (decimal) that stay on the interpreted path. Used by
     * the vector expressions' real `doGenCode`: the CodegenFallback route
@@ -242,10 +260,10 @@ object TextHashExprs {
     * lambda calls. This was the VERDICT r01 top perf item: x06 spent 18 s
     * interpreting lambdas for 10k cosine pairs. */
   case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
-    override def checkInputDataTypes() = checkVectorInput("cosine_sim", left, right)
+    override def checkInputDataTypes() = checkPrimitiveVectorInput("cosine_sim", left, right)
     @transient private lazy val la = elemReader(left.dataType)
     @transient private lazy val rb = elemReader(right.dataType)
     override def nullSafeEval(l: Any, r: Any): Any = {
@@ -267,8 +285,6 @@ object TextHashExprs {
     }
     override protected def doGenCode(ctx: CodegenContext,
         ev: ExprCode): ExprCode = {
-      if (elemJava(left.dataType, "", "") == null || elemJava(right.dataType, "", "") == null)
-        return super[CodegenFallback].doGenCode(ctx, ev)
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val n = ctx.freshName("n"); val i = ctx.freshName("i")
         val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
@@ -297,10 +313,10 @@ object TextHashExprs {
     * columns so re-rank joins compute one fused multiply-add pass per
     * candidate instead of recomputing both norms per pair. */
   case class DotProd(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
-    override def checkInputDataTypes() = checkVectorInput("dot_prod", left, right)
+    override def checkInputDataTypes() = checkPrimitiveVectorInput("dot_prod", left, right)
     @transient private lazy val la = elemReader(left.dataType)
     @transient private lazy val rb = elemReader(right.dataType)
     override def nullSafeEval(l: Any, r: Any): Any = {
@@ -318,8 +334,6 @@ object TextHashExprs {
     }
     override protected def doGenCode(ctx: CodegenContext,
         ev: ExprCode): ExprCode = {
-      if (elemJava(left.dataType, "", "") == null || elemJava(right.dataType, "", "") == null)
-        return super[CodegenFallback].doGenCode(ctx, ev)
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val n = ctx.freshName("n"); val i = ctx.freshName("i")
         val dot = ctx.freshName("dot"); val bad = ctx.freshName("bad")
@@ -343,10 +357,10 @@ object TextHashExprs {
   /** ‖v‖₂ = sqrt(Σ vᵢ²), left-to-right in doubles — identical value to
     * `sqrt(DotProd(v, v))`. Computed once per row, not once per pair. */
   case class VecNorm(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
-    override def checkInputDataTypes() = checkVectorInput("vec_norm", child)
+    override def checkInputDataTypes() = checkPrimitiveVectorInput("vec_norm", child)
     @transient private lazy val rd = elemReader(child.dataType)
     override def nullSafeEval(v: Any): Any = {
       val a = v.asInstanceOf[ArrayData]
@@ -362,8 +376,6 @@ object TextHashExprs {
     }
     override protected def doGenCode(ctx: CodegenContext,
         ev: ExprCode): ExprCode = {
-      if (elemJava(child.dataType, "", "") == null)
-        return super[CodegenFallback].doGenCode(ctx, ev)
       nullSafeCodeGen(ctx, ev, a => {
         val n = ctx.freshName("n"); val i = ctx.freshName("i")
         val s = ctx.freshName("s"); val bad = ctx.freshName("bad")

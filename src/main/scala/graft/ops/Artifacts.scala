@@ -76,12 +76,27 @@ private[ops] object Artifacts {
     val target = spark.sparkContext.defaultParallelism
     val files = df.inputFiles
     if (files.length >= target) return df // enough files: no status calls
-    val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
     val hc = spark.sparkContext.hadoopConfiguration
-    val splits = files.map { f =>
+    val sizes = files.map { f =>
       val p = new org.apache.hadoop.fs.Path(f)
-      val len = scala.util.Try(p.getFileSystem(hc).getFileStatus(p).getLen).getOrElse(0L)
-      math.max(1L, (len + maxSplit - 1) / maxSplit)
+      f -> scala.util.Try(p.getFileSystem(hc).getFileStatus(p).getLen).getOrElse(0L)
+    }
+    // Spark's own split sizing (FilePartition.maxSplitBytes): the
+    // dynamic bytesPerCore term means mid-size inputs already scan as
+    // ~defaultParallelism partitions — estimating from
+    // maxPartitionBytes alone would re-shuffle exactly those (r03
+    // review). Codec-compressed text (.gz/.zip/.deflate) is NOT
+    // byte-range splittable: one partition per file no matter the size.
+    val conf = spark.sessionState.conf
+    val openCost = math.max(1L, conf.filesOpenCostInBytes)
+    val totalBytes = sizes.map(_._2 + openCost).sum
+    val bytesPerCore = totalBytes / math.max(1, target)
+    val maxSplit = math.max(1L, math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, bytesPerCore)))
+    val splits = sizes.map { case (f, len) =>
+      val splittable =
+        !f.endsWith(".gz") && !f.endsWith(".zip") && !f.endsWith(".deflate")
+      if (splittable) math.max(1L, (len + maxSplit - 1) / maxSplit) else 1L
     }.sum
     if (splits < target) df.repartition(target) else df
   }

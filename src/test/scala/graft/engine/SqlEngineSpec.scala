@@ -442,6 +442,14 @@ class SqlEngineSpec extends AnyFunSuite {
           |WINDOW w AS (ORDER BY x GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW)""".stripMargin)
     }
     assert(e.getMessage.contains("named WINDOW"))
+    // ...while a `groups` COLUMN inside a named window spec is fine
+    engine.setResultFormat(ResultFormat.Json)
+    try assert(engine.executeSql(
+      """SELECT max(x) OVER w AS m FROM VALUES (1, 1), (2, 1) t(x, groups)
+        |WINDOW w AS (PARTITION BY groups BETWEEN 0 AND 2 ORDER BY x)
+        |ORDER BY m""".stripMargin) ==
+      """[{"m":1},{"m":2}]""")
+    finally engine.setResultFormat(ResultFormat.Table)
   }
 
   test("GROUPS dense_rank key pins SQL-standard null ordering (nulls last for ASC)") {
