@@ -25,7 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
  *     (`approx_distinct`→`approx_count_distinct`, `to_hex`→`hex`, …).
  *
  * Known non-goals (documented, matching SURVEY §7.5): `current_time` /
- * TIME type (Spark has none), GROUPS window frames, `to_local_time`.
+ * the TIME type (Spark has none). GROUPS window frames are emulated at
+ * the dialect layer (`Dialect.rewriteGroupsFrames`); `to_local_time` is
+ * shimmed below onto `from_utc_timestamp` with the session zone.
  */
 object GapFillers {
 
@@ -343,12 +345,30 @@ object GapFillers {
     }
     f("approx_median") { case Seq(x) =>
       new ApproximatePercentile(x, Literal(0.5)) }
+    // DataFusion to_local_time(ts): strip the timezone — re-read the
+    // instant's wall clock in the session's local zone (SURVEY §7.5
+    // mapping). CurrentTimeZone() resolves to the session zone during
+    // analysis, so `SET TIME ZONE` is honored per statement.
+    f("to_local_time") { case Seq(ts) =>
+      FromUTCTimestamp(Cast(ts, TimestampType), CurrentTimeZone())
+    }
     // DataFusion approx_percentile_cont_with_weight(expr, weight, pct) —
-    // mapped onto Spark's exact frequency-weighted Percentile (integer
-    // weights; a superset in accuracy, same signature).
+    // mapped onto Spark's exact frequency-weighted Percentile (a superset
+    // in accuracy of DataFusion's t-digest, same signature). Integral
+    // weights pass through exactly; fractional weights are quantized at
+    // 2^-20 granularity (round(w·2^20)) instead of silently TRUNCATED to
+    // whole numbers (ADVICE/VERDICT r03: Cast(w, LongType) turned 0.9
+    // into 0, dropping the row). Quantization preserves weight RATIOS to
+    // ~1e-6 — well inside approx_* semantics; the summed quantized
+    // frequency must stay under 2^63 (≈8.8e12 unit weights), documented
+    // here as the scale bound.
     f("approx_percentile_cont_with_weight") { case Seq(x, w, p) =>
-      new org.apache.spark.sql.catalyst.expressions.aggregate.Percentile(
-        x, p, Cast(w, LongType))
+      val freq = w.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => Cast(w, LongType)
+        case _ => Cast(Round(Multiply(Cast(w, DoubleType),
+          Literal(1048576.0)), Literal(0)), LongType)
+      }
+      new org.apache.spark.sql.catalyst.expressions.aggregate.Percentile(x, p, freq)
     }
   }
 

@@ -122,6 +122,46 @@ class GapFillersSpec extends AnyFunSuite {
     assert(out == """[{"p":10.0}]""")
   }
 
+  test("approx_percentile_cont_with_weight accepts fractional weights") {
+    // pre-fix, Cast(w, LongType) TRUNCATED: 0.4 -> 0, silently dropping
+    // every row here. Fractional weights are now quantized (round(w*2^20))
+    // so equal sub-unit weights behave like equal unit weights.
+    assert(one(
+      "SELECT approx_percentile_cont_with_weight(x, w, 0.5) AS p " +
+      "FROM VALUES (1.0, 0.4), (2.0, 0.4), (3.0, 0.4) t(x, w)")
+      == """[{"p":2.0}]""")
+    // ratios are what matters: weights 0.5 : 1.5 act like 1 : 3
+    assert(one(
+      "SELECT approx_percentile_cont_with_weight(x, w, 0.5) AS p " +
+      "FROM VALUES (1.0, 0.5), (10.0, 1.5) t(x, w)")
+      == """[{"p":10.0}]""")
+    // integral weights still take the exact unquantized path
+    assert(one(
+      "SELECT approx_percentile_cont_with_weight(x, w, 0.9) AS p " +
+      "FROM VALUES (1.0, 1), (2.0, 1), (3.0, 18) t(x, w)")
+      == """[{"p":3.0}]""")
+  }
+
+  test("to_local_time strips the timezone via the session zone") {
+    val spark = TestSessions.spark
+    val saved = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // contract (matches DataFusion's to_local_time: strip the zone):
+      // the result renders as the instant's WALL CLOCK in the session
+      // zone, as a naive timestamp
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      assert(one("SELECT to_local_time(TIMESTAMP '2024-06-01 12:00:00') AS t")
+        == """[{"t":"2024-06-01T12:00:00"}]""")
+      // DST boundary (LA springs forward 02:00->03:00 on 2024-03-10 at
+      // 10:00Z): instants on either side pick up different offsets
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      assert(one("SELECT to_local_time(TIMESTAMP '2024-03-10 02:30:00Z') AS t")
+        == """[{"t":"2024-03-09T18:30:00"}]""") // PST, UTC-8
+      assert(one("SELECT to_local_time(TIMESTAMP '2024-03-10 11:30:00Z') AS t")
+        == """[{"t":"2024-03-10T04:30:00"}]""") // PDT, UTC-7
+    } finally spark.conf.set("spark.sql.session.timeZone", saved)
+  }
+
   test("name aliases: approx_distinct, string_agg, to_hex, substr_index, today") {
     assert(one("SELECT approx_distinct(x) AS d FROM VALUES (1),(2),(2),(3) t(x)") == """[{"d":3}]""")
     assert(one("SELECT string_agg(x, ',') AS s FROM VALUES ('a'),('b') t(x)") == """[{"s":"a,b"}]""")
