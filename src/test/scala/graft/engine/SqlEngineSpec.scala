@@ -392,6 +392,50 @@ class SqlEngineSpec extends AnyFunSuite {
     } finally engine.setResultFormat(ResultFormat.Table)
   }
 
+  test("GROUPS frames inside CTE bodies and after the WITH clause") {
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      // GROUPS inside the CTE body; the main statement is untouched
+      // (its SELECT * is legal — only GROUPS-bearing segments restructure)
+      assert(engine.executeSql(
+        """WITH w AS (
+          |  SELECT x, sum(x) OVER (ORDER BY x GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+          |  FROM VALUES (1), (1), (2), (3) t(x))
+          |SELECT * FROM w ORDER BY x""".stripMargin) ==
+        """[{"x":1,"s":2},{"x":1,"s":2},{"x":2,"s":4},{"x":3,"s":5}]""")
+      // GROUPS in the second of two CTEs AND in the main statement,
+      // consuming the first CTE through the derived-table wrap
+      assert(engine.executeSql(
+        """WITH base AS (SELECT x FROM VALUES (1), (1), (2) t(x)),
+          |peers AS (
+          |  SELECT x, count(*) OVER (ORDER BY x GROUPS CURRENT ROW) AS peers
+          |  FROM base)
+          |SELECT x, peers,
+          |  sum(x) OVER (ORDER BY x GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          |FROM peers ORDER BY x""".stripMargin) ==
+        """[{"x":1,"peers":2,"run":2},{"x":1,"peers":2,"run":2},{"x":2,"peers":1,"run":4}]""")
+      // a nested WITH inside a CTE body recurses
+      assert(engine.executeSql(
+        """WITH outer_cte AS (
+          |  WITH inner_cte AS (
+          |    SELECT x, sum(x) OVER (ORDER BY x GROUPS CURRENT ROW) AS s
+          |    FROM VALUES (4), (4) t(x))
+          |  SELECT * FROM inner_cte)
+          |SELECT * FROM outer_cte ORDER BY x""".stripMargin) ==
+        """[{"x":4,"s":8},{"x":4,"s":8}]""")
+      // unsupported shapes inside a CTE body still raise the documented
+      // error, not a Spark parse error
+      val err = intercept[UnsupportedOperationException] {
+        engine.executeSql(
+          """WITH w AS (
+            |  SELECT p, sum(x) OVER (ORDER BY p GROUPS CURRENT ROW) AS s
+            |  FROM VALUES ('a', 1) t(p, x) GROUP BY p)
+            |SELECT * FROM w""".stripMargin)
+      }
+      assert(err.getMessage.contains("GROUPS window frames"))
+    } finally engine.setResultFormat(ResultFormat.Table)
+  }
+
   test("GROUPS frames: alias-qualified refs resolve; SELECT * raises cleanly") {
     engine.setResultFormat(ResultFormat.Json)
     try {
