@@ -64,6 +64,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!read.contains("lang") && !read.contains("source")) // untouched fixture cols
   }
 
+  test("q41: exact percentiles plan sort-based selection, no buffered aggregate") {
+    // VERDICT r03 #1: Spark's Median/Percentile aggregates buffer every
+    // distinct value per group — linear state, an executor-OOM at 100×.
+    // q41 must plan the rank-selection form instead: no Percentile/Median
+    // aggregate anywhere, ties collapsed by a map-side partial_count.
+    val p = plan(graft.queries.Functions.q41)
+    assert(!p.toLowerCase.contains("percentile"), s"buffered percentile in plan:\n$p")
+    assert(!p.toLowerCase.contains("median"), s"buffered median in plan:\n$p")
+    assert(p.contains("partial_count"))
+  }
+
   test("q59: GROUPS emulation plans two window stages, no extra shuffle between them") {
     val df = graft.queries.EngineOps.q59.run(spark, TestSessions.sf001)
     val p = df.queryExecution.executedPlan.toString

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSessions
+import graft.tables.Tables
+
+class PercentilesSpec extends AnyFunSuite {
+  private lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  private lazy val li = Tables.load(spark, TestSessions.sf001, "lineitem")
+
+  test("sort-based selection matches Spark's buffered percentile exactly") {
+    // same interpolation formula -> bit-identical doubles, incl. ties
+    // (l_quantity has ~50 distinct values, heavy tie coverage); both the
+    // raw row_number mode and the tie-collapsing mode must agree
+    val ref = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"))
+      .orderBy("l_returnflag")
+      .as[(String, Double, Double, Double)].collect()
+    for (collapse <- Seq(false, true)) {
+      val ours = Percentiles.exact(li, Seq("l_returnflag"), Seq(
+          Percentiles.Spec("l_quantity", 0.5, "p50"),
+          Percentiles.Spec("l_quantity", 0.25, "p25"),
+          Percentiles.Spec("l_extendedprice", 0.9, "p90")),
+          collapseTies = collapse)
+        .orderBy("l_returnflag")
+        .as[(String, Double, Double, Double)].collect()
+      assert(ours.sameElements(ref), s"collapseTies=$collapse diverged")
+    }
+  }
+
+  test("edge percentiles, single-value groups, nulls, and the global form") {
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
+      ("b", Some(7.0))).toDF("g", "x")
+    val r = Percentiles.exact(df, Seq("g"), Seq(
+        Percentiles.Spec("x", 0.0, "p0"),
+        Percentiles.Spec("x", 0.5, "p50"),
+        Percentiles.Spec("x", 1.0, "p100")))
+      .orderBy("g").as[(String, Double, Double, Double)].collect()
+    // nulls excluded; p0/p100 are min/max; p50 of {1,3} interpolates to 2
+    assert(r.sameElements(Array(("a", 1.0, 2.0, 3.0), ("b", 7.0, 7.0, 7.0))))
+    val global = Percentiles.median(df, Seq.empty, "x", "m").as[Double].head()
+    assert(global == 3.0) // median of {1, 3, 7}
+    assert(Percentiles.exact(df, Seq.empty,
+      Seq(Percentiles.Spec("x", 0.5, "m"))).columns.toSeq == Seq("m"))
+  }
+
+  test("plan carries no buffered Percentile/Median aggregate") {
+    // the whole point (VERDICT r03 #1): exact percentiles with no
+    // per-group unbounded aggregation state anywhere in the plan
+    val plan = Percentiles.exact(li, Seq("l_returnflag"), Seq(
+        Percentiles.Spec("l_quantity", 0.5, "p50")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"), "buffered percentile in plan")
+    assert(!plan.toLowerCase.contains("median"), "buffered median in plan")
+    // the corpus-wide shuffle is keyed by (group, value) — spread over
+    // all reducers — and a map-side partial_count collapses ties first
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      "expected map-side partial aggregation in:\n" + plan)
+    assert(plan.contains("l_returnflag") && plan.contains("Window"))
+  }
+}
