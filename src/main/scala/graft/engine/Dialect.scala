@@ -375,10 +375,10 @@ object Dialect {
   private def unsupportedGroups(why: String): Nothing =
     throw new UnsupportedOperationException(
       s"GROUPS window frames: $why (supported shape: a single-SELECT query — " +
-      "standalone or as a CTE body / the statement after the WITH clause — " +
-      "without GROUP BY/HAVING/set operations, whose GROUPS windows share one " +
-      "PARTITION BY/ORDER BY; Spark has no native GROUPS mode — emulated via " +
-      "a dense_rank-keyed RANGE frame)")
+      "standalone, as a CTE body / the statement after the WITH clause, or as " +
+      "a set-operation branch — without GROUP BY/HAVING, whose GROUPS windows " +
+      "share one PARTITION BY/ORDER BY; Spark has no native GROUPS mode — " +
+      "emulated via a dense_rank-keyed RANGE frame)")
 
   private val FrameBound =
     """(?is)^BETWEEN\s+(UNBOUNDED\s+PRECEDING|\d+\s+PRECEDING|\d+\s+FOLLOWING|CURRENT\s+ROW)\s+AND\s+(UNBOUNDED\s+FOLLOWING|\d+\s+PRECEDING|\d+\s+FOLLOWING|CURRENT\s+ROW)$|^(UNBOUNDED\s+PRECEDING|\d+\s+PRECEDING|CURRENT\s+ROW)$""".r.pattern
@@ -424,6 +424,29 @@ object Dialect {
     // missing" #1: the reference accepts GROUPS inside CTEs).
     if (masked.stripLeading().toUpperCase(java.util.Locale.ROOT).startsWith("WITH"))
       return rewriteGroupsInWith(sql, masked)
+
+    // set operations: each branch is independently a complete statement
+    // for the machinery below — split at the top-level operators and
+    // recurse per branch (branches without a GROUPS frame pass through).
+    // A trailing ORDER BY/LIMIT stays outside the last branch's derived
+    // table, so it still applies to the whole set-op result.
+    val setOp =
+      """(?i)\b(?:UNION|INTERSECT|EXCEPT|MINUS)(?:\s+(?:ALL|DISTINCT))?\b""".r
+    val setOps = setOp.findAllMatchIn(masked).filter { m =>
+      val prefix = masked.substring(0, m.start)
+      prefix.count(_ == '(') == prefix.count(_ == ')')
+    }.toList
+    if (setOps.nonEmpty) {
+      val sb = new StringBuilder
+      var last = 0
+      setOps.foreach { m =>
+        sb ++= rewriteGroupsBranch(sql.substring(last, m.start))
+        sb ++= sql.substring(m.start, m.end)
+        last = m.end
+      }
+      sb ++= rewriteGroupsBranch(sql.substring(last))
+      return sb.toString
+    }
 
     // collect every OVER (...) spec containing a GROUPS frame
     val overRe = """(?i)\bOVER\s*\(""".r
@@ -484,10 +507,9 @@ object Dialect {
     // top-level statement shape: SELECT <list> FROM <rest> [ORDER BY/LIMIT tail]
     if (!masked.stripLeading().toUpperCase(java.util.Locale.ROOT).startsWith("SELECT"))
       unsupportedGroups("only SELECT statements (or CTE bodies) are supported, not DDL")
-    for (kw <- Seq("""(?i)\bGROUP\s+BY\b""".r, """(?i)\bHAVING\b""".r,
-        """(?i)\bUNION\b""".r, """(?i)\bINTERSECT\b""".r, """(?i)\bEXCEPT\b""".r))
+    for (kw <- Seq("""(?i)\bGROUP\s+BY\b""".r, """(?i)\bHAVING\b""".r))
       if (findTopLevel(masked, kw).isDefined)
-        unsupportedGroups("GROUP BY/HAVING/set operations at the top level are not supported")
+        unsupportedGroups("GROUP BY/HAVING at the top level is not supported")
     val fromM = findTopLevel(masked, """(?i)\bFROM\b""".r)
       .getOrElse(unsupportedGroups("the query must have a FROM clause"))
     if (specs.exists(_.overStart > fromM.start))
@@ -553,6 +575,25 @@ object Dialect {
     val dense = s"DENSE_RANK() OVER (${part}ORDER BY $order) AS __grp"
     s"SELECT ${selSb.toString} FROM (SELECT *, $dense " +
       s"${sql.substring(fromM.start, tailStart)}) $subAlias ${sql.substring(tailStart)}"
+  }
+
+  /** One set-operation branch: recurse into it, unwrapping one level of
+    * outer parentheses (`(SELECT ...)`) so parenthesized branches reach
+    * the single-SELECT machinery; surrounding whitespace is preserved. */
+  private def rewriteGroupsBranch(seg: String): String = {
+    val masked = maskSameLength(seg)
+    val start = masked.length - masked.stripLeading().length
+    if (start < masked.length && masked.charAt(start) == '(') {
+      val end = skipBalanced(masked, start + 1) // index AFTER ')'
+      if (end > 0 && masked.substring(end).isBlank)
+        return seg.substring(0, start + 1) +
+          rewriteGroupsFrames(seg.substring(start + 1, end - 1)) +
+          seg.substring(end - 1)
+    }
+    // keep the whitespace before the branch: the restructure re-emits the
+    // statement from its SELECT keyword, which would glue it to the
+    // preceding set operator
+    seg.substring(0, start) + rewriteGroupsFrames(seg.substring(start))
   }
 
   /** `WITH [RECURSIVE] name [(cols)] AS ( body ) [, ...] main`: rewrite

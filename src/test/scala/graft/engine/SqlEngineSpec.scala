@@ -436,6 +436,39 @@ class SqlEngineSpec extends AnyFunSuite {
     } finally engine.setResultFormat(ResultFormat.Table)
   }
 
+  test("GROUPS frames in set-operation branches") {
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      // GROUPS in both branches, independent window specs per branch;
+      // UNION ALL keeps both rows per input
+      assert(engine.executeSql(
+        """SELECT x, sum(x) OVER (ORDER BY x GROUPS CURRENT ROW) AS s
+          |FROM VALUES (1), (1) t(x)
+          |UNION ALL
+          |SELECT x, count(*) OVER (ORDER BY x DESC GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+          |FROM VALUES (7), (8) u(x)
+          |ORDER BY x""".stripMargin) ==
+        """[{"x":1,"s":2},{"x":1,"s":2},{"x":7,"s":2},{"x":8,"s":1}]""")
+      // parenthesized branch + GROUPS only on one side; the trailing
+      // ORDER BY applies to the whole set-op result
+      assert(engine.executeSql(
+        """(SELECT x, sum(x) OVER (ORDER BY x GROUPS CURRENT ROW) AS s
+          |FROM VALUES (2), (2) t(x))
+          |UNION
+          |SELECT 9 AS x, 9 AS s
+          |ORDER BY x""".stripMargin) ==
+        """[{"x":2,"s":4},{"x":9,"s":9}]""")
+      // a CTE whose main statement is a set op with GROUPS composes
+      assert(engine.executeSql(
+        """WITH base AS (SELECT x FROM VALUES (3), (3) t(x))
+          |SELECT x, sum(x) OVER (ORDER BY x GROUPS CURRENT ROW) AS s FROM base
+          |UNION ALL
+          |SELECT x, x AS s FROM base
+          |ORDER BY s""".stripMargin) ==
+        """[{"x":3,"s":3},{"x":3,"s":3},{"x":3,"s":6},{"x":3,"s":6}]""")
+    } finally engine.setResultFormat(ResultFormat.Table)
+  }
+
   test("GROUPS frames: alias-qualified refs resolve; SELECT * raises cleanly") {
     engine.setResultFormat(ResultFormat.Json)
     try {
