@@ -579,13 +579,19 @@ object Dialect {
 
   /** One set-operation branch: recurse into it, unwrapping one level of
     * outer parentheses (`(SELECT ...)`) so parenthesized branches reach
-    * the single-SELECT machinery; surrounding whitespace is preserved. */
+    * the single-SELECT machinery; surrounding whitespace is preserved.
+    * The LAST branch may carry the set-op-wide ORDER BY/LIMIT/OFFSET
+    * tail after its closing paren — the tail stays outside, untouched. */
   private def rewriteGroupsBranch(seg: String): String = {
     val masked = maskSameLength(seg)
     val start = masked.length - masked.stripLeading().length
     if (start < masked.length && masked.charAt(start) == '(') {
       val end = skipBalanced(masked, start + 1) // index AFTER ')'
-      if (end > 0 && masked.substring(end).isBlank)
+      val after = if (end > 0) masked.substring(end) else ""
+      val tailOnly =
+        """(?is)\s*(?:(?:ORDER\s+BY|LIMIT|OFFSET)\b.*)?""".r.pattern
+          .matcher(after).matches()
+      if (end > 0 && tailOnly)
         return seg.substring(0, start + 1) +
           rewriteGroupsFrames(seg.substring(start + 1, end - 1)) +
           seg.substring(end - 1)

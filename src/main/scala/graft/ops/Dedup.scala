@@ -95,6 +95,10 @@ object Dedup {
         // the caller drops the result; the ContextCleaner releases the
         // checkpointed RDDs (VERDICT r03 "what's wrong" #3: the persist
         // variant leaked two cache entries per public invocation).
+        // Durability trade: localCheckpoint truncates lineage, so losing
+        // an executor (or dynamic deallocation) after materialization
+        // fails the job instead of recomputing — on a long-lived cluster
+        // run, pass `checkpointDir` for the durable parquet-artifact path.
         val pre = shingled(docs).localCheckpoint(eager = false)
         val sig = signed(pre, numPerm).localCheckpoint(eager = false)
         lshVerify(pre, sig, numPerm, bands, minJaccard)
@@ -241,7 +245,9 @@ object Dedup {
   def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     // lazy localCheckpoint: one SimHash64 pass (barrier for the self-join)
     // with no executor-storage residue after the caller drops the result
-    // (VERDICT r03 "what's wrong" #3: the persist here was never released)
+    // (VERDICT r03 "what's wrong" #3: the persist here was never released).
+    // Same lineage-truncation durability trade as minhashLsh: an executor
+    // lost after materialization fails the job rather than recomputing.
     val sigs = simhashSignatures(docs).localCheckpoint(eager = false)
     val banded = sigs.select(
       col("doc_id"), col("simhash"),

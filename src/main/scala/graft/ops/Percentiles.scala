@@ -63,32 +63,44 @@ object Percentiles {
     val valueCols = specs.map(_.valueCol).distinct
     val colIdx = valueCols.zipWithIndex.toMap
 
-    // 1. melt: (group*, __pct_c, __pct_v), nulls dropped per column
+    // 1. melt: (group*, __pct_c, __pct_v). Null values are KEPT as rows
+    // (ranked after every non-null value, never picked, n counts only
+    // non-nulls) so a group whose values are entirely null still emits
+    // an output row with null percentiles — exactly what
+    // `percentile_cont ... GROUP BY` returns. The one divergence: the
+    // GLOBAL form over an empty input yields an empty frame, not one
+    // null row.
     val melted = grouped.select(g :+ posexplode(
         array(valueCols.map(v => col(v).cast("double")): _*))
       .as(Seq("__pct_c", "__pct_v")): _*)
-      .filter(col("__pct_v").isNotNull)
 
     val cKey = gCols ++ Seq("__pct_c")
-    val w = Window.partitionBy(cKey.map(col): _*).orderBy(col("__pct_v"))
+    val w = Window.partitionBy(cKey.map(col): _*).orderBy(col("__pct_v").asc_nulls_last)
 
     // 2. rank. Both modes emit (cKey, __pct_v, __pct_cnt, __pct_cum, __pct_n)
-    // where a value covers expanded-multiset ranks (cum-cnt, cum].
+    // where a non-null value covers expanded-multiset ranks (cum-cnt, cum]
+    // and __pct_n counts the group's non-null values. The totals join is
+    // unhinted: AQE broadcasts the count table while it is small and
+    // falls back to a shuffle join when the group key is high-cardinality
+    // — and since `ranked` is already hash-partitioned by cKey (the
+    // window) and sorted on a cKey prefix, that fallback adds no new
+    // exchange or sort on the big side.
     val ranked = if (collapseTies) {
       val counted = melted.groupBy((cKey :+ "__pct_v").map(col): _*)
         .agg(count(lit(1)).as("__pct_cnt"))
       val totals = counted.groupBy(cKey.map(col): _*)
-        .agg(sum("__pct_cnt").as("__pct_n"))
+        .agg(coalesce(sum(when(col("__pct_v").isNotNull, col("__pct_cnt"))), lit(0L))
+          .as("__pct_n"))
       counted
         .withColumn("__pct_cum", sum("__pct_cnt").over(w))
-        .join(broadcast(totals), cKey)
+        .join(totals, cKey)
     } else {
       val totals = melted.groupBy(cKey.map(col): _*)
-        .agg(count(lit(1)).as("__pct_n"))
+        .agg(count(col("__pct_v")).as("__pct_n")) // count(col) skips nulls
       melted
         .withColumn("__pct_cnt", lit(1L))
         .withColumn("__pct_cum", row_number().over(w).cast("long"))
-        .join(broadcast(totals), cKey)
+        .join(totals, cKey)
     }
 
     // 3. straddling-rank pick + interpolation, one aggregation for all specs

@@ -243,7 +243,10 @@ object Similarity {
     // ≈ 3k FLOPs/row) independently on BOTH sides (VERDICT r03 "what's
     // wrong" #2). The checkpoint is a materialization barrier — one
     // signature pass over the corpus — and the ContextCleaner releases
-    // the RDD once the result frame is dropped (x04's pattern).
+    // the RDD once the result frame is dropped (x04's pattern). Trade:
+    // lineage is truncated, so an executor lost after materialization
+    // fails the job instead of recomputing (persist externally or dump
+    // the banded frame to parquet on long-lived cluster runs).
     val banded = embeddings.select(
         col("vec_id"),
         posexplode(TextHashExprs.rhpBuckets(spark, col("embedding"), tables, bits))

@@ -62,7 +62,10 @@ class SqlEngineSpec extends AnyFunSuite {
     // exactly two Utf8 columns (name, value), one row per session
     // setting, name-sorted. Pin the emulation to that shape, with Spark
     // confs as the settings namespace (VERDICT r03 "what's missing" #3).
-    engine.executeSql("SELECT 1") // ensure the emulation views are materialized
+    // refresh happens on statements that MENTION information_schema
+    // (SqlEngine gates InfoSchema.refresh on that), so force one here —
+    // a bare SELECT 1 would leave this test dependent on suite order
+    engine.executeSql("SELECT count(*) AS n FROM information_schema.df_settings")
     val df = spark.sql("SELECT * FROM information_schema__df_settings")
     assert(df.schema.fields.map(f => (f.name, f.dataType.typeName)).toSeq
       == Seq(("name", "string"), ("value", "string")))
@@ -436,6 +439,22 @@ class SqlEngineSpec extends AnyFunSuite {
     } finally engine.setResultFormat(ResultFormat.Table)
   }
 
+  test("MEDIAN / PERCENTILE_CONT WITHIN GROUP still run on the Spark side") {
+    // q41 moved to the graft.ops.Percentiles scale plan (r04), which
+    // left the dialect's MEDIAN / WITHIN GROUP surface — what the
+    // reference's SQL users type — without oracle coverage; pin it here
+    // (r04 self-review).
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      assert(engine.executeSql(
+        """SELECT g, MEDIAN(x) AS med,
+          |  PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY x) AS q1
+          |FROM VALUES ('a', 1), ('a', 2), ('a', 3), ('a', 10), ('b', 5) t(g, x)
+          |GROUP BY g ORDER BY g""".stripMargin) ==
+        """[{"g":"a","med":2.5,"q1":1.75},{"g":"b","med":5.0,"q1":5.0}]""")
+    } finally engine.setResultFormat(ResultFormat.Table)
+  }
+
   test("GROUPS frames in set-operation branches") {
     engine.setResultFormat(ResultFormat.Json)
     try {
@@ -466,6 +485,15 @@ class SqlEngineSpec extends AnyFunSuite {
           |SELECT x, x AS s FROM base
           |ORDER BY s""".stripMargin) ==
         """[{"x":3,"s":3},{"x":3,"s":3},{"x":3,"s":6},{"x":3,"s":6}]""")
+      // parenthesized LAST branch with the set-op-wide ORDER BY after
+      // its closing paren (r04 self-review): the tail stays outside
+      assert(engine.executeSql(
+        """SELECT 9 AS x, 9 AS s
+          |UNION
+          |(SELECT x, sum(x) OVER (ORDER BY x GROUPS CURRENT ROW) AS s
+          |FROM VALUES (2), (2) t(x))
+          |ORDER BY x LIMIT 2""".stripMargin) ==
+        """[{"x":2,"s":4},{"x":9,"s":9}]""")
     } finally engine.setResultFormat(ResultFormat.Table)
   }
 

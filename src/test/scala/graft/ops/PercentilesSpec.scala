@@ -36,14 +36,22 @@ class PercentilesSpec extends AnyFunSuite {
 
   test("edge percentiles, single-value groups, nulls, and the global form") {
     val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
-      ("b", Some(7.0))).toDF("g", "x")
-    val r = Percentiles.exact(df, Seq("g"), Seq(
-        Percentiles.Spec("x", 0.0, "p0"),
-        Percentiles.Spec("x", 0.5, "p50"),
-        Percentiles.Spec("x", 1.0, "p100")))
-      .orderBy("g").as[(String, Double, Double, Double)].collect()
-    // nulls excluded; p0/p100 are min/max; p50 of {1,3} interpolates to 2
-    assert(r.sameElements(Array(("a", 1.0, 2.0, 3.0), ("b", 7.0, 7.0, 7.0))))
+      ("b", Some(7.0)), ("c", None)).toDF("g", "x")
+    for (collapse <- Seq(false, true)) {
+      val r = Percentiles.exact(df, Seq("g"), Seq(
+          Percentiles.Spec("x", 0.0, "p0"),
+          Percentiles.Spec("x", 0.5, "p50"),
+          Percentiles.Spec("x", 1.0, "p100")), collapseTies = collapse)
+        .orderBy("g")
+        .as[(String, Option[Double], Option[Double], Option[Double])].collect()
+      // nulls excluded from ranks; p0/p100 are min/max; p50 of {1,3}
+      // interpolates to 2; an ALL-null group still emits its row with
+      // null percentiles, like percentile_cont GROUP BY (r04 self-review)
+      assert(r.sameElements(Array(
+        ("a", Some(1.0), Some(2.0), Some(3.0)),
+        ("b", Some(7.0), Some(7.0), Some(7.0)),
+        ("c", None, None, None))), s"collapseTies=$collapse: ${r.mkString}")
+    }
     val global = Percentiles.median(df, Seq.empty, "x", "m").as[Double].head()
     assert(global == 3.0) // median of {1, 3, 7}
     assert(Percentiles.exact(df, Seq.empty,
