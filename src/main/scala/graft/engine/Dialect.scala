@@ -472,28 +472,45 @@ object Dialect {
         }
       }
     }.toList
-    // A GROUPS frame inside a named WINDOW clause is out of this
-    // rewrite's reach whether or not inline OVER specs also rewrote —
-    // keep the documented clean error rather than a raw parse error.
-    // Only an ACTUAL frame triggers it: a top-level GROUPS token whose
-    // trailing text parses as frame bounds; a column named `groups` in
-    // a window-spec expression (PARTITION BY groups BETWEEN 1 AND 2)
-    // passes through (r03 review, both directions).
-    locally {
-      val windowClause = """(?i)\bWINDOW\s+\w+\s+AS\s*\(""".r
-      val inNamedWindow = windowClause.findAllMatchIn(masked).exists { w =>
-        val end = skipBalanced(masked, w.end)
-        end > 0 && {
-          val specMasked = masked.substring(w.end, end - 1)
-          findTopLevel(specMasked, groupsKw).exists { g =>
-            FrameBound.matcher(
-              specMasked.substring(g.end).trim.replaceAll("\\s+", " ")).matches()
-          }
+    // A top-level named WINDOW clause: inline every definition into its
+    // `OVER name` references and recurse (r04; r03 raised a documented
+    // error). Inlining is needed whenever this statement restructures —
+    // (a) a GROUPS frame inside the clause is out of the inline
+    // machinery's reach, and (b) even an unrelated named window would be
+    // buried inside the derived table below while its OVER references
+    // stay outside, breaking resolution. Statements that do NOT
+    // restructure (no GROUPS frame anywhere) pass through untouched for
+    // Spark's native named-window handling.
+    parseNamedWindows(sql, masked).foreach { case (cs, ce, defs) =>
+      val defHasGroups = defs.exists { case (_, _, sm) =>
+        findTopLevel(sm, groupsKw).exists { g =>
+          FrameBound.matcher(
+            sm.substring(g.end).trim.replaceAll("\\s+", " ")).matches()
         }
       }
-      if (inNamedWindow)
-        unsupportedGroups("GROUPS frames inside a named WINDOW clause are not " +
-          "supported — inline the frame in the OVER(...) spec")
+      if (specs.nonEmpty || defHasGroups) {
+        if (defs.exists { case (_, raw, _) =>
+          val head = raw.trim.takeWhile(c => c.isLetterOrDigit || c == '_')
+            .toLowerCase(java.util.Locale.ROOT)
+          defs.exists(_._1 == head)
+        }) unsupportedGroups(
+          "named windows that reference other named windows are not supported")
+        val without = sql.substring(0, cs) + sql.substring(ce)
+        val m2 = maskSameLength(without)
+        val overRef = """(?i)\bOVER\s+([A-Za-z_]\w*)""".r
+        val sb = new StringBuilder
+        var last = 0
+        overRef.findAllMatchIn(m2).foreach { om =>
+          val nm = om.group(1).toLowerCase(java.util.Locale.ROOT)
+          defs.find(_._1 == nm).foreach { case (_, rawSpec, _) =>
+            sb ++= without.substring(last, om.start)
+            sb ++= s"OVER ($rawSpec)"
+            last = om.end
+          }
+        }
+        sb ++= without.substring(last)
+        return rewriteGroupsFrames(sb.toString)
+      }
     }
     // GROUPS-shaped text outside any OVER spec is not a window frame
     // (e.g. a column named `groups` in a BETWEEN predicate) — leave the
@@ -601,6 +618,49 @@ object Dialect {
     // preceding set operator
     seg.substring(0, start) + rewriteGroupsFrames(seg.substring(start))
   }
+
+  /** Parse a top-level `WINDOW name AS ( spec ) [, name2 AS ( spec2 )]*`
+    * clause. Returns (clauseStart, clauseEnd, defs) where each def is
+    * (lowercased name, raw spec, masked spec); None when no top-level
+    * WINDOW keyword parses as a clause (e.g. an alias named `window`). */
+  private def parseNamedWindows(sql: String, masked: String)
+      : Option[(Int, Int, List[(String, String, String)])] =
+    findTopLevel(masked, """(?i)\bWINDOW\s+""".r).flatMap { wm =>
+      var defs = List.empty[(String, String, String)]
+      var pos = wm.end
+      var endOfClause = -1
+      var done = false
+      while (!done) {
+        var i = pos
+        while (i < masked.length && masked.charAt(i).isWhitespace) i += 1
+        val idStart = i
+        while (i < masked.length &&
+          (masked.charAt(i).isLetterOrDigit || masked.charAt(i) == '_')) i += 1
+        var j = i
+        while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
+        val hasAs = i > idStart && masked.regionMatches(true, j, "AS", 0, 2) &&
+          (j + 2 >= masked.length || !masked.charAt(j + 2).isLetterOrDigit)
+        if (!hasAs) done = true
+        else {
+          j += 2
+          while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
+          val close = if (j < masked.length && masked.charAt(j) == '(')
+            skipBalanced(masked, j + 1) else -1 // index AFTER ')'
+          if (close <= 0) done = true
+          else {
+            defs ::= ((sql.substring(idStart, i).toLowerCase(java.util.Locale.ROOT),
+              sql.substring(j + 1, close - 1), masked.substring(j + 1, close - 1)))
+            endOfClause = close
+            var k = close
+            while (k < masked.length && masked.charAt(k).isWhitespace) k += 1
+            if (k < masked.length && masked.charAt(k) == ',') pos = k + 1
+            else done = true
+          }
+        }
+      }
+      if (defs.isEmpty || endOfClause < 0) None
+      else Some((wm.start, endOfClause, defs.reverse))
+    }
 
   /** `WITH [RECURSIVE] name [(cols)] AS ( body ) [, ...] main`: rewrite
     * each CTE body and the trailing main statement through

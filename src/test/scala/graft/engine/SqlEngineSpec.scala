@@ -571,15 +571,7 @@ class SqlEngineSpec extends AnyFunSuite {
       "SELECT groups FROM VALUES (1), (5) t(groups) WHERE groups BETWEEN 0 AND 2") ==
       """[{"groups":1}]""")
     finally engine.setResultFormat(ResultFormat.Table)
-    // but a GROUPS frame hidden in a named WINDOW clause keeps the
-    // documented clean error (the rewrite only reaches OVER(...) specs)
-    val e = intercept[UnsupportedOperationException] {
-      engine.executeSql(
-        """SELECT sum(x) OVER w FROM VALUES (1) t(x)
-          |WINDOW w AS (ORDER BY x GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW)""".stripMargin)
-    }
-    assert(e.getMessage.contains("named WINDOW"))
-    // ...while a `groups` COLUMN inside a named window spec is fine
+    // a `groups` COLUMN inside a named window spec is fine
     engine.setResultFormat(ResultFormat.Json)
     try assert(engine.executeSql(
       """SELECT max(x) OVER w AS m FROM VALUES (1, 1), (2, 1) t(x, groups)
@@ -587,6 +579,37 @@ class SqlEngineSpec extends AnyFunSuite {
         |ORDER BY m""".stripMargin) ==
       """[{"m":1},{"m":2}]""")
     finally engine.setResultFormat(ResultFormat.Table)
+  }
+
+  test("GROUPS frames inside named WINDOW clauses inline and rewrite") {
+    // r04: named windows are inlined into their OVER references before
+    // the restructure (r03 raised a documented error here)
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      assert(engine.executeSql(
+        """SELECT x, sum(x) OVER w AS s, count(*) OVER w AS c
+          |FROM VALUES (1), (1), (2) t(x)
+          |WINDOW w AS (ORDER BY x GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW)
+          |ORDER BY x""".stripMargin) ==
+        """[{"x":1,"s":2,"c":2},{"x":1,"s":2,"c":2},{"x":2,"s":4,"c":3}]""")
+      // an UNRELATED named window in a statement that restructures for an
+      // inline GROUPS frame must inline too — the derived-table wrap
+      // would otherwise bury the WINDOW clause away from its OVER ref
+      assert(engine.executeSql(
+        """SELECT x, sum(x) OVER (ORDER BY x GROUPS CURRENT ROW) AS s, max(x) OVER w AS m
+          |FROM VALUES (1), (2) t(x)
+          |WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |ORDER BY x""".stripMargin) ==
+        """[{"x":1,"s":1,"m":1},{"x":2,"s":2,"m":2}]""")
+      // window-referencing-window stays a documented error
+      val e = intercept[UnsupportedOperationException] {
+        engine.executeSql(
+          """SELECT sum(x) OVER w2 FROM VALUES (1) t(x)
+            |WINDOW w AS (ORDER BY x),
+            |       w2 AS (w GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW)""".stripMargin)
+      }
+      assert(e.getMessage.contains("named windows"))
+    } finally engine.setResultFormat(ResultFormat.Table)
   }
 
   test("GROUPS dense_rank key pins SQL-standard null ordering (nulls last for ASC)") {
