@@ -286,17 +286,30 @@ class OpsSpec extends AnyFunSuite {
     assert(r.filter(col("n_bytes") <= 0).count() == 0)
   }
 
+  /** Snapshot the pinned RDD ids as a DETACHED Set[Int]. The obvious
+    * `getPersistentRDDs.keySet.toSet` is a trap: `.toSet` on an
+    * immutable set is identity, so it returns the live ImmutableKeySet
+    * VIEW whose $outer strongly holds the whole id→RDD snapshot map —
+    * and then the polling loop's own `left` variable pins the very RDDs
+    * it is waiting to see collected (confirmed by heap dump:
+    * ROOT_JAVA_FRAME → ImmutableKeySet → Map4 → MapPartitionsRDD).
+    * `--` only breaks the view when it removes a PRESENT element, which
+    * made the old test pass or fail based on whether unrelated stale
+    * pins existed at entry. Building from the iterator always copies. */
+  @noinline
+  private def pinnedIds(): Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keysIterator.toSet
+
   /** GC-drain executor storage: checkpointed RDDs are released by the
     * ContextCleaner once unreachable on the driver; the cleaner is woken
     * by driver GCs. Returns the ids still pinned after the deadline. */
   private def drainStorage(baseline: Set[Int], timeoutMs: Long = 30000L): Set[Int] = {
-    val sc = spark.sparkContext
     val deadline = System.currentTimeMillis() + timeoutMs
-    var left = sc.getPersistentRDDs.keySet.toSet -- baseline
+    var left = pinnedIds() -- baseline
     while (left.nonEmpty && System.currentTimeMillis() < deadline) {
       System.gc()
       Thread.sleep(200)
-      left = sc.getPersistentRDDs.keySet.toSet -- baseline
+      left = pinnedIds() -- baseline
     }
     left
   }
