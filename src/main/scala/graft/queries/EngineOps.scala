@@ -272,5 +272,80 @@ object EngineOps {
     engine(spark, dir).executeStatement(groupsCteSql)
   }
 
-  def defs: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q61, q62, q63)
+  // ---------------------------------------------------------------- q64
+  // GROUPS frames inside a named WINDOW clause (r04: definitions are
+  // inlined into their OVER references before the restructure; r03
+  // raised a documented error). Oracle: q63's per-peer-group derivation
+  // with the 1 PRECEDING..1 FOLLOWING frame.
+  private val groupsNamedWindowSql =
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS grp_sum,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS peer_cnt
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
+      |  GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin
+  val q64 = Q.df(
+    "q64_groups_named_window",
+    """WITH g AS (SELECT o_orderkey, o_orderpriority,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS tp,
+      |    DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate) AS dr
+      |  FROM orders),
+      |s AS (SELECT o_orderpriority, dr, SUM(tp) AS gsum, COUNT(*) AS gcnt
+      |  FROM g GROUP BY o_orderpriority, dr),
+      |c AS (SELECT o_orderpriority, dr,
+      |    SUM(gsum) OVER (PARTITION BY o_orderpriority ORDER BY dr
+      |      RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS w_sum,
+      |    SUM(gcnt) OVER (PARTITION BY o_orderpriority ORDER BY dr
+      |      RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS w_cnt
+      |  FROM s)
+      |SELECT CAST(g.o_orderkey AS BIGINT) AS o_orderkey,
+      |  CAST(c.w_sum AS DOUBLE) AS grp_sum, CAST(c.w_cnt AS BIGINT) AS peer_cnt
+      |FROM g JOIN c ON g.o_orderpriority = c.o_orderpriority AND g.dr = c.dr
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    engine(spark, dir).executeStatement(groupsNamedWindowSql)
+  }
+
+  // ---------------------------------------------------------------- q65
+  // GROUPS frames over a grouped query (r04: dense_rank computes inside
+  // the aggregate, GROUPS windows become RANGE-over-__grp outside; r03
+  // raised a documented error). The window orders by YEAR so peer
+  // groups span many aggregated rows — true GROUPS, not ROWS. MAX keeps
+  // the double column order-insensitive; the running count is exact
+  // BIGINT arithmetic.
+  private val groupsGroupBySql =
+    """SELECT o_orderpriority, o_orderdate, COUNT(*) AS day_cnt,
+      |  SUM(COUNT(*)) OVER (PARTITION BY o_orderpriority ORDER BY YEAR(o_orderdate)
+      |    GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS roll_cnt,
+      |  MAX(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)) OVER (
+      |    PARTITION BY o_orderpriority ORDER BY YEAR(o_orderdate)
+      |    GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS max_day_sum
+      |FROM orders
+      |GROUP BY o_orderpriority, o_orderdate
+      |ORDER BY o_orderpriority, o_orderdate""".stripMargin
+  val q65 = Q.df(
+    "q65_groups_group_by",
+    """WITH d AS (
+      |  SELECT o_orderpriority, o_orderdate, COUNT(*) AS day_cnt,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_sum,
+      |    YEAR(o_orderdate) AS yr
+      |  FROM orders GROUP BY o_orderpriority, o_orderdate),
+      |g AS (SELECT *, DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY yr) AS dr
+      |  FROM d),
+      |s AS (SELECT o_orderpriority, dr, SUM(day_cnt) AS ycnt, MAX(day_sum) AS ymax
+      |  FROM g GROUP BY o_orderpriority, dr),
+      |c AS (SELECT o_orderpriority, dr,
+      |    SUM(ycnt) OVER (PARTITION BY o_orderpriority ORDER BY dr
+      |      RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS w_cnt,
+      |    MAX(ymax) OVER (PARTITION BY o_orderpriority ORDER BY dr
+      |      RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS w_max
+      |  FROM s)
+      |SELECT g.o_orderpriority, g.o_orderdate, CAST(g.day_cnt AS BIGINT) AS day_cnt,
+      |  CAST(c.w_cnt AS BIGINT) AS roll_cnt, c.w_max AS max_day_sum
+      |FROM g JOIN c ON g.o_orderpriority = c.o_orderpriority AND g.dr = c.dr
+      |ORDER BY g.o_orderpriority, g.o_orderdate""".stripMargin) { (spark, dir) =>
+    engine(spark, dir).executeStatement(groupsGroupBySql)
+  }
+
+  def defs: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q61, q62, q63, q64, q65)
 }

@@ -431,7 +431,7 @@ class SqlEngineSpec extends AnyFunSuite {
       val err = intercept[UnsupportedOperationException] {
         engine.executeSql(
           """WITH w AS (
-            |  SELECT p, sum(x) OVER (ORDER BY p GROUPS CURRENT ROW) AS s
+            |  SELECT p || 'x', sum(sum(x)) OVER (ORDER BY p GROUPS CURRENT ROW) AS s
             |  FROM VALUES ('a', 1) t(p, x) GROUP BY p)
             |SELECT * FROM w""".stripMargin)
       }
@@ -609,6 +609,44 @@ class SqlEngineSpec extends AnyFunSuite {
             |       w2 AS (w GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW)""".stripMargin)
       }
       assert(e.getMessage.contains("named windows"))
+    } finally engine.setResultFormat(ResultFormat.Table)
+  }
+
+  test("GROUPS frames with GROUP BY restructure through the aggregate") {
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      // peer groups form on the POST-AGGREGATE ordering key: sums 10,10,5
+      // put o=1,2 in one peer group, so GROUPS 1 PRECEDING sums both + 5
+      assert(engine.executeSql(
+        """SELECT o, sum(x) AS s,
+          |  sum(sum(x)) OVER (ORDER BY sum(x) GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS gs,
+          |  count(*) OVER (ORDER BY sum(x) GROUPS CURRENT ROW) AS peers
+          |FROM VALUES (1, 10), (2, 10), (3, 5) t(o, x)
+          |GROUP BY o ORDER BY o""".stripMargin) ==
+        """[{"o":1,"s":10,"gs":25,"peers":2},{"o":2,"s":10,"gs":25,"peers":2},{"o":3,"s":5,"gs":5,"peers":1}]""")
+      // PARTITION BY a group key + HAVING filter, window args aliased into
+      // the inner aggregate; lag's literal offset must stay a literal
+      assert(engine.executeSql(
+        """SELECT p, o, sum(x) AS s,
+          |  lag(sum(x), 1) OVER (PARTITION BY p ORDER BY o GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS prev_s
+          |FROM VALUES (1, 1, 10), (1, 2, 20), (2, 4, 5), (2, 5, 7), (1, 3, 1) t(p, o, x)
+          |GROUP BY p, o HAVING sum(x) > 1 ORDER BY p, o""".stripMargin) ==
+        """[{"p":1,"o":1,"s":10},{"p":1,"o":2,"s":20,"prev_s":10},""" +
+        """{"p":2,"o":4,"s":5},{"p":2,"o":5,"s":7,"prev_s":5}]""")
+      // unaliased GROUPS window with GROUP BY keeps a clean documented error
+      val e = intercept[UnsupportedOperationException] {
+        engine.executeSql(
+          """SELECT o, sum(sum(x)) OVER (ORDER BY o GROUPS CURRENT ROW)
+            |FROM VALUES (1, 1) t(o, x) GROUP BY o""".stripMargin)
+      }
+      assert(e.getMessage.contains("alias"))
+      // and so does an unaliased non-trivial item
+      val e2 = intercept[UnsupportedOperationException] {
+        engine.executeSql(
+          """SELECT o + 1, sum(sum(x)) OVER (ORDER BY o GROUPS CURRENT ROW) AS gs
+            |FROM VALUES (1, 1) t(o, x) GROUP BY o""".stripMargin)
+      }
+      assert(e2.getMessage.contains("AS alias"))
     } finally engine.setResultFormat(ResultFormat.Table)
   }
 
