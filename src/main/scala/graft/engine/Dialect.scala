@@ -600,26 +600,11 @@ object Dialect {
         .exists(kw => findTopLevel(masked, kw, from = fromM.end).isDefined))
       return rewriteGroupsOverAggregate(sql, masked, specs, selStart,
         fromM.start, tailStart)
-    // a top-level star would now also expand the internal __grp column —
-    // wrong schema with no error (r03 review); reject cleanly. A star is
-    // an expansion (not multiplication) when it starts a select item or
-    // follows a qualifier dot.
-    locally {
-      val sel = masked.substring(selStart, fromM.start)
-      var d = 0
-      var lastNonWs = ','
-      sel.foreach { c =>
-        if (!c.isWhitespace) {
-          if (c == '*' && d == 0 && (lastNonWs == ',' || lastNonWs == '.'))
-            unsupportedGroups("SELECT * is not supported with GROUPS frames " +
-              "(the emulation adds an internal column the star would expose); " +
-              "list the columns explicitly")
-          if (c == '(') d += 1
-          if (c == ')') d -= 1
-          lastNonWs = c
-        }
-      }
-    }
+    // a top-level star would also expand the internal __grp column —
+    // rewrite it to `* EXCEPT (__grp)` (Spark 4 star-EXCEPT) so the
+    // user-visible schema is preserved (r04; r03 rejected). A star is an
+    // expansion (not multiplication) when it starts a select item or
+    // follows a qualifier dot; stars inside calls (count(*)) stay.
     // single-relation FROM: name the derived table with the relation's
     // alias (or bare table name) so qualified select-list / PARTITION BY
     // references keep resolving (r03 review); the inner copy keeps its
@@ -653,9 +638,30 @@ object Dialect {
       pos = s.overEnd
     }
     selSb ++= sql.substring(pos, fromM.start)
+    val outSel = {
+      val txt = selSb.toString
+      val mk = maskSameLength(txt)
+      val sb = new StringBuilder
+      var d = 0
+      var lastNonWs = ','
+      var i = 0
+      while (i < txt.length) {
+        val c = mk.charAt(i)
+        sb += txt.charAt(i)
+        if (!c.isWhitespace) {
+          if (c == '*' && d == 0 && (lastNonWs == ',' || lastNonWs == '.'))
+            sb ++= " EXCEPT (__grp)"
+          if (c == '(') d += 1
+          if (c == ')') d -= 1
+          lastNonWs = c
+        }
+        i += 1
+      }
+      sb.toString
+    }
     val part = if (partition.nonEmpty) s"PARTITION BY $partition " else ""
     val dense = s"DENSE_RANK() OVER (${part}ORDER BY $order) AS __grp"
-    s"SELECT ${selSb.toString} FROM (SELECT *, $dense " +
+    s"SELECT $outSel FROM (SELECT *, $dense " +
       s"${sql.substring(fromM.start, tailStart)}) $subAlias ${sql.substring(tailStart)}"
   }
 

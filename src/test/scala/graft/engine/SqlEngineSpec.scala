@@ -497,7 +497,7 @@ class SqlEngineSpec extends AnyFunSuite {
     } finally engine.setResultFormat(ResultFormat.Table)
   }
 
-  test("GROUPS frames: alias-qualified refs resolve; SELECT * raises cleanly") {
+  test("GROUPS frames: alias-qualified refs resolve; SELECT * hides __grp") {
     engine.setResultFormat(ResultFormat.Json)
     try {
       // the derived table inherits the original FROM alias
@@ -505,13 +505,20 @@ class SqlEngineSpec extends AnyFunSuite {
         """SELECT t.x, sum(t.x) OVER (ORDER BY t.x GROUPS CURRENT ROW) AS s
           |FROM VALUES (1), (1) t(x) ORDER BY t.x""".stripMargin) ==
         """[{"x":1,"s":2},{"x":1,"s":2}]""")
+      // SELECT * rewrites to `* EXCEPT (__grp)` — the internal dense_rank
+      // column stays hidden (r04; r03 raised a documented error here),
+      // and a count(*) star inside a call is untouched
+      assert(engine.executeSql(
+        """SELECT *, sum(x) OVER (ORDER BY x GROUPS CURRENT ROW) AS s,
+          |  count(*) OVER (ORDER BY x GROUPS CURRENT ROW) AS c
+          |FROM VALUES (1, 'a'), (1, 'b') t(x, y) ORDER BY y""".stripMargin) ==
+        """[{"x":1,"y":"a","s":2,"c":2},{"x":1,"y":"b","s":2,"c":2}]""")
+      // qualified star over the inherited alias hides __grp too
+      assert(engine.executeSql(
+        """SELECT t.*, sum(x) OVER (ORDER BY x GROUPS CURRENT ROW) AS s
+          |FROM VALUES (2) t(x)""".stripMargin) ==
+        """[{"x":2,"s":2}]""")
     } finally engine.setResultFormat(ResultFormat.Table)
-    // SELECT * would silently expose the internal __grp column
-    val e = intercept[UnsupportedOperationException] {
-      engine.executeSql(
-        "SELECT *, sum(x) OVER (ORDER BY x GROUPS CURRENT ROW) FROM VALUES (1) t(x)")
-    }
-    assert(e.getMessage.contains("SELECT *"))
   }
 
   test("aggregate first/last with FILTER clause and select-list generate_series guard") {
