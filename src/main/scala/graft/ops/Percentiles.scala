@@ -24,12 +24,17 @@ import org.apache.spark.sql.functions._
  *     `Percentile` and DuckDB's `percentile_cont` evaluate, so results
  *     are bit-identical to the buffered plan.
  *
- * Group sizes ride in via a broadcast of the tiny per-(group, column)
- * count table (one cheap partial-aggregated pass).
+ * Group sizes ride in via the tiny per-(group, column) count table
+ * (one cheap partial-aggregated pass; AQE broadcasts it while small).
  *
- * Scale shape: the sort distributes across the reducers that hold each
- * (group, column) partition and spills rather than buffers — the
- * irreducible cost of an EXACT percentile. With `collapseTies = true` a
+ * Scale shape: the default sort spills rather than buffers — memory is
+ * bounded for ANY group size — but parallelism is bounded by the number
+ * of (group, column) partitions. With `rangePartitioned = true` the sort
+ * instead range-repartitions on (group, column, value) into balanced
+ * slices across every reducer, ranks locally per slice, and lifts local
+ * ranks to global ones via the (slices × keys) prefix-sum offset table —
+ * one extra full shuffle, the right trade once single groups outgrow a
+ * reducer's sort throughput (few giant groups). With `collapseTies = true` a
  * corpus-wide `groupBy(group, column, value).count()` (spread over ALL
  * reducers, map-side combined) collapses duplicates first and the window
  * ranks weighted DISTINCT values — the right trade when measures are
@@ -53,7 +58,7 @@ object Percentiles {
     * (groupCols*, spec.outName*). Null values of a value column are
     * excluded from that column's ranks, like percentile_cont. */
   def exact(df: DataFrame, groupCols: Seq[String], specs: Seq[Spec],
-      collapseTies: Boolean = false): DataFrame = {
+      collapseTies: Boolean = false, rangePartitioned: Boolean = false): DataFrame = {
     require(specs.nonEmpty, "at least one percentile spec")
     // synthetic constant group for the global case keeps one code path
     val (grouped, gCols) =
@@ -94,7 +99,53 @@ object Percentiles {
       counted
         .withColumn("__pct_cum", sum("__pct_cnt").over(w))
         .join(totals, cKey)
+    } else if (rangePartitioned) {
+      // Range-partitioned global ranking: a window partitioned by cKey
+      // alone sorts each (group, column) on ONE reducer — with few
+      // groups that is a handful of giant single-task sorts (balanced
+      // memory via spill, but poor parallelism). Instead: (a) range-
+      // repartition on (cKey, value) so the sort spreads over ALL
+      // reducers with balanced slices; (b) rank locally per
+      // (slice, cKey); (c) lift local ranks to global ones by adding
+      // the per-(slice, cKey) row-count offsets — a tiny
+      // (slices × keys) table. Ties share a value, so any tie split
+      // across a slice boundary still interpolates identically. Nulls
+      // range last (asc_nulls_last both in the partitioner and the
+      // local sort) and are never picked. Costs one extra full shuffle
+      // (the local-rank window re-hashes by slice+key), so it loses to
+      // the default below until single groups outgrow one reducer's
+      // sort throughput — the few-giant-groups regime it exists for.
+      val slices = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+      val ranged = melted
+        .repartitionByRange(slices, (cKey.map(col) :+ col("__pct_v").asc_nulls_last): _*)
+        .withColumn("__pct_pid", spark_partition_id())
+      val pKey = Seq("__pct_pid") ++ cKey
+      val sliceCounts = ranged.groupBy(pKey.map(col): _*)
+        .agg(count(lit(1)).as("__pct_pc"), count(col("__pct_v")).as("__pct_pcn"))
+      val wOff = Window.partitionBy(cKey.map(col): _*).orderBy(col("__pct_pid"))
+      val offsets = sliceCounts
+        .withColumn("__pct_off", sum("__pct_pc").over(wOff) - col("__pct_pc"))
+      val totals = sliceCounts.groupBy(cKey.map(col): _*)
+        .agg(sum("__pct_pcn").as("__pct_n")) // non-null count
+      val wLocal = Window.partitionBy(pKey.map(col): _*)
+        .orderBy(col("__pct_v").asc_nulls_last)
+      // both joins are left unhinted: AQE broadcasts the offset/total
+      // tables while they are small and falls back to shuffle joins for
+      // high-cardinality group keys; the big side is already hash-
+      // partitioned by pKey from the local-rank window, so the offsets
+      // join adds no exchange on it either way
+      ranged
+        .withColumn("__pct_lr", row_number().over(wLocal).cast("long"))
+        .join(offsets.select((pKey :+ "__pct_off").map(col): _*), pKey)
+        .withColumn("__pct_cum", col("__pct_lr") + col("__pct_off"))
+        .withColumn("__pct_cnt", lit(1L))
+        .join(totals, cKey)
     } else {
+      // default: one window per (group, column) — a single shuffle, and
+      // Spark's SortExec spills rather than buffers, so memory stays
+      // bounded for any group size; parallelism is bounded by the
+      // number of (group, column) partitions (see rangePartitioned for
+      // the few-giant-groups alternative)
       val totals = melted.groupBy(cKey.map(col): _*)
         .agg(count(col("__pct_v")).as("__pct_n")) // count(col) skips nulls
       melted

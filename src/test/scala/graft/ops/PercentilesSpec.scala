@@ -22,26 +22,28 @@ class PercentilesSpec extends AnyFunSuite {
         expr("percentile(l_extendedprice, 0.9)").as("p90"))
       .orderBy("l_returnflag")
       .as[(String, Double, Double, Double)].collect()
-    for (collapse <- Seq(false, true)) {
+    for ((collapse, ranged) <- Seq((false, false), (true, false), (false, true))) {
       val ours = Percentiles.exact(li, Seq("l_returnflag"), Seq(
           Percentiles.Spec("l_quantity", 0.5, "p50"),
           Percentiles.Spec("l_quantity", 0.25, "p25"),
           Percentiles.Spec("l_extendedprice", 0.9, "p90")),
-          collapseTies = collapse)
+          collapseTies = collapse, rangePartitioned = ranged)
         .orderBy("l_returnflag")
         .as[(String, Double, Double, Double)].collect()
-      assert(ours.sameElements(ref), s"collapseTies=$collapse diverged")
+      assert(ours.sameElements(ref),
+        s"collapseTies=$collapse rangePartitioned=$ranged diverged")
     }
   }
 
   test("edge percentiles, single-value groups, nulls, and the global form") {
     val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
       ("b", Some(7.0)), ("c", None)).toDF("g", "x")
-    for (collapse <- Seq(false, true)) {
+    for ((collapse, ranged) <- Seq((false, false), (true, false), (false, true))) {
       val r = Percentiles.exact(df, Seq("g"), Seq(
           Percentiles.Spec("x", 0.0, "p0"),
           Percentiles.Spec("x", 0.5, "p50"),
-          Percentiles.Spec("x", 1.0, "p100")), collapseTies = collapse)
+          Percentiles.Spec("x", 1.0, "p100")),
+          collapseTies = collapse, rangePartitioned = ranged)
         .orderBy("g")
         .as[(String, Option[Double], Option[Double], Option[Double])].collect()
       // nulls excluded from ranks; p0/p100 are min/max; p50 of {1,3}
@@ -50,7 +52,8 @@ class PercentilesSpec extends AnyFunSuite {
       assert(r.sameElements(Array(
         ("a", Some(1.0), Some(2.0), Some(3.0)),
         ("b", Some(7.0), Some(7.0), Some(7.0)),
-        ("c", None, None, None))), s"collapseTies=$collapse: ${r.mkString}")
+        ("c", None, None, None))),
+        s"collapseTies=$collapse rangePartitioned=$ranged: ${r.mkString}")
     }
     val global = Percentiles.median(df, Seq.empty, "x", "m").as[Double].head()
     assert(global == 3.0) // median of {1, 3, 7}
