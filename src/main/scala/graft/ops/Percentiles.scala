@@ -24,8 +24,8 @@ import org.apache.spark.sql.functions._
  *     `Percentile` and DuckDB's `percentile_cont` evaluate, so results
  *     are bit-identical to the buffered plan.
  *
- * Group sizes ride in via the tiny per-(group, column) count table
- * (one cheap partial-aggregated pass; AQE broadcasts it while small).
+ * Group sizes ride in as an unbounded-frame window count over the same
+ * partitioning as the rank — no second scan of the input, no join.
  *
  * Scale shape: the default sort spills rather than buffers — memory is
  * bounded for ANY group size — but parallelism is bounded by the number
@@ -90,15 +90,18 @@ object Percentiles {
     // — and since `ranked` is already hash-partitioned by cKey (the
     // window) and sorted on a cKey prefix, that fallback adds no new
     // exchange or sort on the big side.
+    // the group's non-null size rides in as an unbounded-frame window
+    // count over the SAME partitioning as the rank window — computed in
+    // the already-shuffled, already-sorted partition, so no second scan
+    // of the input and no totals join (both existed in an earlier cut)
+    val wAll = Window.partitionBy(cKey.map(col): _*)
     val ranked = if (collapseTies) {
       val counted = melted.groupBy((cKey :+ "__pct_v").map(col): _*)
         .agg(count(lit(1)).as("__pct_cnt"))
-      val totals = counted.groupBy(cKey.map(col): _*)
-        .agg(coalesce(sum(when(col("__pct_v").isNotNull, col("__pct_cnt"))), lit(0L))
-          .as("__pct_n"))
       counted
         .withColumn("__pct_cum", sum("__pct_cnt").over(w))
-        .join(totals, cKey)
+        .withColumn("__pct_n", coalesce(
+          sum(when(col("__pct_v").isNotNull, col("__pct_cnt"))).over(wAll), lit(0L)))
     } else if (rangePartitioned) {
       // Range-partitioned global ranking: a window partitioned by cKey
       // alone sorts each (group, column) on ONE reducer — with few
@@ -146,12 +149,10 @@ object Percentiles {
       // bounded for any group size; parallelism is bounded by the
       // number of (group, column) partitions (see rangePartitioned for
       // the few-giant-groups alternative)
-      val totals = melted.groupBy(cKey.map(col): _*)
-        .agg(count(col("__pct_v")).as("__pct_n")) // count(col) skips nulls
       melted
         .withColumn("__pct_cnt", lit(1L))
         .withColumn("__pct_cum", row_number().over(w).cast("long"))
-        .join(totals, cKey)
+        .withColumn("__pct_n", count(col("__pct_v")).over(wAll)) // skips nulls
     }
 
     // 3. straddling-rank pick + interpolation, one aggregation for all specs

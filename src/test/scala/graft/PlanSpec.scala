@@ -68,11 +68,13 @@ class PlanSpec extends AnyFunSuite {
     // VERDICT r03 #1: Spark's Median/Percentile aggregates buffer every
     // distinct value per group — linear state, an executor-OOM at 100×.
     // q41 must plan the rank-selection form instead: no Percentile/Median
-    // aggregate anywhere, ties collapsed by a map-side partial_count.
+    // aggregate anywhere; ranks and group sizes come out of one windowed
+    // pass over one scan (no totals rescan/join).
     val p = plan(graft.queries.Functions.q41)
     assert(!p.toLowerCase.contains("percentile"), s"buffered percentile in plan:\n$p")
     assert(!p.toLowerCase.contains("median"), s"buffered median in plan:\n$p")
-    assert(p.contains("partial_count"))
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"expected one scan:\n$p")
+    assert(p.contains("Window"))
   }
 
   test("q59: GROUPS emulation plans two window stages, no extra shuffle between them") {

@@ -69,10 +69,12 @@ class PercentilesSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("percentile"), "buffered percentile in plan")
     assert(!plan.toLowerCase.contains("median"), "buffered median in plan")
-    // the corpus-wide shuffle is keyed by (group, value) — spread over
-    // all reducers — and a map-side partial_count collapses ties first
-    assert(plan.contains("partial_count") || plan.contains("partial count"),
-      "expected map-side partial aggregation in:\n" + plan)
+    // ranks AND group sizes come out of ONE windowed pass over ONE scan:
+    // no second scan of the input, no totals join (both existed in an
+    // earlier cut of this operator)
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      "expected exactly one input scan in:\n" + plan)
+    assert(!plan.contains("Join"), "expected no totals join in:\n" + plan)
     assert(plan.contains("l_returnflag") && plan.contains("Window"))
   }
 }
