@@ -605,6 +605,148 @@ object TextHashExprs {
       StructField("fingerprint", StringType, nullable = false)))
   }
 
+  /**
+   * One-pass repetition counters behind `TextAnalysis.repetition`
+   * (Gopher-style boilerplate signals: Rae et al. 2021 §A1.1 — duplicate
+   * lines, most-frequent word n-grams, duplicated 5-grams). Emits raw
+   * COUNTS; the op layer derives the published ratios with codegen'd
+   * column math, so rounding happens in exactly one place (same division
+   * of labor as TextMetrics, and the same one-eval `inline` barrier
+   * applies at the call site).
+   *
+   * Pinned semantics (the x17 DuckDB oracle states the same):
+   *  - a "line" is a maximal '\n'-free segment (split on '\n' only —
+   *    no trimming, '\r' is line content); empty segments are ignored;
+   *    line length counts CODE POINTS (DuckDB `length` parity);
+   *  - "words" are the `\w+` runs of the LOWERCASED text (the same
+   *    token stream as TextMetrics' n_toks — ASCII word chars,
+   *    Locale.ROOT);
+   *  - an n-gram is n consecutive words joined by ' '; a doc with fewer
+   *    than n words has zero n-grams;
+   *  - `dup_*` counts INSTANCES belonging to a value seen more than
+   *    once (so a line repeated 3× contributes 3·len chars).
+   *
+   * Per-row state only (three count maps + the token list) — streams at
+   * any corpus size, nothing survives the row.
+   */
+  case class RepetitionMetrics(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    import org.apache.spark.sql.catalyst.InternalRow
+
+    override def dataType: DataType = RepetitionMetricsSchema.schema
+
+    override def checkInputDataTypes() = child.dataType match {
+      case _: StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"repetition_metrics expects STRING, got ${other.catalogString}")
+    }
+
+    private def isWord(cp: Int): Boolean =
+      (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+      (cp >= '0' && cp <= '9') || cp == '_'
+
+    /** (max count, instances belonging to values seen more than once)
+      * over a count map. */
+    private def gramStats(counts: java.util.HashMap[String, Int]): (Int, Int) = {
+      var top = 0; var dup = 0
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next()
+        if (c > top) top = c
+        if (c > 1) dup += c
+      }
+      (top, dup)
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+
+      // lines: count map + code-point lengths in one scan
+      val lineCounts = new java.util.HashMap[String, Int]()
+      var nLines = 0
+      var start = 0
+      def flushLine(end: Int): Unit = if (end > start) {
+        val line = s.substring(start, end)
+        nLines += 1
+        lineCounts.merge(line, 1, Integer.sum)
+      }
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '\n') { flushLine(i); start = i + 1 }
+        i += 1
+      }
+      flushLine(s.length)
+      var lineChars = 0L; var dupLineChars = 0L; var topLine = 0
+      val lit = lineCounts.entrySet().iterator()
+      while (lit.hasNext) {
+        val e = lit.next()
+        val len = e.getKey.codePointCount(0, e.getKey.length).toLong
+        val c = e.getValue
+        lineChars += len * c
+        if (c > 1) dupLineChars += len * c
+        if (c > topLine) topLine = c
+      }
+
+      // words of the lowercased text (TextMetrics' n_toks stream)
+      val lower = s.toLowerCase(java.util.Locale.ROOT)
+      val words = new java.util.ArrayList[String]()
+      val tok = new java.lang.StringBuilder(32)
+      i = 0
+      while (i < lower.length) {
+        val cp = lower.codePointAt(i)
+        if (isWord(cp)) tok.appendCodePoint(cp)
+        else if (tok.length > 0) { words.add(tok.toString); tok.setLength(0) }
+        i += Character.charCount(cp)
+      }
+      if (tok.length > 0) words.add(tok.toString)
+
+      def ngramCounts(n: Int): java.util.HashMap[String, Int] = {
+        val m = new java.util.HashMap[String, Int]()
+        var j = 0
+        val last = words.size() - n
+        val sb = new java.lang.StringBuilder(64)
+        while (j <= last) {
+          sb.setLength(0)
+          var k = 0
+          while (k < n) {
+            if (k > 0) sb.append(' ')
+            sb.append(words.get(j + k))
+            k += 1
+          }
+          m.merge(sb.toString, 1, Integer.sum)
+          j += 1
+        }
+        m
+      }
+      val nw = words.size()
+      val (top2, _) = gramStats(ngramCounts(2))
+      val (top3, _) = gramStats(ngramCounts(3))
+      val (_, dup5) = gramStats(ngramCounts(5))
+
+      InternalRow(
+        nLines, lineChars, dupLineChars, topLine,
+        math.max(nw - 1, 0), top2,
+        math.max(nw - 2, 0), top3,
+        math.max(nw - 4, 0), dup5)
+    }
+    override def prettyName: String = "repetition_metrics"
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  object RepetitionMetricsSchema {
+    val schema: StructType = StructType(Seq(
+      StructField("n_lines", IntegerType, nullable = false),
+      StructField("line_chars", LongType, nullable = false),
+      StructField("dup_line_chars", LongType, nullable = false),
+      StructField("top_line_count", IntegerType, nullable = false),
+      StructField("n_bigrams", IntegerType, nullable = false),
+      StructField("top_bigram_count", IntegerType, nullable = false),
+      StructField("n_trigrams", IntegerType, nullable = false),
+      StructField("top_trigram_count", IntegerType, nullable = false),
+      StructField("n_fivegrams", IntegerType, nullable = false),
+      StructField("dup_fivegram_count", IntegerType, nullable = false)))
+  }
+
   // ---------------------------------------------------------- Column API
   // Session-registry-based construction (Column internals are private in
   // Spark 4; call_function resolves through the FunctionRegistry).
@@ -633,6 +775,8 @@ object TextHashExprs {
       { case Seq(x) => VecNorm(x) }, "built-in")
     reg.createOrReplaceTempFunction("text_metrics",
       { case Seq(x) => TextMetrics(x) }, "built-in")
+    reg.createOrReplaceTempFunction("repetition_metrics",
+      { case Seq(x) => RepetitionMetrics(x) }, "built-in")
   }
 
   def tokenTrigramHashes(spark: SparkSession, text: Column): Column = {
@@ -680,6 +824,11 @@ object TextHashExprs {
   def textMetrics(spark: SparkSession, text: Column): Column = {
     ensureRegistered(spark)
     call_function("text_metrics", text)
+  }
+
+  def repetitionMetrics(spark: SparkSession, text: Column): Column = {
+    ensureRegistered(spark)
+    call_function("repetition_metrics", text)
   }
 
   def nearestCentroids(spark: SparkSession, vec: Column,

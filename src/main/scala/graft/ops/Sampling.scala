@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic, hash-keyed sampling and dataset splitting for training
+ * pipelines (train/val/test assignment, per-source mixing rates).
+ *
+ * Membership is a pure function of (key, seed): bucket = the first 8 hex
+ * chars of `md5(key || ':' || seed)`, compared lexicographically against
+ * a fraction threshold (lowercase hex compares identically to the
+ * numeric value). Unlike `df.sample`/`sampleBy` — whose per-partition
+ * RNG draws change under repartitioning, task retries, or data appends —
+ * a hash bucket gives every row a stable assignment: re-running the
+ * pipeline on 100 TB, on a different cluster layout, or after an
+ * incremental append keeps every previously-assigned row in the same
+ * split. That stability is what makes held-out sets trustworthy.
+ *
+ * Scale: a per-row codegen'd projection/filter — no shuffle, no state,
+ * no skew sensitivity; composes with any downstream partitioning.
+ *
+ * Reference scope note: the reference engine (datafusion-wasm
+ * `src/core.rs:34-99`) exposes no sampling API — this family is part of
+ * the training-data-pipeline surface the build charter adds on top.
+ */
+object Sampling {
+
+  /** First 8 md5 hex chars of `key:seed` — a uniform 32-bit bucket in
+    * hex-string form (portable: any engine with md5 derives the same). */
+  def bucketHex(key: Column, seed: Int): Column =
+    substring(md5(concat(key.cast("string"), lit(":" + seed))), 1, 8)
+
+  /** Hex threshold t(f): bucketHex < t(f) selects a fraction f of keys
+    * (f of the 2^32 bucket space, exactly). Only meaningful for f in
+    * [0, 1); callers treat f >= 1 as always-true. */
+  def hexThreshold(f: Double): String = {
+    require(f >= 0.0 && f < 1.0, s"fraction must be in [0,1), got $f")
+    f"${(f * 4294967296.0).round}%08x"
+  }
+
+  /** Adds a `split` column assigning each row to one of `splits` (name →
+    * weight, weights summing to 1) by its key's hash bucket. The last
+    * split is the unconditioned remainder, so float dust in the
+    * cumulative sum can never leave a row unassigned. */
+  def deterministicSplit(df: DataFrame, key: Column,
+      splits: Seq[(String, Double)], seed: Int = 42): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.map(_._2).forall(_ > 0.0), "split weights must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val hex = bucketHex(key, seed)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val conds = splits.init.zip(cum.init).map { case ((name, _), c) =>
+      (lit(name), hex < lit(hexThreshold(c)))
+    }
+    val assigned = conds.tail.foldLeft(when(conds.head._2, conds.head._1)) {
+      case (acc, (name, cond)) => acc.when(cond, name)
+    }.otherwise(lit(splits.last._1))
+    df.withColumn("split", assigned)
+  }
+
+  /** Keeps a per-stratum fraction of rows (stratum → rate; strata absent
+    * from `rates` keep `defaultRate`). Rates >= 1 keep everything. */
+  def stratifiedSample(df: DataFrame, strata: Column, rates: Map[String, Double],
+      key: Column, seed: Int = 42, defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0),
+      "rates must be non-negative")
+    val hex = bucketHex(key, seed)
+    def keep(rate: Double): Column =
+      if (rate >= 1.0) lit(true) else hex < lit(hexThreshold(rate))
+    val sorted = rates.toSeq.sortBy(_._1) // deterministic plan text
+    val cond = sorted.foldRight(keep(defaultRate)) { case ((s, r), els) =>
+      when(strata === lit(s), keep(r)).otherwise(els)
+    }
+    df.filter(cond)
+  }
+}

@@ -78,4 +78,27 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     metrics(docs).select(col("doc_id"), col("fingerprint"), col("n_types"))
       .orderBy(col("doc_id"))
+
+  /** Repetition / boilerplate signals (Gopher-style filters, Rae et al.
+    * 2021 §A1.1): fraction of characters in duplicated lines, most-
+    * frequent word 2/3-gram coverage, fraction of 5-gram instances that
+    * are duplicates. One `RepetitionMetrics` eval per row through the
+    * same `inline` one-eval barrier as the other text ops; ratios are
+    * codegen'd column math. Per-row state only — no shuffle, streams at
+    * any corpus size; typical filter thresholds: dup_line_frac > 0.3,
+    * top_bigram_frac > 0.2, dup_fivegram_frac > 0.15. */
+  def repetition(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        inline(array(TextHashExprs.repetitionMetrics(docs.sparkSession, col("text")))))
+      .select(
+        col("doc_id"), col("n_lines"), col("top_line_count"),
+        round(col("dup_line_chars").cast("double") /
+          greatest(col("line_chars"), lit(1L)), 9).as("dup_line_frac"),
+        round(col("top_bigram_count").cast("double") /
+          greatest(col("n_bigrams"), lit(1)), 9).as("top_bigram_frac"),
+        round(col("top_trigram_count").cast("double") /
+          greatest(col("n_trigrams"), lit(1)), 9).as("top_trigram_frac"),
+        round(col("dup_fivegram_count").cast("double") /
+          greatest(col("n_fivegrams"), lit(1)), 9).as("dup_fivegram_frac"))
+      .orderBy(col("doc_id"))
 }

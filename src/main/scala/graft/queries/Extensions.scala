@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, Text}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis, Text}
 import graft.tables.Tables
 
 /**
@@ -205,6 +205,86 @@ object Extensions {
     TextAnalysis.fingerprint(Tables.load(spark, dir, "documents"))
   }
 
+  // ---------------------------------------------------------------- x17
+  // Repetition / boilerplate signals (Gopher-style). Full SQL oracle:
+  // lines and word n-grams are both DuckDB-expressible (string_split /
+  // regexp_extract_all + list comprehension), so every ratio is pinned
+  // exactly. Semantics doc on TextHashExprs.RepetitionMetrics.
+  val x17 = Q.df(
+    "x17_repetition",
+    """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+      |lc AS (SELECT doc_id, line, COUNT(*) AS c, length(line) AS len
+      |  FROM l WHERE length(line) > 0 GROUP BY doc_id, line),
+      |ls AS (SELECT doc_id, CAST(SUM(c) AS INT) AS n_lines, CAST(MAX(c) AS INT) AS top_line_count,
+      |    ROUND(CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c * len END), 0) AS DOUBLE)
+      |          / GREATEST(SUM(c * len), 1), 9) AS dup_line_frac
+      |  FROM lc GROUP BY doc_id),
+      |w AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents),
+      |g2 AS (SELECT doc_id, unnest([concat(ws[i], ' ', ws[i+1]) for i in generate_series(1, len(ws)-1)]) AS g FROM w),
+      |c2 AS (SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 9) AS top_bigram_frac
+      |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g) GROUP BY doc_id),
+      |g3 AS (SELECT doc_id, unnest([concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]) for i in generate_series(1, len(ws)-2)]) AS g FROM w),
+      |c3 AS (SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 9) AS top_trigram_frac
+      |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g) GROUP BY doc_id),
+      |g5 AS (SELECT doc_id, unnest([concat(ws[i], ' ', ws[i+1], ' ', ws[i+2], ' ', ws[i+3], ' ', ws[i+4]) for i in generate_series(1, len(ws)-4)]) AS g FROM w),
+      |c5 AS (SELECT doc_id, ROUND(CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS DOUBLE) / SUM(c), 9) AS dup_fivegram_frac
+      |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY doc_id, g) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(ls.n_lines, 0) AS n_lines,
+      |  COALESCE(ls.top_line_count, 0) AS top_line_count,
+      |  COALESCE(ls.dup_line_frac, 0.0) AS dup_line_frac,
+      |  COALESCE(c2.top_bigram_frac, 0.0) AS top_bigram_frac,
+      |  COALESCE(c3.top_trigram_frac, 0.0) AS top_trigram_frac,
+      |  COALESCE(c5.dup_fivegram_frac, 0.0) AS dup_fivegram_frac
+      |FROM documents d
+      |LEFT JOIN ls USING (doc_id) LEFT JOIN c2 USING (doc_id)
+      |LEFT JOIN c3 USING (doc_id) LEFT JOIN c5 USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    TextAnalysis.repetition(Tables.load(spark, dir, "documents"))
+  }
+
+  // ---------------------------------------------------------------- x18
+  // Deterministic train/val/test split. The md5-hex bucket is portable
+  // (Spark and DuckDB md5 agree byte-for-byte), so the oracle pins the
+  // per-row assignment — not just the split sizes.
+  val x18 = Q.df(
+    "x18_deterministic_split", {
+      val t80 = graft.ops.Sampling.hexThreshold(0.8)
+      val t90 = graft.ops.Sampling.hexThreshold(0.8 + 0.1)
+      s"""SELECT doc_id,
+         |  CASE WHEN substr(md5(doc_id || ':42'), 1, 8) < '$t80' THEN 'train'
+         |       WHEN substr(md5(doc_id || ':42'), 1, 8) < '$t90' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    import org.apache.spark.sql.functions.col
+    Sampling.deterministicSplit(Tables.load(spark, dir, "documents"),
+        col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42)
+      .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- x19
+  // Stratified (per-source) sampling — the mixing-weights primitive for
+  // corpus composition. Same portable bucket; the oracle restates the
+  // per-stratum CASE with the same thresholds.
+  val x19 = Q.df(
+    "x19_stratified_sample", {
+      val tEn = graft.ops.Sampling.hexThreshold(0.5)
+      val tZh = graft.ops.Sampling.hexThreshold(0.1)
+      val tDef = graft.ops.Sampling.hexThreshold(0.25)
+      s"""SELECT doc_id, lang, source
+         |FROM documents
+         |WHERE substr(md5(doc_id || ':7'), 1, 8) <
+         |  CASE lang WHEN 'en' THEN '$tEn' WHEN 'zh' THEN '$tZh' ELSE '$tDef' END
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    import org.apache.spark.sql.functions.col
+    Sampling.stratifiedSample(Tables.load(spark, dir, "documents"),
+        col("lang"), Map("en" -> 0.5, "zh" -> 0.1),
+        key = col("doc_id"), seed = 7, defaultRate = 0.25)
+      .select(col("doc_id"), col("lang"), col("source")).orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- x13
   // Per-label centroid (element-wise mean over the embedding column) —
   // the aggregation shape behind k-means / class prototypes. Scale: the
@@ -315,5 +395,5 @@ object Extensions {
   }
 
   def defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16)
+    x11, x12, x13, x14, x15, x16, x17, x18, x19)
 }

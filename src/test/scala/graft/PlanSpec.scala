@@ -64,6 +64,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!read.contains("lang") && !read.contains("source")) // untouched fixture cols
   }
 
+  test("x17: repetition_metrics is evaluated exactly once per row") {
+    val p = plan(graft.queries.Extensions.x17)
+    assert("repetition_metrics".r.findAllIn(p).length == 1, s"plan:\n$p")
+    assert(p.contains("Generate inline"))
+  }
+
+  test("x18/x19: sampling plans are shuffle-free per-row projections") {
+    // the whole point of hash-keyed splits: no Exchange, no RNG state —
+    // only the final presentation orderBy may sort
+    val p18 = plan(graft.queries.Extensions.x18)
+    assert(!p18.contains("Exchange hashpartitioning"), s"plan:\n$p18")
+    val p19 = plan(graft.queries.Extensions.x19)
+    assert(!p19.contains("Exchange hashpartitioning"), s"plan:\n$p19")
+    assert(p19.contains("PushedFilters") || p19.contains("Filter"), s"plan:\n$p19")
+  }
+
   test("q41: exact percentiles plan sort-based selection, no buffered aggregate") {
     // VERDICT r03 #1: Spark's Median/Percentile aggregates buffer every
     // distinct value per group — linear state, an executor-OOM at 100×.

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSessions
+
+/**
+ * `RepetitionMetrics` parity: the tight-loop expression must agree with
+ * a plain-Scala reference implementation of the pinned semantics (lines
+ * split on '\n', empty segments dropped, code-point lengths; words =
+ * \w+ runs of the lowercased text) across generated docs with heavy
+ * repetition, unicode, and degenerate shapes.
+ */
+class RepetitionSpec extends AnyFunSuite {
+  private lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  private def refWords(s: String): Vector[String] =
+    "[A-Za-z0-9_]+".r.findAllIn(
+      s.toLowerCase(java.util.Locale.ROOT)).toVector
+
+  private def refMetrics(s: String): (Int, Long, Long, Int, Int, Int, Int, Int, Int, Int) = {
+    val lines = s.split("\n", -1).filter(_.nonEmpty)
+    val lineCounts = lines.groupBy(identity).view.mapValues(_.length)
+    val lineChars = lineCounts.map { case (l, c) => l.codePointCount(0, l.length).toLong * c }.sum
+    val dupChars = lineCounts.collect {
+      case (l, c) if c > 1 => l.codePointCount(0, l.length).toLong * c }.sum
+    val topLine = if (lineCounts.isEmpty) 0 else lineCounts.values.max
+    val ws = refWords(s)
+    def grams(n: Int): Map[String, Int] =
+      ws.sliding(n).filter(_.size == n).map(_.mkString(" ")).toVector
+        .groupBy(identity).view.mapValues(_.length).toMap
+    def top(n: Int): Int = { val g = grams(n); if (g.isEmpty) 0 else g.values.max }
+    def dup(n: Int): Int = grams(n).values.filter(_ > 1).sum
+    (lines.length, lineChars, dupChars, topLine,
+      math.max(ws.length - 1, 0), top(2),
+      math.max(ws.length - 2, 0), top(3),
+      math.max(ws.length - 4, 0), dup(5))
+  }
+
+  private val unit: Gen[String] = Gen.oneOf(
+    Gen.oneOf("the cat sat", "lorem ipsum dolor", "click here to subscribe",
+      "的 了 是", "😀 emoji line", "a b a b a b a b", ""),
+    Gen.alphaNumStr.map(_.take(12)),
+    Gen.oneOf("\n", "\n\n", " ", "\t"))
+
+  private val doc: Gen[String] =
+    Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, unit).map(_.mkString("\n")))
+
+  test("property: RepetitionMetrics equals the plain-Scala reference") {
+    val texts = Gen.listOfN(200, doc).sample.get ++ Seq(
+      "", "\n\n\n", "same line\nsame line\nsame line\nother",
+      "buy now buy now buy now buy now buy now",
+      "one two three four five one two three four five",
+      "mixed 中文 line\nmixed 中文 line", "😀😀\n😀😀", "a")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rows = docs.select(col("doc_id"),
+        inline(array(TextHashExprs.repetitionMetrics(spark, col("text")))))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val e = refMetrics(t)
+      val r = rows(i.toLong)
+      val got = (r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4), r.getInt(5),
+        r.getInt(6), r.getInt(7), r.getInt(8), r.getInt(9), r.getInt(10))
+      assert(got == e, s"doc #$i '${t.take(60)}': got $got, want $e")
+    }
+  }
+
+  test("repetition op: ratios on a boilerplate-heavy doc") {
+    val docs = Seq(
+      (1L, "unique line\nrepeated\nrepeated\nrepeated"),
+      (2L, "no repetition at all here")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.repetition(docs).collect()
+    val d1 = out.find(_.getLong(0) == 1L).get
+    // 3×"repeated" (8 chars) duplicated of total 11 + 24 chars
+    assert(d1.getAs[Int]("n_lines") == 4)
+    assert(d1.getAs[Int]("top_line_count") == 3)
+    assert(math.abs(d1.getAs[Double]("dup_line_frac") - 24.0 / 35.0) < 1e-6)
+    val d2 = out.find(_.getLong(0) == 2L).get
+    assert(d2.getAs[Double]("dup_line_frac") == 0.0)
+    assert(d2.getAs[Double]("dup_fivegram_frac") == 0.0)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSessions
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  private def ids(n: Int) = (0L until n.toLong).toDF("id")
+
+  test("hexThreshold maps fractions to the 32-bit hex space") {
+    assert(Sampling.hexThreshold(0.0) == "00000000")
+    assert(Sampling.hexThreshold(0.5) == "80000000")
+    assert(Sampling.hexThreshold(0.8) == "cccccccd")
+    intercept[IllegalArgumentException](Sampling.hexThreshold(1.0))
+  }
+
+  test("bucketHex matches a driver-side md5 (portability contract)") {
+    val got = ids(3).select(col("id"), Sampling.bucketHex(col("id"), 42).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0L until 3L).foreach { i =>
+      val hex = md.digest(s"$i:42".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(got(i) == hex.take(8), s"id $i")
+    }
+  }
+
+  test("deterministicSplit: total assignment, expected proportions, stability") {
+    val n = 20000
+    val out = Sampling.deterministicSplit(ids(n), col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == n)
+    assert(math.abs(counts("train") - 0.8 * n) < 0.02 * n, counts.toString)
+    assert(math.abs(counts("val") - 0.1 * n) < 0.02 * n, counts.toString)
+    // stability: assignment is a pure function of the key — immune to
+    // repartitioning (the property sample() does NOT have)
+    val a = out.orderBy("id").collect().map(_.getString(1))
+    val b = Sampling.deterministicSplit(ids(n).repartition(13), col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(a.sameElements(b))
+  }
+
+  test("deterministicSplit rejects bad weights") {
+    intercept[IllegalArgumentException](
+      Sampling.deterministicSplit(ids(10), col("id"), Seq("a" -> 0.5, "b" -> 0.4)))
+    intercept[IllegalArgumentException](
+      Sampling.deterministicSplit(ids(10), col("id"), Seq("all" -> 1.0)))
+  }
+
+  test("stratifiedSample: per-stratum rates incl. rate>=1 and default 0") {
+    val df = (0L until 9000L).map(i => (i, Seq("a", "b", "c")(i.toInt % 3)))
+      .toDF("id", "src")
+    val kept = Sampling.stratifiedSample(df, col("src"),
+      Map("a" -> 0.2, "b" -> 1.0), key = col("id"), seed = 1)
+    val counts = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("b") == 3000)                     // rate 1.0 keeps all
+    assert(!counts.contains("c"))                   // defaultRate 0 drops stratum
+    assert(math.abs(counts("a") - 600) < 120, counts.toString)
+    // plan is a pure filter — no shuffle/exchange introduced
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
