@@ -385,12 +385,26 @@ object Dialect {
     """(?is)^BETWEEN\s+(UNBOUNDED\s+PRECEDING|\d+\s+PRECEDING|\d+\s+FOLLOWING|CURRENT\s+ROW)\s+AND\s+(UNBOUNDED\s+FOLLOWING|\d+\s+PRECEDING|\d+\s+FOLLOWING|CURRENT\s+ROW)$|^(UNBOUNDED\s+PRECEDING|\d+\s+PRECEDING|CURRENT\s+ROW)$""".r.pattern
 
   /** The window-function name whose call immediately precedes the OVER
-    * keyword at `overStart`: scan back over `)` … balanced … `(` and read
-    * the identifier. None when the shape is anything else (e.g. an
-    * intervening IGNORE NULLS). */
+    * keyword at `overStart`: scan back over an optional IGNORE/RESPECT
+    * NULLS, then `)` … balanced … `(`, and read the identifier. None
+    * when the shape is anything else. */
   private def fnNameBefore(masked: String, overStart: Int): Option[String] = {
     var i = overStart - 1
     while (i >= 0 && masked.charAt(i).isWhitespace) i -= 1
+    // `lead(x) IGNORE NULLS OVER (...)` — skip the null-treatment words
+    // so the frame-drop still recognizes the offset function (r04 review)
+    if (i >= 0 && masked.charAt(i) != ')') {
+      def wordBack(): String = {
+        val end = i + 1
+        while (i >= 0 && (masked.charAt(i).isLetterOrDigit || masked.charAt(i) == '_')) i -= 1
+        masked.substring(i + 1, end).toLowerCase(java.util.Locale.ROOT)
+      }
+      if (wordBack() != "nulls") return None
+      while (i >= 0 && masked.charAt(i).isWhitespace) i -= 1
+      val treat = wordBack()
+      if (treat != "ignore" && treat != "respect") return None
+      while (i >= 0 && masked.charAt(i).isWhitespace) i -= 1
+    }
     if (i < 0 || masked.charAt(i) != ')') return None
     var depth = 1
     i -= 1
@@ -493,7 +507,11 @@ object Dialect {
       """(?i)\b(?:UNION|INTERSECT|EXCEPT|MINUS)(?:\s+(?:ALL|DISTINCT))?\b""".r
     val setOps = setOp.findAllMatchIn(masked).filter { m =>
       val prefix = masked.substring(0, m.start)
-      prefix.count(_ == '(') == prefix.count(_ == ')')
+      // `* EXCEPT (cols)` is Spark 4 star-EXCEPT, not a set operator —
+      // the preceding non-space char distinguishes them (r04 review)
+      val starExcept = m.group(0).toUpperCase(java.util.Locale.ROOT).startsWith("EXCEPT") &&
+        prefix.reverseIterator.find(!_.isWhitespace).contains('*')
+      !starExcept && prefix.count(_ == '(') == prefix.count(_ == ')')
     }.toList
     if (setOps.nonEmpty) {
       val sb = new StringBuilder
@@ -518,6 +536,31 @@ object Dialect {
         findTopLevel(inMasked, groupsKw).map { g =>
           if ("""(?i)\bEXCLUDE\b""".r.findFirstIn(inMasked).isDefined)
             unsupportedGroups("EXCLUDE clauses are not supported")
+          // a GROUPS window nested inside a `(SELECT ...)` subquery or
+          // derived table belongs to a DIFFERENT query scope — the
+          // top-level restructure below would splice __grp across scopes
+          // and mangle it (r04 review) — raise the documented error;
+          // CTEs are the supported way to nest these. Expression parens
+          // around the window (CAST(... OVER ... )) are fine: the spec
+          // is rewritten in place.
+          locally {
+            var p = 0
+            var open = List.empty[Int]
+            while (p < m.start) {
+              val ch = masked.charAt(p)
+              if (ch == '(') open ::= p
+              else if (ch == ')' && open.nonEmpty) open = open.tail
+              p += 1
+            }
+            val inSubquery = open.exists { pp =>
+              var k = pp + 1
+              while (k < masked.length && masked.charAt(k).isWhitespace) k += 1
+              masked.regionMatches(true, k, "SELECT", 0, 6)
+            }
+            if (inSubquery)
+              unsupportedGroups("GROUPS windows inside subqueries or derived " +
+                "tables are not supported; lift the subquery into a CTE")
+          }
           val ob = findTopLevel(inMasked, """(?i)\bORDER\s+BY\b""".r)
             .getOrElse(unsupportedGroups("the window must have an ORDER BY"))
           val pb = findTopLevel(inMasked, """(?i)\bPARTITION\s+BY\b""".r)
@@ -645,13 +688,29 @@ object Dialect {
       var d = 0
       var lastNonWs = ','
       var i = 0
+      var injectAt = -1 // '(' of a user-written star-EXCEPT list
       while (i < txt.length) {
         val c = mk.charAt(i)
         sb += txt.charAt(i)
         if (!c.isWhitespace) {
-          if (c == '*' && d == 0 && (lastNonWs == ',' || lastNonWs == '.'))
-            sb ++= " EXCEPT (__grp)"
-          if (c == '(') d += 1
+          if (c == '*' && d == 0 && (lastNonWs == ',' || lastNonWs == '.')) {
+            // `* EXCEPT (a, b)` already has a list — merge __grp into it
+            // rather than emitting a second EXCEPT (r04 review)
+            var j = i + 1
+            while (j < mk.length && mk.charAt(j).isWhitespace) j += 1
+            var k = -1
+            if (mk.regionMatches(true, j, "EXCEPT", 0, 6) &&
+                (j + 6 == mk.length || !mk.charAt(j + 6).isLetterOrDigit)) {
+              k = j + 6
+              while (k < mk.length && mk.charAt(k).isWhitespace) k += 1
+              if (k >= mk.length || mk.charAt(k) != '(') k = -1
+            }
+            if (k >= 0) injectAt = k else sb ++= " EXCEPT (__grp)"
+          }
+          if (c == '(') {
+            d += 1
+            if (i == injectAt) { sb ++= "__grp, "; injectAt = -1 }
+          }
           if (c == ')') d -= 1
           lastNonWs = c
         }
@@ -675,7 +734,15 @@ object Dialect {
     * anything else raises the documented error. Window arguments and
     * PARTITION BY expressions (post-aggregate expressions) are aliased
     * into the inner select; literal arguments pass through so e.g.
-    * lag offsets stay literals. */
+    * lag offsets stay literals.
+    *
+    * Known limitation (r04 review): the trailing ORDER BY is spliced
+    * onto the OUTER select verbatim, whose scope is the selected
+    * columns/aliases only — a tail referencing unselected base columns
+    * or fresh aggregate calls (`ORDER BY sum(x)`) resolves in the
+    * original statement but raises Spark's AnalysisException here.
+    * Order by a selected alias instead. Not statically detectable at
+    * the string level without a resolver, so not a clean error. */
   private def rewriteGroupsOverAggregate(sql: String, masked: String,
       specs: List[GroupsSpec], selStart: Int, fromStart: Int,
       tailStart: Int): String = {

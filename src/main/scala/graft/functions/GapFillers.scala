@@ -361,12 +361,18 @@ object GapFillers {
     // into 0, dropping the row). Quantization preserves weight RATIOS to
     // ~1e-6 — well inside approx_* semantics; the summed quantized
     // frequency must stay under 2^63 (≈8.8e12 unit weights), documented
-    // here as the scale bound.
+    // here as the scale bound. Positive weights BELOW the quantum
+    // (w < 2^-21) clamp to one quantum instead of quantizing to 0 —
+    // Percentile silently skips zero-frequency rows, which would
+    // re-create the dropped-row bug one scale down (r04 review).
     f("approx_percentile_cont_with_weight") { case Seq(x, w, p) =>
       val freq = w.dataType match {
         case ByteType | ShortType | IntegerType | LongType => Cast(w, LongType)
-        case _ => Cast(Round(Multiply(Cast(w, DoubleType),
-          Literal(1048576.0)), Literal(0)), LongType)
+        case _ =>
+          val q = Cast(Round(Multiply(Cast(w, DoubleType),
+            Literal(1048576.0)), Literal(0)), LongType)
+          If(And(GreaterThan(Cast(w, DoubleType), Literal(0.0)),
+            LessThan(q, Literal(1L))), Literal(1L), q)
       }
       new org.apache.spark.sql.catalyst.expressions.aggregate.Percentile(x, p, freq)
     }

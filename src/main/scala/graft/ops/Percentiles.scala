@@ -60,6 +60,9 @@ object Percentiles {
   def exact(df: DataFrame, groupCols: Seq[String], specs: Seq[Spec],
       collapseTies: Boolean = false, rangePartitioned: Boolean = false): DataFrame = {
     require(specs.nonEmpty, "at least one percentile spec")
+    require(!(collapseTies && rangePartitioned),
+      "collapseTies and rangePartitioned are mutually exclusive sort strategies " +
+        "(tie-collapse already spreads the rank over all reducers)")
     // synthetic constant group for the global case keeps one code path
     val (grouped, gCols) =
       if (groupCols.nonEmpty) (df, groupCols)
@@ -137,12 +140,21 @@ object Percentiles {
       // high-cardinality group keys; the big side is already hash-
       // partitioned by pKey from the local-rank window, so the offsets
       // join adds no exchange on it either way
-      ranged
-        .withColumn("__pct_lr", row_number().over(wLocal).cast("long"))
-        .join(offsets.select((pKey :+ "__pct_off").map(col): _*), pKey)
-        .withColumn("__pct_cum", col("__pct_lr") + col("__pct_off"))
-        .withColumn("__pct_cnt", lit(1L))
-        .join(totals, cKey)
+      // null-safe (<=>) join keys: group columns can hold NULL, and a
+      // plain equi-join would silently drop those groups (equality never
+      // matches null); Spark still plans <=> as a hash-joinable equi key
+      def nullSafeJoin(left: DataFrame, right: DataFrame, keys: Seq[String]) = {
+        val renamed = keys.foldLeft(right)((d, k) => d.withColumnRenamed(k, s"__pct_r_$k"))
+        val cond = keys.map(k => col(k) <=> col(s"__pct_r_$k")).reduce(_ && _)
+        keys.foldLeft(left.join(renamed, cond))((d, k) => d.drop(s"__pct_r_$k"))
+      }
+      nullSafeJoin(
+        nullSafeJoin(
+          ranged.withColumn("__pct_lr", row_number().over(wLocal).cast("long")),
+          offsets.select((pKey :+ "__pct_off").map(col): _*), pKey)
+          .withColumn("__pct_cum", col("__pct_lr") + col("__pct_off"))
+          .withColumn("__pct_cnt", lit(1L)),
+        totals, cKey)
     } else {
       // default: one window per (group, column) — a single shuffle, and
       // Spark's SortExec spills rather than buffers, so memory stays

@@ -36,7 +36,9 @@ object Sampling {
     * [0, 1); callers treat f >= 1 as always-true. */
   def hexThreshold(f: Double): String = {
     require(f >= 0.0 && f < 1.0, s"fraction must be in [0,1), got $f")
-    f"${(f * 4294967296.0).round}%08x"
+    // clamp: f within 2^-33 of 1 would round to 2^32 = "100000000", a
+    // 9-char string that INVERTS the 8-char lexicographic compare
+    f"${math.min((f * 4294967296.0).round, 4294967295L)}%08x"
   }
 
   /** Adds a `split` column assigning each row to one of `splits` (name →

@@ -708,6 +708,34 @@ class SqlEngineSpec extends AnyFunSuite {
     } finally engine.setResultFormat(ResultFormat.Table)
   }
 
+  test("GROUPS r04-review corners: star-EXCEPT, IGNORE NULLS, subqueries") {
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      // Spark 4 star-EXCEPT is not a set operator: the set-op splitter
+      // must not cleave the statement at `* EXCEPT (...)`
+      assert(engine.executeSql(
+        """SELECT * EXCEPT (y),
+          |  sum(x) OVER (ORDER BY x GROUPS CURRENT ROW) AS s
+          |FROM VALUES (1, 9), (1, 9) t(x, y) ORDER BY x""".stripMargin) ==
+        """[{"x":1,"s":2},{"x":1,"s":2}]""")
+      // IGNORE NULLS between the offset call and OVER: the inert GROUPS
+      // frame is still dropped (not restructured into a RANGE frame
+      // Spark would reject)
+      assert(engine.executeSql(
+        """SELECT x, lead(x) IGNORE NULLS OVER (ORDER BY x GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS nxt
+          |FROM VALUES (1), (2) t(x) ORDER BY x""".stripMargin) ==
+        """[{"x":1,"nxt":2},{"x":2}]""") // JSON format omits nulls (arrow parity)
+    } finally engine.setResultFormat(ResultFormat.Table)
+    // a GROUPS window inside a scalar subquery raises the documented
+    // error (the restructure would splice __grp across scopes)
+    val e = intercept[UnsupportedOperationException] {
+      engine.executeSql(
+        """SELECT (SELECT max(sum(y) OVER (ORDER BY y GROUPS CURRENT ROW)) FROM VALUES (1) u(y)) AS sub
+          |FROM VALUES (1) t(x)""".stripMargin)
+    }
+    assert(e.getMessage.contains("subqueries"), e.getMessage)
+  }
+
   test("documented gaps fail with clear messages") {
     // GROUPS over an aggregated query stays an explicit documented gap
     val e1 = intercept[UnsupportedOperationException] {

@@ -140,6 +140,13 @@ class GapFillersSpec extends AnyFunSuite {
       "SELECT approx_percentile_cont_with_weight(x, w, 0.9) AS p " +
       "FROM VALUES (1.0, 1), (2.0, 1), (3.0, 18) t(x, w)")
       == """[{"p":3.0}]""")
+    // positive weights below the 2^-21 quantum clamp to one quantum
+    // instead of quantizing to frequency 0 (which Percentile silently
+    // skips — the dropped-row bug one scale down, r04 review)
+    assert(one(
+      "SELECT approx_percentile_cont_with_weight(x, w, 0.5) AS p " +
+      "FROM VALUES (1.0, 1e-7), (2.0, 1e-7), (3.0, 1e-7) t(x, w)")
+      == """[{"p":2.0}]""")
   }
 
   test("to_local_time strips the timezone via the session zone") {

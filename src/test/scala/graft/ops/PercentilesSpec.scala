@@ -35,6 +35,23 @@ class PercentilesSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL group keys survive every mode (range mode joined them away pre-r04-review)") {
+    val df = Seq((Option.empty[String], Some(1.0)), (None, Some(3.0)),
+      (Some("b"), Some(7.0))).toDF("g", "x")
+    for ((collapse, ranged) <- Seq((false, false), (true, false), (false, true))) {
+      val r = Percentiles.exact(df, Seq("g"),
+          Seq(Percentiles.Spec("x", 0.5, "p50")),
+          collapseTies = collapse, rangePartitioned = ranged)
+        .orderBy(col("g").asc_nulls_first)
+        .as[(Option[String], Option[Double])].collect()
+      assert(r.sameElements(Array((None, Some(2.0)), (Some("b"), Some(7.0)))),
+        s"collapseTies=$collapse rangePartitioned=$ranged: ${r.mkString}")
+    }
+    intercept[IllegalArgumentException](Percentiles.exact(df, Seq("g"),
+      Seq(Percentiles.Spec("x", 0.5, "p50")),
+      collapseTies = true, rangePartitioned = true))
+  }
+
   test("edge percentiles, single-value groups, nulls, and the global form") {
     val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
       ("b", Some(7.0)), ("c", None)).toDF("g", "x")

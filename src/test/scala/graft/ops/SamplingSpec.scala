@@ -15,6 +15,9 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.hexThreshold(0.0) == "00000000")
     assert(Sampling.hexThreshold(0.5) == "80000000")
     assert(Sampling.hexThreshold(0.8) == "cccccccd")
+    // near-1 fractions clamp to 8 chars: "100000000" would invert the
+    // lexicographic compare and keep only '0'-prefixed buckets
+    assert(Sampling.hexThreshold(0.9999999999) == "ffffffff")
     intercept[IllegalArgumentException](Sampling.hexThreshold(1.0))
   }
 

@@ -188,9 +188,9 @@ def main():
     remaining = set(targets)
     while q and remaining:
         oid = q.popleft()
-        if oid in remaining:
-            remaining.discard(oid)
-            continue
+        # note a reached target but KEEP expanding its fields: another
+        # target may only be reachable through this one
+        remaining.discard(oid)
         inst = instances.get(oid)
         if inst is not None:
             cid, p, nb = inst
