@@ -395,6 +395,14 @@ object GapFillers {
     "today" -> "current_date",
     "list_sort" -> "sort_array")
 
+  /** Textual alias application. CONTRACT: callers must wrap this in
+    * `Dialect.outsideLiterals` (as `SqlEngine.executeStatement` does) —
+    * applied raw it would also rewrite alias-shaped words inside string
+    * literals and comments. It receives literal-free segments only, so
+    * no masking is done here (segments contain bare delimiter quotes;
+    * re-masking them would hide everything after, r04 review round
+    * trip). Pinned by SqlEngineSpec "alias rewriting never fires inside
+    * string literals" + SplitterPropertySpec's outsideLiterals property. */
   def rewriteAliases(sql: String): String =
     aliases.foldLeft(sql) { case (s, (from, to)) =>
       s.replaceAll("(?i)\\b" + from + "\\s*\\(", to + "(")

@@ -105,6 +105,12 @@ object TextHashExprs {
     * slice allocations per row. */
   case class BandKeysExpr(child: Expression, numPerm: Int, bands: Int)
       extends UnaryExpression with CodegenFallback {
+    // r04 review: bands > numPerm made r = 0 — every doc emitted the
+    // same constant band keys and the LSH candidate join degenerated to
+    // an O(n²) cross product; a non-dividing numPerm silently ignored
+    // the trailing permutations. Both are configuration errors.
+    require(bands >= 1 && numPerm >= bands && numPerm % bands == 0,
+      s"band_keys: numPerm ($numPerm) must be a positive multiple of bands ($bands)")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any = {
       val sig = v.asInstanceOf[ArrayData]
@@ -269,7 +275,11 @@ object TextHashExprs {
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
+      val n = a.numElements()
+      // length mismatch ⇒ null, not a silently-truncated similarity
+      // (r04 review: min-length truncation made mixed-dim corruption
+      // invisible; zip_with null-padded and poisoned the fold to null)
+      if (n != b.numElements()) return null
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
@@ -281,7 +291,12 @@ object TextHashExprs {
         dot += x * y; na += x * x; nb += y * y
         i += 1
       }
-      dot / (math.sqrt(na) * math.sqrt(nb))
+      // zero-norm vector ⇒ null: 0/0 = NaN sorts ABOVE every real sim
+      // in Spark, so one zero vector would rank first for every query
+      // and pass >= thresholds (r04 review); null drops out instead
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) return null
+      dot / den
     }
     override protected def doGenCode(ctx: CodegenContext,
         ev: ExprCode): ExprCode = {
@@ -290,18 +305,23 @@ object TextHashExprs {
         val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
         val nb = ctx.freshName("nb"); val bad = ctx.freshName("bad")
         val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        val den = ctx.freshName("den")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
+           |boolean $bad = $n != $b.numElements();
            |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-           |boolean $bad = false;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
-           |  double $x = ${elemJava(left.dataType, a, i)};
-           |  double $y = ${elemJava(right.dataType, b, i)};
-           |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+           |if (!$bad) {
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+           |    double $x = ${elemJava(left.dataType, a, i)};
+           |    double $y = ${elemJava(right.dataType, b, i)};
+           |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+           |  }
            |}
+           |double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+           |$bad = $bad || $den == 0.0;
            |${ev.isNull} = $bad;
-           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+           |${ev.value} = $bad ? 0.0 : $dot / $den;
          """.stripMargin
       })
     }
@@ -322,7 +342,8 @@ object TextHashExprs {
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
+      val n = a.numElements()
+      if (n != b.numElements()) return null // see CosineSim: no truncation
       var dot = 0.0
       var i = 0
       while (i < n) {
@@ -338,12 +359,14 @@ object TextHashExprs {
         val n = ctx.freshName("n"); val i = ctx.freshName("i")
         val dot = ctx.freshName("dot"); val bad = ctx.freshName("bad")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
+           |boolean $bad = $n != $b.numElements();
            |double $dot = 0.0;
-           |boolean $bad = false;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
-           |  $dot += ${elemJava(left.dataType, a, i)} * ${elemJava(right.dataType, b, i)};
+           |if (!$bad) {
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+           |    $dot += ${elemJava(left.dataType, a, i)} * ${elemJava(right.dataType, b, i)};
+           |  }
            |}
            |${ev.isNull} = $bad;
            |${ev.value} = $dot;
@@ -408,6 +431,7 @@ object TextHashExprs {
     override def second: Expression = cents
     override def third: Expression = probes
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true // null on dim-mismatch / NaN vectors
     override def checkInputDataTypes() = checkVectorInput("nearest_centroids", vec)
 
     @transient private lazy val centroids: Array[Array[Double]] = {
@@ -420,6 +444,10 @@ object TextHashExprs {
     override def nullSafeEval(v: Any, c: Any, p: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
       val dim = arr.numElements()
+      // a vector whose dim disagrees with the index's centroids cannot be
+      // assigned — null (dropped downstream), not an out-of-bounds read
+      // (r04 review)
+      if (centroids.nonEmpty && centroids(0).length != dim) return null
       val x = new Array[Double](dim)
       var i = 0
       while (i < dim) { x(i) = if (arr.isNullAt(i)) 0.0 else rd(arr, i); i += 1 }
@@ -443,6 +471,9 @@ object TextHashExprs {
         var bd = Double.MaxValue
         var j = 0
         while (j < k) { if (!used(j) && dist(j) < bd) { bd = dist(j); best = j }; j += 1 }
+        // all remaining distances NaN (NaN vector element): nothing
+        // comparable to assign — null instead of used(-1) AIOOBE
+        if (best < 0) return null
         used(best) = true
         out(r) = best
         r += 1

@@ -122,9 +122,19 @@ object Percentiles {
       // the default below until single groups outgrow one reducer's
       // sort throughput — the few-giant-groups regime it exists for.
       val slices = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+      // lazy localCheckpoint: sliceCounts/offsets/totals and the ranked
+      // rows all derive from this frame, and __pct_pid is only coherent
+      // if every consumer sees the SAME range exchange. Normally
+      // ReuseExchange dedups the three subplan instantiations, but that
+      // is an optimization, not a guarantee (spark.sql.exchange.reuse=
+      // false, or any canonicalization miss, re-runs the nondeterministic
+      // range SAMPLING per instantiation → offsets from one slice layout
+      // added to local ranks of another = silently wrong percentiles,
+      // r04 review). The checkpoint pins one materialization.
       val ranged = melted
         .repartitionByRange(slices, (cKey.map(col) :+ col("__pct_v").asc_nulls_last): _*)
         .withColumn("__pct_pid", spark_partition_id())
+        .localCheckpoint(eager = false)
       val pKey = Seq("__pct_pid") ++ cKey
       val sliceCounts = ranged.groupBy(pKey.map(col): _*)
         .agg(count(lit(1)).as("__pct_pc"), count(col("__pct_v")).as("__pct_pcn"))

@@ -27,9 +27,16 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** First 8 md5 hex chars of `key:seed` — a uniform 32-bit bucket in
-    * hex-string form (portable: any engine with md5 derives the same). */
+    * hex-string form (portable: any engine with md5 derives the same).
+    * A NULL key is treated as one more key VALUE (hashed via a
+    * sentinel): all null-key rows share a bucket — identical keys always
+    * co-assign, that is the contract — rather than falling through
+    * null-comparison semantics (which silently sent them all to the
+    * LAST split and dropped them from rate<1 strata, r04 review). Use a
+    * unique non-null key when null-key rows must spread. */
   def bucketHex(key: Column, seed: Int): Column =
-    substring(md5(concat(key.cast("string"), lit(":" + seed))), 1, 8)
+    substring(md5(concat(coalesce(key.cast("string"), lit("__graft_null__")),
+      lit(":" + seed))), 1, 8)
 
   /** Hex threshold t(f): bucketHex < t(f) selects a fraction f of keys
     * (f of the 2^32 bucket space, exactly). Only meaningful for f in
@@ -54,7 +61,11 @@ object Sampling {
     val hex = bucketHex(key, seed)
     val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
     val conds = splits.init.zip(cum.init).map { case ((name, _), c) =>
-      (lit(name), hex < lit(hexThreshold(c)))
+      // float dust can push an interior cumulative weight to exactly 1.0
+      // (e.g. 0.5 + 0.5 + 1e-10) — clamp below 1 so hexThreshold's
+      // domain require doesn't fire; the clamp only moves the boundary
+      // by < 1 bucket in 2^32
+      (lit(name), hex < lit(hexThreshold(math.min(c, 1.0 - 1e-12))))
     }
     val assigned = conds.tail.foldLeft(when(conds.head._2, conds.head._1)) {
       case (acc, (name, cond)) => acc.when(cond, name)

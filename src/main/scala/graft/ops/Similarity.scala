@@ -71,10 +71,14 @@ object Similarity {
     val spark = corpus.sparkSession
     val q = withNorm(queries, "qid", "qe", "qn")
     val c = withNorm(spread(corpus), "cid", "ce", "cn")
+    // nullif: a zero-norm vector (padding / failed encode) makes 0/0 =
+    // NaN, which Spark sorts ABOVE every real similarity — it would be
+    // the top-1 "neighbor" of every query (r04 review). As null it ranks
+    // last instead. Mismatched-dim vectors already null out in dot_prod.
     val scored = c.join(broadcast(q))
       .select(col("qid"), col("cid"),
-        round(TextHashExprs.dotProd(spark, col("qe"), col("ce")) / (col("qn") * col("cn")), 9)
-          .as("sim"))
+        round(TextHashExprs.dotProd(spark, col("qe"), col("ce")) /
+          nullif(col("qn") * col("cn"), lit(0.0)), 9).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
@@ -273,10 +277,10 @@ object Similarity {
    * deterministically); candidates = corpus vectors sharing any
    * (table, bucket) with a query, deduped as bare (qid, cid) pairs,
    * re-ranked by exact cosine after re-joining the vectors, top-k per
-   * query. `dim` is read from the data at eval time.
+   * query. The vector dimension is read from the data at eval time.
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      tables: Int = 8, bits: Int = 6, dim: Int = 64): DataFrame = {
+      tables: Int = 8, bits: Int = 6): DataFrame = {
     val spark = corpus.sparkSession
     def banded(df: DataFrame, idName: String): DataFrame =
       df.select(col("vec_id").as(idName),
@@ -297,8 +301,8 @@ object Similarity {
       .join(withNorm(corpus, "cid", "ce", "cn"), "cid")
       .join(broadcast(withNorm(queries, "qid", "qe", "qn")), "qid")
       .select(col("qid"), col("cid"),
-        round(TextHashExprs.dotProd(spark, col("qe"), col("ce")) / (col("qn") * col("cn")), 9)
-          .as("sim"))
+        round(TextHashExprs.dotProd(spark, col("qe"), col("ce")) /
+          nullif(col("qn") * col("cn"), lit(0.0)), 9).as("sim")) // see bruteForceTopK
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))

@@ -33,7 +33,11 @@ object TextAnalysis {
 
   /** Language ID: argmax over per-language stopword-hit ratios. The argmax
     * rides on Spark's native struct ordering (score first, then tag) —
-    * over plain hit-count columns it costs 10 divisions per row. */
+    * over plain hit-count columns it costs 10 divisions per row. The max
+    * struct passes through a second `inline` barrier so the 5-struct
+    * array + array_max build ONCE per row — two naked getField
+    * projections would each inline their own copy via CollapseProject
+    * (r04 review; same pattern as the metrics barrier). */
   def languageId(docs: DataFrame): DataFrame = {
     val scored = array(TextHashExprs.stopWords.map { case (lang, _) =>
       struct(
@@ -41,10 +45,12 @@ object TextAnalysis {
           greatest(col("n_toks"), lit(1)).cast("double")).as("score"),
         lit(lang).as("lang"))
     }: _*)
-    metrics(docs).select(
+    metrics(docs)
+      .select(col("doc_id"), inline(array(struct(array_max(scored).as("best")))))
+      .select(
         col("doc_id"),
-        array_max(scored).getField("lang").as("pred_lang"),
-        round(array_max(scored).getField("score"), 9).as("best_score"))
+        col("best.lang").as("pred_lang"),
+        round(col("best.score"), 9).as("best_score"))
       .orderBy(col("doc_id"))
   }
 

@@ -125,7 +125,7 @@ object Extensions {
     val e = Tables.load(spark, dir, "embeddings")
     Similarity.lshTopK(
       e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
-      k = 3, tables = 8, bits = 6, dim = 64)
+      k = 3, tables = 8, bits = 6)
   }
 
   // ---------------------------------------------------------------- x08

@@ -736,6 +736,20 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("subqueries"), e.getMessage)
   }
 
+  test("alias rewriting never fires inside string literals or comments") {
+    // r04 review: the raw replaceAll turned 'call me today (noon)' into
+    // 'call me current_date(noon)' — alias matches now come off the
+    // masked text
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      assert(engine.executeSql("SELECT 'call me today (noon)' AS s") ==
+        """[{"s":"call me today (noon)"}]""")
+      // while real alias calls in code position still rewrite
+      assert(engine.executeSql(
+        "SELECT to_hex(255) AS h -- today (reminder)\n") == """[{"h":"FF"}]""")
+    } finally engine.setResultFormat(ResultFormat.Table)
+  }
+
   test("documented gaps fail with clear messages") {
     // GROUPS over an aggregated query stays an explicit documented gap
     val e1 = intercept[UnsupportedOperationException] {

@@ -34,6 +34,18 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.size >= 20)
   }
 
+  test("LSH band misconfiguration fails fast, not as an O(n²) cross join") {
+    // r04 review: bands > numPerm made r = 0 — constant band keys put
+    // every doc in every bucket (quadratic candidates); non-dividing
+    // numPerm silently dropped trailing permutations
+    val e1 = intercept[Exception](
+      Dedup.minhashLsh(docs.limit(4), numPerm = 8, bands = 16).count())
+    assert(e1.getMessage.contains("multiple of bands"), e1.getMessage)
+    val e2 = intercept[Exception](
+      Dedup.minhashLsh(docs.limit(4), numPerm = 60, bands = 16).count())
+    assert(e2.getMessage.contains("multiple of bands"), e2.getMessage)
+  }
+
   test("minhash candidates are verified: no pair below the threshold") {
     val jmin = Dedup.minhashLsh(docs, minJaccard = 0.7)
       .agg(min("jaccard")).as[Double].head
@@ -105,6 +117,23 @@ class OpsSpec extends AnyFunSuite {
     val expected = BigDecimal(dot / (n0 * n1)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     val gotSim = rows.filter(col("vec_a") === 0).select("cos_sim").as[Double].head
     assert(math.abs(gotSim - expected) < 1e-9)
+  }
+
+  test("degenerate vectors: zero-norm and mismatched-dim null out, never rank") {
+    // r04 review: 0/0 = NaN sorts ABOVE every real double in Spark, so a
+    // single zero vector (padding / failed encode) used to be the top-1
+    // neighbor of every query and passed >= thresholds as a "near-dup"
+    val dim = emb.select(size(col("embedding"))).as[Int].head
+    val zero = Seq((9000L, Seq.fill(dim)(0.0f))).toDF("vec_id", "embedding")
+    val short = Seq((9001L, Seq.fill(dim / 2)(1.0f))).toDF("vec_id", "embedding")
+    val corpus = emb.select("vec_id", "embedding").unionByName(zero).unionByName(short)
+    val top = Similarity.bruteForceTopK(
+      corpus, emb.filter(col("vec_id") < 3).select("vec_id", "embedding"), k = 3)
+    val hits = top.select("cid").as[Long].collect().toSet
+    assert(!hits.contains(9000L) && !hits.contains(9001L), hits.toString)
+    val dups = Similarity.cosineNearDups(corpus, minCosine = 0.0)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    assert(!dups.exists(p => p._1 == 9000L || p._2 == 9000L), "zero vector paired")
   }
 
   test("brute-force top-k ranks are dense and similarity-ordered per query") {

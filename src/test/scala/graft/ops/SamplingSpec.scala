@@ -49,6 +49,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("null keys hash as a sentinel value, not through null comparisons") {
+    // r04 review: a null bucket made every condition null — all null-key
+    // rows fell to the LAST split and were dropped from rate<1 strata
+    val df = Seq(Some(1L), Some(2L), None).toDF("id")
+    val out = Sampling.deterministicSplit(df, col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .filter(col("id").isNull).select("split").collect()
+    assert(out.length == 1 && out.head.getString(0) != null)
+    // and the assignment equals hashing the sentinel key explicitly
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("__graft_null__:42".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val expected = if (hex < Sampling.hexThreshold(0.8)) "train"
+      else if (hex < Sampling.hexThreshold(0.9)) "val" else "test"
+    assert(out.head.getString(0) == expected)
+    // interior cumulative weights that round to 1.0 no longer crash
+    Sampling.deterministicSplit(ids(10), col("id"),
+      Seq("a" -> 0.5, "b" -> (0.5 - 1e-12), "c" -> 1e-12)).collect()
+  }
+
   test("deterministicSplit rejects bad weights") {
     intercept[IllegalArgumentException](
       Sampling.deterministicSplit(ids(10), col("id"), Seq("a" -> 0.5, "b" -> 0.4)))
