@@ -20,11 +20,21 @@ object DdlTranslator {
 
   private val External =
     // column list allows one level of nested parens (DECIMAL(10,2), VARCHAR(n), ...)
-    ("""(?is)^\s*CREATE\s+(?:UNBOUNDED\s+)?EXTERNAL\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`"]+)\s*""" +
+    ("""(?is)^\s*CREATE\s+(?:UNBOUNDED\s+)?EXTERNAL\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?((?:"[^"]*"|`[^`]*`|[\w.])+)\s*""" +
       """(\((?:[^()]|\([^()]*\))*\))?\s*STORED\s+AS\s+(\w+)\s*(.*?)\s*LOCATION\s+'([^']+)'\s*;?\s*$""").r
 
-  /** Rewrite one statement; non-DDL statements pass through unchanged. */
-  def translate(stmt: String): String = stmt match {
+  /** DataFusion double-quoted identifiers → Spark backticks (`"n"` is a
+    * STRING literal to Spark's parser, r04 review). */
+  private def quoteName(name: String): String =
+    """"([^"]*)"""".r.replaceAllIn(name, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        "`" + m.group(1).replace("`", "``") + "`"))
+
+  /** Rewrite one statement; non-DDL statements pass through unchanged.
+    * `urlRewrite` lets the engine splice per-bucket root prefixes in
+    * (reference `set_s3_config` root semantics) — defaults to the plain
+    * s3→s3a scheme rewrite. */
+  def translate(stmt: String, urlRewrite: String => String = rewriteUrl): String = stmt match {
     case External(ifNotExists, name, cols, fmt, opts, location) =>
       val sparkFmt = fmt.toLowerCase match {
         case "parquet" => "parquet"
@@ -34,15 +44,26 @@ object DdlTranslator {
       }
       val extraOpts = new StringBuilder
       val o = if (opts == null) "" else opts
-      if ("""(?i)WITH\s+HEADER\s+ROW""".r.findFirstIn(o).isDefined)
+      // consume the recognized clauses; anything left over must raise,
+      // not vanish — a silently-dropped OPTIONS/COMPRESSION clause means
+      // the table "works" but parses every file wrong (r04 review)
+      var rest = o
+      if ("""(?i)WITH\s+HEADER\s+ROW""".r.findFirstIn(rest).isDefined) {
         extraOpts ++= ", header 'true'"
-      """(?i)DELIMITER\s+'([^']+)'""".r.findFirstMatchIn(o).foreach { m =>
+        rest = """(?i)WITH\s+HEADER\s+ROW""".r.replaceFirstIn(rest, " ")
+      }
+      """(?i)DELIMITER\s+'([^']+)'""".r.findFirstMatchIn(rest).foreach { m =>
         extraOpts ++= s", sep '${m.group(1)}'"
       }
+      rest = """(?i)DELIMITER\s+'([^']+)'""".r.replaceFirstIn(rest, " ")
+      if (rest.trim.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"CREATE EXTERNAL TABLE: unsupported clause '${rest.trim}' between " +
+            "STORED AS and LOCATION (supported: WITH HEADER ROW, DELIMITER '<c>')")
       val ine = if (ifNotExists != null) "IF NOT EXISTS " else ""
       val colsPart = if (cols != null) s" $cols" else ""
-      s"CREATE TABLE $ine$name$colsPart USING $sparkFmt " +
-        s"OPTIONS (path '${rewriteUrl(location)}'${extraOpts.toString})"
+      s"CREATE TABLE $ine${quoteName(name)}$colsPart USING $sparkFmt " +
+        s"OPTIONS (path '${urlRewrite(location)}'${extraOpts.toString})"
     case other => other
   }
 
@@ -51,7 +72,7 @@ object DdlTranslator {
     * listing tables discover hive-style partitions automatically; Spark
     * catalog tables need MSCK to register pre-existing partition dirs). */
   def externalTableName(stmt: String): Option[String] = stmt match {
-    case External(_, name, _, _, _, _) => Some(name)
+    case External(_, name, _, _, _, _) => Some(quoteName(name))
     case _ => None
   }
 

@@ -34,6 +34,9 @@ object Dialect {
     val arr = sql.toCharArray
     var i = 0
     var state = 0 // 0 code, 1 '…', 2 "…", 3 `…`, 4 --…\n, 5 /*…*/
+    var depth5 = 0 // bracketed comments NEST in Spark (r04 review —
+    // StatementSplitter already tracks this; ending at the first */
+    // left the tail commented-but-unmasked, derailing every rewrite)
     while (i < arr.length) {
       val c = arr(i)
       state match {
@@ -42,7 +45,9 @@ object Dialect {
           else if (c == '"') state = 2
           else if (c == '`') state = 3
           else if (c == '-' && i + 1 < arr.length && arr(i + 1) == '-') { state = 4; i += 1 }
-          else if (c == '/' && i + 1 < arr.length && arr(i + 1) == '*') { state = 5; i += 1 }
+          else if (c == '/' && i + 1 < arr.length && arr(i + 1) == '*') {
+            state = 5; depth5 = 1; i += 1
+          }
         case 1 =>
           if (c == '\\' && i + 1 < arr.length) { arr(i) = M; arr(i + 1) = M; i += 1 }
           else if (c == '\'' && i + 1 < arr.length && arr(i + 1) == '\'') {
@@ -62,8 +67,14 @@ object Dialect {
         case 4 =>
           if (c == '\n') state = 0 else arr(i) = M
         case 5 =>
-          if (c == '*' && i + 1 < arr.length && arr(i + 1) == '/') { state = 0; i += 1 }
-          else arr(i) = M
+          if (c == '*' && i + 1 < arr.length && arr(i + 1) == '/') {
+            depth5 -= 1
+            if (depth5 == 0) state = 0 // outer delimiter stays unmasked
+            else { arr(i) = M; arr(i + 1) = M } // inner close is content
+            i += 1
+          } else if (c == '/' && i + 1 < arr.length && arr(i + 1) == '*') {
+            depth5 += 1; arr(i) = M; arr(i + 1) = M; i += 1
+          } else arr(i) = M
       }
       i += 1
     }
@@ -421,6 +432,39 @@ object Dialect {
     else Some(masked.substring(i + 1, end).toLowerCase(java.util.Locale.ROOT))
   }
 
+  /** Offset of the first CODE character in a masked statement — skips
+    * whitespace AND leading comments (whose delimiters survive masking,
+    * so `stripLeading` alone saw '-' or '/' and misclassified valid
+    * statements that begin with a comment — r04 review). */
+  private def codeStart(masked: String): Int = {
+    var i = 0
+    var advanced = true
+    while (advanced) {
+      advanced = false
+      while (i < masked.length && masked.charAt(i).isWhitespace) i += 1
+      if (i + 1 < masked.length && masked.charAt(i) == '-' && masked.charAt(i + 1) == '-') {
+        i += 2
+        while (i < masked.length && masked.charAt(i) == M) i += 1
+        if (i < masked.length && masked.charAt(i) == '\n') i += 1
+        advanced = true
+      } else if (i + 1 < masked.length && masked.charAt(i) == '/' && masked.charAt(i + 1) == '*') {
+        i += 2
+        while (i < masked.length && masked.charAt(i) == M) i += 1
+        if (i + 1 < masked.length && masked.charAt(i) == '*' && masked.charAt(i + 1) == '/') i += 2
+        advanced = true
+      }
+    }
+    i
+  }
+
+  /** Does the first code token of `masked` equal `word` (whole-word)? */
+  private def startsWithCode(masked: String, word: String): Boolean = {
+    val cs = codeStart(masked)
+    masked.regionMatches(true, cs, word, 0, word.length) &&
+      (cs + word.length >= masked.length ||
+        { val c = masked.charAt(cs + word.length); !c.isLetterOrDigit && c != '_' })
+  }
+
   private def findTopLevel(masked: String, word: Regex, from: Int = 0): Option[Regex.Match] =
     word.findAllMatchIn(masked).find { m =>
       if (m.start < from) false
@@ -495,7 +539,7 @@ object Dialect {
     // each complete statements for the single-SELECT machinery below —
     // rewrite them independently and reassemble (VERDICT r03 "what's
     // missing" #1: the reference accepts GROUPS inside CTEs).
-    if (masked.stripLeading().toUpperCase(java.util.Locale.ROOT).startsWith("WITH"))
+    if (startsWithCode(masked, "WITH"))
       return rewriteGroupsInWith(sql, masked)
 
     // set operations: each branch is independently a complete statement
@@ -624,7 +668,7 @@ object Dialect {
         "PARTITION BY and ORDER BY")
 
     // top-level statement shape: SELECT <list> FROM <rest> [ORDER BY/LIMIT tail]
-    if (!masked.stripLeading().toUpperCase(java.util.Locale.ROOT).startsWith("SELECT"))
+    if (!startsWithCode(masked, "SELECT"))
       unsupportedGroups("only SELECT statements (or CTE bodies) are supported, not DDL")
     val fromM = findTopLevel(masked, """(?i)\bFROM\b""".r)
       .getOrElse(unsupportedGroups("the query must have a FROM clause"))
@@ -633,7 +677,7 @@ object Dialect {
     val tailStart = findTopLevel(masked, """(?i)\bORDER\s+BY\b|\bLIMIT\b|\bOFFSET\b""".r,
         from = fromM.end).map(_.start).getOrElse(sql.length)
 
-    val selStart = (masked.length - masked.stripLeading().length) + "SELECT".length
+    val selStart = codeStart(masked) + "SELECT".length
 
     // grouped query: windows evaluate AFTER aggregation, so dense_rank
     // can be computed INSIDE the aggregate query and the restructure
@@ -833,7 +877,7 @@ object Dialect {
     * tail after its closing paren — the tail stays outside, untouched. */
   private def rewriteGroupsBranch(seg: String): String = {
     val masked = maskSameLength(seg)
-    val start = masked.length - masked.stripLeading().length
+    val start = codeStart(masked)
     if (start < masked.length && masked.charAt(start) == '(') {
       val end = skipBalanced(masked, start + 1) // index AFTER ')'
       val after = if (end > 0) masked.substring(end) else ""
@@ -906,7 +950,7 @@ object Dialect {
     val out = new StringBuilder
     var last = 0
     // position after WITH [RECURSIVE]
-    var pos = (masked.length - masked.stripLeading().length) + 4
+    var pos = codeStart(masked) + 4
     locally {
       var j = pos
       while (j < masked.length && masked.charAt(j).isWhitespace) j += 1

@@ -95,12 +95,21 @@ object Formatter {
     case (x, _) => x.toString
   }
 
-  /** Rust `Display`-for-f64 style: integral values print without ".0". */
+  /** Rust `Display`-for-f64 style: integral values print without ".0",
+    * and NO scientific notation ever — Java's Double.toString switches
+    * to 1.0E15 / 1.23E-7 outside [1e-3, 1e7), which diverges from the
+    * Display parity this formatter promises (r04 review). The shortest-
+    * round-trip digits come from Double.toString; BigDecimal's string
+    * constructor preserves them exactly and toPlainString re-renders
+    * without an exponent. */
   private def renderFloating(d: Double): String = {
     if (d.isNaN) "NaN"
     else if (d.isInfinity) { if (d > 0) "inf" else "-inf" }
     else if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
-    else d.toString
+    else {
+      val s = d.toString
+      if (s.indexOf('E') >= 0) new java.math.BigDecimal(s).toPlainString else s
+    }
   }
 
   /** RFC3339-like naive rendering, fractional seconds only when present. */

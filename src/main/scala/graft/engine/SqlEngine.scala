@@ -59,7 +59,28 @@ class SqlEngine(val spark: SparkSession) {
     hc.set(s"fs.s3a.bucket.$bucket.access.key", accessKeyId)
     hc.set(s"fs.s3a.bucket.$bucket.secret.key", secretAccessKey)
     hc.set(s"fs.s3a.bucket.$bucket.endpoint.region", region)
+    // the reference's opendal operator resolves every object path UNDER
+    // `root` (`src/object_store.rs:49` `.root(&state.s3_config.root)`),
+    // so s3://bucket/file with root 'data' reads bucket/data/file —
+    // dropping root silently read a DIFFERENT object (r04 review).
+    val r = root.stripPrefix("/").stripSuffix("/")
+    if (r.nonEmpty) s3Roots(bucket) = r else s3Roots.remove(bucket)
   }
+
+  private val s3Roots = scala.collection.mutable.Map[String, String]()
+
+  /** s3/s3a URL with the bucket's configured root prefix spliced in
+    * (reference parity); other URLs go through the default rewrite. */
+  private[engine] def rewriteS3Url(url: String): String =
+    if (url.startsWith("s3://") || url.startsWith("s3a://")) {
+      val rest = url.stripPrefix("s3://").stripPrefix("s3a://")
+      val (bucket, slashPath) = rest.span(_ != '/')
+      val path = slashPath.stripPrefix("/")
+      s3Roots.get(bucket) match {
+        case Some(r) => s"s3a://$bucket/$r/$path"
+        case None => s"s3a://$bucket/$path"
+      }
+    } else DdlTranslator.rewriteUrl(url)
 
   /** Execute one-or-many `;`-separated statements; returns the formatted
     * results joined by `\n` (reference: `src/core.rs:104,124,127`). */
@@ -87,7 +108,7 @@ class SqlEngine(val spark: SparkSession) {
       Dialect.rewriteGenerateSeries(Dialect.rewriteSimilarTo(
         Dialect.outsideLiterals(Dialect.rewriteGroupsFrames(stmt))(
           graft.functions.GapFillers.rewriteAliases))))
-    val translated = DdlTranslator.translate(aliased)
+    val translated = DdlTranslator.translate(aliased, rewriteS3Url)
     val rewritten =
       if (InfoSchema.mentionsInfoSchema(Dialect.maskLiterals(translated))) {
         InfoSchema.refresh(spark)

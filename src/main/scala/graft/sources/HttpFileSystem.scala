@@ -50,12 +50,12 @@ class HttpFileSystem extends FileSystem {
 
   /** Object length via a 1-byte range GET (parses `Content-Range`'s
     * total), falling back to `Content-Length` for servers that ignore
-    * Range. */
+    * Range (200 responses ONLY — a 206's Content-Length is the 1-byte
+    * range body, and reporting the object as 1 byte long silently
+    * truncates every scan, r04 review). */
   private def contentLength(url: URL): Long = {
-    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
-    conn.setConnectTimeout(connectTimeoutMs)
-    conn.setReadTimeout(readTimeoutMs)
-    conn.setRequestProperty("Range", "bytes=0-0")
+    val conn = HttpConnect.openFollowing(url, Some("bytes=0-0"),
+      connectTimeoutMs, readTimeoutMs)
     try {
       val code = conn.getResponseCode
       if (code == 404) throw new FileNotFoundException(url.toString)
@@ -65,6 +65,8 @@ class HttpFileSystem extends FileSystem {
           val total = cr.substring(cr.indexOf('/') + 1).trim
           if (total != "*") return total.toLong
         }
+        throw new IOException(
+          s"206 response without a usable Content-Range total for $url")
       }
       if (code / 100 != 2) throw new IOException(s"HTTP $code for $url")
       val len = conn.getContentLengthLong
@@ -109,6 +111,34 @@ class HttpsFileSystem extends HttpFileSystem {
   override def getScheme: String = "https"
 }
 
+/** Connection opening with MANUAL redirect following: HttpURLConnection's
+  * auto-follow never crosses protocols, so an `http://` location that
+  * 301s to `https://` (ubiquitous) hard-failed with 'HTTP 301' while the
+  * reference's http client follows it (r04 review). Relative Locations
+  * resolve against the current URL; 5-hop cap. */
+private[sources] object HttpConnect {
+  def openFollowing(start: URL, range: Option[String],
+      connectTimeoutMs: Int, readTimeoutMs: Int): HttpURLConnection = {
+    var url = start
+    var hops = 0
+    while (hops <= 5) {
+      val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setConnectTimeout(connectTimeoutMs)
+      conn.setReadTimeout(readTimeoutMs)
+      conn.setInstanceFollowRedirects(true) // same-protocol hops stay automatic
+      range.foreach(r => conn.setRequestProperty("Range", r))
+      val code = conn.getResponseCode
+      if (code / 100 != 3) return conn
+      val loc = conn.getHeaderField("Location")
+      conn.disconnect()
+      if (loc == null) throw new IOException(s"HTTP $code without Location for $url")
+      url = new URL(url, loc)
+      hops += 1
+    }
+    throw new IOException(s"too many redirects for $start")
+  }
+}
+
 /**
  * Seekable stream over HTTP Range requests. A seek is lazy: it only
  * records the target; the next read opens `Range: bytes=pos-` (or reuses
@@ -133,10 +163,8 @@ private[sources] class HttpRangeInputStream(url: URL, length: Long,
   private def ensure(): InputStream = {
     if (stream == null || streamAt != pos) {
       if (stream != null) { stream.close(); stream = null }
-      val conn = url.openConnection().asInstanceOf[HttpURLConnection]
-      conn.setConnectTimeout(connectTimeoutMs)
-      conn.setReadTimeout(readTimeoutMs)
-      if (pos > 0) conn.setRequestProperty("Range", s"bytes=$pos-")
+      val conn = HttpConnect.openFollowing(url,
+        if (pos > 0) Some(s"bytes=$pos-") else None, connectTimeoutMs, readTimeoutMs)
       val code = conn.getResponseCode
       if (code == 404) throw new FileNotFoundException(url.toString)
       if (code / 100 != 2) throw new IOException(s"HTTP $code for $url")

@@ -39,10 +39,16 @@ object EventStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 
-  /** Streaming dedup on event_id within the watermark horizon. */
+  /** Streaming dedup on event_id within the watermark horizon.
+    * `dropDuplicatesWithinWatermark`, NOT plain `dropDuplicates`: with
+    * only `event_id` as the key (no event-time column in the subset)
+    * plain dropDuplicates never evicts state — every id ever seen is
+    * retained until executors OOM (r04 review). The WithinWatermark
+    * variant expires each key once the watermark passes its event time,
+    * which is the documented state bound above. */
   def dedupedEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -50,10 +50,14 @@ object Tables {
   }
 
   /** Register every fixture table as a temp view (idempotent while the
-    * session keeps reading the same dir; re-registers on dir change). */
-  def registerAll(spark: SparkSession, dir: String): Unit = {
-    if (registeredDir.put(spark, dir) != dir) {
+    * session keeps reading the same dir; re-registers on dir change).
+    * The dir is recorded only AFTER every view registers — recording
+    * first made a mid-loop failure (missing fixture file) permanently
+    * skip the retry, serving stale or missing views (r04 review). */
+  def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
+    if (registeredDir.get(spark) != dir) {
       names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      registeredDir.put(spark, dir)
     }
   }
 }

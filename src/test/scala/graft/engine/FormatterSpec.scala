@@ -52,6 +52,18 @@ class FormatterSpec extends AnyFunSuite {
     assert(t.contains("| 1 | 2.5 |"))
   }
 
+  test("floats never render scientific notation (Rust Display parity)") {
+    // r04 review: Java Double.toString switches to 1.0E15 / 1.23E-7
+    // outside [1e-3, 1e7); Rust Display never does
+    val df = Seq((1e15, 1.5e16, 0.000000123, -2.5e-5)).toDF("a", "b", "c", "d")
+    val t = Formatter.table(df)
+    assert(!t.contains("E"), t)
+    assert(t.contains("1000000000000000"), t)
+    assert(t.contains("15000000000000000"), t)
+    assert(t.contains("0.000000123"), t)
+    assert(t.contains("-0.000025"), t)
+  }
+
   test("timestamps render RFC3339-like without zone") {
     val df = Seq(
       Tuple1(Timestamp.valueOf("2024-01-05 07:08:09")),

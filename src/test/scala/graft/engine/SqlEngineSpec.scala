@@ -776,4 +776,49 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(t.contains("path 's3a://bkt/path/'"))
     assert(t.contains("header 'true'") && t.contains("sep '|'"))
   }
+
+  test("DdlTranslator: quoted names become backticks; unknown clauses raise") {
+    // DataFusion double-quoted identifiers are STRING literals to Spark
+    val t = DdlTranslator.translate(
+      """CREATE EXTERNAL TABLE "My Table" STORED AS PARQUET LOCATION 's3://b/p'""")
+    assert(t.contains("CREATE TABLE `My Table` USING parquet"), t)
+    assert(DdlTranslator.externalTableName(
+      """CREATE EXTERNAL TABLE "My Table" STORED AS PARQUET LOCATION 's3://b/p'""")
+      .contains("`My Table`"))
+    // an unrecognized clause between STORED AS and LOCATION must raise,
+    // not silently vanish (a dropped OPTIONS clause = garbled parses)
+    val e = intercept[UnsupportedOperationException] {
+      DdlTranslator.translate(
+        "CREATE EXTERNAL TABLE t STORED AS CSV OPTIONS ('format.delimiter' '|') LOCATION 's3://b/p'")
+    }
+    assert(e.getMessage.contains("unsupported clause"), e.getMessage)
+  }
+
+  test("setS3Config root becomes a path prefix (reference opendal parity)") {
+    engine.setS3Config("data/v1", "bkt2", "us-east-1", "ak", "sk")
+    try {
+      assert(engine.rewriteS3Url("s3://bkt2/file.parquet") ==
+        "s3a://bkt2/data/v1/file.parquet")
+      assert(engine.rewriteS3Url("s3://other/file.parquet") ==
+        "s3a://other/file.parquet") // unconfigured bucket: no prefix
+    } finally engine.setS3Config("", "bkt2", "us-east-1", "ak", "sk") // clear root
+    assert(engine.rewriteS3Url("s3://bkt2/file.parquet") == "s3a://bkt2/file.parquet")
+  }
+
+  test("GROUPS statements may begin with comments; nested comments mask fully") {
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      assert(engine.executeSql(
+        """-- leading comment with a quote: don't
+          |SELECT x, sum(x) OVER (ORDER BY x GROUPS CURRENT ROW) AS s
+          |FROM VALUES (1), (1) t(x) ORDER BY x""".stripMargin) ==
+        """[{"x":1,"s":2},{"x":1,"s":2}]""")
+      // nested bracketed comment: Spark nests /* /* */ */; ending the
+      // mask at the first */ left an apostrophe in the tail flipping the
+      // literal state and derailing the SIMILAR TO rewrite
+      assert(engine.executeSql(
+        "/* outer /* inner */ tail don't */ SELECT s FROM VALUES ('ab') t(s) WHERE s SIMILAR TO 'a%'") ==
+        """[{"s":"ab"}]""")
+    } finally engine.setResultFormat(ResultFormat.Table)
+  }
 }
