@@ -554,8 +554,12 @@ object TextHashExprs {
     override def nullSafeEval(v: Any): Any = {
       val s = v.asInstanceOf[UTF8String].toString
 
-      // pass 1 — original text: n_char, \w+ runs, punct, space-split runs
-      var nChar = 0; var nTokens = 0; var nPunct = 0; var wsTokens = 0
+      // pass 1 — original text: n_char, \w+ runs, punct, space-split
+      // runs, CJK code points (U+4E00–U+9FFF: the unified-ideographs
+      // block — \w is ASCII in both Java and RE2, so CJK text has NO
+      // word tokens and needs its own char-ratio signal for language ID,
+      // r04 review)
+      var nChar = 0; var nTokens = 0; var nPunct = 0; var wsTokens = 0; var nCjk = 0
       var inWord = false; var inWs = false
       var i = 0
       while (i < s.length) {
@@ -564,6 +568,7 @@ object TextHashExprs {
         val w = isWord(cp)
         if (w && !inWord) nTokens += 1
         if (!w && !isSpace(cp)) nPunct += 1
+        if (cp >= 0x4E00 && cp <= 0x9FFF) nCjk += 1
         inWord = w
         val ns = cp != ' '
         if (ns && !inWs) wsTokens += 1
@@ -612,7 +617,7 @@ object TextHashExprs {
         nChar, nTokens, distinct.size(), nPunct, wsTokens, nTokens + nPunct,
         nToks, tokLenSum,
         hits(0), hits(1), hits(2), hits(3), hits(4),
-        UTF8String.fromString(new String(hex)))
+        UTF8String.fromString(new String(hex)), nCjk)
     }
     override def prettyName: String = "text_metrics"
     override protected def withNewChildInternal(c: Expression) = copy(c)
@@ -633,7 +638,8 @@ object TextHashExprs {
       StructField("stop_es", IntegerType, nullable = false),
       StructField("stop_de", IntegerType, nullable = false),
       StructField("stop_zh", IntegerType, nullable = false),
-      StructField("fingerprint", StringType, nullable = false)))
+      StructField("fingerprint", StringType, nullable = false),
+      StructField("n_cjk", IntegerType, nullable = false)))
   }
 
   /**

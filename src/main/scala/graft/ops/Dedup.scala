@@ -188,7 +188,12 @@ object Dedup {
         }
       case None =>
         val (lsh, lshCaches) = minhashLshCached(docs, minJaccard = minJaccard)
-        val p = lsh.select(col("doc_a"), col("doc_b")).localCheckpoint(eager = false)
+        // EAGER checkpoint: the signature caches must be alive when the
+        // pair set materializes — a lazy checkpoint here deferred the
+        // first action past the unpersist below, so the persists never
+        // served a read and the LSH join recomputed signatures per side
+        // (r04 review)
+        val p = lsh.select(col("doc_a"), col("doc_b")).localCheckpoint()
         lshCaches.foreach(_.unpersist(blocking = false))
         p
     }
@@ -196,7 +201,13 @@ object Dedup {
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    // labels over PAIR MEMBERS only — docs in no pair are trivially their
+    // own survivors and rejoin via the final anti-join, which is what
+    // keeps every iteration bounded by the pair set, not the corpus
+    // (r04 review: corpus-wide labels made each round two corpus-scale
+    // joins, contradicting the scale contract above)
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var iter = 0
@@ -221,13 +232,24 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    if (!converged)
+    if (!converged) {
+      // release the pinned frames BEFORE throwing — a caller that
+      // catches and retries with higher maxIter (the message's own
+      // advice) must not accumulate storage residue per attempt
+      labels.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      pairs.unpersist(blocking = false)
       throw new IllegalStateException(
         s"dedupCorpus: label propagation did not converge within $maxIter iterations — " +
         "clusters would be silently partial; raise maxIter")
-    // survivors are tiny (one id per cluster); materialize them, then
-    // release every remaining pinned frame
-    val survivors = labels.filter(col("doc_id") === col("label"))
+    }
+    // survivors = cluster representatives (tiny) + every doc in no pair
+    // (the promised single final anti-join over the corpus); materialize,
+    // then release every remaining pinned frame
+    val reps = labels.filter(col("doc_id") === col("label")).select(col("doc_id"))
+    val nonMembers = docs.select(col("doc_id"))
+      .join(edges.select(col("doc_a").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    val survivors = reps.union(nonMembers)
       .select(col("doc_id").as("keep_id"))
       .localCheckpoint()
     labels.unpersist(blocking = false)

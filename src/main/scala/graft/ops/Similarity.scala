@@ -214,8 +214,8 @@ object Similarity {
           .as("list_id"))
     val scored = idx.index.join(broadcast(probes), "list_id")
       .select(col("qid"), col("cid"),
-        round(TextHashExprs.dotProd(spark, col("qe"), col("ce")) / (col("qn") * col("cn")), 9)
-          .as("sim"))
+        round(TextHashExprs.dotProd(spark, col("qe"), col("ce")) /
+          nullif(col("qn") * col("cn"), lit(0.0)), 9).as("sim")) // see bruteForceTopK
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))

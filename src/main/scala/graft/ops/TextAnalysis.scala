@@ -31,25 +31,32 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       inline(array(TextHashExprs.textMetrics(docs.sparkSession, col("text")))))
 
-  /** Language ID: argmax over per-language stopword-hit ratios. The argmax
-    * rides on Spark's native struct ordering (score first, then tag) —
-    * over plain hit-count columns it costs 10 divisions per row. The max
-    * struct passes through a second `inline` barrier so the 5-struct
-    * array + array_max build ONCE per row — two naked getField
-    * projections would each inline their own copy via CollapseProject
-    * (r04 review; same pattern as the metrics barrier). */
+  /** Language ID: argmax over per-language signals — stopword-hit ratio
+    * for the \w-tokenizable languages, CJK-char ratio for zh (`\w` is
+    * ASCII in Java and RE2 alike, so Chinese text has NO word tokens and
+    * its stopword list could never score — the old zh score was dead
+    * code, r04 review). Docs with every signal at zero report 'und'
+    * rather than winning on the tie-break. The argmax rides on Spark's
+    * native struct ordering (score first, then tag); the max struct
+    * passes through a second `inline` barrier so the scored array
+    * builds ONCE per row (CollapseProject would inline it per field
+    * access otherwise). */
   def languageId(docs: DataFrame): DataFrame = {
     val scored = array(TextHashExprs.stopWords.map { case (lang, _) =>
       struct(
-        (col(s"stop_$lang").cast("double") /
-          greatest(col("n_toks"), lit(1)).cast("double")).as("score"),
+        (if (lang == "zh")
+          col("n_cjk").cast("double") / greatest(col("n_char"), lit(1)).cast("double")
+        else
+          col(s"stop_$lang").cast("double") /
+            greatest(col("n_toks"), lit(1)).cast("double")).as("score"),
         lit(lang).as("lang"))
     }: _*)
     metrics(docs)
       .select(col("doc_id"), inline(array(struct(array_max(scored).as("best")))))
       .select(
         col("doc_id"),
-        col("best.lang").as("pred_lang"),
+        when(col("best.score") === 0.0, lit("und"))
+          .otherwise(col("best.lang")).as("pred_lang"),
         round(col("best.score"), 9).as("best_score"))
       .orderBy(col("doc_id"))
   }

@@ -132,10 +132,12 @@ object Extensions {
   // Language-ID argmax IS DuckDB-expressible (VERDICT r01 item 6): the
   // CASE tests languages in descending tag order to replicate Spark's
   // array_max-over-(score, lang)-structs tie-break (max score, then max
-  // tag string).
+  // tag string). zh scores by CJK-char ratio — \w is ASCII in RE2 and
+  // Java alike, so Chinese text has no word tokens and a zh stopword
+  // list can never hit (r04 review); all-zero docs report 'und'.
   val x08 = Q.df(
     "x08_lang_id",
-    """WITH t AS (SELECT doc_id,
+    """WITH t AS (SELECT doc_id, text,
       |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
       |  FROM documents),
       |s AS (SELECT doc_id,
@@ -143,10 +145,11 @@ object Extensions {
       |    CAST(len(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une','est','en','que'))) AS DOUBLE) / greatest(len(toks), 1) AS s_fr,
       |    CAST(len(list_filter(toks, x -> x IN ('el','la','los','de','y','un','una','es','en','que'))) AS DOUBLE) / greatest(len(toks), 1) AS s_es,
       |    CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ein','eine','ist','von','zu','mit'))) AS DOUBLE) / greatest(len(toks), 1) AS s_de,
-      |    CAST(len(list_filter(toks, x -> x IN ('的','了','是','在','我','有','和','就','不','人'))) AS DOUBLE) / greatest(len(toks), 1) AS s_zh
+      |    CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS DOUBLE) / greatest(length(text), 1) AS s_zh
       |  FROM t)
       |SELECT doc_id,
-      |  CASE WHEN s_zh = m THEN 'zh' WHEN s_fr = m THEN 'fr' WHEN s_es = m THEN 'es'
+      |  CASE WHEN m = 0 THEN 'und'
+      |       WHEN s_zh = m THEN 'zh' WHEN s_fr = m THEN 'fr' WHEN s_es = m THEN 'es'
       |       WHEN s_en = m THEN 'en' ELSE 'de' END AS pred_lang,
       |  ROUND(m, 9) AS best_score
       |FROM (SELECT *, greatest(s_en, s_fr, s_es, s_de, s_zh) AS m FROM s)
@@ -322,8 +325,14 @@ object Extensions {
   // Full dedup pipeline: LSH pairs → connected components → survivors.
   // At the 0.999 threshold only exact duplicates merge (shingle-set
   // Jaccard 1.0), so the survivor set equals min-doc_id-per-text — an
-  // exact SQL oracle. Near-dup clustering below the threshold is
-  // exercised by OpsSpec at 0.7.
+  // exact SQL oracle. Caveat (r04 review): "Jaccard 1.0" means
+  // TOKENIZATION-equivalent (lowercased \W+ tokens), so the equality
+  // with GROUP BY text relies on the fixtures containing no pair that
+  // differs only in case/punctuation/whitespace — verified true for the
+  // generated corpus; a regenerated fixture set introducing such a pair
+  // would fail this row (correctly flagging the divergence) rather than
+  // silently pass. Near-dup clustering below the threshold is exercised
+  // by OpsSpec at 0.7.
   // The durable pair-set checkpoint makes repeated runs (the bench's
   // double pass; a resumed 100 TB pipeline) price label propagation, not
   // signature rebuild. The artifact is fingerprinted against the input

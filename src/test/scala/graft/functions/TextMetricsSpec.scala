@@ -48,7 +48,9 @@ class TextMetricsSpec extends AnyFunSuite {
         aggregate(transform(toks, t => length(t)), lit(0L), (a, x) => a + x).as("e_tok_len_sum"),
         size(filter(toks, t => array_contains(
           array(TextHashExprs.stopWords.head._2.map(lit): _*), t))).cast("int").as("e_stop_en"),
-        md5(array_join(sort_array(array_distinct(toks)), " ").cast("binary")).as("e_fingerprint"))
+        md5(array_join(sort_array(array_distinct(toks)), " ").cast("binary")).as("e_fingerprint"),
+        size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+          .cast("int").as("e_n_cjk"))
 
     val actual = docs.select(col("doc_id"),
       inline(array(TextHashExprs.textMetrics(spark, col("text")))))
@@ -64,14 +66,32 @@ class TextMetricsSpec extends AnyFunSuite {
         (col("n_toks") === col("e_n_toks")).as("c7"),
         (col("tok_len_sum") === col("e_tok_len_sum")).as("c8"),
         (col("stop_en") === col("e_stop_en")).as("c9"),
-        (col("fingerprint") === col("e_fingerprint")).as("c10"))
+        (col("fingerprint") === col("e_fingerprint")).as("c10"),
+        (col("n_cjk") === col("e_n_cjk")).as("c11"))
     val bad = joined.filter(not(col("c1") && col("c2") && col("c3") && col("c4") &&
-      col("c5") && col("c6") && col("c7") && col("c8") && col("c9") && col("c10")))
+      col("c5") && col("c6") && col("c7") && col("c8") && col("c9") && col("c10") &&
+      col("c11")))
       .collect()
     assert(bad.isEmpty, {
       val ids = bad.map(_.getLong(0)).toSet
       val samples = texts.zipWithIndex.filter(p => ids.contains(p._2.toLong)).take(5)
       s"${bad.length} mismatching docs, e.g. ${samples.map(s => s"#${s._2}: '${s._1}'")}"
     })
+  }
+
+  test("languageId: CJK text scores zh; signal-free text reports und") {
+    // r04 review: \w+ strips CJK so the zh stopword list was dead code,
+    // and zero-score docs won the max-tag tie-break as 'zh'
+    val docs = Seq(
+      (1L, "这是一个中文文档 的确如此"),
+      (2L, "the cat sat on the mat and it is a cat"),
+      (3L, "!!! ??? %%%"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.languageId(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == "zh" && out(1L)._2 > 0.5, out(1L).toString)
+    assert(out(2L)._1 == "en", out(2L).toString)
+    assert(out(3L)._1 == "und" && out(3L)._2 == 0.0, out(3L).toString)
+    assert(out(4L)._1 == "und", out(4L).toString)
   }
 }
