@@ -331,6 +331,70 @@ class SqlEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("HTTP source follows redirects Java won't and rejects bad 206 lengths") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/region.parquet"))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // 308 Permanent Redirect: HttpURLConnection's auto-follow predates
+    // RFC 7538 and never follows it — exercises the manual loop that
+    // also handles cross-protocol hops (r04 review)
+    server.createContext("/moved.parquet", ex => {
+      try {
+        ex.getResponseHeaders.set("Location", "/real.parquet")
+        ex.sendResponseHeaders(308, -1)
+      } finally ex.close()
+    })
+    server.createContext("/real.parquet", ex => {
+      try {
+        Option(ex.getRequestHeaders.getFirst("Range")) match {
+          case Some(r) if r.startsWith("bytes=") =>
+            val parts = r.stripPrefix("bytes=").split("-", -1)
+            val from = parts(0).toLong
+            val to = if (parts.length > 1 && parts(1).nonEmpty)
+              math.min(parts(1).toLong, bytes.length - 1L) else bytes.length - 1L
+            val len = (to - from + 1).toInt
+            ex.getResponseHeaders.set("Content-Range", s"bytes $from-$to/${bytes.length}")
+            ex.sendResponseHeaders(206, len)
+            ex.getResponseBody.write(bytes, from.toInt, len)
+          case _ =>
+            ex.sendResponseHeaders(200, bytes.length)
+            ex.getResponseBody.write(bytes)
+        }
+      } finally ex.close()
+    })
+    // a 206 whose Content-Range total is '*': the 1-byte range body must
+    // NOT be reported as the object length (silent truncation pre-fix)
+    server.createContext("/star.parquet", ex => {
+      try {
+        ex.getResponseHeaders.set("Content-Range", "bytes 0-0/*")
+        ex.sendResponseHeaders(206, 1)
+        ex.getResponseBody.write(Array[Byte](0))
+      } finally ex.close()
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      engine.executeSql(
+        s"CREATE EXTERNAL TABLE http_moved STORED AS PARQUET LOCATION 'http://127.0.0.1:$port/moved.parquet'")
+      assert(engine.executeStatement("SELECT count(*) AS n FROM http_moved")
+        .collect()(0).getLong(0) == 5)
+      val e = intercept[Exception] {
+        engine.executeSql(
+          s"CREATE EXTERNAL TABLE http_star STORED AS PARQUET LOCATION 'http://127.0.0.1:$port/star.parquet'")
+        engine.executeStatement("SELECT count(*) FROM http_star").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains("Content-Range") || m.contains("206")),
+        msgs(e).mkString(" | "))
+    } finally {
+      engine.executeStatement("DROP TABLE IF EXISTS http_moved")
+      engine.executeStatement("DROP TABLE IF EXISTS http_star")
+      server.stop(0)
+    }
+  }
+
   test("INSERT INTO an external parquet table writes files readable back") {
     val dir = java.nio.file.Files.createTempDirectory("graft_extwrite").toString
     try {
