@@ -73,6 +73,32 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Deterministic shard id in [0, n): the hash bucket's position among
+    * n equal-width threshold cells, computed as a sum of n-1 codegen'd
+    * hex comparisons — no numeric hex parsing needed, so any engine
+    * with md5 and string compare derives the same shard (the x20
+    * oracle restates the CASE chain). Sharding a 100 TB corpus for a
+    * training run is a pure per-row projection: no shuffle, stable
+    * under re-runs and appends; write with
+    * `df.repartition(n, col("shard"))` or partitionBy to materialize. */
+  def shardCol(key: Column, n: Int, seed: Int = 42): Column = {
+    require(n >= 1 && n <= 4096, s"shard count $n outside [1, 4096]")
+    (1 until n).foldLeft(lit(0)) { (acc, i) =>
+      acc + when(bucketHex(key, seed) >= lit(hexThreshold(i.toDouble / n)), 1)
+        .otherwise(0)
+    }
+  }
+
+  def shard(df: DataFrame, key: Column, n: Int, seed: Int = 42,
+      outName: String = "shard"): DataFrame =
+    df.withColumn(outName, shardCol(key, n, seed))
+
+  /** Deterministic global shuffle key: ORDER BY this column (then the
+    * key as tiebreak) is a reproducible corpus-wide permutation — a
+    * distributed range sort, NOT a single-partition row_number. Vary
+    * `seed` per epoch for fresh orders with zero RNG state. */
+  def shuffleKey(key: Column, seed: Int = 42): Column = bucketHex(key, seed)
+
   /** Keeps a per-stratum fraction of rows (stratum → rate; strata absent
     * from `rates` keep `defaultRate`). Rates >= 1 keep everything. */
   def stratifiedSample(df: DataFrame, strata: Column, rates: Map[String, Double],

@@ -288,6 +288,28 @@ object Extensions {
       .select(col("doc_id"), col("lang"), col("source")).orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- x20
+  // Deterministic sharding + epoch shuffle keys — the corpus-sharding
+  // primitive for training runs. Shard = position of the md5 bucket
+  // among n equal-width hex thresholds (pure projection, no shuffle);
+  // the oracle restates the comparison chain with the same thresholds.
+  val x20 = Q.df(
+    "x20_sharding", {
+      val n = 8
+      val cases = (1 until n).map(i =>
+        s"(CASE WHEN substr(md5(doc_id || ':11'), 1, 8) >= '${graft.ops.Sampling.hexThreshold(i.toDouble / n)}' THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""SELECT doc_id, $cases AS shard,
+         |  substr(md5(doc_id || ':12'), 1, 8) AS shuffle_key
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    import org.apache.spark.sql.functions.col
+    Sampling.shard(Tables.load(spark, dir, "documents"), col("doc_id"), n = 8, seed = 11)
+      .withColumn("shuffle_key", Sampling.shuffleKey(col("doc_id"), seed = 12))
+      .select(col("doc_id"), col("shard"), col("shuffle_key"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- x13
   // Per-label centroid (element-wise mean over the embedding column) —
   // the aggregation shape behind k-means / class prototypes. Scale: the
@@ -404,5 +426,5 @@ object Extensions {
   }
 
   def defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16, x17, x18, x19)
+    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20)
 }

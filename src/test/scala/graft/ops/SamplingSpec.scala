@@ -69,6 +69,31 @@ class SamplingSpec extends AnyFunSuite {
       Seq("a" -> 0.5, "b" -> (0.5 - 1e-12), "c" -> 1e-12)).collect()
   }
 
+  test("shard: total cover, near-uniform sizes, stability, no shuffle") {
+    val n = 16
+    val out = Sampling.shard(ids(16000), col("id"), n, seed = 3)
+    val counts = out.groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0 until n).toSet) // every shard populated
+    assert(counts.values.sum == 16000)
+    assert(counts.values.forall(c => math.abs(c - 1000) < 150), counts.toString)
+    // stable under repartitioning (pure function of the key)
+    val a = out.orderBy("id").collect().map(_.getInt(1))
+    val b = Sampling.shard(ids(16000).repartition(7), col("id"), n, seed = 3)
+      .orderBy("id").collect().map(_.getInt(1))
+    assert(a.sameElements(b))
+    val plan = Sampling.shard(ids(100), col("id"), n).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("shuffleKey: deterministic permutation, different per seed") {
+    val k1 = ids(500).select(Sampling.shuffleKey(col("id"), 1).as("k")).collect().map(_.getString(0))
+    val k1b = ids(500).select(Sampling.shuffleKey(col("id"), 1).as("k")).collect().map(_.getString(0))
+    val k2 = ids(500).select(Sampling.shuffleKey(col("id"), 2).as("k")).collect().map(_.getString(0))
+    assert(k1.sameElements(k1b))
+    assert(!k1.sameElements(k2))
+  }
+
   test("deterministicSplit rejects bad weights") {
     intercept[IllegalArgumentException](
       Sampling.deterministicSplit(ids(10), col("id"), Seq("a" -> 0.5, "b" -> 0.4)))
