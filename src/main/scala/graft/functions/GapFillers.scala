@@ -237,7 +237,27 @@ object GapFillers {
     val buf = new StringBuilder
     while (i < fmt.length) {
       val c = fmt.charAt(i)
-      if (c == '%' && i + 1 < fmt.length) {
+      // space-padded codes (%e/%k/%l, and %v whose first field is %e):
+      // chrono pads these to two chars with a SPACE; java.time has no
+      // space-padded field, so the pattern wraps the unpadded field in
+      // control-char (u0001/u0002) markers that the to_char builder
+      // post-processes (single digit between markers gains a leading
+      // space, then markers strip — r04 review: the unpadded form
+      // silently diverged from the reference for days < 10). Markers
+      // ride in the literal BUFFER so they merge with adjacent literal
+      // text — emitting them as standalone quoted sections produced ''
+      // escape sequences next to user literals.
+      if (c == '%' && i + 1 < fmt.length && "eklv".indexOf(fmt.charAt(i + 1)) >= 0) {
+        buf += '\u0001'
+        lit(buf.toString); buf.clear()
+        fmt.charAt(i + 1) match {
+          case 'e' => sb ++= "d"; buf += '\u0002'
+          case 'k' => sb ++= "H"; buf += '\u0002'
+          case 'l' => sb ++= "h"; buf += '\u0002'
+          case 'v' => sb ++= "d'\u0002'-MMM-yyyy"
+        }
+        i += 2
+      } else if (c == '%' && i + 1 < fmt.length) {
         lit(buf.toString); buf.clear()
         // two-char codes: %:z (+00:00 offset) and %3f/%6f/%9f
         // (milli/micro/nano fractional seconds)
@@ -253,10 +273,8 @@ object GapFillers {
           // formatter rejects week-based 'Y' patterns since 3.0
           case 'Y' => sb ++= "yyyy"; case 'y' => sb ++= "yy"
           case 'm' => sb ++= "MM"; case 'd' => sb ++= "dd"
-          case 'e' => sb ++= "d"
           case 'q' => sb ++= "Q"
           case 'H' => sb ++= "HH"; case 'I' => sb ++= "hh"
-          case 'k' => sb ++= "H"; case 'l' => sb ++= "h" // chrono pads w/ space; closest form
           case 'M' => sb ++= "mm"; case 'S' => sb ++= "ss"
           case 'f' => sb ++= "SSSSSS"
           case 'j' => sb ++= "DDD"
@@ -271,8 +289,9 @@ object GapFillers {
           case 'D' | 'x' => sb ++= "MM/dd/yy"
           case 'R' => sb ++= "HH:mm"
           case 'r' => sb ++= "hh:mm:ss a"
-          case 'v' => sb ++= "d-MMM-yyyy"
-          case 'c' => sb ++= "EEE MMM d HH:mm:ss yyyy"
+          // ctime embeds %e; its internal markers sit between pattern
+          // letters/spaces, never next to another quoted section
+          case 'c' => sb ++= "EEE MMM '\u0001'd'\u0002' HH:mm:ss yyyy"
           case 'n' => buf += '\n'
           case 't' => buf += '\t'
           case '%' => buf += '%'
@@ -318,7 +337,13 @@ object GapFillers {
       case Seq(x, Literal(s: UTF8String, StringType)) if s.toString == "%s" =>
         Cast(UnixSeconds(Cast(x, TimestampType)), StringType)
       case Seq(x, Literal(s: UTF8String, StringType)) =>
-        DateFormatClass(Cast(x, TimestampType), Literal(chronoToJava(s.toString)))
+        val p = chronoToJava(s.toString)
+        val base = DateFormatClass(Cast(x, TimestampType), Literal(p))
+        if (p.indexOf('\u0001') >= 0)
+          RegExpReplace( // space-pad single digits, then strip markers
+            RegExpReplace(base, Literal("\u0001(\\d)\u0002"), Literal(" $1")),
+            Literal("\u0001(\\d+)\u0002"), Literal("$1"))
+        else base
       case _ => throw new IllegalArgumentException(
         "to_char(expr, 'format') requires a literal chrono format")
     }

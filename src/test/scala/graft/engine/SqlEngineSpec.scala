@@ -16,16 +16,22 @@ class SqlEngineSpec extends AnyFunSuite {
     val out = engine.executeSql("SELECT 1 AS a; SELECT 'x' AS b")
     assert(out.contains("| a |") && out.contains("| b |"))
     assert(out.contains("| 1 |") && out.contains("| x |"))
-    // two bordered tables = one join newline between the blocks
-    assert(out.split("\n\\+").length >= 2)
+    // exactly the two formatted blocks joined by one newline: the b
+    // table's top border directly follows the a table's bottom border
+    // (the old `split("\n\\+").length >= 2` held for a SINGLE bordered
+    // table too — vacuous, r04 review)
+    val aTable = engine.executeSql("SELECT 1 AS a")
+    val bTable = engine.executeSql("SELECT 'x' AS b")
+    assert(out == s"$aTable\n$bTable", out)
   }
 
   test("CREATE EXTERNAL TABLE ... STORED AS PARQUET LOCATION is translated and queryable") {
-    engine.executeSql(
-      s"CREATE EXTERNAL TABLE ext_nation STORED AS PARQUET LOCATION '${TestSessions.sf0001}/nation.parquet'")
-    val out = engine.executeSql("SELECT count(*) AS n FROM ext_nation")
-    assert(out.contains("| 25 |"))
-    spark.sql("DROP TABLE IF EXISTS ext_nation")
+    try {
+      engine.executeSql(
+        s"CREATE EXTERNAL TABLE ext_nation STORED AS PARQUET LOCATION '${TestSessions.sf0001}/nation.parquet'")
+      val out = engine.executeSql("SELECT count(*) AS n FROM ext_nation")
+      assert(out.contains("| 25 |"))
+    } finally spark.sql("DROP TABLE IF EXISTS ext_nation")
   }
 
   test("CREATE VIEW / SELECT / DROP lifecycle in one call") {
@@ -124,32 +130,35 @@ class SqlEngineSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toFile
     val f = new java.io.File(dir, "data.csv")
     java.nio.file.Files.writeString(f.toPath, "id|name\n1|alice\n2|bob\n")
-    engine.executeSql(
-      s"CREATE EXTERNAL TABLE csv_t (id INT, name STRING) STORED AS CSV WITH HEADER ROW DELIMITER '|' LOCATION '${f.getAbsolutePath}'")
-    val out = engine.executeSql("SELECT name FROM csv_t WHERE id = 2")
-    assert(out.contains("bob"))
-    spark.sql("DROP TABLE IF EXISTS csv_t")
+    try {
+      engine.executeSql(
+        s"CREATE EXTERNAL TABLE csv_t (id INT, name STRING) STORED AS CSV WITH HEADER ROW DELIMITER '|' LOCATION '${f.getAbsolutePath}'")
+      val out = engine.executeSql("SELECT name FROM csv_t WHERE id = 2")
+      assert(out.contains("bob"))
+    } finally spark.sql("DROP TABLE IF EXISTS csv_t")
   }
 
   test("NDJSON external table scans") {
     val dir = java.nio.file.Files.createTempDirectory("graft_json").toFile
     val f = new java.io.File(dir, "data.json")
     java.nio.file.Files.writeString(f.toPath, "{\"id\":1,\"v\":\"x\"}\n{\"id\":2,\"v\":\"y\"}\n")
-    engine.executeSql(
-      s"CREATE EXTERNAL TABLE json_t STORED AS JSON LOCATION '${f.getAbsolutePath}'")
-    val out = engine.executeSql("SELECT v FROM json_t WHERE id = 1")
-    assert(out.contains("| x |"))
-    spark.sql("DROP TABLE IF EXISTS json_t")
+    try {
+      engine.executeSql(
+        s"CREATE EXTERNAL TABLE json_t STORED AS JSON LOCATION '${f.getAbsolutePath}'")
+      val out = engine.executeSql("SELECT v FROM json_t WHERE id = 1")
+      assert(out.contains("| x |"))
+    } finally spark.sql("DROP TABLE IF EXISTS json_t")
   }
 
   test("CTAS + INSERT INTO on a parquet table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ins").toFile.getAbsolutePath
-    engine.executeSql(
-      s"""CREATE TABLE ins_t USING parquet OPTIONS (path '$dir/t') AS SELECT 1 AS id;
-         |INSERT INTO ins_t VALUES (2), (3)""".stripMargin)
-    val out = engine.executeSql("SELECT CAST(SUM(id) AS BIGINT) AS s FROM ins_t")
-    assert(out.contains("| 6 |"))
-    spark.sql("DROP TABLE IF EXISTS ins_t")
+    try {
+      engine.executeSql(
+        s"""CREATE TABLE ins_t USING parquet OPTIONS (path '$dir/t') AS SELECT 1 AS id;
+           |INSERT INTO ins_t VALUES (2), (3)""".stripMargin)
+      val out = engine.executeSql("SELECT CAST(SUM(id) AS BIGINT) AS s FROM ins_t")
+      assert(out.contains("| 6 |"))
+    } finally spark.sql("DROP TABLE IF EXISTS ins_t")
   }
 
   test("function-alias rewriting never touches string literals") {
@@ -292,12 +301,9 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("generate_series"))
   }
 
-  test("HTTP external parquet table scans through the range-request filesystem") {
-    val bytes = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/root/testdata/sf0.001/nation.parquet"))
-    val server = com.sun.net.httpserver.HttpServer.create(
-      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
-    server.createContext("/nation.parquet", ex => {
+  /** Range-request file handler shared by the HTTP source tests. */
+  private def rangeHandler(bytes: Array[Byte]): com.sun.net.httpserver.HttpHandler =
+    ex => {
       try {
         Option(ex.getRequestHeaders.getFirst("Range")) match {
           case Some(r) if r.startsWith("bytes=") =>
@@ -315,7 +321,14 @@ class SqlEngineSpec extends AnyFunSuite {
             ex.getResponseBody.write(bytes)
         }
       } finally ex.close()
-    })
+    }
+
+  test("HTTP external parquet table scans through the range-request filesystem") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/nation.parquet"))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/nation.parquet", rangeHandler(bytes))
     server.start()
     val port = server.getAddress.getPort
     try {
@@ -345,24 +358,7 @@ class SqlEngineSpec extends AnyFunSuite {
         ex.sendResponseHeaders(308, -1)
       } finally ex.close()
     })
-    server.createContext("/real.parquet", ex => {
-      try {
-        Option(ex.getRequestHeaders.getFirst("Range")) match {
-          case Some(r) if r.startsWith("bytes=") =>
-            val parts = r.stripPrefix("bytes=").split("-", -1)
-            val from = parts(0).toLong
-            val to = if (parts.length > 1 && parts(1).nonEmpty)
-              math.min(parts(1).toLong, bytes.length - 1L) else bytes.length - 1L
-            val len = (to - from + 1).toInt
-            ex.getResponseHeaders.set("Content-Range", s"bytes $from-$to/${bytes.length}")
-            ex.sendResponseHeaders(206, len)
-            ex.getResponseBody.write(bytes, from.toInt, len)
-          case _ =>
-            ex.sendResponseHeaders(200, bytes.length)
-            ex.getResponseBody.write(bytes)
-        }
-      } finally ex.close()
-    })
+    server.createContext("/real.parquet", rangeHandler(bytes))
     // a 206 whose Content-Range total is '*': the 1-byte range body must
     // NOT be reported as the object length (silent truncation pre-fix)
     server.createContext("/star.parquet", ex => {

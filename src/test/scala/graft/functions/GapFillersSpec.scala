@@ -87,10 +87,19 @@ class GapFillersSpec extends AnyFunSuite {
   test("to_char residual chrono codes: quarter, 12h clock, ctime, VMS, epoch, offsets") {
     assert(one("SELECT to_char(TIMESTAMP '2024-01-05 17:08:09', 'Q%q %r') AS s")
       == """[{"s":"Q1 05:08:09 PM"}]""")
+    // chrono %e (and the %v/%c composites embedding it) SPACE-pads
+    // single-digit days to two chars (r04 review: the unpadded form
+    // silently diverged from the reference for days < 10)
     assert(one("SELECT to_char(TIMESTAMP '2024-01-05 07:08:09', '%v') AS s")
-      == """[{"s":"5-Jan-2024"}]""")
+      == """[{"s":" 5-Jan-2024"}]""")
+    assert(one("SELECT to_char(TIMESTAMP '2024-01-15 07:08:09', '%v') AS s")
+      == """[{"s":"15-Jan-2024"}]""")
     assert(one("SELECT to_char(TIMESTAMP '2024-01-05 07:08:09', '%c') AS s")
-      == """[{"s":"Fri Jan 5 07:08:09 2024"}]""")
+      == """[{"s":"Fri Jan  5 07:08:09 2024"}]""")
+    assert(one("SELECT to_char(TIMESTAMP '2024-01-05 07:08:09', 'day:%e.') AS s")
+      == """[{"s":"day: 5."}]""")
+    assert(one("SELECT to_char(TIMESTAMP '2024-01-05 07:08:09', '%k|%l') AS s")
+      == """[{"s":" 7| 7"}]""")
     assert(one("SELECT to_char(TIMESTAMP '1970-01-01 00:01:40', '%s') AS s")
       == """[{"s":"100"}]""")
     // UTC session: numeric offsets render as zero

@@ -50,7 +50,9 @@ class RepetitionSpec extends AnyFunSuite {
     Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, unit).map(_.mkString("\n")))
 
   test("property: RepetitionMetrics equals the plain-Scala reference") {
-    val texts = Gen.listOfN(200, doc).sample.get ++ Seq(
+    // fixed seeds: a failing doc must reproduce on rerun (r04 review)
+    val texts = (0 until 200).flatMap(i =>
+      doc.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong))) ++ Seq(
       "", "\n\n\n", "same line\nsame line\nsame line\nother",
       "buy now buy now buy now buy now buy now",
       "one two three four five one two three four five",

@@ -29,7 +29,9 @@ class TextMetricsSpec extends AnyFunSuite {
     Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, corpusChars).map(_.mkString))
 
   test("property: TextMetrics fields equal the declarative regex/HOF formulation") {
-    val texts = Gen.listOfN(300, doc).sample.get ++
+    // fixed seeds: a failing doc must reproduce on rerun (r04 review)
+    val texts = (0 until 300).flatMap(i =>
+      doc.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong))) ++
       Seq("", " ", "\t\t", "...", "a", "the the THE", "a_b c-d", "日本語のテキスト",
         "mixed 中文 and english", "😀😀 hi 😀", "xy") // incl. vertical tab
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
@@ -57,17 +59,17 @@ class TextMetricsSpec extends AnyFunSuite {
 
     val joined = actual.join(declarative, "doc_id")
       .select(col("doc_id"),
-        (col("n_char") === col("e_n_char")).as("c1"),
-        (col("n_tokens") === col("e_n_tokens")).as("c2"),
-        (col("n_types") === col("e_n_types")).as("c3"),
-        (col("n_punct") === col("e_n_punct")).as("c4"),
-        (col("ws_tokens") === col("e_ws_tokens")).as("c5"),
-        (col("re_tokens") === col("e_re_tokens")).as("c6"),
-        (col("n_toks") === col("e_n_toks")).as("c7"),
-        (col("tok_len_sum") === col("e_tok_len_sum")).as("c8"),
-        (col("stop_en") === col("e_stop_en")).as("c9"),
-        (col("fingerprint") === col("e_fingerprint")).as("c10"),
-        (col("n_cjk") === col("e_n_cjk")).as("c11"))
+        (col("n_char") <=> col("e_n_char")).as("c1"),
+        (col("n_tokens") <=> col("e_n_tokens")).as("c2"),
+        (col("n_types") <=> col("e_n_types")).as("c3"),
+        (col("n_punct") <=> col("e_n_punct")).as("c4"),
+        (col("ws_tokens") <=> col("e_ws_tokens")).as("c5"),
+        (col("re_tokens") <=> col("e_re_tokens")).as("c6"),
+        (col("n_toks") <=> col("e_n_toks")).as("c7"),
+        (col("tok_len_sum") <=> col("e_tok_len_sum")).as("c8"),
+        (col("stop_en") <=> col("e_stop_en")).as("c9"),
+        (col("fingerprint") <=> col("e_fingerprint")).as("c10"),
+        (col("n_cjk") <=> col("e_n_cjk")).as("c11"))
     val bad = joined.filter(not(col("c1") && col("c2") && col("c3") && col("c4") &&
       col("c5") && col("c6") && col("c7") && col("c8") && col("c9") && col("c10") &&
       col("c11")))

@@ -28,7 +28,10 @@ class EventStreamSpec extends AnyFunSuite {
       // append-mode emits only below-watermark windows; with a bounded
       // input the final windows stay open, so compare against the batch
       // result as an upper bound and require substantial coverage.
-      val streamed = spark.sql("SELECT CAST(SUM(n) AS BIGINT) FROM win_counts").head.getLong(0)
+      // COALESCE: an empty sink makes SUM(n) NULL and a raw getLong
+      // would NPE before the diagnostic assert below fires (r04 review)
+      val streamed =
+        spark.sql("SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM win_counts").head.getLong(0)
       val total = Tables.load(spark, TestSessions.sf0001, "events").count()
       assert(streamed > 0 && streamed <= total)
       val batchWindows = EventStream.windowedCounts(
