@@ -30,7 +30,7 @@ object Dialect {
     * and derail every mask-based rewrite (r03 review). Content becomes
     * \u0001; delimiters stay, so regex match offsets on the masked text
     * are valid offsets into the raw text. */
-  private def maskSameLength(sql: String): String = {
+  private[engine] def maskSameLength(sql: String): String = {
     val arr = sql.toCharArray
     var i = 0
     var state = 0 // 0 code, 1 '…', 2 "…", 3 `…`, 4 --…\n, 5 /*…*/
