@@ -22,11 +22,10 @@ import graft.ops.Percentiles
  *   [ORDER BY <output cols> [LIMIT n]]
  *
  * it is planned through the sort-based rank selection instead. Results
- * match the reference formula `lower + frac · (upper − lower)` exactly
- * (q41 pins it bit-for-bit against the DuckDB oracle); Spark's own
- * PERCENTILE_CONT associates the interpolation differently and can
- * differ from BOTH by ~1 ulp — the fast path is the more
- * reference-faithful of the two, so it is on by default. ANY deviation
+ * are BIT-IDENTICAL to both Spark's buffered PERCENTILE_CONT and
+ * DuckDB's (`Percentiles` interpolates `lower·(1−frac) + upper·frac`,
+ * the association all three evaluate — q66's oracle row pins it on
+ * unrounded doubles), so the fast path is on by default. ANY deviation
  * (other aggregates, HAVING, DISTINCT, windows, subqueries, expressions
  * in the group list, FILTER clauses, unparseable tails) falls back to
  * Spark's buffered aggregates — never an error. DESC ordering maps to

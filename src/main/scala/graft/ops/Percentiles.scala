@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
  *  2. rank values per (group, column): `row_number` over the value-sorted
  *     rows — constant window state over Spark's spill-capable SortExec;
  *  3. pick the two values straddling rank p·(n−1) and interpolate
- *     `lower + frac · (upper − lower)` — the same formula Spark's
- *     `Percentile` and DuckDB's `percentile_cont` evaluate, so results
- *     are bit-identical to the buffered plan.
+ *     `lower·(1−frac) + upper·frac` — the association DuckDB's
+ *     `percentile_cont`/`median` and Spark's PERCENTILE_CONT evaluate,
+ *     so results are bit-identical to the oracle and the buffered SQL
+ *     plan. (r04 review: the algebraically-equal
+ *     `lower + frac·(upper−lower)` form rounds differently by ~1 ulp
+ *     on non-trivial fracs — q41 masked it behind ROUNDs.)
  *
  * Group sizes ride in as an unbounded-frame window count over the same
  * partitioning as the rank — no second scan of the input, no join.
@@ -194,8 +197,8 @@ object Percentiles {
     val outs = specs.indices.map { i =>
       val t = lit(specs(i).p) * (col(s"__pct_n_$i") - 1).cast("double")
       val frac = t - floor(t).cast("double")
-      (col(s"__pct_lo_$i") +
-        frac * (col(s"__pct_hi_$i") - col(s"__pct_lo_$i"))).as(specs(i).outName)
+      (col(s"__pct_lo_$i") * (lit(1.0) - frac) +
+        col(s"__pct_hi_$i") * frac).as(specs(i).outName)
     }
     val out = picked.select(g ++ outs: _*)
     if (groupCols.nonEmpty) out else out.drop("__pct_g")

@@ -347,5 +347,36 @@ object EngineOps {
     engine(spark, dir).executeStatement(groupsGroupBySql)
   }
 
-  def defs: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q61, q62, q63, q64, q65)
+  // ---------------------------------------------------------------- q66
+  // SQL MEDIAN / PERCENTILE_CONT through the engine: PercentilePlanner
+  // routes this shape through the sort-based rank selection (no
+  // per-group value buffer — PlanSpec asserts it), and the result must
+  // still hash-match DuckDB's percentile_cont bit-for-bit (both sides
+  // interpolate lower + frac·(upper−lower); aggregates are deliberately
+  // UNrounded so the fast path engages and the formula parity is pinned
+  // raw; DESC included — the 1−p mirroring swaps the straddling values'
+  // roles and the single addition is commutative, so it is bitwise too).
+  private val sqlPercentiles =
+    """SELECT l_returnflag,
+      |  MEDIAN(l_quantity) AS med_qty,
+      |  PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS q1_price,
+      |  PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_extendedprice DESC) AS q3_price
+      |FROM lineitem
+      |WHERE l_quantity > 5
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+  val q66 = Q.df(
+    "q66_sql_percentiles",
+    """SELECT l_returnflag,
+      |  MEDIAN(l_quantity) AS med_qty,
+      |  PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS q1_price,
+      |  PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_extendedprice DESC) AS q3_price
+      |FROM lineitem
+      |WHERE l_quantity > 5
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    engine(spark, dir).executeStatement(sqlPercentiles)
+  }
+
+  def defs: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q61, q62, q63, q64, q65, q66)
 }

@@ -80,6 +80,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p19.contains("PushedFilters") || p19.contains("Filter"), s"plan:\n$p19")
   }
 
+  test("q66: SQL MEDIAN/PERCENTILE_CONT plans the sort-based selection") {
+    val p = plan(graft.queries.EngineOps.q66)
+    assert(!p.contains("percentile") && !p.contains("Median"), s"plan:\n$p")
+  }
+
   test("q41: exact percentiles plan sort-based selection, no buffered aggregate") {
     // VERDICT r03 #1: Spark's Median/Percentile aggregates buffer every
     // distinct value per group — linear state, an executor-OOM at 100×.

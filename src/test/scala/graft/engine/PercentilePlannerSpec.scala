@@ -37,19 +37,13 @@ class PercentilePlannerSpec extends AnyFunSuite {
       val plan = fast.get.queryExecution.executedPlan.toString
       assert(!plan.contains("percentile") && !plan.contains("Median"),
         s"buffered aggregate leaked into the scale plan:\n$plan")
-      // MEDIAN agrees exactly; PERCENTILE_CONT may differ from Spark's
-      // buffered form by ~1 ulp (association order) — the fast path
-      // follows the reference `lower + frac·(upper−lower)` form that
-      // q41's DuckDB oracle pins bit-for-bit
+      // bit-identical: Percentiles interpolates lower·(1−frac)+upper·frac,
+      // the association Spark's buffered PERCENTILE_CONT (and DuckDB)
+      // evaluate
       val buffered = spark.sql(sql).collect()
       val ours = fast.get.collect()
-      assert(ours.length == buffered.length)
-      ours.zip(buffered).foreach { case (a, b) =>
-        assert(a.getString(0) == b.getString(0))
-        assert(a.getDouble(1) == b.getDouble(1), "median diverged")
-        assert(math.abs(a.getDouble(2) - b.getDouble(2)) <=
-          1e-9 * math.max(1.0, math.abs(b.getDouble(2))), s"$a vs $b")
-      }
+      assert(ours.sameElements(buffered),
+        s"fast=${ours.mkString} buffered=${buffered.mkString}")
     }
   }
 
@@ -70,10 +64,9 @@ class PercentilePlannerSpec extends AnyFunSuite {
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
       val fast = PercentilePlanner.tryPlan(spark, desc)
       assert(fast.isDefined)
-      fast.get.collect().zip(spark.sql(desc).collect()).foreach { case (a, b) =>
-        assert(math.abs(a.getDouble(1) - b.getDouble(1)) <=
-          1e-9 * math.max(1.0, math.abs(b.getDouble(1))), s"$a vs $b")
-      }
+      // 1−p mirroring is bitwise too: the straddling values swap roles
+      // and the single addition is commutative
+      assert(fast.get.collect().sameElements(spark.sql(desc).collect()))
     }
   }
 
