@@ -218,6 +218,25 @@ object Dialect {
     out.result()
   }
 
+  /** (start, end) spans of `mk`'s top-level comma-separated segments in
+    * [from, until) — shared by the GROUPS restructure and
+    * PercentilePlanner. */
+  private[engine] def splitTopLevel(mk: String, from: Int, until: Int): List[(Int, Int)] = {
+    val buf = List.newBuilder[(Int, Int)]
+    var depth = 0
+    var s = from
+    var i = from
+    while (i < until) {
+      val c = mk.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (c == ',' && depth == 0) { buf += ((s, i)); s = i + 1 }
+      i += 1
+    }
+    buf += ((s, until))
+    buf.result()
+  }
+
   private def splitTopLevel(raw: String, masked: String): List[String] = {
     val cuts = topLevelCommas(masked)
     ((-1 :: cuts) :+ raw.length).sliding(2).map {
@@ -794,22 +813,6 @@ object Dialect {
     if ("""(?is)^\s*DISTINCT\b""".r
         .findFirstIn(masked.substring(selStart, fromStart)).isDefined)
       unsupportedGroups("SELECT DISTINCT is not supported with GROUP BY + GROUPS")
-
-    def splitTopLevel(mk: String, from: Int, until: Int): List[(Int, Int)] = {
-      val buf = List.newBuilder[(Int, Int)]
-      var depth = 0
-      var s = from
-      var i = from
-      while (i < until) {
-        val c = mk.charAt(i)
-        if (c == '(') depth += 1
-        else if (c == ')') depth -= 1
-        else if (c == ',' && depth == 0) { buf += ((s, i)); s = i + 1 }
-        i += 1
-      }
-      buf += ((s, until))
-      buf.result()
-    }
 
     val inner = List.newBuilder[String]
     val outer = List.newBuilder[String]

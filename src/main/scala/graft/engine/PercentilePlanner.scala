@@ -28,8 +28,9 @@ import graft.ops.Percentiles
  * unrounded doubles), so the fast path is on by default. ANY deviation
  * (other aggregates, HAVING, DISTINCT, windows, subqueries, expressions
  * in the group list, FILTER clauses, unparseable tails) falls back to
- * Spark's buffered aggregates — never an error. DESC ordering maps to
- * percentile 1−p (continuous interpolation is symmetric).
+ * Spark's buffered aggregates — never an error. DESC ordering ranks
+ * natively in descending order (`Spec.desc`) so every p stays bitwise
+ * (the 1−p complement drifts by ulps for non-dyadic p).
  */
 object PercentilePlanner {
 
@@ -44,21 +45,8 @@ object PercentilePlanner {
     ("""(?is)^\s*(?:ORDER\s+BY\s+([A-Za-z_]\w*(?:\s+(?:ASC|DESC))?""" +
       """(?:\s*,\s*[A-Za-z_]\w*(?:\s+(?:ASC|DESC))?)*))?\s*(?:LIMIT\s+(\d+))?\s*;?\s*$""").r
 
-  private def splitTop(masked: String, from: Int, until: Int): List[(Int, Int)] = {
-    val out = List.newBuilder[(Int, Int)]
-    var depth = 0
-    var s = from
-    var i = from
-    while (i < until) {
-      val c = masked.charAt(i)
-      if (c == '(') depth += 1
-      else if (c == ')') depth -= 1
-      else if (c == ',' && depth == 0) { out += ((s, i)); s = i + 1 }
-      i += 1
-    }
-    out += ((s, until))
-    out.result()
-  }
+  private def splitTop(masked: String, from: Int, until: Int): List[(Int, Int)] =
+    Dialect.splitTopLevel(masked, from, until)
 
   private def findTop(masked: String, re: scala.util.matching.Regex,
       from: Int = 0): Option[scala.util.matching.Regex.Match] =
@@ -88,13 +76,18 @@ object PercentilePlanner {
     val selStart = firstSel + "SELECT".length
 
     val fromM = findTop(masked, """(?i)\bFROM\b""".r).getOrElse(return None)
-    val groupM = findTop(masked, """(?i)\bGROUP\s+BY\b""".r, fromM.end).getOrElse(return None)
-    val tailM = findTop(masked, """(?i)\bORDER\s+BY\b|\bLIMIT\b""".r, groupM.end)
+    // no GROUP BY = the GLOBAL percentile — the single whole-table
+    // aggregation buffer, the worst instance of the shape this planner
+    // removes (r04 review); Percentiles.exact handles groupCols = Nil
+    val groupM = findTop(masked, """(?i)\bGROUP\s+BY\b""".r, fromM.end)
+    val tailM = findTop(masked, """(?i)\bORDER\s+BY\b|\bLIMIT\b""".r,
+      groupM.map(_.end).getOrElse(fromM.end))
     val tailStart = tailM.map(_.start).getOrElse(stmt.length)
+    val fromEnd = groupM.map(_.start).getOrElse(tailStart)
 
     // FROM <single table> [WHERE …]
-    val fromSeg = stmt.substring(fromM.end, groupM.start)
-    val fromSegMasked = masked.substring(fromM.end, groupM.start)
+    val fromSeg = stmt.substring(fromM.end, fromEnd)
+    val fromSegMasked = masked.substring(fromM.end, fromEnd)
     val whereM = findTop(fromSegMasked, """(?i)\bWHERE\b""".r)
     val (tableTxt, whereTxt) = whereM match {
       case Some(w) => (fromSeg.substring(0, w.start), Some(fromSeg.substring(w.end)))
@@ -103,8 +96,10 @@ object PercentilePlanner {
     val table = tableTxt match { case TableRe(t) => t; case _ => return None }
 
     // GROUP BY: bare columns
-    val groupCols = splitTop(masked, groupM.end, tailStart).map { case (s, e) =>
-      stmt.substring(s, e) match { case BareCol(c) => c; case _ => return None }
+    val groupCols = groupM.toList.flatMap { gm =>
+      splitTop(masked, gm.end, tailStart).map { case (s, e) =>
+        stmt.substring(s, e) match { case BareCol(c) => c; case _ => return None }
+      }
     }
 
     // select list: bare group columns or supported percentile aggregates
@@ -119,8 +114,10 @@ object PercentilePlanner {
         case PctContRe(p, c, dir, alias) =>
           val pv = p.toDouble
           if (pv < 0.0 || pv > 1.0) return None
-          val eff = if (dir != null && dir.trim.equalsIgnoreCase("DESC")) 1.0 - pv else pv
-          specs :+= Percentiles.Spec(c, eff, alias); alias
+          // native desc ranks, NOT 1−p: the complement drifts by ulps
+          // for non-dyadic p (r04 review)
+          val isDesc = dir != null && dir.trim.equalsIgnoreCase("DESC")
+          specs :+= Percentiles.Spec(c, pv, alias, desc = isDesc); alias
         case _ => return None
       }
     }

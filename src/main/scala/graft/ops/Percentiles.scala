@@ -51,8 +51,15 @@ import org.apache.spark.sql.functions._
 object Percentiles {
 
   /** One requested output: percentile `p` of `valueCol`, emitted as
-    * `outName` (DOUBLE, percentile_cont interpolation semantics). */
-  final case class Spec(valueCol: String, p: Double, outName: String) {
+    * `outName` (DOUBLE, percentile_cont interpolation semantics).
+    * `desc` computes the percentile over the DESCENDING value order
+    * natively — mirroring the ranks, NOT remapping to 1−p, so the
+    * frac arithmetic is bit-identical to a buffered
+    * PERCENTILE_CONT … DESC for every p (the 1−p shortcut drifts by
+    * ulps whenever 1−p rounds: 0.1 → 0.9·(n−1) ≠ mirror of
+    * 0.1·(n−1), r04 review). */
+  final case class Spec(valueCol: String, p: Double, outName: String,
+      desc: Boolean = false) {
     require(p >= 0.0 && p <= 1.0, s"percentile $p outside [0, 1]")
   }
 
@@ -180,15 +187,22 @@ object Percentiles {
         .withColumn("__pct_n", count(col("__pct_v")).over(wAll)) // skips nulls
     }
 
-    // 3. straddling-rank pick + interpolation, one aggregation for all specs
+    // 3. straddling-rank pick + interpolation, one aggregation for all
+    // specs. A desc spec reuses the SAME ascending ranks: its k-th
+    // descending rank is ascending rank n+1−k (nulls sit beyond rank n
+    // in the asc order, so desc picks can never land on one).
     def target(i: Int): Column = lit(specs(i).p) * (col("__pct_n") - 1).cast("double")
     def pick(i: Int, rank: Column): Column =
       min(when(col("__pct_c") === colIdx(specs(i).valueCol) &&
         col("__pct_cum") >= rank && (col("__pct_cum") - col("__pct_cnt")) < rank,
         col("__pct_v")))
     val aggs = specs.indices.flatMap { i =>
-      Seq(pick(i, floor(target(i)) + 1).as(s"__pct_lo_$i"),
-          pick(i, ceil(target(i)) + 1).as(s"__pct_hi_$i"),
+      val (loRank, hiRank) =
+        if (specs(i).desc)
+          (col("__pct_n") - floor(target(i)), col("__pct_n") - ceil(target(i)))
+        else (floor(target(i)) + 1, ceil(target(i)) + 1)
+      Seq(pick(i, loRank).as(s"__pct_lo_$i"),
+          pick(i, hiRank).as(s"__pct_hi_$i"),
           min(when(col("__pct_c") === colIdx(specs(i).valueCol), col("__pct_n")))
             .as(s"__pct_n_$i"))
     }

@@ -77,21 +77,32 @@ object Sampling {
     * n equal-width threshold cells, computed as a sum of n-1 codegen'd
     * hex comparisons — no numeric hex parsing needed, so any engine
     * with md5 and string compare derives the same shard (the x20
-    * oracle restates the CASE chain). Sharding a 100 TB corpus for a
+    * oracle restates the CASE chain). Evaluated as a BINARY-SEARCH
+    * `when` tree over the thresholds — CaseWhen branches are lazy, so
+    * each row pays log₂(n) comparisons; the flat sum-of-comparisons
+    * form evaluated all n−1 per row and measured 60× slower at n=256
+    * (r04 review). The hex also rides through a generator barrier so
+    * md5 evaluates once per row. Sharding a 100 TB corpus for a
     * training run is a pure per-row projection: no shuffle, stable
     * under re-runs and appends; write with
     * `df.repartition(n, col("shard"))` or partitionBy to materialize. */
-  def shardCol(key: Column, n: Int, seed: Int = 42): Column = {
-    require(n >= 1 && n <= 4096, s"shard count $n outside [1, 4096]")
-    (1 until n).foldLeft(lit(0)) { (acc, i) =>
-      acc + when(bucketHex(key, seed) >= lit(hexThreshold(i.toDouble / n)), 1)
-        .otherwise(0)
-    }
-  }
-
   def shard(df: DataFrame, key: Column, n: Int, seed: Int = 42,
-      outName: String = "shard"): DataFrame =
-    df.withColumn(outName, shardCol(key, n, seed))
+      outName: String = "shard"): DataFrame = {
+    require(n >= 1 && n <= 4096, s"shard count $n outside [1, 4096]")
+    val hex = col("__graft_shard_hex")
+    // shard ids in [lo, hi]; descend on the boundary threshold between
+    // the halves (shard s covers hex in [t(s/n), t((s+1)/n)))
+    def tree(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi + 1) / 2
+        when(hex >= lit(hexThreshold(mid.toDouble / n)), tree(mid, hi))
+          .otherwise(tree(lo, mid - 1))
+      }
+    df.withColumn("__graft_shard_hex", explode(array(bucketHex(key, seed))))
+      .withColumn(outName, tree(0, n - 1))
+      .drop("__graft_shard_hex")
+  }
 
   /** Deterministic global shuffle key: ORDER BY this column (then the
     * key as tiebreak) is a reproducible corpus-wide permutation — a

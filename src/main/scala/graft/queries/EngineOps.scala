@@ -351,11 +351,13 @@ object EngineOps {
   // SQL MEDIAN / PERCENTILE_CONT through the engine: PercentilePlanner
   // routes this shape through the sort-based rank selection (no
   // per-group value buffer — PlanSpec asserts it), and the result must
-  // still hash-match DuckDB's percentile_cont bit-for-bit (both sides
-  // interpolate lower + frac·(upper−lower); aggregates are deliberately
-  // UNrounded so the fast path engages and the formula parity is pinned
-  // raw; DESC included — the 1−p mirroring swaps the straddling values'
-  // roles and the single addition is commutative, so it is bitwise too).
+  // still hash-match DuckDB's percentile_cont bit-for-bit: both sides
+  // interpolate lower·(1−frac) + upper·frac (the r04 formula fix this
+  // row exposed the need for). Aggregates are deliberately UNrounded so
+  // the fast path engages and the parity is pinned raw; DESC included —
+  // native descending ranks share the buffered plan's frac arithmetic
+  // for every p. The SAME string is the engine input and the oracle: the
+  // invariant IS that the two engines agree on it verbatim.
   private val sqlPercentiles =
     """SELECT l_returnflag,
       |  MEDIAN(l_quantity) AS med_qty,
@@ -365,16 +367,7 @@ object EngineOps {
       |WHERE l_quantity > 5
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
-  val q66 = Q.df(
-    "q66_sql_percentiles",
-    """SELECT l_returnflag,
-      |  MEDIAN(l_quantity) AS med_qty,
-      |  PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS q1_price,
-      |  PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_extendedprice DESC) AS q3_price
-      |FROM lineitem
-      |WHERE l_quantity > 5
-      |GROUP BY l_returnflag
-      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+  val q66 = Q.df("q66_sql_percentiles", sqlPercentiles) { (spark, dir) =>
     engine(spark, dir).executeStatement(sqlPercentiles)
   }
 
