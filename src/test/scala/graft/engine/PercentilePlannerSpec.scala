@@ -56,7 +56,7 @@ class PercentilePlannerSpec extends AnyFunSuite {
     }
   }
 
-  test("DESC ordering maps to the mirrored percentile") {
+  test("DESC ordering ranks descending natively") {
     withLineitem {
       val desc =
         """SELECT l_returnflag,
@@ -67,6 +67,34 @@ class PercentilePlannerSpec extends AnyFunSuite {
       // 1−p mirroring is bitwise too: the straddling values swap roles
       // and the single addition is commutative
       assert(fast.get.collect().sameElements(spark.sql(desc).collect()))
+    }
+  }
+
+  test("non-dyadic DESC is bitwise (native desc ranks, not the 1-p shortcut)") {
+    withLineitem {
+      // p=0.1: the 1-p complement evaluates frac at 0.9*(n-1), which
+      // rounds differently than the buffered 0.1*(n-1)-from-the-top —
+      // native desc ranks share the buffered arithmetic exactly
+      val q =
+        """SELECT l_returnflag,
+          |  PERCENTILE_CONT(0.1) WITHIN GROUP (ORDER BY l_extendedprice DESC) AS p
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      val fast = PercentilePlanner.tryPlan(spark, q)
+      assert(fast.isDefined)
+      assert(fast.get.collect().sameElements(spark.sql(q).collect()))
+    }
+  }
+
+  test("ungrouped global percentiles take the fast path") {
+    withLineitem {
+      val q = "SELECT MEDIAN(l_quantity) AS m, " +
+        "PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p " +
+        "FROM lineitem WHERE l_quantity > 5"
+      val fast = PercentilePlanner.tryPlan(spark, q)
+      assert(fast.isDefined, "global shape did not engage")
+      val plan = fast.get.queryExecution.executedPlan.toString
+      assert(!plan.contains("percentile") && !plan.contains("Median"), plan)
+      assert(fast.get.collect().sameElements(spark.sql(q).collect()))
     }
   }
 
