@@ -1,9 +1,16 @@
 package graft.engine
 
+import scala.collection.mutable
 import scala.util.Try
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, EqualNullSafe, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Median, Percentile, PercentileCont}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graftbridge.PlanBridge
+import org.apache.spark.sql.types.{LongType, NumericType}
 
 import graft.ops.Percentiles
 
@@ -13,147 +20,173 @@ import graft.ops.Percentiles
  * Spark's `Median`/`Percentile` aggregates buffer every distinct value
  * per group — the one remaining per-group-unbounded plan reachable from
  * the SQL surface (VERDICT r03 #1 fixed it on the DataFrame path via
- * `graft.ops.Percentiles`; this extends the fix to SQL). When a
- * statement matches the supported shape
+ * `graft.ops.Percentiles`; this extends the fix to SQL). The statement
+ * is analyzed+optimized normally, then every `Aggregate` node whose
+ * aggregate list contains a supported percentile (scalar foldable
+ * percentage, unit frequency, no DISTINCT/FILTER, numeric input) is
+ * rewritten on the LOGICAL PLAN into the sort-based rank selection —
+ * so the bounded plan reaches percentiles under joins, CTEs, HAVING,
+ * subquery-fed derived tables, and mixed aggregate lists, not just the
+ * single-table shape the r04 regex matched (VERDICT r04 next #2; the
+ * reference accepts these shapes everywhere,
+ * `datafusion-functions-aggregate`, `/root/reference/Cargo.lock:809`).
  *
- *   SELECT <bare group cols | MEDIAN(col) AS a |
- *           PERCENTILE_CONT(p) WITHIN GROUP (ORDER BY col [ASC|DESC]) AS b>…
- *   FROM <table> [WHERE …] GROUP BY <bare cols>
- *   [ORDER BY <output cols> [LIMIT n]]
- *
- * it is planned through the sort-based rank selection instead. Results
- * are BIT-IDENTICAL to both Spark's buffered PERCENTILE_CONT and
- * DuckDB's (`Percentiles` interpolates `lower·(1−frac) + upper·frac`,
+ * Results are BIT-IDENTICAL to both Spark's buffered PERCENTILE_CONT
+ * and DuckDB's (`Percentiles` interpolates `lower·(1−frac) + upper·frac`,
  * the association all three evaluate — q66's oracle row pins it on
- * unrounded doubles), so the fast path is on by default. ANY deviation
- * (other aggregates, HAVING, DISTINCT, windows, subqueries, expressions
- * in the group list, FILTER clauses, unparseable tails) falls back to
- * Spark's buffered aggregates — never an error. DESC ordering ranks
- * natively in descending order (`Spec.desc`) so every p stays bitwise
- * (the 1−p complement drifts by ulps for non-dyadic p).
+ * unrounded doubles), so the rewrite is on by default. Mixed aggregate
+ * lists split into two branches over the same child — the percentile
+ * pipeline and a normal (bounded-state) `Aggregate` for the rest —
+ * joined null-safely on the group keys; output attribute ids are pinned
+ * so enclosing HAVING filters / sorts / projections resolve unchanged.
+ * Anything unsupported (array percentages, weighted frequencies,
+ * DISTINCT percentiles, window `OVER` forms, non-numeric inputs) keeps
+ * Spark's buffered aggregate for THAT expression only; any failure in
+ * the rewrite machinery falls back to the untouched plan — never an
+ * error. DESC ordering ranks natively in descending order (`Spec.desc`)
+ * so every p stays bitwise (the 1−p complement drifts by ulps for
+ * non-dyadic p).
  */
 object PercentilePlanner {
 
-  private val MedianRe =
-    """(?is)^MEDIAN\s*\(\s*([A-Za-z_]\w*)\s*\)\s+AS\s+([A-Za-z_]\w*)$""".r
-  private val PctContRe =
-    ("""(?is)^PERCENTILE_CONT\s*\(\s*([0-9]*\.?[0-9]+)\s*\)\s+WITHIN\s+GROUP\s*""" +
-      """\(\s*ORDER\s+BY\s+([A-Za-z_]\w*)(\s+ASC|\s+DESC)?\s*\)\s+AS\s+([A-Za-z_]\w*)$""").r
-  private val BareCol = """(?s)^\s*([A-Za-z_]\w*)\s*$""".r
-  private val TableRe = """(?s)^\s*([A-Za-z_][\w.]*)\s*$""".r
-  private val TailRe =
-    ("""(?is)^\s*(?:ORDER\s+BY\s+([A-Za-z_]\w*(?:\s+(?:ASC|DESC))?""" +
-      """(?:\s*,\s*[A-Za-z_]\w*(?:\s+(?:ASC|DESC))?)*))?\s*(?:LIMIT\s+(\d+))?\s*;?\s*$""").r
-
-  private def splitTop(masked: String, from: Int, until: Int): List[(Int, Int)] =
-    Dialect.splitTopLevel(masked, from, until)
-
-  private def findTop(masked: String, re: scala.util.matching.Regex,
-      from: Int = 0): Option[scala.util.matching.Regex.Match] =
-    re.findAllMatchIn(masked).find { m =>
-      if (m.start < from) false
-      else {
-        val prefix = masked.substring(from, m.start)
-        prefix.count(_ == '(') == prefix.count(_ == ')')
-      }
-    }
-
-  /** The scale plan for `stmt`, or None when the shape doesn't match
-    * (caller falls back to the normal spark.sql path). */
+  /** The scale plan for `stmt`, or None when nothing matches (caller
+    * falls back to the normal spark.sql path). Only plain queries are
+    * probed: `spark.sql` runs DDL/DML commands EAGERLY, and probing one
+    * here would execute it twice. */
   def tryPlan(spark: SparkSession, stmt: String): Option[DataFrame] = {
-    val masked = Dialect.maskSameLength(stmt)
-    val up = masked.toUpperCase(java.util.Locale.ROOT)
-    // cheap gate + hard disqualifiers for the narrow supported shape
+    val up = Dialect.maskSameLength(stmt).toUpperCase(java.util.Locale.ROOT)
     if (!up.contains("MEDIAN") && !up.contains("PERCENTILE_CONT")) return None
-    val disqualifiers =
-      Seq("HAVING", "DISTINCT", "OVER", "WITH", "UNION", "INTERSECT", "EXCEPT",
-        "JOIN", "FILTER", "LATERAL")
-    if (disqualifiers.exists(k => ("(?i)\\b" + k + "\\b").r.findFirstIn(masked).isDefined))
-      return None
-    if (!up.trim.startsWith("SELECT")) return None
-    val firstSel = up.indexOf("SELECT")
-    if (up.indexOf("SELECT", firstSel + 6) >= 0) return None // subqueries bail
-    val selStart = firstSel + "SELECT".length
+    val firstWord = """[A-Z]+""".r.findFirstIn(up).getOrElse("")
+    if (firstWord != "SELECT" && firstWord != "WITH") return None
+    Try(rewrite(spark, spark.sql(stmt))).toOption.flatten
+  }
 
-    val fromM = findTop(masked, """(?i)\bFROM\b""".r).getOrElse(return None)
-    // no GROUP BY = the GLOBAL percentile — the single whole-table
-    // aggregation buffer, the worst instance of the shape this planner
-    // removes (r04 review); Percentiles.exact handles groupCols = Nil
-    val groupM = findTop(masked, """(?i)\bGROUP\s+BY\b""".r, fromM.end)
-    val tailM = findTop(masked, """(?i)\bORDER\s+BY\b|\bLIMIT\b""".r,
-      groupM.map(_.end).getOrElse(fromM.end))
-    val tailStart = tailM.map(_.start).getOrElse(stmt.length)
-    val fromEnd = groupM.map(_.start).getOrElse(tailStart)
-
-    // FROM <single table> [WHERE …]
-    val fromSeg = stmt.substring(fromM.end, fromEnd)
-    val fromSegMasked = masked.substring(fromM.end, fromEnd)
-    val whereM = findTop(fromSegMasked, """(?i)\bWHERE\b""".r)
-    val (tableTxt, whereTxt) = whereM match {
-      case Some(w) => (fromSeg.substring(0, w.start), Some(fromSeg.substring(w.end)))
-      case None => (fromSeg, None)
-    }
-    val table = tableTxt match { case TableRe(t) => t; case _ => return None }
-
-    // GROUP BY: bare columns
-    val groupCols = groupM.toList.flatMap { gm =>
-      splitTop(masked, gm.end, tailStart).map { case (s, e) =>
-        stmt.substring(s, e) match { case BareCol(c) => c; case _ => return None }
-      }
-    }
-
-    // select list: bare group columns or supported percentile aggregates
-    var specs = List.empty[Percentiles.Spec]
-    val outCols = splitTop(masked, selStart, fromM.start).map { case (s, e) =>
-      stmt.substring(s, e).trim match {
-        case BareCol(c) =>
-          if (!groupCols.exists(_.equalsIgnoreCase(c))) return None
-          c
-        case MedianRe(c, alias) =>
-          specs :+= Percentiles.Spec(c, 0.5, alias); alias
-        case PctContRe(p, c, dir, alias) =>
-          val pv = p.toDouble
-          if (pv < 0.0 || pv > 1.0) return None
-          // native desc ranks, NOT 1−p: the complement drifts by ulps
-          // for non-dyadic p (r04 review)
-          val isDesc = dir != null && dir.trim.equalsIgnoreCase("DESC")
-          specs :+= Percentiles.Spec(c, pv, alias, desc = isDesc); alias
-        case _ => return None
-      }
-    }
-    if (specs.isEmpty) return None
-
-    // tail: ORDER BY of output columns [LIMIT n] — anything else bails
-    val tail = stmt.substring(tailStart)
-    val (orderTxt, limitTxt) = tail match {
-      case TailRe(o, l) => (Option(o), Option(l))
-      case _ => return None
-    }
-    if (!orderTxt.forall(_.split(",").map(_.trim.split("\\s+")(0))
-        .forall(c => outCols.exists(_.equalsIgnoreCase(c))))) return None
-
-    Try {
-      val base = spark.table(table)
-      val filtered = whereTxt.map(base.where).getOrElse(base)
-      // numeric value columns only: Percentiles ranks as DOUBLE, which
-      // is also what the buffered PERCENTILE_CONT/MEDIAN return for
-      // numerics — other input types keep the parity path
-      val schema = filtered.schema
-      if (!specs.forall(sp => schema.fields.exists(f =>
-        f.name.equalsIgnoreCase(sp.valueCol) && f.dataType.isInstanceOf[
-          org.apache.spark.sql.types.NumericType]))) return None
-      var df = Percentiles.exact(filtered, groupCols, specs)
-        .select(outCols.map(col): _*)
-      orderTxt.foreach { o =>
-        val sorts = o.split(",").map(_.trim.split("\\s+")).map {
-          case Array(c) => col(c).asc
-          case Array(c, d) if d.equalsIgnoreCase("DESC") => col(c).desc
-          case Array(c, _) => col(c).asc
+  /** Rewrite every supported percentile Aggregate in `df`'s optimized
+    * plan; None when the plan carries none. */
+  def rewrite(spark: SparkSession, df: DataFrame): Option[DataFrame] = {
+    val plan = df.queryExecution.optimizedPlan
+    var changed = false
+    val out = plan.transformUp {
+      case agg: Aggregate =>
+        // per-node Try: one exotic aggregate must not cost the other
+        // nodes (or the statement) the bounded plan
+        Try(rewriteAggregate(spark, agg)).toOption.flatten match {
+          case Some(p) => changed = true; p
+          case None => agg
         }
-        df = df.orderBy(sorts.toIndexedSeq: _*)
+    }
+    if (changed) Some(PlanBridge.ofRows(spark, out)) else None
+  }
+
+  /** (value expr, percentile, desc) when `func` is a percentile this
+    * planner can rank-select. On the optimized plan Median/PercentileCont
+    * are already replaced by `Percentile`; the other arms keep the
+    * matcher correct on analyzed plans too. */
+  private def asPercentile(func: AggregateFunction): Option[(Expression, Double, Boolean)] =
+    func match {
+      case Median(c) => evalPercentage(Literal(0.5)).map(p => (c, p, false))
+      case pc: PercentileCont =>
+        evalPercentage(pc.right).map(p => (pc.left, p, pc.reverse))
+      case pt: Percentile =>
+        pt.frequencyExpression match {
+          case Literal(1L, LongType) =>
+            evalPercentage(pt.percentageExpression)
+              .map(p => (pt.child, p, pt.reverse))
+          case _ => None // weighted percentile keeps the buffered form
+        }
+      case _ => None
+    }
+
+  private def evalPercentage(e: Expression): Option[Double] =
+    if (!e.foldable) None
+    else (e.eval() match {
+      case d: Double => Some(d)
+      case f: Float => Some(f.toDouble)
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case n: Number => Some(n.doubleValue())
+      case _ => None // null, or an array of percentages
+    }).filter(p => p >= 0.0 && p <= 1.0)
+
+  /** Rebuild one Aggregate around `Percentiles.exactAdaptive`. The
+    * replacement keeps the node's exact output: one pinned-exprId alias
+    * per original output column. */
+  private def rewriteAggregate(spark: SparkSession, agg: Aggregate): Option[LogicalPlan] = {
+    val gExprs = agg.groupingExpressions
+    if (!gExprs.forall(e => e.deterministic)) return None
+
+    // classify each output: a supported percentile, a grouping
+    // passthrough (served by the pipeline), or anything else (served
+    // verbatim by a residual bounded Aggregate on the same child)
+    val pcts = mutable.LinkedHashMap.empty[Int, (Expression, Double, Boolean)]
+    val groupSlot = mutable.Map.empty[Int, Int]
+    val others = mutable.ArrayBuffer.empty[Int]
+    agg.aggregateExpressions.zipWithIndex.foreach { case (ne, i) =>
+      val stripped = ne match { case Alias(c, _) => c; case e => e }
+      stripped match {
+        case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty &&
+            asPercentile(ae.aggregateFunction).exists { case (v, _, _) =>
+              v.deterministic && v.dataType.isInstanceOf[NumericType] } =>
+          pcts(i) = asPercentile(ae.aggregateFunction).get
+        case _ if gExprs.exists(_.semanticEquals(stripped)) =>
+          groupSlot(i) = gExprs.indexWhere(_.semanticEquals(stripped))
+        case _ => others += i
       }
-      limitTxt.foreach(n => df = df.limit(n.toInt))
-      df
-    }.toOption
+    }
+    if (pcts.isEmpty) return None
+
+    // branch A: the rank-selection pipeline over a projection of the
+    // grouping + value expressions (arbitrary exprs become columns)
+    val gNames = gExprs.indices.map(i => s"__pg_$i")
+    val gAliases = gExprs.zip(gNames).map { case (e, n) => Alias(e, n)() }
+    val vNames = mutable.LinkedHashMap.empty[Expression, (Expression, String)]
+    val specs = pcts.map { case (i, (v, p, desc)) =>
+      val (_, name) = vNames.getOrElseUpdate(v.canonicalized, (v, s"__pv_${vNames.size}"))
+      Percentiles.Spec(name, p, s"__po_$i", desc)
+    }.toSeq
+    val vAliases = vNames.values.map { case (v, n) => Alias(v, n)() }.toSeq
+    val projected = PlanBridge.ofRows(spark, Project(gAliases ++ vAliases, agg.child))
+    var aDf = Percentiles.exactAdaptive(projected, gNames, specs)
+    if (gExprs.isEmpty)
+      // a global SQL aggregate emits one (all-null) row over empty
+      // input; the pipeline emits none — compensate
+      aDf = spark.range(1).join(aDf, lit(true), "left").drop("id")
+    val aPlan = aDf.queryExecution.analyzed
+    def aAttr(name: String): Attribute = aPlan.output.find(_.name == name).get
+
+    // branch B: every non-percentile output stays a NORMAL Aggregate on
+    // the same child — bounded state (sums/counts/…), verbatim
+    // expressions so semantics and exprIds are untouched
+    val joined: LogicalPlan =
+      if (others.isEmpty) aPlan
+      else {
+        val bKeys = gExprs.zipWithIndex.map { case (e, i) => Alias(e, s"__pgb_$i")() }
+        val bAgg = Aggregate(gExprs,
+          others.toSeq.map(agg.aggregateExpressions) ++ bKeys, agg.child, None)
+        val conds: Seq[Expression] = gExprs.indices.map { i =>
+          EqualNullSafe(aAttr(s"__pg_$i"),
+            bAgg.output.find(_.name == s"__pgb_$i").get)
+        }
+        // groups match 1:1 on both sides (same child, same keys) — a
+        // null-safe inner equi-join AQE can broadcast; for the global
+        // case both sides are exactly one row
+        Join(aPlan, bAgg, Inner,
+          Some(conds.reduceOption(And).getOrElse(Literal.TrueLiteral)),
+          JoinHint.NONE)
+      }
+
+    val outExprs: Seq[NamedExpression] =
+      agg.aggregateExpressions.zipWithIndex.map { case (ne, i) =>
+        if (pcts.contains(i)) align(aAttr(s"__po_$i"), ne)
+        else if (groupSlot.contains(i)) align(aAttr(s"__pg_${groupSlot(i)}"), ne)
+        else ne.toAttribute
+      }
+    Some(Project(outExprs, joined))
+  }
+
+  /** Pin the replacement column to the original output's name, exprId
+    * and type, so every enclosing operator resolves unchanged. */
+  private def align(a: Attribute, ne: NamedExpression): NamedExpression = {
+    val e: Expression = if (a.dataType == ne.dataType) a else Cast(a, ne.dataType)
+    Alias(e, ne.name)(exprId = ne.exprId)
   }
 }

@@ -97,16 +97,6 @@ class SqlEngine(val spark: SparkSession) {
     if ("""(?i)\bcurrent_time\s*\(""".r.findFirstIn(masked).isDefined)
       throw new UnsupportedOperationException(
         "current_time()/TIME type is not supported (Spark has no TIME type; see README non-goals)")
-    // MEDIAN/PERCENTILE_CONT over a plain grouped scan: plan the
-    // sort-based rank selection (graft.ops.Percentiles) instead of
-    // Spark's per-group-value-buffering aggregates — bit-identical
-    // results, bounded memory at any group size (VERDICT r03 #1,
-    // extended to the SQL surface late r04). Non-matching shapes fall
-    // through to the normal path below, never an error.
-    PercentilePlanner.tryPlan(spark, stmt) match {
-      case Some(df) => return df
-      case None => ()
-    }
     // GROUPS frames: dense_rank-keyed RANGE restructure for the common
     // shape; unsupported shapes raise the documented clean error inside
     // the rewrite. Runs first — the other rewrites then see the
@@ -124,7 +114,18 @@ class SqlEngine(val spark: SparkSession) {
         InfoSchema.refresh(spark)
         Dialect.outsideLiterals(translated)(InfoSchema.rewrite)
       } else translated
-    val df = spark.sql(rewritten)
+    // MEDIAN/PERCENTILE_CONT anywhere in a query: rewrite the analyzed
+    // plan's Aggregates onto the sort-based rank selection
+    // (graft.ops.Percentiles) instead of Spark's
+    // per-group-value-buffering aggregates — bit-identical results,
+    // bounded memory at any group size (VERDICT r03 #1; plan-level
+    // since r05, so joins/CTEs/HAVING/mixed lists qualify too). Runs on
+    // the fully-translated text so dialect constructs (SIMILAR TO,
+    // GROUPS, generate_series) compose with the bounded plan;
+    // non-matching shapes fall through to the normal path, never an
+    // error.
+    val df = PercentilePlanner.tryPlan(spark, rewritten)
+      .getOrElse(spark.sql(rewritten))
     // hive-style partition discovery parity: the reference's listing
     // tables see partition dirs immediately; Spark catalog tables must
     // register them (scans of a pre-partitioned LOCATION are empty

@@ -7,18 +7,38 @@ import graft.tables.Tables
 
 /**
  * SQL MEDIAN/PERCENTILE_CONT must plan the sort-based rank selection
- * (no per-group value buffer) when the statement shape allows, with
- * bit-identical results to Spark's buffered aggregates, and fall back
- * cleanly for every unsupported shape.
+ * (no per-group value buffer) wherever an Aggregate carries a supported
+ * percentile — since r05 the match is on the optimized logical plan, so
+ * joins, CTEs, HAVING, derived tables and mixed aggregate lists all
+ * qualify (VERDICT r04 next #2) — with bit-identical results to Spark's
+ * buffered aggregates, and fall back cleanly for anything unsupported.
  */
 class PercentilePlannerSpec extends AnyFunSuite {
   private lazy val spark = TestSessions.spark
   private lazy val engine = new SqlEngine(spark)
 
-  private def withLineitem[A](f: => A): A = {
+  private def withTables[A](f: => A): A = {
     Tables.load(spark, TestSessions.sf001, "lineitem")
       .createOrReplaceTempView("lineitem")
-    try f finally spark.catalog.dropTempView("lineitem")
+    Tables.load(spark, TestSessions.sf001, "orders")
+      .createOrReplaceTempView("orders")
+    try f finally {
+      spark.catalog.dropTempView("lineitem")
+      spark.catalog.dropTempView("orders")
+    }
+  }
+
+  /** Engages, carries no buffered percentile, matches buffered bitwise. */
+  private def assertScalePlan(sql: String): Unit = {
+    val fast = PercentilePlanner.tryPlan(spark, sql)
+    assert(fast.isDefined, s"fast path did not engage on: $sql")
+    val plan = fast.get.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile") && !plan.contains("Median"),
+      s"buffered aggregate leaked into the scale plan:\n$plan")
+    val buffered = spark.sql(sql).collect()
+    val ours = fast.get.collect()
+    assert(ours.sameElements(buffered),
+      s"fast=${ours.mkString} buffered=${buffered.mkString} for: $sql")
   }
 
   private val sql =
@@ -31,94 +51,139 @@ class PercentilePlannerSpec extends AnyFunSuite {
       |ORDER BY l_returnflag""".stripMargin
 
   test("supported shape takes the scale plan and matches the buffered result") {
-    withLineitem {
-      val fast = PercentilePlanner.tryPlan(spark, sql)
-      assert(fast.isDefined, "fast path did not engage")
-      val plan = fast.get.queryExecution.executedPlan.toString
-      assert(!plan.contains("percentile") && !plan.contains("Median"),
-        s"buffered aggregate leaked into the scale plan:\n$plan")
-      // bit-identical: Percentiles interpolates lower·(1−frac)+upper·frac,
-      // the association Spark's buffered PERCENTILE_CONT (and DuckDB)
-      // evaluate
-      val buffered = spark.sql(sql).collect()
-      val ours = fast.get.collect()
-      assert(ours.sameElements(buffered),
-        s"fast=${ours.mkString} buffered=${buffered.mkString}")
-    }
+    withTables { assertScalePlan(sql) }
   }
 
   test("the engine routes matching SQL through the scale plan end-to-end") {
-    withLineitem {
+    withTables {
       val df = engine.executeStatement(sql)
       val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("percentile") && !plan.contains("Median"), plan)
+      assert(!plan.toLowerCase.contains("percentile") && !plan.contains("Median"), plan)
       assert(df.count() > 0)
     }
   }
 
   test("DESC ordering ranks descending natively") {
-    withLineitem {
-      val desc =
+    withTables {
+      assertScalePlan(
         """SELECT l_returnflag,
           |  PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_extendedprice DESC) AS p
-          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
-      val fast = PercentilePlanner.tryPlan(spark, desc)
-      assert(fast.isDefined)
-      // 1−p mirroring is bitwise too: the straddling values swap roles
-      // and the single addition is commutative
-      assert(fast.get.collect().sameElements(spark.sql(desc).collect()))
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }
   }
 
   test("non-dyadic DESC is bitwise (native desc ranks, not the 1-p shortcut)") {
-    withLineitem {
+    withTables {
       // p=0.1: the 1-p complement evaluates frac at 0.9*(n-1), which
       // rounds differently than the buffered 0.1*(n-1)-from-the-top —
       // native desc ranks share the buffered arithmetic exactly
-      val q =
+      assertScalePlan(
         """SELECT l_returnflag,
           |  PERCENTILE_CONT(0.1) WITHIN GROUP (ORDER BY l_extendedprice DESC) AS p
-          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
-      val fast = PercentilePlanner.tryPlan(spark, q)
-      assert(fast.isDefined)
-      assert(fast.get.collect().sameElements(spark.sql(q).collect()))
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }
   }
 
   test("ungrouped global percentiles take the fast path") {
-    withLineitem {
-      val q = "SELECT MEDIAN(l_quantity) AS m, " +
+    withTables {
+      assertScalePlan("SELECT MEDIAN(l_quantity) AS m, " +
         "PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p " +
-        "FROM lineitem WHERE l_quantity > 5"
+        "FROM lineitem WHERE l_quantity > 5")
+    }
+  }
+
+  test("HAVING qualifies (plan-level match, r05)") {
+    withTables {
+      assertScalePlan(sql.replace("GROUP BY l_returnflag",
+        "GROUP BY l_returnflag HAVING COUNT(*) > 0"))
+    }
+  }
+
+  test("mixed aggregate lists split into pipeline + bounded residual aggregate") {
+    withTables {
+      assertScalePlan(
+        """SELECT l_returnflag, MEDIAN(l_quantity) AS m, SUM(l_quantity) AS s,
+          |  COUNT(*) AS c
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }
+  }
+
+  test("joins qualify (the r04 regex bailed on these)") {
+    withTables {
+      assertScalePlan(
+        """SELECT o_orderpriority, MEDIAN(l_quantity) AS m
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }
+  }
+
+  test("CTEs, derived tables, and expression group keys qualify") {
+    withTables {
+      assertScalePlan(
+        """WITH big AS (SELECT * FROM lineitem WHERE l_quantity > 10)
+          |SELECT l_returnflag, MEDIAN(l_extendedprice) AS m
+          |FROM big GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      assertScalePlan(
+        """SELECT l_returnflag, MEDIAN(l_quantity) AS m
+          |FROM (SELECT * FROM lineitem WHERE l_linenumber <= 4)
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      assertScalePlan(
+        """SELECT l_linenumber % 2 AS odd, MEDIAN(l_quantity) AS m
+          |FROM lineitem GROUP BY l_linenumber % 2 ORDER BY odd""".stripMargin)
+    }
+  }
+
+  test("global aggregate over empty input still emits its one null row") {
+    withTables {
+      val q = "SELECT MEDIAN(l_quantity) AS m FROM lineitem WHERE l_quantity < 0"
       val fast = PercentilePlanner.tryPlan(spark, q)
-      assert(fast.isDefined, "global shape did not engage")
-      val plan = fast.get.queryExecution.executedPlan.toString
-      assert(!plan.contains("percentile") && !plan.contains("Median"), plan)
-      assert(fast.get.collect().sameElements(spark.sql(q).collect()))
+      assert(fast.isDefined)
+      val rows = fast.get.collect()
+      assert(rows.length == 1 && rows(0).isNullAt(0),
+        s"expected one null row, got ${rows.mkString}")
     }
   }
 
   test("unsupported shapes fall back (None), never error") {
-    withLineitem {
+    withTables {
       val shapes = Seq(
-        // HAVING
-        sql.replace("GROUP BY l_returnflag", "GROUP BY l_returnflag HAVING COUNT(*) > 0"),
-        // a non-percentile aggregate in the list
-        """SELECT l_returnflag, MEDIAN(l_quantity) AS m, SUM(l_quantity) AS s
-          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-        // expression group key
-        "SELECT MEDIAN(l_quantity) AS m FROM lineitem GROUP BY l_linenumber + 1",
-        // join
-        "SELECT MEDIAN(l_quantity) AS m FROM lineitem JOIN lineitem b GROUP BY 1",
-        // subquery
-        "SELECT MEDIAN(l_quantity) AS m FROM (SELECT * FROM lineitem) GROUP BY l_returnflag",
-        // windowed
-        "SELECT MEDIAN(l_quantity) OVER () AS m FROM lineitem GROUP BY l_returnflag")
+        // window form — no Aggregate node carries a percentile
+        "SELECT l_returnflag, MEDIAN(l_quantity) OVER () AS m FROM lineitem",
+        // weighted frequency keeps the buffered form
+        "SELECT percentile(l_quantity, 0.5, 2) AS m FROM lineitem GROUP BY l_returnflag",
+        // DISTINCT percentile keeps the buffered form
+        "SELECT percentile(DISTINCT l_quantity, 0.5) AS m FROM lineitem GROUP BY l_returnflag",
+        // DDL/DML must never be probed (spark.sql would run it eagerly)
+        "CREATE TABLE never_made AS SELECT MEDIAN(l_quantity) AS m FROM lineitem")
       shapes.foreach { s =>
         assert(PercentilePlanner.tryPlan(spark, s).isEmpty, s"engaged on: $s")
       }
-      // and the buffered path still answers the HAVING variant
-      assert(engine.executeStatement(shapes.head).count() > 0)
+      assert(!spark.catalog.tableExists("never_made"),
+        "tryPlan executed a DDL statement")
+      // and the buffered path still answers the weighted form
+      assert(engine.executeStatement(shapes(1)).count() > 0)
+    }
+  }
+
+  test("dialect-only WHERE falls back from tryPlan but the engine still scale-plans it") {
+    withTables {
+      // SIMILAR TO is not Spark SQL: a direct tryPlan must return None
+      // (fallback, not an error, VERDICT r04 next #7)...
+      val dialect =
+        """SELECT l_returnflag, MEDIAN(l_quantity) AS m
+          |FROM lineitem WHERE l_returnflag SIMILAR TO '(A|R)'
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      assert(PercentilePlanner.tryPlan(spark, dialect).isEmpty)
+      // ...while the engine translates the dialect FIRST and then takes
+      // the scale plan (r05 ordering)
+      val df = engine.executeStatement(dialect)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("percentile") && !plan.contains("Median"), plan)
+      val expected = spark.sql(
+        """SELECT l_returnflag, MEDIAN(l_quantity) AS m
+          |FROM lineitem WHERE l_returnflag IN ('A', 'R')
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin).collect()
+      assert(df.collect().sameElements(expected))
     }
   }
 }
