@@ -371,5 +371,27 @@ object EngineOps {
     engine(spark, dir).executeStatement(sqlPercentiles)
   }
 
-  def defs: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q61, q62, q63, q64, q65, q66)
+  // ---------------------------------------------------------------- q68
+  // MEDIAN/PERCENTILE_CONT over a two-table join with a mixed aggregate
+  // list and HAVING — the shapes the r04 regex planner bailed on (its
+  // fallback re-opened the buffered per-group-value plan for any
+  // non-trivial SQL, VERDICT r04 next #2). The r05 plan-level rewrite
+  // routes the percentiles through the sort-based rank selection and
+  // the residual COUNT through a bounded Aggregate (PlanSpec asserts no
+  // buffered Percentile/Median); aggregates stay UNrounded so the
+  // bitwise parity with DuckDB is pinned raw, as in q66.
+  private val sqlMedianJoin =
+    """SELECT o_orderpriority,
+      |  MEDIAN(l_extendedprice) AS med_price,
+      |  PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |HAVING COUNT(*) > 10
+      |ORDER BY o_orderpriority""".stripMargin
+  val q68 = Q.df("q68_median_join", sqlMedianJoin) { (spark, dir) =>
+    engine(spark, dir).executeStatement(sqlMedianJoin)
+  }
+
+  def defs: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q61, q62, q63, q64, q65, q66, q68)
 }

@@ -107,6 +107,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"))
   }
 
+  test("q68: median over a join + HAVING takes the rank selection, count stays bounded") {
+    val p = plan(graft.queries.EngineOps.q68)
+    assert(!p.toLowerCase.contains("percentile"), s"buffered percentile in plan:\n$p")
+    assert(!p.contains("Median"), s"buffered median in plan:\n$p")
+    // the residual COUNT branch is a plain two-phase hash aggregate
+    assert(p.contains("HashAggregate"))
+  }
+
   test("q59: GROUPS emulation plans two window stages, no extra shuffle between them") {
     val df = graft.queries.EngineOps.q59.run(spark, TestSessions.sf001)
     val p = df.queryExecution.executedPlan.toString
