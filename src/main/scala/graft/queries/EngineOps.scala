@@ -371,6 +371,44 @@ object EngineOps {
     engine(spark, dir).executeStatement(sqlPercentiles)
   }
 
+  // ---------------------------------------------------------------- q67
+  // GROUPS window inside a `(SELECT …)` DERIVED TABLE — the r04
+  // documented error, now auto-lifted into a CTE (VERDICT r04 next #3).
+  // The derived table computes the GROUPS rolling sum per order-date
+  // peer group; the outer query filters and re-projects it — exercising
+  // the lift + the enclosing scope's references to the lifted name. The
+  // oracle derives the frame per peer group exactly as q59 does (DuckDB
+  // has no GROUPS mode either).
+  private val groupsSubquerySql =
+    """SELECT CAST(d.o_orderkey AS BIGINT) AS o_orderkey, d.grp_sum
+      |FROM (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |      PARTITION BY o_orderpriority ORDER BY o_orderdate
+      |      GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE) AS grp_sum
+      |  FROM orders) d
+      |WHERE d.o_custkey % 10 = 0
+      |ORDER BY o_orderkey""".stripMargin
+  val q67 = Q.df(
+    "q67_groups_subquery",
+    """WITH g AS (SELECT o_orderkey, o_custkey, o_orderpriority,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS tp,
+      |    DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate) AS dr
+      |  FROM orders),
+      |s AS (SELECT o_orderpriority, dr, SUM(tp) AS gsum
+      |  FROM g GROUP BY o_orderpriority, dr),
+      |c AS (SELECT o_orderpriority, dr,
+      |    SUM(gsum) OVER (PARTITION BY o_orderpriority ORDER BY dr
+      |      RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS w_sum
+      |  FROM s)
+      |SELECT CAST(g.o_orderkey AS BIGINT) AS o_orderkey,
+      |  CAST(c.w_sum AS DOUBLE) AS grp_sum
+      |FROM g JOIN c ON g.o_orderpriority = c.o_orderpriority AND g.dr = c.dr
+      |WHERE g.o_custkey % 10 = 0
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    engine(spark, dir).executeStatement(groupsSubquerySql)
+  }
+
   // ---------------------------------------------------------------- q68
   // MEDIAN/PERCENTILE_CONT over a two-table join with a mixed aggregate
   // list and HAVING — the shapes the r04 regex planner bailed on (its
@@ -393,5 +431,6 @@ object EngineOps {
     engine(spark, dir).executeStatement(sqlMedianJoin)
   }
 
-  def defs: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q61, q62, q63, q64, q65, q66, q68)
+  def defs: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q61, q62, q63, q64,
+    q65, q66, q67, q68)
 }

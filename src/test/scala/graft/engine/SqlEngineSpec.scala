@@ -796,6 +796,44 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("subqueries"), e.getMessage)
   }
 
+  test("GROUPS in FROM/JOIN derived tables auto-lifts into a CTE (r05)") {
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      // plain derived table (the r04 documented error prescribed the
+      // lift manually; now mechanical — VERDICT r04 next #3)
+      assert(engine.executeSql(
+        """SELECT d.x, d.s FROM (
+          |  SELECT x, sum(x) OVER (ORDER BY x GROUPS CURRENT ROW) AS s
+          |  FROM VALUES (1), (1), (2) t(x)) d
+          |ORDER BY d.x""".stripMargin) ==
+        """[{"x":1,"s":2},{"x":1,"s":2},{"x":2,"s":2}]""")
+      // derived table on the JOIN side
+      assert(engine.executeSql(
+        """SELECT a.k, d.c FROM VALUES (1) a(k)
+          |JOIN (SELECT x AS k, count(*) OVER (ORDER BY x GROUPS CURRENT ROW) AS c
+          |      FROM VALUES (1), (1) t(x)) d ON a.k = d.k
+          |ORDER BY a.k, d.c""".stripMargin) ==
+        """[{"k":1,"c":2},{"k":1,"c":2}]""")
+      // inside the main statement of an enclosing WITH: the generated
+      // CTE merges into the existing list
+      assert(engine.executeSql(
+        """WITH base AS (SELECT * FROM VALUES (1), (1), (2) t(x))
+          |SELECT d.x, d.s FROM (
+          |  SELECT x, sum(x) OVER (ORDER BY x GROUPS CURRENT ROW) AS s
+          |  FROM base) d
+          |ORDER BY d.x""".stripMargin) ==
+        """[{"x":1,"s":2},{"x":1,"s":2},{"x":2,"s":2}]""")
+      // nested derived tables: the innermost scope lifts
+      assert(engine.executeSql(
+        """SELECT o.s FROM (
+          |  SELECT * FROM (
+          |    SELECT x, sum(x) OVER (ORDER BY x GROUPS CURRENT ROW) AS s
+          |    FROM VALUES (3), (3) t(x)) i) o
+          |ORDER BY o.s""".stripMargin) ==
+        """[{"s":6},{"s":6}]""")
+    } finally engine.setResultFormat(ResultFormat.Table)
+  }
+
   test("alias rewriting never fires inside string literals or comments") {
     // r04 review: the raw replaceAll turned 'call me today (noon)' into
     // 'call me current_date(noon)' — alias matches now come off the
