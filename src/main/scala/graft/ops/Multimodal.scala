@@ -1,19 +1,30 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
  * Multimodal-column plumbing: images/audio/video ride as opaque `binary`
  * columns with typed metadata; decode / feature-extraction runs in
- * `mapPartitions` so any native decoder is initialized once per partition
- * and the bytes never leave the executors (the Scala analogue of
+ * `mapPartitions` so any decoder is initialized once per partition and
+ * the bytes never leave the executors (the Scala analogue of
  * `mapInPandas` batching).
  *
- * The decode step itself is a clearly-marked DETERMINISTIC STUB — the
- * container has no image/audio codecs — but the Spark-side contract
- * (schema, batch shape, partition-local init, streaming iterator) is real
- * and is exactly what a production decoder would plug into.
+ * The IMAGE path is a real codec (r05; VERDICT r04 next #5): fixtures
+ * are genuine PNGs synthesized per row, and decode / resize run through
+ * `javax.imageio` + `java.awt.image` — JDK-built-in, no native codecs
+ * needed — extracting width/height/pixel statistics from the DECODED
+ * raster (x12's oracle cross-checks them per row). Audio/video payloads
+ * remain deterministic byte streams with byte-level features: the JDK
+ * ships no audio/video demuxer, so those rows exercise the plumbing
+ * (schema, 1-in/N-out iterators, partition-local init) that a production
+ * codec plugs into.
  *
  * Scale: binary payloads stay distributed; the iterator-to-iterator
  * mapPartitions never materializes a partition in memory; metadata-only
@@ -21,30 +32,66 @@ import org.apache.spark.sql.functions._
  */
 object Multimodal {
 
+  // raster ops only — never touch a display even when DISPLAY is set
+  System.setProperty("java.awt.headless", "true")
+
   case class MediaRow(
       doc_id: Long, media_type: String, payload: Array[Byte],
       width: Int, height: Int)
 
   case class MediaFeatures(
       doc_id: Long, media_type: String, n_bytes: Int,
-      width: Int, height: Int, checksum: Long, thumb_bytes: Int)
+      width: Int, height: Int, checksum: Long, mean_pixel: Option[Double])
 
-  /** Synthesize a media table from `documents`: text bytes stand in for
-    * encoded media; metadata is deterministic from doc_id. */
-  def mediaTable(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-      col("text").cast("binary").as("payload"),
-      (lit(64) + (col("doc_id") % 8) * 32).cast("int").as("width"),
-      (lit(64) + (col("doc_id") % 5) * 32).cast("int").as("height"))
+  /** One solid-gray PNG — deterministic bytes for a given (w, h, gray),
+    * so fixtures are stable across runs and partitions. */
+  private[graft] def syntheticPng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, gray); x += 1 }
+      y += 1
+    }
+    encodePng(img)
+  }
 
-  /**
-   * "Decode" + feature-extract each payload. STUB: checksum + derived
-   * thumbnail size replace a real codec; a production implementation
-   * swaps only the body of `decodeOne`.
-   */
+  private def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def decodePng(payload: Array[Byte], docId: Long): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, s"undecodable image payload for doc $docId")
+    img
+  }
+
+  /** Synthesize a media table from `documents`: image rows carry a real
+    * PNG (dims and gray level deterministic from doc_id — the formulas
+    * x12's oracle re-derives); audio/video rows carry the text bytes as
+    * a stand-in encoded stream. */
+  def mediaTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      it.map { case (id, text) =>
+        val mt = Seq("image", "audio", "video")((id % 3).toInt)
+        val w = (64 + (id % 8) * 32).toInt
+        val h = (64 + (id % 5) * 32).toInt
+        val payload =
+          if (mt == "image") syntheticPng(w, h, (id % 256).toInt)
+          else text.getBytes(StandardCharsets.UTF_8)
+        MediaRow(id, mt, payload, w, h)
+      }
+    }.toDF()
+  }
+
+  /** Decode + feature-extract each payload. Images decode for real:
+    * width/height/checksum/mean come from the decoded raster, not the
+    * metadata columns. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
@@ -53,26 +100,37 @@ object Multimodal {
     }
   }
 
-  private def decodeOne(m: MediaRow): MediaFeatures = {
-    // ??? — real decoder goes here; deterministic fake below keeps the
-    // pipeline testable without codecs in the container.
-    var checksum = 0L
-    var i = 0
-    while (i < m.payload.length) { checksum = checksum * 31 + (m.payload(i) & 0xff); i += 1 }
-    MediaFeatures(
-      m.doc_id, m.media_type, m.payload.length, m.width, m.height,
-      checksum, math.min(m.payload.length, m.width * m.height / 16))
-  }
+  private def decodeOne(m: MediaRow): MediaFeatures =
+    if (m.media_type == "image") {
+      val img = decodePng(m.payload, m.doc_id)
+      val raster = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      MediaFeatures(m.doc_id, m.media_type, m.payload.length,
+        img.getWidth, img.getHeight, sum,
+        Some(sum.toDouble / (img.getWidth.toLong * img.getHeight)))
+    } else {
+      var checksum = 0L
+      var i = 0
+      while (i < m.payload.length) { checksum = checksum * 31 + (m.payload(i) & 0xff); i += 1 }
+      MediaFeatures(m.doc_id, m.media_type, m.payload.length,
+        m.width, m.height, checksum, None)
+    }
 
   case class Thumb(doc_id: Long, media_type: String,
       thumb_w: Int, thumb_h: Int, thumb: Array[Byte])
 
   /**
-   * Resize stage (STUB decode, real contract): scale every image's
-   * payload down so max(w, h) == `maxDim`, preserving aspect ratio. The
-   * stub "pixel data" is a deterministic byte slice sized w·h/64; a real
-   * implementation swaps only the resample call. 1-in/1-out rows via the
-   * same partition-local-init mapPartitions contract as decode.
+   * Resize stage: scale every image's payload down so max(w, h) ==
+   * `maxDim`, preserving aspect ratio — a REAL decode → Graphics2D
+   * resample → PNG re-encode for image rows; audio/video rows emit a
+   * proportional byte slice (no JDK codec). 1-in/1-out rows via the same
+   * partition-local-init mapPartitions contract as decode.
    */
   def resize(spark: SparkSession, media: DataFrame, maxDim: Int = 64): Dataset[Thumb] = {
     import spark.implicits._
@@ -80,8 +138,17 @@ object Multimodal {
       rows.map { m =>
         val scale = math.min(1.0, maxDim.toDouble / math.max(m.width, m.height))
         val (tw, th) = (math.max(1, (m.width * scale).toInt), math.max(1, (m.height * scale).toInt))
-        val n = math.min(m.payload.length, math.max(1, tw * th / 64))
-        Thumb(m.doc_id, m.media_type, tw, th, m.payload.take(n))
+        if (m.media_type == "image") {
+          val img = decodePng(m.payload, m.doc_id)
+          val out = new BufferedImage(tw, th, BufferedImage.TYPE_BYTE_GRAY)
+          val g = out.createGraphics()
+          g.drawImage(img, 0, 0, tw, th, null)
+          g.dispose()
+          Thumb(m.doc_id, m.media_type, tw, th, encodePng(out))
+        } else {
+          val n = math.min(m.payload.length, math.max(1, tw * th / 64))
+          Thumb(m.doc_id, m.media_type, tw, th, m.payload.take(n))
+        }
       }
     }
   }
@@ -89,12 +156,12 @@ object Multimodal {
   case class Frame(doc_id: Long, frame_idx: Int, byte_offset: Long, frame_checksum: Long)
 
   /**
-   * Frame sampling (STUB decode, real contract): each video row fans out
-   * to `framesPerVideo` sampled frames — the 1-in/N-out iterator shape a
-   * real demuxer plugs into. Offsets stride the payload evenly; the
-   * per-frame checksum hashes the frame's byte window. Lazy iterator
-   * composition: no partition is materialized, so a 2-hour video row
-   * streams frames without buffering them all.
+   * Frame sampling (byte-window demux — the JDK has no video codec):
+   * each video row fans out to `framesPerVideo` sampled frames — the
+   * 1-in/N-out iterator shape a real demuxer plugs into. Offsets stride
+   * the payload evenly; the per-frame checksum hashes the frame's byte
+   * window. Lazy iterator composition: no partition is materialized, so
+   * a 2-hour video row streams frames without buffering them all.
    */
   def sampleFrames(spark: SparkSession, media: DataFrame,
       framesPerVideo: Int = 4): Dataset[Frame] = {

@@ -339,8 +339,26 @@ object Extensions {
   }
 
   // ---------------------------------------------------------------- x12
-  val x12 = Q.dfOnly("x12_multimodal_features") { (spark, dir) =>
+  // Multimodal decode, now REAL for images (r05; VERDICT r04 next #5):
+  // the fixture synthesizes a genuine PNG per image row (dims and solid
+  // gray level deterministic from doc_id), the pipeline decodes it with
+  // javax.imageio, and the oracle re-derives what the DECODED raster
+  // must contain — width, height and exact mean pixel — from the same
+  // doc_id formulas. A decoder that skipped IHDR or the IDAT inflate
+  // could not produce these values, so the row pins the decode for
+  // real; audio/video rows (no JDK codec) stay byte-level and are
+  // covered by OpsSpec.
+  val x12 = Q.df(
+    "x12_multimodal_features",
+    """SELECT doc_id,
+      |  CAST(64 + (doc_id % 8) * 32 AS INT) AS width,
+      |  CAST(64 + (doc_id % 5) * 32 AS INT) AS height,
+      |  CAST(doc_id % 256 AS DOUBLE) AS mean_pixel
+      |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     Multimodal.pipeline(spark, Tables.load(spark, dir, "documents"))
+      .filter(col("media_type") === "image")
+      .select(col("doc_id"), col("width"), col("height"), col("mean_pixel"))
+      .orderBy("doc_id")
   }
 
   // ---------------------------------------------------------------- x14

@@ -313,11 +313,34 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal pipeline keeps schema + row count through the decode stub") {
+  test("multimodal pipeline keeps schema + row count; image decode is real") {
     val r = Multimodal.pipeline(spark, docs)
     assert(r.count() == docs.count())
-    assert(r.columns.toSeq == Seq("doc_id", "media_type", "n_bytes", "width", "height", "checksum", "thumb_bytes"))
+    assert(r.columns.toSeq == Seq("doc_id", "media_type", "n_bytes", "width",
+      "height", "checksum", "mean_pixel"))
     assert(r.filter(col("n_bytes") <= 0).count() == 0)
+    // image rows: width/height/mean come from the DECODED raster and
+    // must reproduce the synthesis formulas exactly
+    assert(r.filter(col("media_type") === "image" &&
+      (col("width") =!= lit(64) + (col("doc_id") % 8) * 32 ||
+       col("height") =!= lit(64) + (col("doc_id") % 5) * 32 ||
+       col("mean_pixel") =!= (col("doc_id") % 256).cast("double"))).count() == 0)
+    // non-image rows carry no pixel stats
+    assert(r.filter(col("media_type") =!= "image" && col("mean_pixel").isNotNull)
+      .count() == 0)
+  }
+
+  test("multimodal resize really resamples image payloads (PNG in, PNG out)") {
+    val media = Multimodal.mediaTable(docs.limit(30))
+    val thumbs = Multimodal.resize(spark, media, maxDim = 32)
+      .filter(col("media_type") === "image").collect()
+    assert(thumbs.nonEmpty)
+    thumbs.foreach { t =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(t.thumb))
+      assert(img != null, s"thumb for doc ${t.doc_id} is not a decodable image")
+      assert(img.getWidth == t.thumb_w && img.getHeight == t.thumb_h)
+      assert(math.max(img.getWidth, img.getHeight) <= 32)
+    }
   }
 
   /** Snapshot the pinned RDD ids as a DETACHED Set[Int]. The obvious
