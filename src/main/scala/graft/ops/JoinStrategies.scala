@@ -28,10 +28,14 @@ object JoinStrategies {
       .format("parquet").saveAsTable(table) // managed, under spark.sql.warehouse.dir
   }
 
-  /** Shuffle-free equi-join of two equally-bucketed tables. */
+  /** Shuffle-free equi-join of two equally-bucketed tables. The MERGE
+    * hint pins the sort-merge path (bucket files stream straight into
+    * the join with no Exchange) even at test scale, where AQE would
+    * otherwise broadcast the small side — at the 100 TB scale this
+    * toolkit targets, neither side is broadcastable anyway. */
   def bucketedJoin(spark: org.apache.spark.sql.SparkSession,
       left: String, right: String, key: String): DataFrame =
-    spark.table(left).join(spark.table(right), key)
+    spark.table(left).hint("merge").join(spark.table(right), key)
 
   /**
    * Skew-safe equi-join: big side gets a random salt in [0, salt);

@@ -1,8 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis, Text}
+import graft.ops.{Dedup, JoinStrategies, Multimodal, Sampling, Similarity, TextAnalysis, Text}
 import graft.tables.Tables
 
 /**
@@ -443,6 +444,52 @@ object Extensions {
       checkpointDir = Some(ckptDir("x15", dir)))
   }
 
+  // ---------------------------------------------------------------- x21
+  // Bucketed fact-to-fact join (VERDICT r04 next #6): both sides are
+  // written bucketed+sorted on the join key, so the join itself runs
+  // with NO Exchange — at 100 TB, removing the fact-table shuffle is
+  // the single biggest join lever (PlanSpec asserts the exchange-free
+  // join plan; this row pins the RESULT against DuckDB joining the raw
+  // parquet). The aggregate on top shuffles 5 rows — the fact shuffle
+  // is gone. Writes are idempotent (drop + location cleanup, as q54).
+  private def writeBucketedPair(spark: SparkSession, dir: String): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    Seq("bkt_lineitem", "bkt_orders").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.conf.warehousePath, t)
+      loc.getFileSystem(hc).delete(loc, true)
+    }
+    JoinStrategies.writeBucketed(
+      Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("orderkey"), col("l_quantity")),
+      "bkt_lineitem", "orderkey", buckets = 8)
+    JoinStrategies.writeBucketed(
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("orderkey"), col("o_orderpriority")),
+      "bkt_orders", "orderkey", buckets = 8)
+  }
+
+  /** The exchange-free join itself (shared with PlanSpec's assert). */
+  def bucketedJoinDf(spark: SparkSession, dir: String): DataFrame = {
+    writeBucketedPair(spark, dir)
+    JoinStrategies.bucketedJoin(spark, "bkt_lineitem", "bkt_orders", "orderkey")
+  }
+
+  val x21 = Q.df(
+    "x21_bucketed_join",
+    """SELECT o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    bucketedJoinDf(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20)
+    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21)
 }

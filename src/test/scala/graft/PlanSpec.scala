@@ -115,6 +115,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
   }
 
+  test("x21: bucketed join runs with no Exchange (the 100 TB fact-join lever)") {
+    val df = graft.queries.Extensions.bucketedJoinDf(spark, TestSessions.sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"plan:\n$p")
+    assert(!p.contains("Exchange"), s"bucketed join shuffled:\n$p")
+    assert("SelectedBucketsCount".r.findAllIn(p).size == 2 ||
+      "Bucketed: true".r.findAllIn(p).size == 2, s"scan not bucketed:\n$p")
+  }
+
   test("q59: GROUPS emulation plans two window stages, no extra shuffle between them") {
     val df = graft.queries.EngineOps.q59.run(spark, TestSessions.sf001)
     val p = df.queryExecution.executedPlan.toString
