@@ -158,10 +158,13 @@ object Percentiles {
     * balance, cardinality only the mode choice. */
   private def probe(p: Prep): (Long, Map[Int, Array[Double]]) = {
     val quantiles = (1 until p.slices).map(i => lit(i.toDouble / p.slices))
+    // low accuracy on purpose: boundaries shape only load balance (the
+    // rank lift is exact for ANY boundary list), so the cheapest sketch
+    // that lands near the quantiles is the right one
     val aggs = Seq(
       approx_count_distinct(struct(p.g: _*)).as("__pct_k")) ++
       (if (quantiles.nonEmpty)
-        Seq(percentile_approx(col("__pct_v"), array(quantiles: _*), lit(10000))
+        Seq(percentile_approx(col("__pct_v"), array(quantiles: _*), lit(1000))
           .as("__pct_bnd"))
       else Nil)
     val rows = p.melted.groupBy(col("__pct_c"))
@@ -220,10 +223,11 @@ object Percentiles {
     * lineage, ADVICE r04) — then:
     *  (a) rank locally per (group, column, bucket) cell: the window's
     *      own hash exchange spreads cells over ALL reducers;
-    *  (b) cell sizes come out of the same windowed pass (full-frame
-    *      count), so the per-cell offset/total tables are a FILTER of
-    *      the window output (local rank 1), not a rescan — under
-    *      exchange reuse the corpus is scanned and shuffled once;
+    *  (b) cell sizes come from a separate map-side-combined COUNT
+    *      aggregation of the bucketed frame — NOT from the window pass,
+    *      so the expensive sort+window subtree has exactly one consumer
+    *      and runs exactly once (the windowed-count cut ran it three
+    *      times: join side, offsets, totals);
     *  (c) lift local ranks to global ones by the per-cell prefix-sum
     *      offsets (a tiny cells-sized table, AQE-broadcast back).
     * Ties share a value, so a tie split across a bucket boundary never
@@ -233,12 +237,23 @@ object Percentiles {
     * load, never ranks. */
   private def rangeRanked(p: Prep, bounds: Map[Int, Array[Double]]): DataFrame = {
     // bucket = number of boundaries ≤ v (monotone in v, deterministic);
-    // nulls one past the last bucket so they rank after every non-null
+    // nulls one past the last bucket so they rank after every non-null.
+    // Binary-search CaseWhen tree over the boundary literals: log₂(b)
+    // codegen'd comparisons per row (a higher-order `filter` over a
+    // literal array stays outside whole-stage codegen and costs b
+    // interpreted comparisons — same lesson as Sampling's shard tree)
     val bucket: Column = {
+      def search(b: Array[Double], lo: Int, hi: Int): Column =
+        if (lo == hi) lit(lo)
+        else {
+          // bucket ≥ mid iff v ≥ b(mid−1)
+          val mid = (lo + hi + 1) / 2
+          when(col("__pct_v") >= lit(b(mid - 1)), search(b, mid, hi))
+            .otherwise(search(b, lo, mid - 1))
+        }
       def bucketFor(c: Int): Column = bounds.getOrElse(c, Array.empty[Double]) match {
         case b if b.isEmpty => lit(0)
-        case b => size(filter(array(b.map(lit(_)).toIndexedSeq: _*),
-          x => col("__pct_v") >= x))
+        case b => search(b, 0, b.length)
       }
       (0 until p.colCount).foldLeft(
         when(col("__pct_v").isNull, lit(p.slices))) {
@@ -249,14 +264,11 @@ object Percentiles {
     val pKey = p.cKey :+ "__pct_b"
     val wLocal = Window.partitionBy(pKey.map(col): _*)
       .orderBy(col("__pct_v").asc_nulls_last)
-    val wCell = Window.partitionBy(pKey.map(col): _*)
     val local = bucketed
       .withColumn("__pct_lr", row_number().over(wLocal).cast("long"))
-      .withColumn("__pct_cc", count(lit(1)).over(wCell))
-      .withColumn("__pct_ccn", count(col("__pct_v")).over(wCell))
-    // one representative row per cell carries the cell sizes
-    val cells = local.where(col("__pct_lr") === 1)
-      .select((pKey ++ Seq("__pct_cc", "__pct_ccn")).map(col): _*)
+    // cell sizes: a cheap partial-aggregated count per cell (tiny result)
+    val cells = bucketed.groupBy(pKey.map(col): _*)
+      .agg(count(lit(1)).as("__pct_cc"), count(col("__pct_v")).as("__pct_ccn"))
     val wOff = Window.partitionBy(p.cKey.map(col): _*).orderBy(col("__pct_b"))
     val offsets = cells
       .withColumn("__pct_off", sum("__pct_cc").over(wOff) - col("__pct_cc"))
