@@ -455,8 +455,14 @@ object Dialect {
     * whitespace AND leading comments (whose delimiters survive masking,
     * so `stripLeading` alone saw '-' or '/' and misclassified valid
     * statements that begin with a comment — r04 review). */
-  private def codeStart(masked: String): Int = {
-    var i = 0
+  private def codeStart(masked: String): Int = skipBlank(masked, 0)
+
+  /** First index ≥ `from` that is neither whitespace nor inside a
+    * comment (comment CONTENT is masked but the delimiters survive
+    * masking, so a plain whitespace skip stops at them — ADVICE r04:
+    * the star-EXCEPT merge missed `* /* c */ EXCEPT (...)`). */
+  private def skipBlank(masked: String, from: Int): Int = {
+    var i = from
     var advanced = true
     while (advanced) {
       advanced = false
@@ -474,6 +480,23 @@ object Dialect {
       }
     }
     i
+  }
+
+  /** Last CODE character before `pos`, scanning backwards over
+    * whitespace, masked literal/comment content and comment delimiters
+    * (`--`, `/*`, `*/`). */
+  private def lastCodeCharBefore(masked: String, pos: Int): Option[Char] = {
+    var i = pos - 1
+    while (i >= 0) {
+      val c = masked.charAt(i)
+      if (c.isWhitespace || c == M) i -= 1
+      else if (i >= 1 && ((c == '/' && masked.charAt(i - 1) == '*') || // comment close
+          (c == '*' && masked.charAt(i - 1) == '/') || // comment open
+          (c == '-' && masked.charAt(i - 1) == '-'))) // line-comment open
+        i -= 2
+      else return Some(c)
+    }
+    None
   }
 
   /** Does the first code token of `masked` equal `word` (whole-word)? */
@@ -580,9 +603,11 @@ object Dialect {
     val setOps = setOp.findAllMatchIn(masked).filter { m =>
       val prefix = masked.substring(0, m.start)
       // `* EXCEPT (cols)` is Spark 4 star-EXCEPT, not a set operator —
-      // the preceding non-space char distinguishes them (r04 review)
+      // the preceding code char distinguishes them (r04 review; the
+      // backward scan skips comments too, not just whitespace, so
+      // `* /* c */ EXCEPT (...)` stays a star-EXCEPT — ADVICE r04)
       val starExcept = m.group(0).toUpperCase(java.util.Locale.ROOT).startsWith("EXCEPT") &&
-        prefix.reverseIterator.find(!_.isWhitespace).contains('*')
+        lastCodeCharBefore(masked, m.start).contains('*')
       !starExcept && prefix.count(_ == '(') == prefix.count(_ == ')')
     }.toList
     if (setOps.nonEmpty) {
@@ -760,14 +785,15 @@ object Dialect {
         if (!c.isWhitespace) {
           if (c == '*' && d == 0 && (lastNonWs == ',' || lastNonWs == '.')) {
             // `* EXCEPT (a, b)` already has a list — merge __grp into it
-            // rather than emitting a second EXCEPT (r04 review)
-            var j = i + 1
-            while (j < mk.length && mk.charAt(j).isWhitespace) j += 1
+            // rather than emitting a second EXCEPT (r04 review). The
+            // scan to EXCEPT and on to its '(' skips comments too, not
+            // just whitespace (ADVICE r04: a comment between `*` and
+            // EXCEPT produced two EXCEPT clauses)
+            val j = skipBlank(mk, i + 1)
             var k = -1
             if (mk.regionMatches(true, j, "EXCEPT", 0, 6) &&
                 (j + 6 == mk.length || !mk.charAt(j + 6).isLetterOrDigit)) {
-              k = j + 6
-              while (k < mk.length && mk.charAt(k).isWhitespace) k += 1
+              k = skipBlank(mk, j + 6)
               if (k >= mk.length || mk.charAt(k) != '(') k = -1
             }
             if (k >= 0) injectAt = k else sb ++= " EXCEPT (__grp)"

@@ -52,6 +52,17 @@ class SqlEngine(val spark: SparkSession) {
    * reference hard-codes the AWS endpoint and stores (root, bucket,
    * region, keys); s3a scopes credentials per-bucket so concurrent
    * buckets work (superset).
+   *
+   * DOCUMENTED DEVIATION (ADVICE r04): the root prefix binds at
+   * `CREATE EXTERNAL TABLE` translation time — the table's resolved
+   * LOCATION embeds the prefix — while the reference's opendal operator
+   * re-reads its root on every object access (`src/object_store.rs:49`).
+   * Calling `setS3Config` with a different root therefore affects only
+   * tables created AFTER the call here; already-registered tables keep
+   * the location they were created with (re-issue the DDL to rebind).
+   * Spark's catalog has no per-read path indirection that could match
+   * the reference's late binding without a custom FileSystem shim; the
+   * create-time contract is deterministic and documented instead.
    */
   def setS3Config(root: String, bucket: String, region: String,
       accessKeyId: String, secretAccessKey: String): Unit = {

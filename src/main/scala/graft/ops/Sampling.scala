@@ -26,16 +26,21 @@ import org.apache.spark.sql.functions._
  */
 object Sampling {
 
-  /** First 8 md5 hex chars of `key:seed` — a uniform 32-bit bucket in
-    * hex-string form (portable: any engine with md5 derives the same).
-    * A NULL key is treated as one more key VALUE (hashed via a
-    * sentinel): all null-key rows share a bucket — identical keys always
-    * co-assign, that is the contract — rather than falling through
-    * null-comparison semantics (which silently sent them all to the
-    * LAST split and dropped them from rate<1 strata, r04 review). Use a
-    * unique non-null key when null-key rows must spread. */
+  /** First 8 md5 hex chars of `'k' + key + ':' + seed` — a uniform
+    * 32-bit bucket in hex-string form (portable: any engine with md5
+    * derives the same). A NULL key is treated as one more key VALUE,
+    * hashed as `'n:' + seed`: all null-key rows share a bucket —
+    * identical keys always co-assign, that is the contract — rather
+    * than falling through null-comparison semantics (which silently
+    * sent them all to the LAST split and dropped them from rate<1
+    * strata, r04 review). The null encoding is OUT-OF-BAND: every
+    * non-null key is prefixed 'k', so no real key value can collide
+    * with the null bucket (an in-band sentinel string could, ADVICE
+    * r04). Use a unique non-null key when null-key rows must spread. */
   def bucketHex(key: Column, seed: Int): Column =
-    substring(md5(concat(coalesce(key.cast("string"), lit("__graft_null__")),
+    substring(md5(concat(
+      when(key.isNull, lit("n"))
+        .otherwise(concat(lit("k"), key.cast("string"))),
       lit(":" + seed))), 1, 8)
 
   /** Hex threshold t(f): bucketHex < t(f) selects a fraction f of keys

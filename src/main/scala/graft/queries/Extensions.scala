@@ -256,8 +256,8 @@ object Extensions {
       val t80 = graft.ops.Sampling.hexThreshold(0.8)
       val t90 = graft.ops.Sampling.hexThreshold(0.8 + 0.1)
       s"""SELECT doc_id,
-         |  CASE WHEN substr(md5(doc_id || ':42'), 1, 8) < '$t80' THEN 'train'
-         |       WHEN substr(md5(doc_id || ':42'), 1, 8) < '$t90' THEN 'val'
+         |  CASE WHEN substr(md5('k' || doc_id || ':42'), 1, 8) < '$t80' THEN 'train'
+         |       WHEN substr(md5('k' || doc_id || ':42'), 1, 8) < '$t90' THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin
     }) { (spark, dir) =>
@@ -278,7 +278,7 @@ object Extensions {
       val tDef = graft.ops.Sampling.hexThreshold(0.25)
       s"""SELECT doc_id, lang, source
          |FROM documents
-         |WHERE substr(md5(doc_id || ':7'), 1, 8) <
+         |WHERE substr(md5('k' || doc_id || ':7'), 1, 8) <
          |  CASE lang WHEN 'en' THEN '$tEn' WHEN 'zh' THEN '$tZh' ELSE '$tDef' END
          |ORDER BY doc_id""".stripMargin
     }) { (spark, dir) =>
@@ -298,10 +298,10 @@ object Extensions {
     "x20_sharding", {
       val n = 8
       val cases = (1 until n).map(i =>
-        s"(CASE WHEN substr(md5(doc_id || ':11'), 1, 8) >= '${graft.ops.Sampling.hexThreshold(i.toDouble / n)}' THEN 1 ELSE 0 END)")
+        s"(CASE WHEN substr(md5('k' || doc_id || ':11'), 1, 8) >= '${graft.ops.Sampling.hexThreshold(i.toDouble / n)}' THEN 1 ELSE 0 END)")
         .mkString(" + ")
       s"""SELECT doc_id, $cases AS shard,
-         |  substr(md5(doc_id || ':12'), 1, 8) AS shuffle_key
+         |  substr(md5('k' || doc_id || ':12'), 1, 8) AS shuffle_key
          |FROM documents ORDER BY doc_id""".stripMargin
     }) { (spark, dir) =>
     import org.apache.spark.sql.functions.col

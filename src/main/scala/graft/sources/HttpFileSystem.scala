@@ -114,8 +114,11 @@ class HttpsFileSystem extends HttpFileSystem {
 /** Connection opening with MANUAL redirect following: HttpURLConnection's
   * auto-follow never crosses protocols, so an `http://` location that
   * 301s to `https://` (ubiquitous) hard-failed with 'HTTP 301' while the
-  * reference's http client follows it (r04 review). Relative Locations
-  * resolve against the current URL; 5-hop cap. */
+  * reference's http client follows it (r04 review). Only the UPGRADE
+  * direction crosses protocols: an `https://` URL redirecting to
+  * `http://` would silently downgrade the transport (credentials/range
+  * data on plaintext, ADVICE r04) — refused with a clear error.
+  * Relative Locations resolve against the current URL; 5-hop cap. */
 private[sources] object HttpConnect {
   def openFollowing(start: URL, range: Option[String],
       connectTimeoutMs: Int, readTimeoutMs: Int): HttpURLConnection = {
@@ -132,10 +135,20 @@ private[sources] object HttpConnect {
       val loc = conn.getHeaderField("Location")
       conn.disconnect()
       if (loc == null) throw new IOException(s"HTTP $code without Location for $url")
-      url = new URL(url, loc)
+      url = nextHop(url, loc)
       hops += 1
     }
     throw new IOException(s"too many redirects for $start")
+  }
+
+  /** Resolve one redirect hop. Same-protocol and http→https hops pass;
+    * an https→http hop is refused, never silently followed. */
+  private[sources] def nextHop(url: URL, loc: String): URL = {
+    val next = new URL(url, loc)
+    if (url.getProtocol == "https" && next.getProtocol != "https")
+      throw new IOException(
+        s"refusing redirect downgrade from https to ${next.getProtocol}: $url -> $next")
+    next
   }
 }
 

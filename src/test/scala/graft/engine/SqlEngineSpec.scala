@@ -778,6 +778,14 @@ class SqlEngineSpec extends AnyFunSuite {
           |  sum(x) OVER (ORDER BY x GROUPS CURRENT ROW) AS s
           |FROM VALUES (1, 9), (1, 9) t(x, y) ORDER BY x""".stripMargin) ==
         """[{"x":1,"s":2},{"x":1,"s":2}]""")
+      // a comment between `*` and its EXCEPT list must not defeat the
+      // merge (ADVICE r04: the whitespace-only scan emitted TWO EXCEPT
+      // clauses — invalid SQL)
+      assert(engine.executeSql(
+        """SELECT * /* keep */ EXCEPT (y),
+          |  sum(x) OVER (ORDER BY x GROUPS CURRENT ROW) AS s
+          |FROM VALUES (1, 9), (1, 9) t(x, y) ORDER BY x""".stripMargin) ==
+        """[{"x":1,"s":2},{"x":1,"s":2}]""")
       // IGNORE NULLS between the offset call and OVER: the inert GROUPS
       // frame is still dropped (not restructured into a RANGE frame
       // Spark would reject)

@@ -26,7 +26,8 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val md = java.security.MessageDigest.getInstance("MD5")
     (0L until 3L).foreach { i =>
-      val hex = md.digest(s"$i:42".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      // non-null keys carry the out-of-band 'k' prefix (ADVICE r04)
+      val hex = md.digest(s"k$i:42".getBytes("UTF-8")).map("%02x".format(_)).mkString
       assert(got(i) == hex.take(8), s"id $i")
     }
   }
@@ -49,7 +50,7 @@ class SamplingSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
-  test("null keys hash as a sentinel value, not through null comparisons") {
+  test("null keys hash out-of-band, not through null comparisons") {
     // r04 review: a null bucket made every condition null — all null-key
     // rows fell to the LAST split and were dropped from rate<1 strata
     val df = Seq(Some(1L), Some(2L), None).toDF("id")
@@ -57,13 +58,23 @@ class SamplingSpec extends AnyFunSuite {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .filter(col("id").isNull).select("split").collect()
     assert(out.length == 1 && out.head.getString(0) != null)
-    // and the assignment equals hashing the sentinel key explicitly
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest("__graft_null__:42".getBytes("UTF-8"))
+    // the assignment equals hashing the out-of-band null encoding
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(8)
-    val expected = if (hex < Sampling.hexThreshold(0.8)) "train"
-      else if (hex < Sampling.hexThreshold(0.9)) "val" else "test"
+    val expected = if (md5hex("n:42") < Sampling.hexThreshold(0.8)) "train"
+      else if (md5hex("n:42") < Sampling.hexThreshold(0.9)) "val" else "test"
     assert(out.head.getString(0) == expected)
+    // no real key VALUE can share the null bucket: non-null keys are
+    // 'k'-prefixed (ADVICE r04: the in-band "__graft_null__" sentinel
+    // collided with a key equal to that string)
+    val tricky = Seq(Some("n"), Some("__graft_null__"), None).toDF("id")
+    val hexes = tricky.select(Sampling.bucketHex(col("id"), 42)).collect()
+      .map(_.getString(0))
+    assert(hexes(0) == md5hex("kn:42"))
+    assert(hexes(1) == md5hex("k__graft_null__:42"))
+    assert(hexes(2) == md5hex("n:42"))
+    assert(hexes.distinct.length == 3)
     // interior cumulative weights that round to 1.0 no longer crash
     Sampling.deterministicSplit(ids(10), col("id"),
       Seq("a" -> 0.5, "b" -> (0.5 - 1e-12), "c" -> 1e-12)).collect()
