@@ -133,6 +133,45 @@ class PercentilePlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("compositions above and beside the rewritten Aggregate resolve") {
+    withTables {
+      // two Aggregates under one UNION ALL: both rewrite independently
+      assertScalePlan(
+        """SELECT l_returnflag AS k, MEDIAN(l_quantity) AS m
+          |FROM lineitem GROUP BY l_returnflag
+          |UNION ALL
+          |SELECT o_orderpriority AS k, MEDIAN(o_totalprice) AS m
+          |FROM orders GROUP BY o_orderpriority
+          |ORDER BY k, m""".stripMargin)
+      // a window function ABOVE the rewritten aggregate references its
+      // pinned output attributes
+      assertScalePlan(
+        """SELECT l_returnflag, m, RANK() OVER (ORDER BY m) AS r FROM (
+          |  SELECT l_returnflag, MEDIAN(l_extendedprice) AS m
+          |  FROM lineitem GROUP BY l_returnflag)
+          |ORDER BY l_returnflag""".stripMargin)
+      // ORDER BY + LIMIT on the percentile output
+      assertScalePlan(
+        """SELECT l_returnflag, MEDIAN(l_quantity) AS m
+          |FROM lineitem GROUP BY l_returnflag ORDER BY m DESC LIMIT 2""".stripMargin)
+      // nested aggregation over a rewritten inner aggregate
+      assertScalePlan(
+        """SELECT MAX(m) AS mx, MIN(m) AS mn FROM (
+          |  SELECT l_returnflag, MEDIAN(l_quantity) AS m
+          |  FROM lineitem GROUP BY l_returnflag)""".stripMargin)
+      // a percentile inside a scalar-subquery EXPRESSION stays buffered
+      // (subquery plans are out of the main-tree rewrite) but must still
+      // answer — and the outer aggregate rewrites
+      val mixed =
+        """SELECT l_returnflag, MEDIAN(l_quantity) AS m,
+          |  (SELECT MEDIAN(o_totalprice) FROM orders) AS global_med
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      val fast = PercentilePlanner.tryPlan(spark, mixed)
+      assert(fast.isDefined)
+      assert(fast.get.collect().sameElements(spark.sql(mixed).collect()))
+    }
+  }
+
   test("global aggregate over empty input still emits its one null row") {
     withTables {
       val q = "SELECT MEDIAN(l_quantity) AS m FROM lineitem WHERE l_quantity < 0"
