@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sequence packing for training pipelines: documents are
+ * laid out in a reproducible corpus-wide order (the md5 shuffle key, so
+ * the layout is stable under repartitioning/retries/appends like the
+ * rest of `graft.ops.Sampling`) and conceptually concatenated into
+ * fixed token-budget training sequences. Each document receives the
+ * sequence id holding its FIRST token, its token offset inside that
+ * sequence, and a `straddles` flag (its tail crosses into the next
+ * sequence — the materialization step splits or drops those, a policy
+ * choice this operator deliberately leaves to the caller).
+ *
+ * Scale: the corpus-wide EXCLUSIVE prefix sum is computed distributed,
+ * never as one global-order window — the md5 key's first two hex chars
+ * cut the order into 256 near-uniform contiguous ranges, each bucket
+ * cumsum-s locally under the window's own hash exchange, and a
+ * 256-row bucket-totals table lifts local sums to global ones
+ * (AQE-broadcast back). The same prefix-sum shape as the range
+ * percentile mode; every stage is a pure function of the input.
+ *
+ * Reference scope note: the reference engine exposes no packing API —
+ * this is part of the training-data surface the build charter adds.
+ */
+object Packing {
+
+  /** Adds `seq_id`, `seq_offset`, `straddles` (and the ordering key as
+    * `pack_key`) to `df`. `tokens` null/negative values count as 0.
+    * `key` should be unique per row (e.g. doc_id); duplicate keys get
+    * identical pack_keys and an arbitrary-but-stable relative order. */
+  def packSequences(df: DataFrame, key: Column, tokens: Column,
+      budget: Long, seed: Int = 42): DataFrame = {
+    require(budget >= 1, s"token budget $budget must be positive")
+    val keyed = df
+      .withColumn("pack_key", Sampling.shuffleKey(key, seed))
+      .withColumn("__pack_t", greatest(coalesce(tokens.cast("long"), lit(0L)), lit(0L)))
+      // first two hex chars: 256 contiguous ranges of the global key
+      // order, near-uniform because the key is an md5 bucket
+      .withColumn("__pack_b", substring(col("pack_key"), 1, 2))
+    val wLocal = Window.partitionBy(col("__pack_b"))
+      .orderBy(col("pack_key"))
+    val local = keyed.withColumn("__pack_cum",
+      sum(col("__pack_t")).over(wLocal) - col("__pack_t")) // exclusive
+    val totals = keyed.groupBy(col("__pack_b"))
+      .agg(sum(col("__pack_t")).as("__pack_bt"))
+    // 256 rows — the single-partition window is over the TOTALS table,
+    // never the corpus
+    val wOff = Window.orderBy(col("__pack_b"))
+    val offsets = totals
+      .withColumn("__pack_off", sum(col("__pack_bt")).over(wOff) - col("__pack_bt"))
+      .select(col("__pack_b"), col("__pack_off"))
+    local.join(offsets, "__pack_b") // AQE broadcasts the tiny side
+      .withColumn("__pack_start", col("__pack_cum") + col("__pack_off"))
+      .withColumn("seq_id", expr(s"__pack_start div $budget"))
+      .withColumn("seq_offset", col("__pack_start") % budget)
+      .withColumn("straddles", col("seq_offset") + col("__pack_t") > budget)
+      .drop("__pack_b", "__pack_t", "__pack_cum", "__pack_off", "__pack_start")
+  }
+}

@@ -490,6 +490,38 @@ object Extensions {
       .orderBy("o_orderpriority")
   }
 
+  // ---------------------------------------------------------------- x22
+  // Deterministic sequence packing — documents laid out in shuffle-key
+  // order and chunked into 2048-token training sequences; per-row
+  // (seq_id, seq_offset, straddles) is a pure function of the corpus,
+  // so the oracle re-derives the whole layout with a global exclusive
+  // prefix sum (DuckDB runs it single-node; the Spark side computes the
+  // SAME sum distributed via 256 order-preserving hash-prefix buckets —
+  // PlanSpec asserts no corpus-wide single-partition window).
+  val x22 = Q.df(
+    "x22_sequence_packing", {
+      val budget = 2048
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS toks,
+         |    substr(md5('k' || doc_id || ':5'), 1, 8) AS pk
+         |  FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |    COALESCE(SUM(toks) OVER (ORDER BY pk
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+         |  FROM t)
+         |SELECT doc_id, CAST(s // $budget AS BIGINT) AS seq_id,
+         |  CAST(s % $budget AS BIGINT) AS seq_offset,
+         |  (s % $budget) + toks > $budget AS straddles
+         |FROM c ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val toks = TextAnalysis.tokenCounts(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("re_tokens"))
+    graft.ops.Packing.packSequences(toks, col("doc_id"), col("re_tokens"),
+        budget = 2048, seed = 5)
+      .select(col("doc_id"), col("seq_id"), col("seq_offset"), col("straddles"))
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21)
+    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22)
 }
