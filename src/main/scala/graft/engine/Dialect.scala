@@ -673,7 +673,44 @@ object Dialect {
     // stay outside, breaking resolution. Statements that do NOT
     // restructure (no GROUPS frame anywhere) pass through untouched for
     // Spark's native named-window handling.
-    parseNamedWindows(sql, masked).foreach { case (cs, ce, defs) =>
+    parseNamedWindows(sql, masked).foreach { case (cs, ce, rawDefs) =>
+      // SQL-standard window chaining — `WINDOW w1 AS (...), w2 AS (w1
+      // ORDER BY ...)` — resolves by splicing the referenced spec in
+      // front of the remainder, to a fixed point (r05; r04 raised a
+      // documented error). Cycles and chains that would duplicate a
+      // PARTITION BY / ORDER BY clause keep a clean error.
+      def headName(raw: String): String =
+        raw.trim.takeWhile(c => c.isLetterOrDigit || c == '_')
+          .toLowerCase(java.util.Locale.ROOT)
+      var defs = rawDefs
+      var rounds = 0
+      var changed = true
+      while (changed && rounds <= rawDefs.size) {
+        changed = false
+        defs = defs.map { case d @ (name, raw, _) =>
+          defs.find(r => r._1 == headName(raw) && r._1 != name) match {
+            case Some((_, refRaw, _)) =>
+              changed = true
+              val combined = refRaw + " " + raw.trim.drop(headName(raw).length)
+              (name, combined, maskSameLength(combined))
+            case None => d
+          }
+        }
+        rounds += 1
+      }
+      if (defs.exists { case (name, raw, _) =>
+        defs.exists(_._1 == headName(raw)) })
+        unsupportedGroups("cyclic named-window references are not supported")
+      def topCount(sm: String, re: Regex): Int =
+        re.findAllMatchIn(sm).count { m =>
+          val prefix = sm.substring(0, m.start)
+          prefix.count(_ == '(') == prefix.count(_ == ')')
+        }
+      if (defs.exists { case (_, _, sm) =>
+        topCount(sm, """(?i)\bPARTITION\s+BY\b""".r) > 1 ||
+          topCount(sm, """(?i)\bORDER\s+BY\b""".r) > 1 })
+        unsupportedGroups("a named-window chain may not repeat PARTITION BY " +
+          "or ORDER BY (the referenced window already has one)")
       val defHasGroups = defs.exists { case (_, _, sm) =>
         findTopLevel(sm, groupsKw).exists { g =>
           FrameBound.matcher(
@@ -681,12 +718,6 @@ object Dialect {
         }
       }
       if (specs.nonEmpty || defHasGroups) {
-        if (defs.exists { case (_, raw, _) =>
-          val head = raw.trim.takeWhile(c => c.isLetterOrDigit || c == '_')
-            .toLowerCase(java.util.Locale.ROOT)
-          defs.exists(_._1 == head)
-        }) unsupportedGroups(
-          "named windows that reference other named windows are not supported")
         val without = sql.substring(0, cs) + sql.substring(ce)
         val m2 = maskSameLength(without)
         val overRef = """(?i)\bOVER\s+([A-Za-z_]\w*)""".r

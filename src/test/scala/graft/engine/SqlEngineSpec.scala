@@ -668,14 +668,13 @@ class SqlEngineSpec extends AnyFunSuite {
           |WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           |ORDER BY x""".stripMargin) ==
         """[{"x":1,"s":1,"m":1},{"x":2,"s":2,"m":2}]""")
-      // window-referencing-window stays a documented error
-      val e = intercept[UnsupportedOperationException] {
-        engine.executeSql(
-          """SELECT sum(x) OVER w2 FROM VALUES (1) t(x)
-            |WINDOW w AS (ORDER BY x),
-            |       w2 AS (w GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW)""".stripMargin)
-      }
-      assert(e.getMessage.contains("named windows"))
+      // window-referencing-window resolves by chaining (r05; was a
+      // documented error through r04)
+      assert(engine.executeSql(
+        """SELECT sum(x) OVER w2 AS s FROM VALUES (1), (1) t(x)
+          |WINDOW w AS (ORDER BY x),
+          |       w2 AS (w GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW)""".stripMargin) ==
+        """[{"s":2},{"s":2}]""")
     } finally engine.setResultFormat(ResultFormat.Table)
   }
 
@@ -802,6 +801,41 @@ class SqlEngineSpec extends AnyFunSuite {
           |FROM VALUES (1) t(x)""".stripMargin)
     }
     assert(e.getMessage.contains("subqueries"), e.getMessage)
+  }
+
+  test("named-window chains resolve before the GROUPS rewrite (r05)") {
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      // w2 extends w1 (SQL-standard window chaining); the GROUPS frame
+      // rides on the chained reference
+      assert(engine.executeSql(
+        """SELECT x, sum(x) OVER w2 AS s
+          |FROM VALUES (1, 'a'), (1, 'a'), (2, 'a') t(x, p)
+          |WINDOW w1 AS (PARTITION BY p), w2 AS (w1 ORDER BY x GROUPS CURRENT ROW)
+          |ORDER BY x""".stripMargin) ==
+        """[{"x":1,"s":2},{"x":1,"s":2},{"x":2,"s":2}]""")
+      // a three-link chain resolves to a fixed point
+      assert(engine.executeSql(
+        """SELECT x, count(*) OVER w3 AS c
+          |FROM VALUES (1), (1), (2) t(x)
+          |WINDOW w1 AS (), w2 AS (w1 ORDER BY x), w3 AS (w2 GROUPS CURRENT ROW)
+          |ORDER BY x""".stripMargin) ==
+        """[{"x":1,"c":2},{"x":1,"c":2},{"x":2,"c":1}]""")
+      // cycles keep a clean documented error
+      val e = intercept[UnsupportedOperationException] {
+        engine.executeSql(
+          """SELECT x, sum(x) OVER w1 AS s FROM VALUES (1) t(x)
+            |WINDOW w1 AS (w2 GROUPS CURRENT ROW), w2 AS (w1)""".stripMargin)
+      }
+      assert(e.getMessage.contains("cyclic"), e.getMessage)
+      // a chain that would duplicate ORDER BY keeps a clean error
+      val e2 = intercept[UnsupportedOperationException] {
+        engine.executeSql(
+          """SELECT x, sum(x) OVER w2 AS s FROM VALUES (1) t(x)
+            |WINDOW w1 AS (ORDER BY x), w2 AS (w1 ORDER BY x GROUPS CURRENT ROW)""".stripMargin)
+      }
+      assert(e2.getMessage.contains("repeat"), e2.getMessage)
+    } finally engine.setResultFormat(ResultFormat.Table)
   }
 
   test("GROUPS in FROM/JOIN derived tables auto-lifts into a CTE (r05)") {
