@@ -4,8 +4,8 @@ import scala.collection.mutable
 import scala.util.Try
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, EqualNullSafe, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Median, Percentile, PercentileCont}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, Coalesce, EqualNullSafe, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Count, Median, Percentile, PercentileCont}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.functions.lit
@@ -114,10 +114,16 @@ object PercentilePlanner {
     val gExprs = agg.groupingExpressions
     if (!gExprs.forall(e => e.deterministic)) return None
 
-    // classify each output: a supported percentile, a grouping
-    // passthrough (served by the pipeline), or anything else (served
-    // verbatim by a residual bounded Aggregate on the same child)
+    // classify each output: a supported percentile, a COUNT(*) (rides
+    // the melted pass for free), a grouping passthrough (served by the
+    // pipeline), or anything else (served verbatim by a residual
+    // bounded Aggregate on the same child)
+    def isCountStar(f: AggregateFunction): Boolean = f match {
+      case Count(Seq(l: Literal)) => l.value != null
+      case _ => false
+    }
     val pcts = mutable.LinkedHashMap.empty[Int, (Expression, Double, Boolean)]
+    val countSlots = mutable.ArrayBuffer.empty[Int]
     val groupSlot = mutable.Map.empty[Int, Int]
     val others = mutable.ArrayBuffer.empty[Int]
     agg.aggregateExpressions.zipWithIndex.foreach { case (ne, i) =>
@@ -127,6 +133,9 @@ object PercentilePlanner {
             asPercentile(ae.aggregateFunction).exists { case (v, _, _) =>
               v.deterministic && v.dataType.isInstanceOf[NumericType] } =>
           pcts(i) = asPercentile(ae.aggregateFunction).get
+        case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty &&
+            isCountStar(ae.aggregateFunction) =>
+          countSlots += i
         case _ if gExprs.exists(_.semanticEquals(stripped)) =>
           groupSlot(i) = gExprs.indexWhere(_.semanticEquals(stripped))
         case _ => others += i
@@ -145,7 +154,8 @@ object PercentilePlanner {
     }.toSeq
     val vAliases = vNames.values.map { case (v, n) => Alias(v, n)() }.toSeq
     val projected = PlanBridge.ofRows(spark, Project(gAliases ++ vAliases, agg.child))
-    var aDf = Percentiles.exactAdaptive(projected, gNames, specs)
+    var aDf = Percentiles.exactAdaptive(projected, gNames, specs,
+      rowCountCol = if (countSlots.nonEmpty) Some("__pct_rows") else None)
     if (gExprs.isEmpty)
       // a global SQL aggregate emits one (all-null) row over empty
       // input; the pipeline emits none — compensate
@@ -177,6 +187,10 @@ object PercentilePlanner {
     val outExprs: Seq[NamedExpression] =
       agg.aggregateExpressions.zipWithIndex.map { case (ne, i) =>
         if (pcts.contains(i)) align(aAttr(s"__po_$i"), ne)
+        else if (countSlots.contains(i))
+          // COUNT(*) over an empty global input is 0, not null (the
+          // one-row compensation above yields nulls)
+          alignExpr(Coalesce(Seq(aAttr("__pct_rows"), Literal(0L))), ne)
         else if (groupSlot.contains(i)) align(aAttr(s"__pg_${groupSlot(i)}"), ne)
         else ne.toAttribute
       }
@@ -185,8 +199,11 @@ object PercentilePlanner {
 
   /** Pin the replacement column to the original output's name, exprId
     * and type, so every enclosing operator resolves unchanged. */
-  private def align(a: Attribute, ne: NamedExpression): NamedExpression = {
-    val e: Expression = if (a.dataType == ne.dataType) a else Cast(a, ne.dataType)
+  private def align(a: Attribute, ne: NamedExpression): NamedExpression =
+    alignExpr(a, ne)
+
+  private def alignExpr(e0: Expression, ne: NamedExpression): NamedExpression = {
+    val e = if (e0.dataType == ne.dataType) e0 else Cast(e0, ne.dataType)
     Alias(e, ne.name)(exprId = ne.exprId)
   }
 }

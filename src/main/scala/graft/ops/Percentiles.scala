@@ -81,10 +81,15 @@ object Percentiles {
 
   /** Exact percentiles of `specs` over `df` grouped by `groupCols`
     * (empty = one global row). Returns one row per group:
-    * (groupCols*, spec.outName*). Null values of a value column are
-    * excluded from that column's ranks, like percentile_cont. */
+    * (groupCols*, spec.outName*[, rowCountCol]). Null values of a value
+    * column are excluded from that column's ranks, like
+    * percentile_cont. `rowCountCol` additionally emits the group's
+    * plain row count (COUNT(*)) — it rides the same melted pass for
+    * free, so callers mixing percentiles with COUNT(*) need no second
+    * aggregation over the input. */
   def exact(df: DataFrame, groupCols: Seq[String], specs: Seq[Spec],
-      collapseTies: Boolean = false, rangePartitioned: Boolean = false): DataFrame = {
+      collapseTies: Boolean = false, rangePartitioned: Boolean = false,
+      rowCountCol: Option[String] = None): DataFrame = {
     require(!(collapseTies && rangePartitioned),
       "collapseTies and rangePartitioned are mutually exclusive sort strategies " +
         "(tie-collapse already spreads the rank over all reducers)")
@@ -93,7 +98,7 @@ object Percentiles {
       if (rangePartitioned) rangeRanked(p, probe(p)._2)
       else if (collapseTies) tieRanked(p)
       else defaultRanked(p)
-    finish(p, ranked, groupCols.nonEmpty)
+    finish(p, ranked, groupCols.nonEmpty, rowCountCol)
   }
 
   /** `exact` with the sort strategy picked from the data: one combined
@@ -104,14 +109,15 @@ object Percentiles {
     * The probe is one extra scan of the grouping + value columns —
     * noise next to the corpus-wide shuffle either mode then runs. */
   def exactAdaptive(df: DataFrame, groupCols: Seq[String], specs: Seq[Spec],
-      collapseTies: Boolean = false): DataFrame = {
-    if (collapseTies) return exact(df, groupCols, specs, collapseTies = true)
+      collapseTies: Boolean = false, rowCountCol: Option[String] = None): DataFrame = {
+    if (collapseTies)
+      return exact(df, groupCols, specs, collapseTies = true, rowCountCol = rowCountCol)
     val p = prep(df, groupCols, specs)
     val (partitions, bounds) = probe(p)
     val ranked =
       if (useRangeMode(partitions, p.slices)) rangeRanked(p, bounds)
       else defaultRanked(p)
-    finish(p, ranked, groupCols.nonEmpty)
+    finish(p, ranked, groupCols.nonEmpty, rowCountCol)
   }
 
   /** Exact median — `exact` with p = 0.5. */
@@ -301,7 +307,8 @@ object Percentiles {
     * specs. A desc spec reuses the SAME ascending ranks: its k-th
     * descending rank is ascending rank n+1−k (nulls sit beyond rank n
     * in the asc order, so desc picks can never land on one). */
-  private def finish(p: Prep, ranked: DataFrame, hasGroups: Boolean): DataFrame = {
+  private def finish(p: Prep, ranked: DataFrame, hasGroups: Boolean,
+      rowCountCol: Option[String] = None): DataFrame = {
     val specs = p.specs
     def target(i: Int): Column = lit(specs(i).p) * (col("__pct_n") - 1).cast("double")
     def pick(i: Int, rank: Column): Column =
@@ -317,6 +324,10 @@ object Percentiles {
           pick(i, hiRank).as(s"__pct_hi_$i"),
           min(when(col("__pct_c") === p.colIdx(specs(i).valueCol), col("__pct_n")))
             .as(s"__pct_n_$i"))
+    } ++ rowCountCol.map { name =>
+      // COUNT(*): every source row melts to exactly one row per value
+      // column (nulls included), so the column-0 weights sum to it
+      sum(when(col("__pct_c") === 0, col("__pct_cnt"))).as(name)
     }
     val picked = ranked.groupBy(p.g: _*).agg(aggs.head, aggs.drop(1): _*)
 
@@ -325,7 +336,7 @@ object Percentiles {
       val frac = t - floor(t).cast("double")
       (col(s"__pct_lo_$i") * (lit(1.0) - frac) +
         col(s"__pct_hi_$i") * frac).as(specs(i).outName)
-    }
+    } ++ rowCountCol.map(col)
     val out = picked.select(p.g ++ outs: _*)
     if (hasGroups) out else out.drop("__pct_g")
   }
