@@ -971,6 +971,12 @@ object Dialect {
     * per call — iteration through the caller's recursion. */
   private def liftGroupsSubquery(sql: String, masked: String,
       groupsKw: scala.util.matching.Regex): Option[String] = {
+    // only query-shaped statements can take a WITH prefix: a lift inside
+    // DDL/DML (CREATE VIEW ... AS SELECT ... FROM (...)) would emit
+    // `WITH ... CREATE ...` — those keep the documented not-DDL error
+    val cs = codeStart(masked)
+    if (!startsWithCode(masked, "SELECT") &&
+        !(cs < masked.length && masked.charAt(cs) == '(')) return None
     val overRe = """(?i)\bOVER\s*\(""".r
     overRe.findAllMatchIn(masked).foreach { m =>
       val i = skipBalanced(masked, m.end)

@@ -873,6 +873,16 @@ class SqlEngineSpec extends AnyFunSuite {
           |    FROM VALUES (3), (3) t(x)) i) o
           |ORDER BY o.s""".stripMargin) ==
         """[{"s":6},{"s":6}]""")
+      // the lift must NOT fire inside DDL — `WITH ... CREATE VIEW`
+      // would be invalid SQL; a clean documented error stays instead
+      // (r05 review)
+      val e = intercept[UnsupportedOperationException] {
+        engine.executeSql(
+          """CREATE VIEW groups_view AS SELECT * FROM (
+            |  SELECT x, sum(x) OVER (ORDER BY x GROUPS CURRENT ROW) AS s
+            |  FROM VALUES (1) t(x)) d""".stripMargin)
+      }
+      assert(e.getMessage.contains("GROUPS window frames"), e.getMessage)
     } finally engine.setResultFormat(ResultFormat.Table)
   }
 
