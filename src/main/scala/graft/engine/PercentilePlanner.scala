@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graftbridge.PlanBridge
-import org.apache.spark.sql.types.{LongType, NumericType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, NumericType, ShortType}
 
 import graft.ops.Percentiles
 
@@ -55,7 +55,10 @@ object PercentilePlanner {
     * here would execute it twice. */
   def tryPlan(spark: SparkSession, stmt: String): Option[DataFrame] = {
     val up = Dialect.maskSameLength(stmt).toUpperCase(java.util.Locale.ROOT)
-    if (!up.contains("MEDIAN") && !up.contains("PERCENTILE_CONT")) return None
+    // covers MEDIAN, PERCENTILE_CONT, percentile(x, p[, freq]) and
+    // approx_percentile_cont_with_weight (the gate is textual and cheap;
+    // the plan match decides for real)
+    if (!up.contains("MEDIAN") && !up.contains("PERCENTILE")) return None
     val firstWord = """[A-Z]+""".r.findFirstIn(up).getOrElse("")
     if (firstWord != "SELECT" && firstWord != "WITH") return None
     Try(rewrite(spark, spark.sql(stmt))).toOption.flatten
@@ -78,22 +81,31 @@ object PercentilePlanner {
     if (changed) Some(PlanBridge.ofRows(spark, out)) else None
   }
 
-  /** (value expr, percentile, desc) when `func` is a percentile this
-    * planner can rank-select. On the optimized plan Median/PercentileCont
-    * are already replaced by `Percentile`; the other arms keep the
-    * matcher correct on analyzed plans too. */
-  private def asPercentile(func: AggregateFunction): Option[(Expression, Double, Boolean)] =
+  /** (value expr, percentile, desc, weight expr) when `func` is a
+    * percentile this planner can rank-select — frequency-weighted forms
+    * included (r05): an integral deterministic frequency becomes a
+    * weight column of the melted pass. On the optimized plan
+    * Median/PercentileCont are already replaced by `Percentile`; the
+    * other arms keep the matcher correct on analyzed plans too. */
+  private def asPercentile(func: AggregateFunction)
+      : Option[(Expression, Double, Boolean, Option[Expression])] =
     func match {
-      case Median(c) => evalPercentage(Literal(0.5)).map(p => (c, p, false))
+      case Median(c) => evalPercentage(Literal(0.5)).map(p => (c, p, false, None))
       case pc: PercentileCont =>
-        evalPercentage(pc.right).map(p => (pc.left, p, pc.reverse))
+        evalPercentage(pc.right).map(p => (pc.left, p, pc.reverse, None))
       case pt: Percentile =>
-        pt.frequencyExpression match {
-          case Literal(1L, LongType) =>
-            evalPercentage(pt.percentageExpression)
-              .map(p => (pt.child, p, pt.reverse))
-          case _ => None // weighted percentile keeps the buffered form
+        val weight = pt.frequencyExpression match {
+          case Literal(1L, LongType) => Some(None)
+          case f if f.deterministic && (f.dataType match {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _ => false
+          }) => Some(Some(f))
+          case _ => None // non-integral/nondeterministic frequency: buffered
         }
+        for {
+          w <- weight
+          p <- evalPercentage(pt.percentageExpression)
+        } yield (pt.child, p, pt.reverse, w)
       case _ => None
     }
 
@@ -122,7 +134,7 @@ object PercentilePlanner {
       case Count(Seq(l: Literal)) => l.value != null
       case _ => false
     }
-    val pcts = mutable.LinkedHashMap.empty[Int, (Expression, Double, Boolean)]
+    val pcts = mutable.LinkedHashMap.empty[Int, (Expression, Double, Boolean, Option[Expression])]
     val countSlots = mutable.ArrayBuffer.empty[Int]
     val groupSlot = mutable.Map.empty[Int, Int]
     val others = mutable.ArrayBuffer.empty[Int]
@@ -130,7 +142,7 @@ object PercentilePlanner {
       val stripped = ne match { case Alias(c, _) => c; case e => e }
       stripped match {
         case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty &&
-            asPercentile(ae.aggregateFunction).exists { case (v, _, _) =>
+            asPercentile(ae.aggregateFunction).exists { case (v, _, _, _) =>
               v.deterministic && v.dataType.isInstanceOf[NumericType] } =>
           pcts(i) = asPercentile(ae.aggregateFunction).get
         case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty &&
@@ -142,20 +154,33 @@ object PercentilePlanner {
       }
     }
     if (pcts.isEmpty) return None
+    val anyWeighted = pcts.values.exists(_._4.isDefined)
+    if (anyWeighted) { // counts cannot ride a weighted melt — residual branch
+      others ++= countSlots
+      countSlots.clear()
+    }
 
     // branch A: the rank-selection pipeline over a projection of the
     // grouping + value expressions (arbitrary exprs become columns)
     val gNames = gExprs.indices.map(i => s"__pg_$i")
     val gAliases = gExprs.zip(gNames).map { case (e, n) => Alias(e, n)() }
-    val vNames = mutable.LinkedHashMap.empty[Expression, (Expression, String)]
-    val specs = pcts.map { case (i, (v, p, desc)) =>
-      val (_, name) = vNames.getOrElseUpdate(v.canonicalized, (v, s"__pv_${vNames.size}"))
-      Percentiles.Spec(name, p, s"__po_$i", desc)
+    // melted columns, deduped by canonicalized (value, weight) pair
+    val vNames = mutable.LinkedHashMap.empty[
+      (Expression, Option[Expression]), (Expression, Option[Expression], String)]
+    val specs = pcts.map { case (i, (v, p, desc, wOpt)) =>
+      val key = (v.canonicalized, wOpt.map(_.canonicalized))
+      val (_, _, name) = vNames.getOrElseUpdate(key, (v, wOpt, s"__pv_${vNames.size}"))
+      Percentiles.Spec(name, p, s"__po_$i", desc,
+        weightCol = wOpt.map(_ => s"__pw_$name"))
     }.toSeq
-    val vAliases = vNames.values.map { case (v, n) => Alias(v, n)() }.toSeq
+    val vAliases = vNames.values.flatMap { case (v, wOpt, n) =>
+      Seq(Alias(v, n)()) ++ wOpt.map(w => Alias(w, s"__pw_$n")())
+    }.toSeq
     val projected = PlanBridge.ofRows(spark, Project(gAliases ++ vAliases, agg.child))
+    // COUNT(*) riding uses the melted row weights, which weighted specs
+    // repurpose — counts fall back to the residual branch then
     var aDf = Percentiles.exactAdaptive(projected, gNames, specs,
-      rowCountCol = if (countSlots.nonEmpty) Some("__pct_rows") else None)
+      rowCountCol = if (countSlots.nonEmpty && !anyWeighted) Some("__pct_rows") else None)
     if (gExprs.isEmpty)
       // a global SQL aggregate emits one (all-null) row over empty
       // input; the pipeline emits none — compensate

@@ -65,9 +65,14 @@ object Percentiles {
     * frac arithmetic is bit-identical to a buffered
     * PERCENTILE_CONT … DESC for every p (the 1−p shortcut drifts by
     * ulps whenever 1−p rounds: 0.1 → 0.9·(n−1) ≠ mirror of
-    * 0.1·(n−1), r04 review). */
+    * 0.1·(n−1), r04 review). `weightCol` names an integral
+    * frequency column (r05): ranks run over the weight-expanded
+    * multiset exactly as Spark's frequency-weighted `Percentile`
+    * evaluates them — without its per-group counts-map buffer. Null
+    * weights count as 0 (row skipped); negative weights raise, like
+    * the buffered form. */
   final case class Spec(valueCol: String, p: Double, outName: String,
-      desc: Boolean = false) {
+      desc: Boolean = false, weightCol: Option[String] = None) {
     require(p >= 0.0 && p <= 1.0, s"percentile $p outside [0, 1]")
   }
 
@@ -94,6 +99,11 @@ object Percentiles {
       "collapseTies and rangePartitioned are mutually exclusive sort strategies " +
         "(tie-collapse already spreads the rank over all reducers)")
     val p = prep(df, groupCols, specs)
+    require(!(p.weighted && rangePartitioned),
+      "rangePartitioned does not support weighted specs (use collapseTies — " +
+        "weighted ranks already aggregate per distinct value there)")
+    require(!(p.weighted && rowCountCol.isDefined),
+      "rowCountCol counts rows, which weighted melts no longer carry")
     val ranked =
       if (rangePartitioned) rangeRanked(p, probe(p)._2)
       else if (collapseTies) tieRanked(p)
@@ -110,7 +120,10 @@ object Percentiles {
     * noise next to the corpus-wide shuffle either mode then runs. */
   def exactAdaptive(df: DataFrame, groupCols: Seq[String], specs: Seq[Spec],
       collapseTies: Boolean = false, rowCountCol: Option[String] = None): DataFrame = {
-    if (collapseTies)
+    if (collapseTies || specs.exists(_.weightCol.isDefined))
+      // weighted specs take the tie-collapsing mode: weighted ranks
+      // aggregate per distinct value there, which both spreads the work
+      // over all reducers and keeps one code path for weights
       return exact(df, groupCols, specs, collapseTies = true, rowCountCol = rowCountCol)
     val p = prep(df, groupCols, specs)
     val (partitions, bounds) = probe(p)
@@ -128,7 +141,8 @@ object Percentiles {
   // ------------------------------------------------------------ internals
 
   private final case class Prep(specs: Seq[Spec], gCols: Seq[String],
-      melted: DataFrame, colIdx: Map[String, Int], slices: Int) {
+      melted: DataFrame, colIdx: Map[(String, Option[String]), Int],
+      slices: Int, weighted: Boolean) {
     def g: Seq[Column] = gCols.map(col)
     def cKey: Seq[String] = gCols :+ "__pct_c"
     def colCount: Int = colIdx.size
@@ -140,20 +154,46 @@ object Percentiles {
     val (grouped, gCols) =
       if (groupCols.nonEmpty) (df, groupCols)
       else (df.withColumn("__pct_g", lit(1)), Seq("__pct_g"))
-    val valueCols = specs.map(_.valueCol).distinct
-    // melt: (group*, __pct_c, __pct_v). Null values are KEPT as rows
-    // (ranked after every non-null value, never picked, n counts only
-    // non-nulls) so a group whose values are entirely null still emits
-    // an output row with null percentiles — exactly what
+    val valueKeys = specs.map(s => (s.valueCol, s.weightCol)).distinct
+    val weighted = valueKeys.exists(_._2.isDefined)
+    // melt: (group*, __pct_c, __pct_v[, __pct_w]). Null values are KEPT
+    // as rows (ranked after every non-null value, never picked, n counts
+    // only non-nulls) so a group whose values are entirely null still
+    // emits an output row with null percentiles — exactly what
     // `percentile_cont ... GROUP BY` returns. The one divergence: the
     // GLOBAL form over an empty input yields an empty frame, not one
     // null row (PercentilePlanner compensates on the SQL surface).
-    val melted = grouped.select(gCols.map(col) :+ posexplode(
-        array(valueCols.map(v => col(v).cast("double")): _*))
-      .as(Seq("__pct_c", "__pct_v")): _*)
+    val melted =
+      if (!weighted)
+        grouped.select(gCols.map(col) :+ posexplode(
+            array(valueKeys.map { case (v, _) => col(v).cast("double") }: _*))
+          .as(Seq("__pct_c", "__pct_v")): _*)
+      else {
+        // weighted melt rides (value, weight) structs through one
+        // explode; null weights count 0 (the buffered Percentile skips
+        // those rows too), negative weights raise like the buffered form
+        def w(wc: String): Column = {
+          val cast = coalesce(col(wc).cast("long"), lit(0L))
+          // message must not contain the word "percentile": plan asserts
+          // grep executed plans for leaked buffered aggregates, and this
+          // literal would appear in the plan text
+          when(cast < 0, raise_error(concat(
+            lit(s"negative frequency weight in column $wc: "),
+            col(wc).cast("string"))).cast("long")).otherwise(cast)
+        }
+        grouped.select(gCols.map(col) :+ posexplode(
+            array(valueKeys.map { case (v, wc) =>
+              struct(col(v).cast("double").as("v"),
+                wc.map(w).getOrElse(lit(1L)).as("w"))
+            }: _*))
+          .as(Seq("__pct_c", "__pct_vw")): _*)
+          .withColumn("__pct_v", col("__pct_vw.v"))
+          .withColumn("__pct_w", col("__pct_vw.w"))
+          .drop("__pct_vw")
+      }
     val slices = math.max(1,
       df.sparkSession.sessionState.conf.numShufflePartitions)
-    Prep(specs, gCols, melted, valueCols.zipWithIndex.toMap, slices)
+    Prep(specs, gCols, melted, valueKeys.zipWithIndex.toMap, slices, weighted)
   }
 
   /** One driver-collected pass over the melted frame: per value column,
@@ -203,19 +243,32 @@ object Percentiles {
     * — no second scan of the input and no totals join. */
   private def defaultRanked(p: Prep): DataFrame = {
     val (w, wAll) = rankWindows(p)
-    p.melted
-      .withColumn("__pct_cnt", lit(1L))
-      .withColumn("__pct_cum", row_number().over(w).cast("long"))
-      .withColumn("__pct_n", count(col("__pct_v")).over(wAll)) // skips nulls
+    if (!p.weighted)
+      p.melted
+        .withColumn("__pct_cnt", lit(1L))
+        .withColumn("__pct_cum", row_number().over(w).cast("long"))
+        .withColumn("__pct_n", count(col("__pct_v")).over(wAll)) // skips nulls
+    else
+      // weighted running rank needs a ROWS frame: the default RANGE
+      // frame would give tied values one shared cumulative sum and no
+      // row would cover the earlier ranks of the tie run
+      p.melted
+        .withColumn("__pct_cnt", col("__pct_w"))
+        .withColumn("__pct_cum", sum("__pct_w").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("__pct_n", coalesce(
+          sum(when(col("__pct_v").isNotNull, col("__pct_w"))).over(wAll), lit(0L)))
   }
 
-  /** Tie-collapsing mode: a corpus-wide groupBy(cKey, value).count()
+  /** Tie-collapsing mode: a corpus-wide groupBy(cKey, value) aggregation
     * (all reducers, map-side combined) first, then the window ranks
-    * weighted DISTINCT values. */
+    * weighted DISTINCT values. The natural weighted mode: a spec's
+    * weight column simply replaces the tie count. */
   private def tieRanked(p: Prep): DataFrame = {
     val (w, wAll) = rankWindows(p)
+    val cnt = if (p.weighted) sum(col("__pct_w")) else count(lit(1))
     p.melted.groupBy((p.cKey :+ "__pct_v").map(col): _*)
-      .agg(count(lit(1)).as("__pct_cnt"))
+      .agg(cnt.as("__pct_cnt"))
       .withColumn("__pct_cum", sum("__pct_cnt").over(w))
       .withColumn("__pct_n", coalesce(
         sum(when(col("__pct_v").isNotNull, col("__pct_cnt"))).over(wAll), lit(0L)))
@@ -310,9 +363,10 @@ object Percentiles {
   private def finish(p: Prep, ranked: DataFrame, hasGroups: Boolean,
       rowCountCol: Option[String] = None): DataFrame = {
     val specs = p.specs
+    def cIdx(i: Int): Int = p.colIdx((specs(i).valueCol, specs(i).weightCol))
     def target(i: Int): Column = lit(specs(i).p) * (col("__pct_n") - 1).cast("double")
     def pick(i: Int, rank: Column): Column =
-      min(when(col("__pct_c") === p.colIdx(specs(i).valueCol) &&
+      min(when(col("__pct_c") === cIdx(i) &&
         col("__pct_cum") >= rank && (col("__pct_cum") - col("__pct_cnt")) < rank,
         col("__pct_v")))
     val aggs = specs.indices.flatMap { i =>
@@ -322,7 +376,7 @@ object Percentiles {
         else (floor(target(i)) + 1, ceil(target(i)) + 1)
       Seq(pick(i, loRank).as(s"__pct_lo_$i"),
           pick(i, hiRank).as(s"__pct_hi_$i"),
-          min(when(col("__pct_c") === p.colIdx(specs(i).valueCol), col("__pct_n")))
+          min(when(col("__pct_c") === cIdx(i), col("__pct_n")))
             .as(s"__pct_n_$i"))
     } ++ rowCountCol.map { name =>
       // COUNT(*): every source row melts to exactly one row per value

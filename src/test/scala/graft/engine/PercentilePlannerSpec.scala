@@ -172,6 +172,28 @@ class PercentilePlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("frequency-weighted percentiles take the weighted rank selection (r05)") {
+    withTables {
+      // constant and column frequencies, grouped and global — every one
+      // must match the buffered frequency-weighted Percentile bitwise
+      assertScalePlan(
+        """SELECT l_returnflag, percentile(l_quantity, 0.5, 2) AS m
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      assertScalePlan(
+        """SELECT l_returnflag,
+          |  percentile(l_extendedprice, 0.35, l_linenumber) AS m
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      assertScalePlan(
+        "SELECT percentile(l_extendedprice, 0.9, l_linenumber) AS m FROM lineitem")
+      // mixed weighted + unweighted + COUNT(*) (count falls back to the
+      // residual branch when any spec is weighted)
+      assertScalePlan(
+        """SELECT l_returnflag, MEDIAN(l_quantity) AS m,
+          |  percentile(l_quantity, 0.5, l_linenumber) AS wm, COUNT(*) AS c
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }
+  }
+
   test("global aggregate over empty input still emits its one null row") {
     withTables {
       val q = "SELECT MEDIAN(l_quantity) AS m FROM lineitem WHERE l_quantity < 0"
@@ -188,10 +210,10 @@ class PercentilePlannerSpec extends AnyFunSuite {
       val shapes = Seq(
         // window form — no Aggregate node carries a percentile
         "SELECT l_returnflag, MEDIAN(l_quantity) OVER () AS m FROM lineitem",
-        // weighted frequency keeps the buffered form
-        "SELECT percentile(l_quantity, 0.5, 2) AS m FROM lineitem GROUP BY l_returnflag",
         // DISTINCT percentile keeps the buffered form
         "SELECT percentile(DISTINCT l_quantity, 0.5) AS m FROM lineitem GROUP BY l_returnflag",
+        // array-of-percentages keeps the buffered form
+        "SELECT percentile(l_quantity, array(0.25, 0.5)) AS m FROM lineitem GROUP BY l_returnflag",
         // DDL/DML must never be probed (spark.sql would run it eagerly)
         "CREATE TABLE never_made AS SELECT MEDIAN(l_quantity) AS m FROM lineitem")
       shapes.foreach { s =>
@@ -199,7 +221,7 @@ class PercentilePlannerSpec extends AnyFunSuite {
       }
       assert(!spark.catalog.tableExists("never_made"),
         "tryPlan executed a DDL statement")
-      // and the buffered path still answers the weighted form
+      // and the buffered path still answers the DISTINCT form
       assert(engine.executeStatement(shapes(1)).count() > 0)
     }
   }
