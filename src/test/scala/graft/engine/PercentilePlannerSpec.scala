@@ -159,6 +159,18 @@ class PercentilePlannerSpec extends AnyFunSuite {
         """SELECT MAX(m) AS mx, MIN(m) AS mn FROM (
           |  SELECT l_returnflag, MEDIAN(l_quantity) AS m
           |  FROM lineitem GROUP BY l_returnflag)""".stripMargin)
+      // a percentile appearing ONLY in HAVING (analyzer appends it to
+      // the Aggregate and projects it away above)
+      assertScalePlan(
+        """SELECT l_returnflag, SUM(l_quantity) AS s
+          |FROM lineitem GROUP BY l_returnflag
+          |HAVING MEDIAN(l_quantity) > 10 ORDER BY l_returnflag""".stripMargin)
+      // ROLLUP: the Aggregate sits above an Expand; the pipeline groups
+      // by the expanded attrs + grouping id, one percentile per set
+      assertScalePlan(
+        """SELECT l_returnflag, MEDIAN(l_quantity) AS m
+          |FROM lineitem GROUP BY ROLLUP(l_returnflag)
+          |ORDER BY l_returnflag NULLS FIRST""".stripMargin)
       // a percentile inside a scalar-subquery EXPRESSION stays buffered
       // (subquery plans are out of the main-tree rewrite) but must still
       // answer — and the outer aggregate rewrites
