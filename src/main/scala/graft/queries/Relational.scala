@@ -423,6 +423,24 @@ object Relational {
       |SELECT CAST(s_nationkey AS INT) AS nk FROM supplier WHERE s_acctbal > 5000.0
       |ORDER BY nk""".stripMargin)
 
+  // Multiset set-op semantics (SURVEY §2.7 lists the ALL variants; the
+  // DISTINCT forms alone were pinned through r04): INTERSECT ALL keeps
+  // min(count_left, count_right) copies per value, EXCEPT ALL keeps
+  // count_left − count_right — both deterministic, so the row
+  // multiplicities hash-match. One branch per variant, labeled.
+  val q69 = Q.sql(
+    "q69_setop_all",
+    """SELECT 'ia' AS op, n FROM (
+      |  SELECT c_nationkey AS n FROM customer WHERE c_acctbal > 0
+      |  INTERSECT ALL
+      |  SELECT c_nationkey AS n FROM customer WHERE c_mktsegment = 'BUILDING') i
+      |UNION ALL
+      |SELECT 'ea' AS op, n FROM (
+      |  SELECT c_nationkey AS n FROM customer WHERE c_acctbal > 0
+      |  EXCEPT ALL
+      |  SELECT c_nationkey AS n FROM customer WHERE c_mktsegment = 'BUILDING') e
+      |ORDER BY op, n""".stripMargin)
+
   // ---------------------------------------------------------------- q26-q28: subqueries
   // Scalar subquery threshold computed via exact decimal avg so both
   // engines compare against the bit-identical double.
@@ -504,5 +522,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q51)
+    q31, q32, q33, q51, q69)
 }
