@@ -194,7 +194,8 @@ object Dialect {
     }
   }
 
-  private val AggCall: Regex = """(?i)\b(FIRST_VALUE|LAST_VALUE|NTH_VALUE)\s*\(""".r
+  private val AggCall: Regex =
+    """(?i)\b(FIRST_VALUE|LAST_VALUE|NTH_VALUE|ARRAY_AGG|STRING_AGG|LISTAGG)\s*\(""".r
 
   /** Offsets of the first `ORDER BY` at paren-depth 0 of a (masked)
     * call-argument string, or None. */
@@ -357,12 +358,37 @@ object Dialect {
                     "nth_value aggregate requires a literal integer position: " +
                     s"nth_value(expr, n ORDER BY ...), got ($exprPartRaw)")
                 (segs.dropRight(1).mkString(",").trim, n)
+              case "STRING_AGG" | "LISTAGG" =>
+                // (expr, delimiter ORDER BY ...) — delimiter is the last
+                // pre-ORDER-BY argument; idx carries it through
+                val segs = splitTopLevel(exprPartRaw, exprPartMasked)
+                if (segs.length < 2)
+                  throw new UnsupportedOperationException(
+                    "string_agg with ORDER BY requires " +
+                    s"(expr, delimiter ORDER BY ...), got ($exprPartRaw)")
+                (segs.dropRight(1).mkString(",").trim, segs.last.trim)
+              case "ARRAY_AGG" => (exprPartRaw.trim, "")
               case "FIRST_VALUE" => (exprPartRaw.trim, "1")
               case _ => (exprPartRaw.trim, "-1")
             }
             val keys = parseSortKeys(argsRaw.substring(obE), argsMasked.substring(obE))
+            val listFns = Set("ARRAY_AGG", "STRING_AGG", "LISTAGG")
             val replacement =
-              if (fn != "NTH_VALUE" && keys.length == 1 && filterClause.isEmpty) {
+              if (listFns.contains(fn)) {
+                // DataFusion accepts ORDER BY inside array_agg/string_agg
+                // (`Cargo.lock:809`); Spark's collect_list/listagg have no
+                // inline ordering, so sort a keyed struct list with the
+                // same comparator machinery and unwrap. string_agg skips
+                // null values — array_join does too. O(group size) state,
+                // inherent to the aggregate's own semantics.
+                val fields = keys.zipWithIndex
+                  .map { case (k, n) => s"'k$n', ${k.expr}" }
+                  .mkString(", ")
+                val arr = s"transform(array_sort(collect_list(" +
+                  s"named_struct($fields, 'v', $valueExpr))$filterClause, " +
+                  s"(a, b) -> ${comparatorCase(keys)}), s -> s.v)"
+                if (fn == "ARRAY_AGG") arr else s"array_join($arr, $idx)"
+              } else if (fn != "NTH_VALUE" && keys.length == 1 && filterClause.isEmpty) {
                 // constant-memory path. byKey follows the key direction;
                 // null-key rows win the frame edge when the null ordering
                 // puts them there (nulls first for FIRST, nulls last for

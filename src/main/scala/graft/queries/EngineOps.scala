@@ -431,6 +431,22 @@ object EngineOps {
     engine(spark, dir).executeStatement(sqlMedianJoin)
   }
 
+  // ---------------------------------------------------------------- q70
+  // ORDER BY inside array_agg/string_agg (SURVEY §2.4 — DataFusion
+  // accepts the inline form; Spark has no ordered collect_list). The
+  // engine rewrites both onto the comparator-sorted keyed-struct list
+  // (r05, same machinery as aggregate first/last); DuckDB evaluates the
+  // inline form natively, so the SAME text is the oracle. Keys are
+  // unique per group (n_name), making the layouts deterministic.
+  private val orderedAggSql =
+    """SELECT CAST(n_regionkey AS INT) AS rk,
+      |  array_agg(n_name ORDER BY n_name DESC) AS names,
+      |  string_agg(n_name, '|' ORDER BY n_name) AS joined
+      |FROM nation GROUP BY n_regionkey ORDER BY rk""".stripMargin
+  val q70 = Q.df("q70_ordered_agg", orderedAggSql) { (spark, dir) =>
+    engine(spark, dir).executeStatement(orderedAggSql)
+  }
+
   def defs: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68)
+    q65, q66, q67, q68, q70)
 }

@@ -803,6 +803,27 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("subqueries"), e.getMessage)
   }
 
+  test("array_agg/string_agg with inline ORDER BY rewrite to sorted lists (r05)") {
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      assert(engine.executeSql(
+        """SELECT array_agg(x ORDER BY k DESC) AS a,
+          |  string_agg(x, '-' ORDER BY k) AS s
+          |FROM VALUES ('b', 2), ('a', 1), ('c', 3) t(x, k)""".stripMargin) ==
+        """[{"a":["c","b","a"],"s":"a-b-c"}]""")
+      // multi-key ordering + FILTER clause; null values skipped by
+      // string_agg (array_join) like the reference
+      assert(engine.executeSql(
+        """SELECT string_agg(x, ',' ORDER BY k1, k2 DESC) FILTER (WHERE k1 < 3) AS s
+          |FROM VALUES ('a', 1, 1), ('b', 1, 2), ('c', 3, 0), (CAST(NULL AS STRING), 2, 0) t(x, k1, k2)""".stripMargin) ==
+        """[{"s":"b,a"}]""")
+      // window forms and plain calls stay untouched
+      assert(engine.executeSql(
+        "SELECT array_agg(x) AS a FROM VALUES (1), (1) t(x)") ==
+        """[{"a":[1,1]}]""")
+    } finally engine.setResultFormat(ResultFormat.Table)
+  }
+
   test("named-window chains resolve before the GROUPS rewrite (r05)") {
     engine.setResultFormat(ResultFormat.Json)
     try {
