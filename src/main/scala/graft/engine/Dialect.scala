@@ -197,6 +197,15 @@ object Dialect {
   private val AggCall: Regex =
     """(?i)\b(FIRST_VALUE|LAST_VALUE|NTH_VALUE|ARRAY_AGG|STRING_AGG|LISTAGG)\s*\(""".r
 
+  /** DISTINCT + inline ORDER BY would splice DISTINCT into the middle
+    * of the struct rewrite — reject with a clear message instead of a
+    * downstream parse error. */
+  private def rejectDistinctOrdered(fn: String, exprPartMasked: String): Unit =
+    if ("""(?i)^\s*DISTINCT\b""".r.findFirstIn(exprPartMasked).isDefined)
+      throw new UnsupportedOperationException(
+        s"${fn.toLowerCase(java.util.Locale.ROOT)}(DISTINCT ... ORDER BY ...) " +
+        "is not supported; deduplicate in a subquery first")
+
   /** Offsets of the first `ORDER BY` at paren-depth 0 of a (masked)
     * call-argument string, or None. */
   private def topLevelOrderBy(maskedArgs: String): Option[(Int, Int)] =
@@ -366,8 +375,11 @@ object Dialect {
                   throw new UnsupportedOperationException(
                     "string_agg with ORDER BY requires " +
                     s"(expr, delimiter ORDER BY ...), got ($exprPartRaw)")
+                rejectDistinctOrdered(fn, exprPartMasked)
                 (segs.dropRight(1).mkString(",").trim, segs.last.trim)
-              case "ARRAY_AGG" => (exprPartRaw.trim, "")
+              case "ARRAY_AGG" =>
+                rejectDistinctOrdered(fn, exprPartMasked)
+                (exprPartRaw.trim, "")
               case "FIRST_VALUE" => (exprPartRaw.trim, "1")
               case _ => (exprPartRaw.trim, "-1")
             }
