@@ -970,7 +970,9 @@ object Dialect {
       s"${sql.substring(fromStart, tailStart)}) __graft_groups ${sql.substring(tailStart)}"
   }
 
-  /** Innermost `( SELECT …` parenthesis enclosing `pos`, if any. */
+  /** Innermost `( SELECT …` parenthesis enclosing `pos`, if any. The
+    * forward scan to SELECT skips comments too (`( /* c */ SELECT`),
+    * not just whitespace — r05 review. */
   private def enclosingSelectParen(masked: String, pos: Int): Option[Int] = {
     var p = 0
     var open = List.empty[Int]
@@ -981,17 +983,26 @@ object Dialect {
       p += 1
     }
     open.find { pp =>
-      var k = pp + 1
-      while (k < masked.length && masked.charAt(k).isWhitespace) k += 1
+      val k = skipBlank(masked, pp + 1)
       masked.regionMatches(true, k, "SELECT", 0, 6)
     }
   }
 
-  /** Last identifier/keyword ending before `pos` (masked text, so
-    * comments are spaces). Empty when `pos` follows punctuation. */
+  /** Last identifier/keyword ending before `pos`, scanning backwards
+    * over whitespace, masked content and comment delimiters (`FROM
+    * /* c */ (` must still read FROM — r05 review). Empty when `pos`
+    * follows punctuation. */
   private def lastWordBefore(masked: String, pos: Int): String = {
     var j = pos - 1
-    while (j >= 0 && masked.charAt(j).isWhitespace) j -= 1
+    var scanning = true
+    while (j >= 0 && scanning) {
+      val c = masked.charAt(j)
+      if (c.isWhitespace || c == M) j -= 1
+      else if (j >= 1 && ((c == '/' && masked.charAt(j - 1) == '*') ||
+          (c == '*' && masked.charAt(j - 1) == '/') ||
+          (c == '-' && masked.charAt(j - 1) == '-'))) j -= 2
+      else scanning = false
+    }
     val end = j + 1
     while (j >= 0 && (masked.charAt(j).isLetterOrDigit || masked.charAt(j) == '_')) j -= 1
     masked.substring(j + 1, end).toUpperCase(java.util.Locale.ROOT)

@@ -61,6 +61,16 @@ object PercentilePlanner {
     if (!up.contains("MEDIAN") && !up.contains("PERCENTILE")) return None
     val firstWord = """[A-Z]+""".r.findFirstIn(up).getOrElse("")
     if (firstWord != "SELECT" && firstWord != "WITH") return None
+    // Spark's grammar also allows a CTE list before DML (`WITH ... INSERT
+    // INTO ...`) — probing one would run the command twice (r05 review).
+    // Commands only appear at TOP level, so a paren-balanced keyword scan
+    // suffices.
+    val dml = """\b(INSERT|UPDATE|DELETE|MERGE|CREATE|DROP|REPLACE|ALTER)\b""".r
+    val topLevelDml = dml.findAllMatchIn(up).exists { m =>
+      val prefix = up.substring(0, m.start)
+      prefix.count(_ == '(') == prefix.count(_ == ')')
+    }
+    if (topLevelDml) return None
     Try(rewrite(spark, spark.sql(stmt))).toOption.flatten
   }
 
@@ -125,6 +135,11 @@ object PercentilePlanner {
   private def rewriteAggregate(spark: SparkSession, agg: Aggregate): Option[LogicalPlan] = {
     val gExprs = agg.groupingExpressions
     if (!gExprs.forall(e => e.deterministic)) return None
+    // the rewrite instantiates the child more than once (probe, pipeline,
+    // residual branch) — a nondeterministic child (rand() filters,
+    // LIMIT without ORDER) would feed each branch a DIFFERENT sample
+    // (r05 review); those keep the single-scan buffered plan
+    if (!agg.child.deterministic) return None
 
     // classify each output: a supported percentile, a COUNT(*) (rides
     // the melted pass for free), a grouping passthrough (served by the

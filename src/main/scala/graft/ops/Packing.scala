@@ -41,8 +41,14 @@ object Packing {
       // first two hex chars: 256 contiguous ranges of the global key
       // order, near-uniform because the key is an md5 bucket
       .withColumn("__pack_b", substring(col("pack_key"), 1, 2))
+    // ROWS frame + the raw key as tiebreak: the default RANGE frame
+    // hands every pack_key TIE one pooled cumulative sum — overlapping
+    // sequence ranges the moment two keys share an 8-hex bucket, which
+    // at corpus scale they will (r05 review). Identical (key, tokens)
+    // duplicates remain interchangeable — same output multiset.
     val wLocal = Window.partitionBy(col("__pack_b"))
-      .orderBy(col("pack_key"))
+      .orderBy(col("pack_key"), key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = keyed.withColumn("__pack_cum",
       sum(col("__pack_t")).over(wLocal) - col("__pack_t")) // exclusive
     val totals = keyed.groupBy(col("__pack_b"))

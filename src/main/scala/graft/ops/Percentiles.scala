@@ -183,8 +183,12 @@ object Percentiles {
         }
         grouped.select(gCols.map(col) :+ posexplode(
             array(valueKeys.map { case (v, wc) =>
+              // null-valued rows never rank and the buffered Percentile
+              // ignores their frequency entirely (sign included) —
+              // weight 0 without the negative check (r05 review)
               struct(col(v).cast("double").as("v"),
-                wc.map(w).getOrElse(lit(1L)).as("w"))
+                wc.map(wcName => when(col(v).isNull, lit(0L)).otherwise(w(wcName)))
+                  .getOrElse(lit(1L)).as("w"))
             }: _*))
           .as(Seq("__pct_c", "__pct_vw")): _*)
           .withColumn("__pct_v", col("__pct_vw.v"))

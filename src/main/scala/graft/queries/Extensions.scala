@@ -506,7 +506,7 @@ object Extensions {
          |    substr(md5('k' || doc_id || ':5'), 1, 8) AS pk
          |  FROM documents),
          |c AS (SELECT doc_id, toks,
-         |    COALESCE(SUM(toks) OVER (ORDER BY pk
+         |    COALESCE(SUM(toks) OVER (ORDER BY pk, doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
          |  FROM t)
          |SELECT doc_id, CAST(s // $budget AS BIGINT) AS seq_id,

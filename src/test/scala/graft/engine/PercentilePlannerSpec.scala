@@ -233,6 +233,29 @@ class PercentilePlannerSpec extends AnyFunSuite {
       }
       assert(!spark.catalog.tableExists("never_made"),
         "tryPlan executed a DDL statement")
+      // WITH-prefixed DML is still DML: probing it would run the INSERT
+      // twice (r05 review)
+      spark.sql("CREATE OR REPLACE TEMP VIEW med_sink_src AS SELECT 1 AS v")
+      spark.sql("DROP TABLE IF EXISTS med_sink")
+      spark.sql("CREATE TABLE med_sink(v DOUBLE) USING parquet")
+      try {
+        val withDml =
+          "WITH m AS (SELECT MEDIAN(l_quantity) AS v FROM lineitem) " +
+            "INSERT INTO med_sink SELECT v FROM m"
+        assert(PercentilePlanner.tryPlan(spark, withDml).isEmpty)
+        assert(spark.table("med_sink").count() == 0,
+          "tryPlan executed WITH-prefixed DML")
+        engine.executeStatement(withDml)
+        assert(spark.table("med_sink").count() == 1,
+          "the engine must run the statement exactly once")
+      } finally spark.sql("DROP TABLE IF EXISTS med_sink")
+      // a nondeterministic child would feed each rewrite branch a
+      // different sample — buffered plan stays (r05 review)
+      assert(PercentilePlanner.tryPlan(spark,
+        """SELECT l_returnflag, MEDIAN(l_quantity) AS m, SUM(l_quantity) AS s
+          |FROM (SELECT * FROM lineitem WHERE rand() < 0.5)
+          |GROUP BY l_returnflag""".stripMargin).isEmpty,
+        "engaged on a nondeterministic child")
       // and the buffered path still answers the DISTINCT form
       assert(engine.executeStatement(shapes(1)).count() > 0)
     }

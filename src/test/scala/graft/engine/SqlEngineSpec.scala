@@ -894,6 +894,15 @@ class SqlEngineSpec extends AnyFunSuite {
           |    FROM VALUES (3), (3) t(x)) i) o
           |ORDER BY o.s""".stripMargin) ==
         """[{"s":6},{"s":6}]""")
+      // comments between FROM/'(' and '('/SELECT must not defeat the
+      // lift (r05 review: the whitespace-only scans let the top-level
+      // restructure splice __grp across scopes)
+      assert(engine.executeSql(
+        """SELECT d.x, d.s FROM /* tbl */ ( -- note
+          |  SELECT x, sum(x) OVER (ORDER BY x GROUPS CURRENT ROW) AS s
+          |  FROM VALUES (1), (1) t(x)) d
+          |ORDER BY d.x""".stripMargin) ==
+        """[{"x":1,"s":2},{"x":1,"s":2}]""")
       // the lift must NOT fire inside DDL — `WITH ... CREATE VIEW`
       // would be invalid SQL; a clean documented error stays instead
       // (r05 review)

@@ -16,7 +16,8 @@ class PackingSpec extends AnyFunSuite {
   test("distributed prefix sum equals the single-window reference layout") {
     val out = Packing.packSequences(ids(5000), col("id"), col("toks"), budget = 512)
     // reference: one global-order window (fine at test scale)
-    val w = Window.orderBy(col("pack_key"))
+    val w = Window.orderBy(col("pack_key"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ref = ids(5000)
       .withColumn("pack_key", Sampling.shuffleKey(col("id"), 42))
       .withColumn("s", coalesce(sum("toks").over(w) - col("toks"), lit(0L)))
@@ -47,6 +48,15 @@ class PackingSpec extends AnyFunSuite {
     val off = Packing.packSequences(ids(1000), col("id"), col("toks"), budget = 128)
       .agg(min("seq_offset"), max("seq_offset")).head()
     assert(off.getLong(0) >= 0 && off.getLong(1) < 128)
+  }
+
+  test("tied pack keys still partition the token space (ROWS frame, r05 review)") {
+    // identical keys hash to identical pack_keys; the RANGE-frame cut
+    // pooled their cumulative sums into overlapping sequence ranges
+    val df = Seq((7L, 5L), (7L, 5L), (7L, 5L)).toDF("id", "toks")
+    val starts = Packing.packSequences(df, col("id"), col("toks"), budget = 7)
+      .select(col("seq_id") * 7 + col("seq_offset")).as[Long].collect().sorted
+    assert(starts.sameElements(Array(0L, 5L, 10L)), starts.mkString(","))
   }
 
   test("the corpus window is bucket-partitioned, not a global single partition") {

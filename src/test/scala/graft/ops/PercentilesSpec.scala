@@ -152,6 +152,15 @@ class PercentilesSpec extends AnyFunSuite {
       Percentiles.exact(Seq(("a", 1.0, -1L)).toDF("g", "x", "w"), Seq("g"),
         Seq(Percentiles.Spec("x", 0.5, "p", weightCol = Some("w")))).collect()
     }
+    // ...but a NULL-valued row with a negative weight is ignored, not an
+    // error — the buffered Percentile never evaluates its frequency
+    // (r05 review)
+    val nullNeg = Seq(("a", Option.empty[Double], -1L), ("a", Some(5.0), 1L))
+      .toDF("g", "x", "w")
+    val nn = Percentiles.exact(nullNeg, Seq("g"),
+        Seq(Percentiles.Spec("x", 0.5, "p", weightCol = Some("w"))))
+      .as[(String, Option[Double])].collect()
+    assert(nn.sameElements(Array(("a", Some(5.0)))))
   }
 
   test("plan carries no buffered Percentile/Median aggregate") {
