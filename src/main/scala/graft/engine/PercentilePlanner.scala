@@ -65,7 +65,9 @@ object PercentilePlanner {
     // INTO ...`) — probing one would run the command twice (r05 review).
     // Commands only appear at TOP level, so a paren-balanced keyword scan
     // suffices.
-    val dml = """\b(INSERT|UPDATE|DELETE|MERGE|CREATE|DROP|REPLACE|ALTER)\b""".r
+    // REPLACE alone is also a string FUNCTION — only the DDL spelling
+    // (REPLACE TABLE) counts
+    val dml = """\b(INSERT|UPDATE|DELETE|MERGE|CREATE|DROP|ALTER|REPLACE\s+TABLE)\b""".r
     val topLevelDml = dml.findAllMatchIn(up).exists { m =>
       val prefix = up.substring(0, m.start)
       prefix.count(_ == '(') == prefix.count(_ == ')')

@@ -130,6 +130,10 @@ class PercentilePlannerSpec extends AnyFunSuite {
       assertScalePlan(
         """SELECT l_linenumber % 2 AS odd, MEDIAN(l_quantity) AS m
           |FROM lineitem GROUP BY l_linenumber % 2 ORDER BY odd""".stripMargin)
+      // the string function replace() must not read as REPLACE-TABLE DML
+      assertScalePlan(
+        """SELECT replace(l_returnflag, 'N', 'X') AS k, MEDIAN(l_quantity) AS m
+          |FROM lineitem GROUP BY replace(l_returnflag, 'N', 'X') ORDER BY k""".stripMargin)
     }
   }
 
