@@ -436,15 +436,25 @@ object EngineOps {
   // accepts the inline form; Spark has no ordered collect_list). The
   // engine rewrites both onto the comparator-sorted keyed-struct list
   // (r05, same machinery as aggregate first/last); DuckDB evaluates the
-  // inline form natively, so the SAME text is the oracle. Keys are
-  // unique per group (n_name), making the layouts deterministic.
-  private val orderedAggSql =
+  // inline form natively. Keys are unique per group (n_name), making the
+  // layouts deterministic. The ordered array is projected through
+  // array_join (DuckDB: array_to_string) so the result carries NO raw
+  // array column — the driver's comparator sorts result cells and cannot
+  // hash arrays (r05 q70 err; VERDICT r05 Next #1). The inline-ORDER-BY
+  // rewrite under test is unchanged: the join is applied OUTSIDE the
+  // aggregate, after the ordered list is built.
+  private val orderedAggSpark =
     """SELECT CAST(n_regionkey AS INT) AS rk,
-      |  array_agg(n_name ORDER BY n_name DESC) AS names,
+      |  array_join(array_agg(n_name ORDER BY n_name DESC), '|') AS names,
       |  string_agg(n_name, '|' ORDER BY n_name) AS joined
       |FROM nation GROUP BY n_regionkey ORDER BY rk""".stripMargin
-  val q70 = Q.df("q70_ordered_agg", orderedAggSql) { (spark, dir) =>
-    engine(spark, dir).executeStatement(orderedAggSql)
+  private val orderedAggDuck =
+    """SELECT CAST(n_regionkey AS INT) AS rk,
+      |  array_to_string(array_agg(n_name ORDER BY n_name DESC), '|') AS names,
+      |  string_agg(n_name, '|' ORDER BY n_name) AS joined
+      |FROM nation GROUP BY n_regionkey ORDER BY rk""".stripMargin
+  val q70 = Q.df("q70_ordered_agg", orderedAggDuck) { (spark, dir) =>
+    engine(spark, dir).executeStatement(orderedAggSpark)
   }
 
   def defs: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q61, q62, q63, q64,
