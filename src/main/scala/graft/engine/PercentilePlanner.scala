@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, Coalesce, EqualNullSafe, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Count, Median, Percentile, PercentileCont}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Command, InsertIntoDir, Join, JoinHint, LogicalPlan, ParsedStatement, Project}
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graftbridge.PlanBridge
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, NumericType, ShortType}
@@ -59,22 +59,31 @@ object PercentilePlanner {
     // approx_percentile_cont_with_weight (the gate is textual and cheap;
     // the plan match decides for real)
     if (!up.contains("MEDIAN") && !up.contains("PERCENTILE")) return None
-    val firstWord = """[A-Z]+""".r.findFirstIn(up).getOrElse("")
-    if (firstWord != "SELECT" && firstWord != "WITH") return None
-    // Spark's grammar also allows a CTE list before DML (`WITH ... INSERT
-    // INTO ...`) — probing one would run the command twice (r05 review).
-    // Commands only appear at TOP level, so a paren-balanced keyword scan
-    // suffices.
-    // REPLACE alone is also a string FUNCTION — only the DDL spelling
-    // (REPLACE TABLE) counts
-    val dml = """\b(INSERT|UPDATE|DELETE|MERGE|CREATE|DROP|ALTER|REPLACE\s+TABLE)\b""".r
-    val topLevelDml = dml.findAllMatchIn(up).exists { m =>
-      val prefix = up.substring(0, m.start)
-      prefix.count(_ == '(') == prefix.count(_ == ')')
-    }
-    if (topLevelDml) return None
+    if (!isPlainQuery(spark, stmt)) return None
     Try(rewrite(spark, spark.sql(stmt))).toOption.flatten
   }
+
+  /** `spark.sql` runs DDL/DML EAGERLY, so probing a command would execute
+    * it twice. The r04/r05 gate was a masked-text keyword scan — correct
+    * after two rounds of whack-a-mole (implicit-alias OVER, the REPLACE
+    * string function vs REPLACE TABLE, WITH-prefixed INSERT) but one
+    * spelling away from the next false positive. Gate on the PARSED
+    * statement instead (`parsePlan` builds the tree without executing
+    * anything, VERDICT r05 next #4): a statement is probe-safe iff its
+    * parsed tree carries no `Command` (CTAS, REPLACE TABLE, MERGE,
+    * UPDATE, DELETE, EXPLAIN, SET, ...), no `ParsedStatement`
+    * (`InsertIntoStatement`, plain or behind a CTE prologue), and no
+    * `InsertIntoDir` (INSERT OVERWRITE DIRECTORY — neither of the above
+    * in Spark 4.1's grammar). Unparseable text is treated as non-query:
+    * the normal path surfaces the real error. */
+  private def isPlainQuery(spark: SparkSession, stmt: String): Boolean =
+    Try(spark.sessionState.sqlParser.parsePlan(stmt)).toOption.exists { plan =>
+      plan.collectFirst {
+        case c: Command => c
+        case s: ParsedStatement => s
+        case d: InsertIntoDir => d
+      }.isEmpty
+    }
 
   /** Rewrite every supported percentile Aggregate in `df`'s optimized
     * plan; None when the plan carries none. */

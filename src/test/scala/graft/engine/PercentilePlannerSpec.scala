@@ -230,8 +230,17 @@ class PercentilePlannerSpec extends AnyFunSuite {
         "SELECT percentile(DISTINCT l_quantity, 0.5) AS m FROM lineitem GROUP BY l_returnflag",
         // array-of-percentages keeps the buffered form
         "SELECT percentile(l_quantity, array(0.25, 0.5)) AS m FROM lineitem GROUP BY l_returnflag",
-        // DDL/DML must never be probed (spark.sql would run it eagerly)
-        "CREATE TABLE never_made AS SELECT MEDIAN(l_quantity) AS m FROM lineitem")
+        // DDL/DML must never be probed (spark.sql would run it eagerly) —
+        // the parse-based gate (r06) catches every command spelling, not
+        // a keyword list: CTAS, MERGE/UPDATE/DELETE, and INSERT OVERWRITE
+        // DIRECTORY (an InsertIntoDir node, neither Command nor
+        // ParsedStatement in Spark 4.1's grammar)
+        "CREATE TABLE never_made AS SELECT MEDIAN(l_quantity) AS m FROM lineitem",
+        "MERGE INTO never_made USING lineitem ON 1 = 1 WHEN MATCHED THEN DELETE",
+        "UPDATE never_made SET m = (SELECT MEDIAN(l_quantity) FROM lineitem)",
+        "DELETE FROM never_made WHERE m > (SELECT MEDIAN(l_quantity) FROM lineitem)",
+        "INSERT OVERWRITE DIRECTORY '/tmp/graft_never_written' USING parquet " +
+          "SELECT MEDIAN(l_quantity) AS m FROM lineitem")
       shapes.foreach { s =>
         assert(PercentilePlanner.tryPlan(spark, s).isEmpty, s"engaged on: $s")
       }
