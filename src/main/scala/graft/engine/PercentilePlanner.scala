@@ -4,7 +4,8 @@ import scala.collection.mutable
 import scala.util.Try
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, Coalesce, EqualNullSafe, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, Coalesce, EqualNullSafe, EqualTo, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Count, Median, Percentile, PercentileCont}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Command, InsertIntoDir, Join, JoinHint, LogicalPlan, ParsedStatement, Project}
@@ -142,20 +143,35 @@ object PercentilePlanner {
 
   /** Rebuild one Aggregate around `Percentiles.exactAdaptive`. The
     * replacement keeps the node's exact output: one pinned-exprId alias
-    * per original output column. */
+    * per original output column.
+    *
+    * Mixed aggregate lists are SINGLE-PASS since r06 (VERDICT r05 next
+    * #2): residual aggregates (SUM/AVG/MIN/MAX/..., arbitrary functions,
+    * FILTER and DISTINCT forms included) no longer re-aggregate the
+    * child in a second scan + join-back — their input expressions ride
+    * the melted pass as payload columns and the ORIGINAL aggregate
+    * functions evaluate in the same final group-by as the rank picks,
+    * restricted to one melted copy per source row (`__pct_c = 0`).
+    * Supported percentiles nested INSIDE expressions (`MEDIAN(x) + 1`)
+    * become rank-selection specs of their own — previously they kept
+    * the buffered per-group-unbounded aggregate via the residual
+    * branch. The residual second-scan branch remains only for weighted
+    * melts (tie-collapse mode drops payload rows) and nondeterministic
+    * aggregates. */
   private def rewriteAggregate(spark: SparkSession, agg: Aggregate): Option[LogicalPlan] = {
     val gExprs = agg.groupingExpressions
     if (!gExprs.forall(e => e.deterministic)) return None
-    // the rewrite instantiates the child more than once (probe, pipeline,
-    // residual branch) — a nondeterministic child (rand() filters,
-    // LIMIT without ORDER) would feed each branch a DIFFERENT sample
-    // (r05 review); those keep the single-scan buffered plan
+    // the rewrite may instantiate the child more than once (probe,
+    // pipeline, weighted-mode residual branch) — a nondeterministic
+    // child (rand() filters, LIMIT without ORDER) would feed each
+    // branch a DIFFERENT sample (r05 review); those keep the
+    // single-scan buffered plan
     if (!agg.child.deterministic) return None
 
     // classify each output: a supported percentile, a COUNT(*) (rides
     // the melted pass for free), a grouping passthrough (served by the
-    // pipeline), or anything else (served verbatim by a residual
-    // bounded Aggregate on the same child)
+    // pipeline), or anything else (a ride candidate; hard residuals go
+    // to a second-scan bounded Aggregate on the same child)
     def isCountStar(f: AggregateFunction): Boolean = f match {
       case Count(Seq(l: Literal)) => l.value != null
       case _ => false
@@ -179,34 +195,133 @@ object PercentilePlanner {
         case _ => others += i
       }
     }
-    if (pcts.isEmpty) return None
     val anyWeighted = pcts.values.exists(_._4.isDefined)
     if (anyWeighted) { // counts cannot ride a weighted melt — residual branch
       others ++= countSlots
       countSlots.clear()
     }
 
+    // ---- ride pass: turn `others` slots into melted-pass riders -------
+    // payload expressions projected alongside the melt, keyed canonically
+    val projExtra = mutable.LinkedHashMap.empty[Expression, (Expression, String)]
+    // riders: name -> AggregateExpression with children remapped onto the
+    // payload columns and a `__pct_c = 0` filter (one copy per source row)
+    val rideAggs = mutable.ArrayBuffer.empty[(String, Expression)]
+    // percentiles found INSIDE expressions: extra rank-selection specs
+    val riddenPcts = mutable.ArrayBuffer.empty[(Expression, Double, Boolean)]
+    def payloadRef(e: Expression): UnresolvedAttribute = {
+      val (_, name) = projExtra.getOrElseUpdate(
+        e.canonicalized, (e, s"__pr_${projExtra.size}"))
+      UnresolvedAttribute(name)
+    }
+    val meltCopyFilter: Expression =
+      EqualTo(UnresolvedAttribute("__pct_c"), Literal(0))
+    def rideAggregate(ae: AggregateExpression): Expression = {
+      val fn = ae.aggregateFunction
+      // foldable children (percentages, delimiters, ignoreNulls flags)
+      // must STAY literal — many functions require it at analysis
+      val newKids = fn.children.map {
+        case l if l.foldable => l
+        case c => payloadRef(c)
+      }
+      val newFilter = ae.filter
+        .map(f => And(payloadRef(f), meltCopyFilter)).getOrElse(meltCopyFilter)
+      val newAe = ae.copy(
+        aggregateFunction = fn.withNewChildren(newKids).asInstanceOf[AggregateFunction],
+        filter = Some(newFilter))
+      val name = s"__pa_${rideAggs.size}"
+      rideAggs += name -> newAe
+      val ref: Expression = Cast(UnresolvedAttribute(name), ae.dataType)
+      // global aggregates over EMPTY input: the one-row compensation
+      // join yields nulls, but count-like functions must answer their
+      // empty-input default (COUNT -> 0, collect -> [])
+      if (gExprs.isEmpty) fn.defaultResult match {
+        case Some(d) => Coalesce(Seq(ref, d))
+        case None => ref
+      } else ref
+    }
+    // Rebuild a residual output expression against the pipeline output:
+    // grouping subexpressions -> __pg_i, supported unweighted percentiles
+    // -> new specs, any other deterministic aggregate -> a rider. A bare
+    // child attribute outside every replaced subtree marks the slot
+    // non-ridable (sets `ok` false).
+    def tryRideTemplate(root: Expression): Option[Expression] = {
+      var ok = true
+      def walk(e: Expression): Expression = {
+        val gi = gExprs.indexWhere(_.semanticEquals(e))
+        if (gi >= 0) Cast(UnresolvedAttribute(s"__pg_$gi"), e.dataType)
+        else e match {
+          case ae: AggregateExpression if !ae.deterministic => ok = false; ae
+          case ae: AggregateExpression =>
+            val pct =
+              if (ae.isDistinct || ae.filter.isDefined) None
+              else asPercentile(ae.aggregateFunction).filter { case (v, _, _, w) =>
+                w.isEmpty && v.deterministic && v.dataType.isInstanceOf[NumericType] }
+            pct match {
+              case Some((v, p, desc, _)) =>
+                val name = s"__po_r_${riddenPcts.size}"
+                riddenPcts += ((v, p, desc))
+                Cast(UnresolvedAttribute(name), ae.dataType)
+              case None => rideAggregate(ae)
+            }
+          case a: Attribute => ok = false; a
+          case other => other.mapChildren(walk)
+        }
+      }
+      val t = walk(root)
+      if (ok) Some(t) else None
+    }
+    val ridden = mutable.Map.empty[Int, Expression]
+    if (!anyWeighted) {
+      others.toList.foreach { i =>
+        val stripped = agg.aggregateExpressions(i) match {
+          case Alias(c, _) => c; case e => e
+        }
+        // snapshot rider state so a failed template leaves no orphans
+        val (nProj, nAgg, nPct) = (projExtra.size, rideAggs.size, riddenPcts.size)
+        tryRideTemplate(stripped) match {
+          case Some(t) => ridden(i) = t; others -= i
+          case None =>
+            while (projExtra.size > nProj) projExtra.remove(projExtra.keys.last)
+            rideAggs.dropRightInPlace(rideAggs.size - nAgg)
+            riddenPcts.dropRightInPlace(riddenPcts.size - nPct)
+        }
+      }
+    }
+    if (pcts.isEmpty && riddenPcts.isEmpty) return None
+
     // branch A: the rank-selection pipeline over a projection of the
-    // grouping + value expressions (arbitrary exprs become columns)
+    // grouping + value expressions (arbitrary exprs become columns),
+    // plus the riders' payload columns
     val gNames = gExprs.indices.map(i => s"__pg_$i")
     val gAliases = gExprs.zip(gNames).map { case (e, n) => Alias(e, n)() }
     // melted columns, deduped by canonicalized (value, weight) pair
     val vNames = mutable.LinkedHashMap.empty[
       (Expression, Option[Expression]), (Expression, Option[Expression], String)]
-    val specs = pcts.map { case (i, (v, p, desc, wOpt)) =>
+    def meltName(v: Expression, wOpt: Option[Expression]): String = {
       val key = (v.canonicalized, wOpt.map(_.canonicalized))
-      val (_, _, name) = vNames.getOrElseUpdate(key, (v, wOpt, s"__pv_${vNames.size}"))
+      vNames.getOrElseUpdate(key, (v, wOpt, s"__pv_${vNames.size}"))._3
+    }
+    val specs = pcts.map { case (i, (v, p, desc, wOpt)) =>
+      val name = meltName(v, wOpt)
       Percentiles.Spec(name, p, s"__po_$i", desc,
         weightCol = wOpt.map(_ => s"__pw_$name"))
-    }.toSeq
+    }.toSeq ++ riddenPcts.zipWithIndex.map { case ((v, p, desc), k) =>
+      Percentiles.Spec(meltName(v, None), p, s"__po_r_$k", desc)
+    }
     val vAliases = vNames.values.flatMap { case (v, wOpt, n) =>
       Seq(Alias(v, n)()) ++ wOpt.map(w => Alias(w, s"__pw_$n")())
     }.toSeq
-    val projected = PlanBridge.ofRows(spark, Project(gAliases ++ vAliases, agg.child))
+    val prAliases = projExtra.values.map { case (e, n) => Alias(e, n)() }.toSeq
+    val projected = PlanBridge.ofRows(spark,
+      Project(gAliases ++ vAliases ++ prAliases, agg.child))
     // COUNT(*) riding uses the melted row weights, which weighted specs
     // repurpose — counts fall back to the residual branch then
     var aDf = Percentiles.exactAdaptive(projected, gNames, specs,
-      rowCountCol = if (countSlots.nonEmpty && !anyWeighted) Some("__pct_rows") else None)
+      rowCountCol = if (countSlots.nonEmpty && !anyWeighted) Some("__pct_rows") else None,
+      extraCols = projExtra.values.map(_._2).toSeq,
+      extraAggs = rideAggs.toSeq.map { case (n, ae) => n -> PlanBridge.column(ae) },
+      knownPartitions = statsPartitions(agg, vNames.size))
     if (gExprs.isEmpty)
       // a global SQL aggregate emits one (all-null) row over empty
       // input; the pipeline emits none — compensate
@@ -214,9 +329,9 @@ object PercentilePlanner {
     val aPlan = aDf.queryExecution.analyzed
     def aAttr(name: String): Attribute = aPlan.output.find(_.name == name).get
 
-    // branch B: every non-percentile output stays a NORMAL Aggregate on
-    // the same child — bounded state (sums/counts/…), verbatim
-    // expressions so semantics and exprIds are untouched
+    // branch B (hard residuals only — weighted melts, nondeterministic
+    // aggregates): a NORMAL Aggregate on the same child — bounded state,
+    // verbatim expressions so semantics and exprIds are untouched
     val joined: LogicalPlan =
       if (others.isEmpty) aPlan
       else {
@@ -243,9 +358,33 @@ object PercentilePlanner {
           // one-row compensation above yields nulls)
           alignExpr(Coalesce(Seq(aAttr("__pct_rows"), Literal(0L))), ne)
         else if (groupSlot.contains(i)) align(aAttr(s"__pg_${groupSlot(i)}"), ne)
+        else if (ridden.contains(i)) alignExpr(ridden(i), ne)
         else ne.toAttribute
       }
     Some(Project(outExprs, joined))
+  }
+
+  /** The cardinality half of the adaptive probe, answered from
+    * catalog/CBO statistics when available (VERDICT r05 next #5): the
+    * (group, column) partition count is (distinct group keys) x (melted
+    * value columns). Attribute-level distinct counts exist when the
+    * table was ANALYZEd FOR COLUMNS and `spark.sql.cbo.enabled` is on;
+    * the product over grouping attributes (capped by the child's row
+    * count when known) upper-bounds the key cardinality. None -> the
+    * planner falls back to the scan probe. Correctness never depends on
+    * the estimate: a wrong one only picks the slower sort mode. */
+  private def statsPartitions(agg: Aggregate, meltCols: Int): Option[Long] = {
+    if (agg.groupingExpressions.isEmpty) return Some(math.max(1, meltCols).toLong)
+    val stats = agg.child.stats
+    val counts = agg.groupingExpressions.map {
+      case a: Attribute => stats.attributeStats.get(a).flatMap(_.distinctCount)
+      case _ => None
+    }
+    if (counts.exists(_.isEmpty)) return None
+    val prod = counts.flatten.product
+    val keys = stats.rowCount.fold(prod)(rc => prod.min(rc))
+    val parts = (keys * meltCols).min(BigInt(Long.MaxValue))
+    Some(math.max(1L, parts.toLong))
   }
 
   /** Pin the replacement column to the original output's name, exprId
@@ -254,7 +393,11 @@ object PercentilePlanner {
     alignExpr(a, ne)
 
   private def alignExpr(e0: Expression, ne: NamedExpression): NamedExpression = {
-    val e = if (e0.dataType == ne.dataType) e0 else Cast(e0, ne.dataType)
+    // ridden templates carry unresolved payload references, whose
+    // dataType throws until analysis — an outer same-type Cast is free
+    // (SimplifyCasts folds it), so wrap whenever the type is unknown
+    val e = if (Try(e0.dataType).toOption.contains(ne.dataType)) e0
+      else Cast(e0, ne.dataType)
     Alias(e, ne.name)(exprId = ne.exprId)
   }
 }

@@ -431,6 +431,29 @@ object EngineOps {
     engine(spark, dir).executeStatement(sqlMedianJoin)
   }
 
+  // ---------------------------------------------------------------- q72
+  // Mixed percentile + residual aggregate list, SINGLE-PASS (VERDICT r05
+  // next #2): SUM/AVG/MIN beside MEDIAN/PERCENTILE_CONT ride the melted
+  // rank-selection scan as payload columns — no second aggregation of
+  // the join, no join-back (PlanSpec pins 2 scans: one per table).
+  // Determinism: SUM(double) routes through DECIMAL per the Q contract;
+  // AVG(l_quantity) is raw — quantities are integer-valued, so the sum
+  // is order-exact in double and both engines divide once.
+  private val sqlMixedSinglePass =
+    """SELECT o_orderpriority,
+      |  MEDIAN(l_extendedprice) AS med_price,
+      |  PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  AVG(l_quantity) AS avg_qty,
+      |  MIN(l_extendedprice) AS min_price,
+      |  COUNT(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+  val q72 = Q.df("q72_mixed_single_pass", sqlMixedSinglePass) { (spark, dir) =>
+    engine(spark, dir).executeStatement(sqlMixedSinglePass)
+  }
+
   // ---------------------------------------------------------------- q70
   // ORDER BY inside array_agg/string_agg (SURVEY §2.4 — DataFusion
   // accepts the inline form; Spark has no ordered collect_list). The
@@ -458,5 +481,5 @@ object EngineOps {
   }
 
   def defs: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68, q70)
+    q65, q66, q67, q68, q70, q72)
 }

@@ -1,6 +1,7 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.{DataFrame, SparkSession, classic}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, classic}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /**
@@ -15,4 +16,12 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object PlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Wrap a hand-built Catalyst expression as a `Column` (the 4.x Column
+    * is a ColumnNode facade; `ExpressionUtils.column` is the sanctioned
+    * classic-backend adapter, `private[sql]` like `ofRows`). Used by the
+    * percentile planner to ride original aggregate FUNCTIONS (sum/avg/
+    * min/max/..., children remapped onto melted columns) through the
+    * DataFrame aggregation in `Percentiles.finish`. */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 }

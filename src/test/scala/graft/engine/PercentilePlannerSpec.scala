@@ -108,6 +108,122 @@ class PercentilePlannerSpec extends AnyFunSuite {
     }
   }
 
+  /** Count the parquet scans in the executed plan. */
+  private def scanCount(df: org.apache.spark.sql.DataFrame): Int =
+    "FileScan parquet".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+
+  /** Run `f` with shuffle partitions pinned so the adaptive dispatch
+    * takes the DEFAULT sort mode (range mode deliberately re-instantiates
+    * its lineage-pure bucketed subtree — its scan count is 3 by design,
+    * audited r05). Single-scan asserts are meaningful in default mode. */
+  private def withSlices[A](n: Int)(f: => A): A = {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("mixed aggregates are SINGLE-PASS: residuals ride the melted scan (r06)") {
+    withTables {
+      // SUM/AVG/MIN/MAX/COUNT(col) beside two percentiles: ONE scan of
+      // lineitem, no residual re-aggregation join (VERDICT r05 next #2).
+      // l_quantity is integer-valued, so double sums are order-exact.
+      val mixed =
+        """SELECT l_returnflag, MEDIAN(l_quantity) AS m,
+          |  PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90,
+          |  SUM(l_quantity) AS s, AVG(l_quantity) AS a,
+          |  MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
+          |  COUNT(l_linestatus) AS nc, COUNT(*) AS n
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      val fast = PercentilePlanner.tryPlan(spark, mixed)
+      assert(fast.isDefined)
+      assert(scanCount(fast.get) == 1,
+        s"expected ONE scan, got:\n${fast.get.queryExecution.executedPlan}")
+      assert(fast.get.collect().sameElements(spark.sql(mixed).collect()))
+    }
+  }
+
+  test("FILTER and DISTINCT residual aggregates ride the melt too") {
+    withTables { withSlices(2) {
+      val q =
+        """SELECT l_returnflag, MEDIAN(l_quantity) AS m,
+          |  SUM(l_quantity) FILTER (WHERE l_linenumber <= 2) AS s2,
+          |  COUNT(DISTINCT l_linenumber) AS dl
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      val fast = PercentilePlanner.tryPlan(spark, q)
+      assert(fast.isDefined)
+      assert(scanCount(fast.get) == 1,
+        s"expected ONE scan, got:\n${fast.get.queryExecution.executedPlan}")
+      assert(fast.get.collect().sameElements(spark.sql(q).collect()))
+    } }
+  }
+
+  test("percentiles nested inside expressions become rank-selection specs") {
+    withTables { withSlices(2) {
+      // MEDIAN(x) + 1 used to keep the buffered per-group-unbounded
+      // Median via the residual branch; now it rides as its own spec
+      val q =
+        """SELECT l_returnflag, MEDIAN(l_quantity) + 1 AS m1,
+          |  ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_quantity) / 2, 3) AS h
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      assertScalePlan(q)
+      assert(scanCount(PercentilePlanner.tryPlan(spark, q).get) == 1)
+    } }
+  }
+
+  test("global empty input: ridden count-like aggregates answer their defaults") {
+    withTables {
+      val q =
+        """SELECT MEDIAN(l_quantity) AS m, SUM(l_quantity) AS s,
+          |  COUNT(l_quantity) AS c, COUNT(*) AS n
+          |FROM lineitem WHERE l_quantity < 0""".stripMargin
+      val fast = PercentilePlanner.tryPlan(spark, q)
+      assert(fast.isDefined)
+      assert(fast.get.collect().sameElements(spark.sql(q).collect()),
+        "empty-input defaults (null, null, 0, 0) must match the buffered plan")
+    }
+  }
+
+  test("catalog statistics answer the mode probe: no job at plan time (r06)") {
+    val cbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.sql("DROP TABLE IF EXISTS pstats_t")
+    try {
+      Tables.load(spark, TestSessions.sf001, "lineitem")
+        .createOrReplaceTempView("lineitem")
+      spark.sql("""CREATE TABLE pstats_t USING parquet AS
+        SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice FROM lineitem""")
+      spark.sql("""ANALYZE TABLE pstats_t COMPUTE STATISTICS
+        FOR COLUMNS l_orderkey, l_returnflag""")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // high-distinct group key (l_orderkey): stats pick the default
+      // mode, so NO probe scan may run while planning (the synchronous
+      // probeRuns counter pins it — listener job counts are async)
+      val hi = """SELECT l_orderkey, MEDIAN(l_quantity) AS m, SUM(l_quantity) AS s
+        FROM pstats_t GROUP BY l_orderkey ORDER BY l_orderkey"""
+      val before = graft.ops.Percentiles.probeRuns.get()
+      val fastHi = PercentilePlanner.tryPlan(spark, hi)
+      assert(fastHi.isDefined)
+      assert(graft.ops.Percentiles.probeRuns.get() == before,
+        "stats-backed planning must not launch a probe scan")
+      assert(!fastHi.get.queryExecution.executedPlan.toString.contains("__pct_b"),
+        "high-cardinality stats must pick the default sort mode")
+      assert(fastHi.get.collect().sameElements(spark.sql(hi).collect()))
+      // low-distinct group key (l_returnflag, 3 values): stats pick
+      // range mode (boundaries still need the one bounds probe)
+      val lo = """SELECT l_returnflag, MEDIAN(l_quantity) AS m
+        FROM pstats_t GROUP BY l_returnflag ORDER BY l_returnflag"""
+      val fastLo = PercentilePlanner.tryPlan(spark, lo)
+      assert(fastLo.isDefined)
+      assert(fastLo.get.queryExecution.executedPlan.toString.contains("__pct_b"),
+        "low-cardinality stats must pick the range mode")
+      assert(fastLo.get.collect().sameElements(spark.sql(lo).collect()))
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", cbo)
+      spark.sql("DROP TABLE IF EXISTS pstats_t")
+      spark.catalog.dropTempView("lineitem")
+    }
+  }
+
   test("joins qualify (the r04 regex bailed on these)") {
     withTables {
       assertScalePlan(
