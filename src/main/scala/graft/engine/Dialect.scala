@@ -674,20 +674,22 @@ object Dialect {
           // a GROUPS window nested inside a `(SELECT ...)` subquery
           // belongs to a DIFFERENT query scope — the top-level
           // restructure below would splice __grp across scopes and
-          // mangle it (r04 review). FROM/JOIN derived tables were
-          // already lifted into CTEs above (r05), so reaching here means
-          // an EXPRESSION subquery (scalar/IN/EXISTS) or LATERAL — those
-          // may be correlated, and a lifted CTE cannot see the outer
-          // row: raise the documented error. Expression parens around
-          // the window (CAST(... OVER ... )) are fine: the spec is
-          // rewritten in place.
+          // mangle it (r04 review). FROM/JOIN derived tables and
+          // PROVABLY-UNCORRELATED subqueries in any other position were
+          // already lifted into CTEs above (r05/r06), so reaching here
+          // means a CORRELATED (or unresolvable) expression subquery or
+          // LATERAL — a lifted CTE cannot see the outer row: raise the
+          // documented error. Expression parens around the window
+          // (CAST(... OVER ... )) are fine: the spec is rewritten in
+          // place.
           locally {
             val inSubquery = enclosingSelectParen(masked, m.start).isDefined
             if (inSubquery)
-              unsupportedGroups("GROUPS windows inside scalar/IN/EXISTS " +
+              unsupportedGroups("GROUPS windows inside CORRELATED " +
                 "subqueries or LATERAL derived tables are not supported " +
-                "(they may be correlated); plain FROM/JOIN derived tables " +
-                "are lifted into CTEs automatically")
+                "(a lifted CTE cannot see the outer row); derived tables " +
+                "and uncorrelated scalar/IN/EXISTS subqueries are lifted " +
+                "into CTEs automatically")
           }
           val ob = findTopLevel(inMasked, """(?i)\bORDER\s+BY\b""".r)
             .getOrElse(unsupportedGroups("the window must have an ORDER BY"))
@@ -1008,16 +1010,51 @@ object Dialect {
     masked.substring(j + 1, end).toUpperCase(java.util.Locale.ROOT)
   }
 
-  /** A GROUPS window inside a `(SELECT …)` DERIVED TABLE (the paren
-    * directly follows FROM or JOIN — such subqueries cannot be
-    * correlated, unlike scalar/IN/EXISTS/LATERAL ones): rewrite the
-    * statement as `WITH __graft_sq_N AS (subquery) …` with the paren
-    * replaced by the CTE name (any trailing alias keeps working —
-    * `FROM __graft_sq_N t`). The caller recurses; `rewriteGroupsInWith`
-    * then restructures the body in its own scope, and when this fires
-    * inside the main statement of an enclosing WITH, that enclosing
-    * rewrite merges the generated `WITH` into its CTE list. One lift
-    * per call — iteration through the caller's recursion. */
+  /** Optional standalone-analysis hook for the subquery lift below:
+    * returns true when a query TEXT fully resolves on its own (catalog +
+    * temp views, no outer scope). Set by the engine around the GROUPS
+    * rewrite — `Dialect` itself stays a pure string translator, and
+    * direct calls without a resolver simply skip the correlation-gated
+    * lifts (documented error instead, never a wrong answer). */
+  private val resolver =
+    new scala.util.DynamicVariable[Option[String => Boolean]](None)
+
+  def withResolver[A](r: String => Boolean)(f: => A): A =
+    resolver.withValue(Some(r))(f)
+
+  /** Proof of non-correlation for a subquery body (r06, VERDICT r05 next
+    * #3): SQL scoping resolves names innermost-first, so if EVERY
+    * identifier in the body resolves with no outer scope present, the
+    * body cannot reference an outer row — lifting it into a CTE
+    * preserves semantics exactly. GROUPS frames share the ROWS frame
+    * grammar, so the probe copy swaps the keyword to parse; any other
+    * still-untranslated dialect construct makes the probe fail, which
+    * conservatively keeps the documented error. */
+  private def resolvesStandalone(body: String): Boolean =
+    resolver.value.exists { r =>
+      val probe = outsideLiterals(body)(
+        _.replaceAll("""(?i)\bGROUPS\s+(?=BETWEEN\b|UNBOUNDED\b|CURRENT\b|\d)""",
+          "ROWS "))
+      r(probe)
+    }
+
+  /** A GROUPS window inside a `(SELECT …)` subquery: lift the subquery
+    * body into a CTE prologue — `WITH __graft_sq_N AS (body) …` — so the
+    * caller's recursion restructures it in its own scope
+    * (`rewriteGroupsInWith`; an enclosing WITH merges the generated CTE
+    * into its list). Two shapes:
+    *
+    *  - a DERIVED TABLE whose paren directly follows FROM or JOIN can
+    *    never be correlated — the paren is replaced by the bare CTE name
+    *    (any trailing alias keeps working: `FROM __graft_sq_N t`);
+    *  - any OTHER subquery position — scalar/IN/EXISTS expressions,
+    *    comma-separated FROM derived tables (ADVICE r05), subquery
+    *    function arguments — lifts ONLY when `resolvesStandalone` proves
+    *    the body uncorrelated (r06); the body is then replaced by
+    *    `SELECT * FROM __graft_sq_N`, valid in every one of those
+    *    positions. LATERAL stays out (correlation is its purpose).
+    *
+    * One lift per call — iteration through the caller's recursion. */
   private def liftGroupsSubquery(sql: String, masked: String,
       groupsKw: scala.util.matching.Regex): Option[String] = {
     // only query-shaped statements can take a WITH prefix: a lift inside
@@ -1026,6 +1063,11 @@ object Dialect {
     val cs = codeStart(masked)
     if (!startsWithCode(masked, "SELECT") &&
         !(cs < masked.length && masked.charAt(cs) == '(')) return None
+    def freshName(): String = {
+      val n = "__graft_sq_(\\d+)".r.findAllMatchIn(sql)
+        .map(_.group(1).toInt).foldLeft(-1)(math.max) + 1
+      s"__graft_sq_$n"
+    }
     val overRe = """(?i)\bOVER\s*\(""".r
     overRe.findAllMatchIn(masked).foreach { m =>
       val i = skipBalanced(masked, m.end)
@@ -1033,14 +1075,18 @@ object Dialect {
           findTopLevel(masked.substring(m.end, i - 1), groupsKw).isDefined) {
         enclosingSelectParen(masked, m.start).foreach { pp =>
           val before = lastWordBefore(masked, pp)
-          if (before == "FROM" || before == "JOIN") {
-            val q = skipBalanced(masked, pp + 1) // index AFTER ')'
-            if (q > 0) {
-              val n = "__graft_sq_(\\d+)".r.findAllMatchIn(sql)
-                .map(_.group(1).toInt).foldLeft(-1)(math.max) + 1
-              val name = s"__graft_sq_$n"
-              return Some(s"WITH $name AS (" + sql.substring(pp + 1, q - 1) +
-                ")\n" + sql.substring(0, pp) + name + sql.substring(q))
+          val q = skipBalanced(masked, pp + 1) // index AFTER ')'
+          if (q > 0) {
+            val body = sql.substring(pp + 1, q - 1)
+            if (before == "FROM" || before == "JOIN") {
+              val name = freshName()
+              return Some(s"WITH $name AS (" + body + ")\n" +
+                sql.substring(0, pp) + name + sql.substring(q))
+            } else if (before != "LATERAL" && resolvesStandalone(body)) {
+              val name = freshName()
+              return Some(s"WITH $name AS (" + body + ")\n" +
+                sql.substring(0, pp + 1) + s"SELECT * FROM $name" +
+                sql.substring(q - 1))
             }
           }
         }

@@ -115,9 +115,17 @@ class SqlEngine(val spark: SparkSession) {
     // alias + info-schema rewrites apply only outside string literals;
     // SIMILAR TO locates the keyword on a same-length literal mask (its
     // pattern IS a literal, but the keyword must sit outside one)
+    // the resolver lets the GROUPS rewrite PROVE an expression subquery
+    // uncorrelated (r06): a body that fully analyzes standalone (catalog
+    // + temp views, no outer scope) cannot reference an outer row, so
+    // lifting it into a CTE is sound. spark.sql on SELECT text analyzes
+    // lazily-created plans without executing anything.
+    val groupsRewritten = Dialect.withResolver(
+      s => scala.util.Try(spark.sql(s)).isSuccess)(
+      Dialect.rewriteGroupsFrames(stmt))
     val aliased = Dialect.rewriteAggFirstLast(
       Dialect.rewriteGenerateSeries(Dialect.rewriteSimilarTo(
-        Dialect.outsideLiterals(Dialect.rewriteGroupsFrames(stmt))(
+        Dialect.outsideLiterals(groupsRewritten)(
           graft.functions.GapFillers.rewriteAliases))))
     val translated = DdlTranslator.translate(aliased, rewriteS3Url)
     val rewritten =

@@ -409,6 +409,41 @@ object EngineOps {
     engine(spark, dir).executeStatement(groupsSubquerySql)
   }
 
+  // ---------------------------------------------------------------- q71
+  // GROUPS window inside an IN subquery (VERDICT r05 next #3 — the r05
+  // documented error for expression subqueries, now auto-lifted when the
+  // body PROVABLY resolves standalone, i.e. cannot be correlated). The
+  // IN-list is the set of running peer-group counts over orders; rows
+  // whose custkey appears in that set survive. Deterministic: the SET of
+  // counts is well-defined regardless of intra-peer-group order. The
+  // oracle derives the frame per peer group exactly as q59 does (DuckDB
+  // has no GROUPS mode either).
+  private val groupsInSubquerySql =
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey
+      |FROM orders
+      |WHERE o_custkey IN (
+      |  SELECT CAST(COUNT(*) OVER (
+      |    PARTITION BY o_orderpriority ORDER BY o_orderdate
+      |    GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |  FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+  val q71 = Q.df(
+    "q71_groups_in_subquery",
+    """WITH g AS (SELECT o_orderpriority,
+      |    DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate) AS dr
+      |  FROM orders),
+      |s AS (SELECT o_orderpriority, dr, COUNT(*) AS gcnt
+      |  FROM g GROUP BY o_orderpriority, dr),
+      |c AS (SELECT CAST(SUM(gcnt) OVER (PARTITION BY o_orderpriority ORDER BY dr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS w_cnt
+      |  FROM s)
+      |SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey
+      |FROM orders
+      |WHERE o_custkey IN (SELECT w_cnt FROM c)
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    engine(spark, dir).executeStatement(groupsInSubquerySql)
+  }
+
   // ---------------------------------------------------------------- q68
   // MEDIAN/PERCENTILE_CONT over a two-table join with a mixed aggregate
   // list and HAVING — the shapes the r04 regex planner bailed on (its
@@ -481,5 +516,5 @@ object EngineOps {
   }
 
   def defs: Seq[Q] = Seq(q54, q55, q56, q57, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68, q70, q72)
+    q65, q66, q67, q68, q70, q71, q72)
 }

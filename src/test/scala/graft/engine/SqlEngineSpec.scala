@@ -916,6 +916,50 @@ class SqlEngineSpec extends AnyFunSuite {
     } finally engine.setResultFormat(ResultFormat.Table)
   }
 
+  test("GROUPS in uncorrelated expression subqueries auto-lifts (r06)") {
+    engine.setResultFormat(ResultFormat.Json)
+    try {
+      // scalar subquery: the body resolves standalone, so it lifts
+      // (peer group {4,4} -> rolling sum 8; LIMIT 1 makes it scalar)
+      assert(engine.executeSql(
+        """SELECT v FROM VALUES (5), (9) t(v)
+          |WHERE v > (SELECT sum(x) OVER (ORDER BY x GROUPS CURRENT ROW)
+          |           FROM VALUES (4), (4) u(x) ORDER BY 1 LIMIT 1)
+          |ORDER BY v""".stripMargin) ==
+        """[{"v":9}]""")
+      // IN subquery: the IN-set is {2} (both rows share one peer group)
+      assert(engine.executeSql(
+        """SELECT v FROM VALUES (1), (2), (4) t(v)
+          |WHERE v IN (SELECT count(*) OVER (ORDER BY x GROUPS CURRENT ROW)
+          |            FROM VALUES (7), (7) u(x))
+          |ORDER BY v""".stripMargin) ==
+        """[{"v":2}]""")
+      // EXISTS subquery
+      assert(engine.executeSql(
+        """SELECT v FROM VALUES (3) t(v)
+          |WHERE EXISTS (
+          |  SELECT sum(x) OVER (ORDER BY x GROUPS CURRENT ROW)
+          |  FROM VALUES (9) u(x))""".stripMargin) ==
+        """[{"v":3}]""")
+      // comma-separated FROM derived table (ADVICE r05: the '(' follows
+      // ',' not FROM/JOIN — same non-correlation guarantee)
+      assert(engine.executeSql(
+        """SELECT a.k, d.s FROM VALUES (1) a(k), (
+          |  SELECT x, sum(x) OVER (ORDER BY x GROUPS CURRENT ROW) AS s
+          |  FROM VALUES (4), (4) t(x)) d
+          |ORDER BY d.s""".stripMargin) ==
+        """[{"k":1,"s":8},{"k":1,"s":8}]""")
+      // a CORRELATED subquery cannot lift: the documented error stays
+      val e = intercept[UnsupportedOperationException] {
+        engine.executeSql(
+          """SELECT v FROM VALUES (1) t(v)
+            |WHERE EXISTS (SELECT sum(x) OVER (ORDER BY x GROUPS CURRENT ROW)
+            |              FROM VALUES (1) u(x) WHERE u.x = t.v)""".stripMargin)
+      }
+      assert(e.getMessage.contains("CORRELATED"), e.getMessage)
+    } finally engine.setResultFormat(ResultFormat.Table)
+  }
+
   test("alias rewriting never fires inside string literals or comments") {
     // r04 review: the raw replaceAll turned 'call me today (noon)' into
     // 'call me current_date(noon)' — alias matches now come off the
