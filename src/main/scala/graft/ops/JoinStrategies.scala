@@ -42,6 +42,17 @@ object JoinStrategies {
    * small side is exploded `salt` ways. Result equals a plain inner
    * join on `key`, but each (key, salt) sub-key carries ~1/salt of a
    * hot key's rows.
+   *
+   * Determinism note (VERDICT r05): `rand(seed)` derives its stream from
+   * the PARTITION index, so a row's salt is stable only per partition
+   * attempt — a task retry or an upstream repartition can deal the same
+   * row a different salt. The JOIN RESULT is retry-idempotent anyway:
+   * the salt never filters, it only routes — every value in [0, salt)
+   * matches one exploded copy of the small side, so each big-side row
+   * joins its key's small-side rows exactly once under ANY salt
+   * assignment (spec-pinned under repartitioning). Do not reuse `__salt`
+   * downstream as a stable key; for reproducible partition assignment
+   * use `Sampling.shuffleKey`-style content hashing instead.
    */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salt: Int): DataFrame = {

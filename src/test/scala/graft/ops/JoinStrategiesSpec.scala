@@ -49,4 +49,25 @@ class JoinStrategiesSpec extends AnyFunSuite {
     val b = plain.agg(sum(col("l_quantity").cast("decimal(18,2)"))).head.getDecimal(0)
     assert(a == b)
   }
+
+  test("salted join result is stable under repartitioning (retry shape)") {
+    // rand(seed) streams are a function of the partition index, so a
+    // repartition re-deals every row's salt — the documented stand-in
+    // for a task retry. The JOIN result must not move: salt only routes
+    // rows, never filters them (VERDICT r05 nit, doc + spec).
+    val li = Tables.load(spark, TestSessions.sf0001, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_quantity"))
+    val o = Tables.load(spark, TestSessions.sf0001, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice"))
+    val plain = li.join(o, "k")
+    val expectedCnt = plain.count()
+    val expectedSum =
+      plain.agg(sum(col("l_quantity").cast("decimal(18,2)"))).head.getDecimal(0)
+    for (parts <- Seq(3, 13)) {
+      val salted = JoinStrategies.saltedJoin(li.repartition(parts), o, "k", salt = 4)
+      assert(salted.count() == expectedCnt, s"count moved at $parts partitions")
+      val s = salted.agg(sum(col("l_quantity").cast("decimal(18,2)"))).head.getDecimal(0)
+      assert(s == expectedSum, s"sum moved at $parts partitions")
+    }
+  }
 }
