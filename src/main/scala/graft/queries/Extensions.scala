@@ -39,9 +39,62 @@ object Extensions {
       minJaccard = 0.7)
   }
 
+  // ---------------------------------------------------------------- x02b
+  // Hard-pass companion to x02 (VERDICT r05 next #7): the LSH pair SET
+  // itself gets a full DuckDB oracle. The hashed-trigram jaccard equals
+  // the string-trigram jaccard absent an xxhash64 collision inside one
+  // pair's union (the x04 equivalence), and the exact-verification step
+  // inside minhashLsh means the output is exactly {pairs: J >= 0.7 that
+  // banding surfaced}. Banding recall is a deterministic function of
+  // the fixed hash seeds — the fixture's planted near-dups sit at
+  // J >= 0.9 where a 16-band miss is ~4e-8 — so the full pair set is a
+  // stable, hash-checkable row (oracle derives it as ALL pairs with
+  // J >= 0.7; a banding miss would fail this row loudly).
+  val x02b = Q.df(
+    "x02b_minhash_pairs",
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM documents),
+      |g AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(w) >= 3
+      |         THEN [concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in generate_series(1, len(w)-2)]
+      |         ELSE [array_to_string(w, ' ')] END) AS g
+      |  FROM w)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.g, b.g))), 9) AS jaccard
+      |FROM g a JOIN g b ON b.doc_id > a.doc_id
+      |WHERE jaccard >= 0.7
+      |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    Dedup.minhashLsh(Tables.load(spark, dir, "documents"), numPerm = 64,
+      bands = 16, minJaccard = 0.7)
+  }
+
   // ---------------------------------------------------------------- x03
   val x03 = Q.dfOnly("x03_dedup_simhash") { (spark, dir) =>
     Dedup.simhash(Tables.load(spark, dir, "documents"), maxHamming = 3)
+  }
+
+  // ---------------------------------------------------------------- x03b
+  // Hard-pass companion to x03: EXACT duplicates planted BY THE QUERY
+  // (three documents unioned back with shifted ids). Identical text
+  // hashes to the identical SimHash, so every planted twin pair MUST
+  // surface with hamming 0 — a deterministic, scale-independent
+  // invariant of the operator (DuckDB cannot replicate xxhash64, but it
+  // can state which twin pairs exist). A SimHash regression that stops
+  // pairing exact duplicates fails this row loudly.
+  val x03b = Q.df(
+    "x03b_simhash_planted",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_a,
+      |  CAST(doc_id + 100000 AS BIGINT) AS doc_b, CAST(0 AS INT) AS hamming
+      |FROM documents WHERE doc_id IN (1, 2, 3) ORDER BY doc_a""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val planted = docs.filter(col("doc_id").isin(1, 2, 3))
+      .withColumn("doc_id", col("doc_id") + lit(100000L))
+    Dedup.simhash(docs.unionByName(planted), maxHamming = 3)
+      .filter(col("doc_b") === col("doc_a") + 100000L)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("doc_a"))
   }
 
   // ---------------------------------------------------------------- x04
@@ -127,6 +180,30 @@ object Extensions {
     Similarity.lshTopK(
       e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
       k = 3, tables = 8, bits = 6)
+  }
+
+  // ---------------------------------------------------------------- x07b
+  // Hard-pass companion to x07: each query's EXACT twin is planted into
+  // the candidate corpus (same vector, shifted id). An identical vector
+  // lands in the identical RHP bucket in EVERY hash table, so the twin
+  // is always a candidate, and cosine 1.0 beats every real candidate
+  // (max ~0.4 in this fixture; two distinct queries are never identical)
+  // — so the twin MUST be rank 1. Deterministic and scale-independent;
+  // `sim` is excluded (1.0 up to sqrt rounding — rank pins the claim).
+  val x07b = Q.df(
+    "x07b_ann_lsh_planted",
+    """SELECT CAST(vec_id AS BIGINT) AS qid,
+      |  CAST(vec_id + 100000 AS BIGINT) AS cid, CAST(1 AS INT) AS rank
+      |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val queries = e.filter(col("vec_id") < 5)
+    val planted = queries.withColumn("vec_id", col("vec_id") + lit(100000L))
+    Similarity.lshTopK(
+        e.filter(col("vec_id") >= 5).unionByName(planted), queries,
+        k = 3, tables = 8, bits = 6)
+      .filter(col("cid") === col("qid") + 100000L)
+      .select(col("qid"), col("cid"), col("rank").cast("int").as("rank"))
+      .orderBy(col("qid"))
   }
 
   // ---------------------------------------------------------------- x08
@@ -522,6 +599,6 @@ object Extensions {
       .orderBy("doc_id")
   }
 
-  def defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22)
+  def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
+    x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22)
 }
