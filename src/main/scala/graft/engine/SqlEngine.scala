@@ -143,6 +143,13 @@ class SqlEngine(val spark: SparkSession) {
     // GROUPS, generate_series) compose with the bounded plan;
     // non-matching shapes fall through to the normal path, never an
     // error.
+    // SURFACE CONTRACT (ADVICE r05): planning a matching percentile
+    // statement may run a small Spark job HERE, at executeStatement
+    // time, before the returned DataFrame is ever acted on — the
+    // adaptive mode probe collects group cardinality + range boundaries
+    // (grouping/value columns only, memoized per plan shape, and
+    // skipped entirely when catalog/CBO statistics answer the
+    // cardinality question and pick the default mode, r06).
     val df = PercentilePlanner.tryPlan(spark, rewritten)
       .getOrElse(spark.sql(rewritten))
     // hive-style partition discovery parity: the reference's listing

@@ -163,8 +163,12 @@ object Functions {
   // approx_count_distinct (HyperLogLog). Sketch VALUES are engine-
   // specific, so the oracle row pins what IS portable (VERDICT r04 next
   // #4): the exact distinct count plus a bounded-error boolean — each
-  // engine's own sketch must land within 5% of the same exact count.
-  // Both sketches are deterministic per dataset, so the row hash-matches.
+  // engine's own sketch must land within the bound of the same exact
+  // count. Both sketches are deterministic per dataset, so the row
+  // hash-matches. The bound is 3x Spark's default rsd (0.05 = 1 sigma;
+  // ADVICE r05: a 1-sigma bound is statistically EXPECTED to fail on a
+  // meaningful fraction of datasets — 0.15 makes it an actual
+  // guarantee; DuckDB's HLL error is far smaller still).
   // Scale: HLL is the right tool at 100 TB (constant memory per group vs
   // the exact distinct's per-key shuffle).
   val q40 = Q.df(
@@ -172,7 +176,7 @@ object Functions {
     """SELECT l_returnflag,
       |  count(DISTINCT l_partkey) AS exact_parts,
       |  abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
-      |    / count(DISTINCT l_partkey) < 0.05 AS within_bound
+      |    / count(DISTINCT l_partkey) < 0.15 AS within_bound
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
     Tables.load(spark, dir, "lineitem")
       .groupBy("l_returnflag")
@@ -180,7 +184,7 @@ object Functions {
         countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_partkey")).as("approx_raw"))
       .select(col("l_returnflag"), col("exact_parts"),
-        (abs(col("approx_raw") - col("exact_parts")) / col("exact_parts") < 0.05)
+        (abs(col("approx_raw") - col("exact_parts")) / col("exact_parts") < 0.15)
           .as("within_bound"))
       .orderBy("l_returnflag")
   }
