@@ -521,6 +521,31 @@ object Extensions {
       checkpointDir = Some(ckptDir("x15", dir)))
   }
 
+  // ---------------------------------------------------------------- x15b
+  // Hard-pass companion to x15 (same design as x07b): each query's EXACT
+  // twin is planted into the corpus. The twin's assigned cell is the
+  // argmin-distance centroid FOR THE QUERY'S OWN VECTOR — by definition
+  // the query's #1 nearest centroid — so any nprobe >= 1 probes it, the
+  // twin is always a candidate, and cosine 1.0 outranks every real
+  // candidate. Lloyd centroids float-drift across shuffle orders, but
+  // the invariant is drift-proof: it holds for WHATEVER centroids come
+  // out. With this row, every rows-only query has a hard companion.
+  val x15b = Q.df(
+    "x15b_ann_ivf_planted",
+    """SELECT CAST(vec_id AS BIGINT) AS qid,
+      |  CAST(vec_id + 100000 AS BIGINT) AS cid, CAST(1 AS INT) AS rank
+      |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val queries = e.filter(col("vec_id") < 5)
+    val planted = queries.withColumn("vec_id", col("vec_id") + lit(100000L))
+    Similarity.ivfTopK(
+        e.filter(col("vec_id") >= 5).unionByName(planted), queries,
+        k = 5, nlist = 16, nprobe = 4, iters = 2)
+      .filter(col("cid") === col("qid") + 100000L)
+      .select(col("qid"), col("cid"), col("rank").cast("int").as("rank"))
+      .orderBy(col("qid"))
+  }
+
   // ---------------------------------------------------------------- x21
   // Bucketed fact-to-fact join (VERDICT r04 next #6): both sides are
   // written bucketed+sorted on the join key, so the join itself runs
@@ -600,5 +625,6 @@ object Extensions {
   }
 
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
-    x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22)
+    x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
+    x21, x22)
 }

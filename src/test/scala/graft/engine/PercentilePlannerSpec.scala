@@ -171,6 +171,18 @@ class PercentilePlannerSpec extends AnyFunSuite {
     } }
   }
 
+  test("ROLLUP + ridden residuals: riders aggregate the Expand output correctly") {
+    withTables {
+      // the melt runs OVER the Expand, so each grouping set's rider sees
+      // exactly its expanded rows — same semantics as the buffered plan
+      assertScalePlan(
+        """SELECT l_returnflag, MEDIAN(l_quantity) AS m, SUM(l_quantity) AS s,
+          |  COUNT(*) AS n
+          |FROM lineitem GROUP BY ROLLUP(l_returnflag)
+          |ORDER BY l_returnflag NULLS FIRST""".stripMargin)
+    }
+  }
+
   test("global empty input: ridden count-like aggregates answer their defaults") {
     withTables {
       val q =

@@ -949,6 +949,15 @@ class SqlEngineSpec extends AnyFunSuite {
           |  FROM VALUES (4), (4) t(x)) d
           |ORDER BY d.s""".stripMargin) ==
         """[{"k":1,"s":8},{"k":1,"s":8}]""")
+      // inside the main statement of an enclosing WITH: the generated
+      // CTE merges into the existing list (same path as the FROM lift)
+      assert(engine.executeSql(
+        """WITH base AS (SELECT * FROM VALUES (1), (2), (4) t(v))
+          |SELECT v FROM base
+          |WHERE v IN (SELECT count(*) OVER (ORDER BY x GROUPS CURRENT ROW)
+          |            FROM VALUES (7), (7) u(x))
+          |ORDER BY v""".stripMargin) ==
+        """[{"v":2}]""")
       // a CORRELATED subquery cannot lift: the documented error stays
       val e = intercept[UnsupportedOperationException] {
         engine.executeSql(
