@@ -409,25 +409,31 @@ object Percentiles {
     // cell sizes: a cheap partial-aggregated count per cell (tiny result)
     val cells = bucketed.groupBy(pKey.map(col): _*)
       .agg(count(lit(1)).as("__pct_cc"), count(col("__pct_v")).as("__pct_ccn"))
+    // per-cell prefix-sum offsets AND per-(group, column) non-null
+    // totals come out of ONE window stage over the tiny cells table —
+    // both windows partition by cKey, so one exchange serves both, the
+    // cells subtree has exactly one consumer (r06; the r05 shape
+    // derived totals from a second aggregation of cells, which
+    // re-instantiated the whole melt — a third execution of the scan,
+    // and of any JOIN feeding it, per query), and the lift needs ONE
+    // join instead of two.
     val wOff = Window.partitionBy(p.cKey.map(col): _*).orderBy(col("__pct_b"))
-    val offsets = cells
+    val wTot = Window.partitionBy(p.cKey.map(col): _*)
+    val lifted = cells
       .withColumn("__pct_off", sum("__pct_cc").over(wOff) - col("__pct_cc"))
-      .select((pKey :+ "__pct_off").map(col): _*)
-    val totals = cells.groupBy(p.cKey.map(col): _*)
-      .agg(sum("__pct_ccn").as("__pct_n")) // non-null count
-    // both joins are left unhinted: AQE broadcasts the offset/total
-    // tables while they are small and falls back to shuffle joins for
-    // high-cardinality group keys; the big side is already hash-
-    // partitioned by pKey from the local-rank window, so the offsets
-    // join adds no exchange on it either way.
+      .withColumn("__pct_n", sum("__pct_ccn").over(wTot)) // non-null count
+      .select((pKey :+ "__pct_off" :+ "__pct_n").map(col): _*)
+    // the join is left unhinted: AQE broadcasts the lifted table while
+    // it is small and falls back to a shuffle join for high-cardinality
+    // group keys; the big side is already hash-partitioned by pKey from
+    // the local-rank window, so the join adds no exchange on it either
+    // way.
     // null-safe (<=>) join keys: group columns can hold NULL, and a
     // plain equi-join would silently drop those groups (equality never
     // matches null); Spark still plans <=> as a hash-joinable equi key
-    nullSafeJoin(
-      nullSafeJoin(local, offsets, pKey)
-        .withColumn("__pct_cum", col("__pct_lr") + col("__pct_off"))
-        .withColumn("__pct_cnt", lit(1L)),
-      totals, p.cKey)
+    nullSafeJoin(local, lifted, pKey)
+      .withColumn("__pct_cum", col("__pct_lr") + col("__pct_off"))
+      .withColumn("__pct_cnt", lit(1L))
   }
 
   private def nullSafeJoin(left: DataFrame, right: DataFrame,
