@@ -115,8 +115,9 @@ class PercentilePlannerSpec extends AnyFunSuite {
 
   /** Run `f` with shuffle partitions pinned so the adaptive dispatch
     * takes the DEFAULT sort mode (range mode deliberately re-instantiates
-    * its lineage-pure bucketed subtree — its scan count is 3 by design,
-    * audited r05). Single-scan asserts are meaningful in default mode. */
+    * its lineage-pure bucketed subtree — its scan count is 2 by design:
+    * the local-rank window and the cells aggregation each execute the
+    * melt). Single-scan asserts are meaningful in default mode. */
   private def withSlices[A](n: Int)(f: => A): A = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
