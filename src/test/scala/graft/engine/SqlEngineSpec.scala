@@ -958,6 +958,29 @@ class SqlEngineSpec extends AnyFunSuite {
           |            FROM VALUES (7), (7) u(x))
           |ORDER BY v""".stripMargin) ==
         """[{"v":2}]""")
+      // scalar subquery in the SELECT list wrapping a derived table:
+      // the innermost derived table lifts via the FROM path, the outer
+      // scalar evaluates against the lifted CTE
+      assert(engine.executeSql(
+        """SELECT v, (SELECT max(s) FROM (
+          |  SELECT sum(x) OVER (ORDER BY x GROUPS CURRENT ROW) AS s
+          |  FROM VALUES (2), (2) u(x))) AS ms
+          |FROM VALUES (1) t(v)""".stripMargin) ==
+        """[{"v":1,"ms":4}]""")
+      // scalar subquery inside a CASE branch (before-word THEN)
+      assert(engine.executeSql(
+        """SELECT CASE WHEN 1 = 1 THEN (
+          |  SELECT count(*) OVER (ORDER BY x GROUPS CURRENT ROW)
+          |  FROM VALUES (3) u(x)) ELSE 0 END AS c""".stripMargin) ==
+        """[{"c":1}]""")
+      // parenthesized FIRST set-op branch: the lift intercepts before
+      // the branch splitter since r06 — same result either way
+      assert(engine.executeSql(
+        """(SELECT x, sum(x) OVER (ORDER BY x GROUPS CURRENT ROW) AS s
+          |FROM VALUES (1), (1) t(x))
+          |UNION ALL SELECT x, CAST(99 AS BIGINT) FROM VALUES (5) u(x)
+          |ORDER BY s""".stripMargin) ==
+        """[{"x":1,"s":2},{"x":1,"s":2},{"x":5,"s":99}]""")
       // a CORRELATED subquery cannot lift: the documented error stays
       val e = intercept[UnsupportedOperationException] {
         engine.executeSql(
