@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHashExprs
+
+/**
+ * Benchmark decontamination: flag training documents that share word-trigram
+ * shingles with a (small) evaluation/benchmark corpus, so they can be dropped
+ * or down-weighted before training. This is the n-gram-overlap check every
+ * large-scale pipeline runs against its eval sets; the reference engine has
+ * no such operator (it is an extension, like the rest of `graft.ops`).
+ *
+ * 100 TB shape:
+ *  - the eval side is aggregated to a DISTINCT shingle-hash set and
+ *    **broadcast** — eval benchmarks are tiny relative to the corpus (at most
+ *    millions of n-grams = a few MB of 8-byte hashes), so the corpus never
+ *    shuffles for the join;
+ *  - the training side is a map-side `explode` of per-row shingle hashes
+ *    (one `TokenTrigramHashes` eval per row — the expression feeds the
+ *    Generate directly, nothing references it twice) followed by the
+ *    broadcast inner join, so only MATCHING (doc, shingle) rows ever reach
+ *    the aggregation shuffle: post-join volume is proportional to actual
+ *    contamination, not corpus size;
+ *  - shingles ride as xxhash64 hashes (8 bytes, tight-loop expression), the
+ *    same representation the dedup operators use; a false hit needs an
+ *    xxhash64 collision between one doc's trigrams and the eval set
+ *    (~2^-64 per pair), which the DuckDB string-shingle oracle would flag.
+ */
+object Decontamination {
+
+  /** Per-document count of distinct word-trigram shingles shared with
+    * `eval`'s text. Returns `(doc_id, n_hit)` for documents with at least
+    * `minHits` overlapping shingles, ordered by `doc_id`. Per-doc shingle
+    * arrays are already distinct (`TokenTrigramHashes` dedups), so the
+    * post-join count is a distinct-overlap count without a `COUNT
+    * (DISTINCT)`. */
+  def overlapHits(train: DataFrame, eval: DataFrame, idCol: Column,
+      textCol: Column, minHits: Int = 1): DataFrame = {
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    val spark = train.sparkSession
+    val evalGrams = eval
+      .select(explode(TextHashExprs.tokenTrigramHashes(spark, textCol)).as("t"))
+      .distinct()
+    train
+      .select(idCol.as("doc_id"),
+        explode(TextHashExprs.tokenTrigramHashes(spark, textCol)).as("t"))
+      .join(broadcast(evalGrams), "t")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") >= minHits)
+      .orderBy(col("doc_id"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, JoinStrategies, Multimodal, Sampling, Similarity, TextAnalysis, Text}
+import graft.ops.{Decontamination, Dedup, JoinStrategies, Multimodal, Redaction, Sampling, Similarity, TextAnalysis, Text}
 import graft.tables.Tables
 
 /**
@@ -624,7 +624,75 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- x23
+  // Benchmark decontamination with a full DuckDB oracle: the "eval set"
+  // is carved from the corpus in-query (doc_id % 50 = 0 — deterministic,
+  // no fixture change), every other doc reports how many distinct word
+  // trigrams it shares with it. Spark rides hashed shingles (the x04
+  // equivalence: counts match the string-shingle oracle absent an
+  // xxhash64 collision inside one doc∪eval gram set); the eval side is
+  // broadcast so the corpus never shuffles for the join.
+  val x23 = Q.df(
+    "x23_decontamination",
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM documents),
+      |g AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(w) >= 3
+      |         THEN [concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in generate_series(1, len(w)-2)]
+      |         ELSE [array_to_string(w, ' ')] END) AS g
+      |  FROM w),
+      |e AS (SELECT list_distinct(flatten(list(g))) AS eg FROM g WHERE doc_id % 50 = 0)
+      |SELECT doc_id,
+      |  CAST(len(list_intersect(g, eg)) AS BIGINT) AS n_hit
+      |FROM g, e
+      |WHERE doc_id % 50 <> 0 AND len(list_intersect(g, eg)) > 0
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    Decontamination.overlapHits(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      col("doc_id"), col("text"))
+  }
+
+  // ---------------------------------------------------------------- x24
+  // PII redaction with a full DuckDB oracle. The corpus has no PII, so
+  // the query PLANTS it deterministically (the planted-twin pattern):
+  // every 7th doc gains an e-mail, every 11th a phone number, built from
+  // doc_id so both engines synthesize identical text. The oracle runs
+  // the IDENTICAL pattern text (Java-regex/RE2-common syntax) with
+  // DuckDB's 'g' flag matching Spark's replace-all default; identity on
+  // clean rows is pinned because all 500 rows round-trip.
+  val x24 = Q.df(
+    "x24_pii_redaction",
+    s"""WITH p AS (SELECT doc_id, text
+      |    || CASE WHEN doc_id % 7 = 0
+      |            THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 0
+      |            THEN ' call +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' today'
+      |            ELSE '' END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '${Redaction.EmailPattern}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '${Redaction.PhonePattern}')) AS BIGINT) AS n_phones,
+      |  regexp_replace(regexp_replace(text, '${Redaction.EmailPattern}', '<EMAIL>', 'g'),
+      |                 '${Redaction.PhonePattern}', '<PHONE>', 'g') AS clean
+      |FROM p ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val planted = Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call +1-555-"),
+            (lit(1000L) + col("doc_id") % 9000L).cast("string"),
+            lit(" today"))).otherwise(lit(""))).as("text"))
+    Redaction.redactPii(planted, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
-    x21, x22)
+    x21, x22, x23, x24)
 }

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSessions
+
+class DecontaminationSpec extends AnyFunSuite {
+  private lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("overlapHits counts distinct shared trigrams; disjoint docs drop out") {
+    val eval = docs(900L -> "the quick brown fox jumps over the lazy dog")
+    val train = docs(
+      // shares 'the quick brown', 'quick brown fox' (2 hits)
+      1L -> "see the quick brown fox run",
+      // exact copy: every eval trigram hits (7 distinct trigrams)
+      2L -> "the quick brown fox jumps over the lazy dog",
+      // disjoint vocabulary: no hits, absent from output
+      3L -> "alpha beta gamma delta epsilon")
+    val got = Decontamination.overlapHits(train, eval, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 7L))
+  }
+
+  test("minHits filters below-threshold documents") {
+    val eval = docs(900L -> "a b c d e")
+    val train = docs(1L -> "x y a b c", 2L -> "a b c d q")
+    val got = Decontamination.overlapHits(train, eval, col("doc_id"), col("text"),
+      minHits = 2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares only 'a b c' (1 hit) -> filtered; doc 2 shares 'a b c',
+    // 'b c d' (2 hits) -> kept
+    assert(got == Map(2L -> 2L))
+  }
+
+  test("short documents (<3 tokens) match via the whole-text shingle") {
+    val eval = docs(900L -> "hi there")
+    val train = docs(1L -> "hi there", 2L -> "hi")
+    val got = Decontamination.overlapHits(train, eval, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L))
+  }
+
+  test("plan: eval side broadcasts; no sort-merge join of the corpus") {
+    val eval = docs(900L -> "the quick brown fox jumps over it")
+    val train = docs(1L -> "the quick brown fox runs")
+    val df = Decontamination.overlapHits(train, eval, col("doc_id"), col("text"))
+    df.collect() // let AQE finalize the join strategy
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast join, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not sort-merge against the eval set:\n$plan")
+  }
+}
