@@ -114,4 +114,28 @@ object TextAnalysis {
         round(col("dup_fivegram_count").cast("double") /
           greatest(col("n_fivegrams"), lit(1)), 9).as("dup_fivegram_frac"))
       .orderBy(col("doc_id"))
+
+  /** Corpus vocabulary statistics: the `k` tokens appearing in the most
+    * documents, as `(token, df, doc_frac)` ordered by `(df DESC, token)`
+    * — the input to data-driven stopword lists, document-frequency
+    * quality filters, and tokenizer-training corpus profiling.
+    *
+    * 100 TB shape: per-doc DISTINCT tokens explode map-side, the
+    * document-frequency count is a partial→final hash aggregate (the
+    * map-side combine collapses each partition to its vocabulary before
+    * the shuffle, so shuffle volume is Σ per-partition vocab, not token
+    * instances), and the ordered `limit` plans as TakeOrderedAndProject —
+    * per-partition top-k heaps, never a global sort. The corpus-size
+    * denominator rides in as a broadcast one-row aggregate. */
+  def documentFrequency(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val n = docs.agg(count(lit(1)).as("n"))
+    docs.select(explode(array_distinct(Text.tokens(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("token"), col("df"),
+        round(col("df").cast("double") / col("n"), 9).as("doc_frac"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(k)
+  }
 }

@@ -692,7 +692,27 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- x25
+  // Corpus vocabulary / document-frequency profile with a full DuckDB
+  // oracle: top-50 tokens by the number of documents containing them.
+  // The (df DESC, token) tie-break is a total order, so the LIMIT set is
+  // deterministic in both engines; the Spark plan's top-k is a
+  // TakeOrderedAndProject (per-partition heaps), never a global sort.
+  val x25 = Q.df(
+    "x25_document_frequency",
+    """WITH w AS (SELECT doc_id,
+      |    list_distinct(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS w
+      |  FROM documents),
+      |t AS (SELECT doc_id, unnest(w) AS token FROM w),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT token, CAST(count(*) AS BIGINT) AS df,
+      |  ROUND(CAST(count(*) AS DOUBLE) / (SELECT n FROM n), 9) AS doc_frac
+      |FROM t GROUP BY token
+      |ORDER BY df DESC, token LIMIT 50""".stripMargin) { (spark, dir) =>
+    TextAnalysis.documentFrequency(Tables.load(spark, dir, "documents"), k = 50)
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
-    x21, x22, x23, x24)
+    x21, x22, x23, x24, x25)
 }

@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSessions
+
+class DocumentFrequencySpec extends AnyFunSuite {
+  private lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat"),
+    (2L, "the cat ran and ran and ran"), // 'ran' repeats: df counts docs, not tokens
+    (3L, "the dog sat"),
+    (4L, "")).toDF("doc_id", "text")
+
+  test("df counts documents (per-doc distinct), ordered df desc then token") {
+    val got = TextAnalysis.documentFrequency(docs, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      ("the", 3L, 0.75), ("cat", 2L, 0.5), ("sat", 2L, 0.5),
+      ("and", 1L, 0.25), ("dog", 1L, 0.25), ("ran", 1L, 0.25)))
+  }
+
+  test("k truncates after the total-order sort") {
+    val got = TextAnalysis.documentFrequency(docs, k = 2)
+      .collect().map(_.getString(0))
+    assert(got.toSeq == Seq("the", "cat"))
+  }
+
+  test("plan: top-k heaps (TakeOrderedAndProject), no global Sort") {
+    val df = TextAnalysis.documentFrequency(docs, k = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k:\n$plan")
+  }
+}
