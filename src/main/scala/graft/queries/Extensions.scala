@@ -712,7 +712,37 @@ object Extensions {
     TextAnalysis.documentFrequency(Tables.load(spark, dir, "documents"), k = 50)
   }
 
+  // ---------------------------------------------------------------- x26
+  // Structured Streaming through the oracle gate: the events table is
+  // staged (ns→µs ts) to a file-stream source, replayed through
+  // `EventStream.windowedCounts` into a memory sink, and the drained
+  // result must hash-match DuckDB's batch windowed aggregation. Complete
+  // output mode because a BOUNDED replay must emit every window to be
+  // batch-comparable — in Append mode the windows inside the final
+  // watermark horizon stay open forever (that production semantics is
+  // pinned by EventStreamSpec instead); window×type state is bounded.
+  // Spark's window() and DuckDB's time_bucket both align 5-minute
+  // buckets on multiples of 300 s from their epochs (1970/2000 — both
+  // multiples of 300 s apart), so the bucket edges coincide.
+  val x26 = Q.df(
+    "x26_stream_windowed_counts",
+    """SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val staged = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_x26_stage").toString
+    Tables.load(spark, dir, "events").coalesce(2)
+      .write.mode("overwrite").parquet(staged)
+    val q = graft.streaming.EventStream.runToMemory(
+      graft.streaming.EventStream.windowedCounts(
+        graft.streaming.EventStream.readEvents(spark, staged)),
+      "x26_sink", org.apache.spark.sql.streaming.OutputMode.Complete)
+    q.stop()
+    spark.table("x26_sink").orderBy("win_start", "event_type")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
-    x21, x22, x23, x24, x25)
+    x21, x22, x23, x24, x25, x26)
 }

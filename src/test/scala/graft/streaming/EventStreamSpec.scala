@@ -115,4 +115,13 @@ class EventStreamSpec extends AnyFunSuite {
       assert(rows == Seq((1L, 1L, 10.0), (1L, 2L, 3.0), (2L, 1L, 5.0)))
     } finally q.stop()
   }
+
+  test("x26 oracle row is re-runnable in one session (bench min-of-two)") {
+    // the memory-sink query name and the fixed staging dir must both be
+    // reusable after stop(), or the second bench sample would throw
+    val q = graft.queries.Extensions.x26
+    val a = q.run(spark, TestSessions.sf0001).count()
+    val b = q.run(spark, TestSessions.sf0001).count()
+    assert(a == b && a > 0)
+  }
 }
