@@ -421,6 +421,95 @@ object TextHashExprs {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** Symmetric integer quantization audit for a numeric vector: one pass
+    * finds max|v|, a second derives scale = max|v| / levels, qᵢ =
+    * floor(vᵢ/scale + 0.5) (round-half-up — `floor(x+0.5)` is the same
+    * double op in the JVM and DuckDB, unlike `round` whose half-even/
+    * half-away conventions diverge), Σqᵢ, and max|vᵢ − qᵢ·scale|. Emits
+    * struct(scale, q_sum, max_abs_err); the op layer (`graft.ops
+    * .Quantization`) consumes it through the one-eval `inline` barrier.
+    * All-zero vectors quantize to all-zero codes (scale 0 ⇒ q ≡ 0, err 0);
+    * empty or null-element vectors yield null. No clamp: |vᵢ/scale| ≤
+    * levels by construction and fp division error is ≪ the 0.5 rounding
+    * margin, so codes never exceed ±levels. Every accumulation is
+    * order-insensitive (max, Σ of exact small integers in doubles), so the
+    * result is bit-identical across partitionings AND engines — that is
+    * what makes the x29 oracle a hard hash compare. */
+  case class QuantStats(child: Expression, levels: Int)
+      extends UnaryExpression {
+    import org.apache.spark.sql.catalyst.InternalRow
+    override def dataType: DataType = QuantStatsSchema.schema
+    override def nullable: Boolean = true
+    override def checkInputDataTypes() = checkPrimitiveVectorInput("quant_stats", child)
+    @transient private lazy val rd = elemReader(child.dataType)
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (n == 0) return null
+      var mx = 0.0
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i)) return null
+        val ax = math.abs(rd(a, i)); if (ax > mx) mx = ax
+        i += 1
+      }
+      val scale = mx / levels
+      var qsum = 0L; var err = 0.0
+      i = 0
+      while (i < n) {
+        val x = rd(a, i)
+        val q = if (scale == 0.0) 0.0 else math.floor(x / scale + 0.5)
+        qsum += q.toLong
+        val e = math.abs(x - q * scale); if (e > err) err = e
+        i += 1
+      }
+      InternalRow(scale, qsum, err)
+    }
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val mx = ctx.freshName("mx"); val scale = ctx.freshName("scale")
+        val qsum = ctx.freshName("qsum"); val err = ctx.freshName("err")
+        val x = ctx.freshName("x"); val q = ctx.freshName("q")
+        val e = ctx.freshName("e"); val bad = ctx.freshName("bad")
+        val rowCls = "org.apache.spark.sql.catalyst.expressions.GenericInternalRow"
+        s"""
+           |int $n = $a.numElements();
+           |boolean $bad = $n == 0;
+           |double $mx = 0.0;
+           |for (int $i = 0; $i < $n && !$bad; $i++) {
+           |  if ($a.isNullAt($i)) { $bad = true; break; }
+           |  double $x = java.lang.Math.abs(${elemJava(child.dataType, a, i)});
+           |  if ($x > $mx) $mx = $x;
+           |}
+           |double $scale = $mx / $levels;
+           |long $qsum = 0L; double $err = 0.0;
+           |if (!$bad) {
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $x = ${elemJava(child.dataType, a, i)};
+           |    double $q = $scale == 0.0 ? 0.0 : java.lang.Math.floor($x / $scale + 0.5);
+           |    $qsum += (long) $q;
+           |    double $e = java.lang.Math.abs($x - $q * $scale);
+           |    if ($e > $err) $err = $e;
+           |  }
+           |}
+           |${ev.isNull} = $bad;
+           |${ev.value} = new $rowCls(new Object[]{$scale, $qsum, $err});
+         """.stripMargin
+      })
+    }
+    override def prettyName: String = "quant_stats"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  object QuantStatsSchema {
+    val schema: StructType = StructType(Seq(
+      StructField("scale", DoubleType, nullable = false),
+      StructField("q_sum", LongType, nullable = false),
+      StructField("max_abs_err", DoubleType, nullable = false)))
+  }
+
   /** nprobe nearest centroid ids (ascending L2 distance) for a float
     * vector. The centroid matrix rides as a foldable nested-array literal
     * decoded once per executor — inlining it as 1000+ Literal nodes makes
@@ -814,6 +903,8 @@ object TextHashExprs {
       { case Seq(x) => TextMetrics(x) }, "built-in")
     reg.createOrReplaceTempFunction("repetition_metrics",
       { case Seq(x) => RepetitionMetrics(x) }, "built-in")
+    reg.createOrReplaceTempFunction("quant_stats",
+      { case Seq(x, Literal(l: Int, IntegerType)) => QuantStats(x, l) }, "built-in")
   }
 
   def tokenTrigramHashes(spark: SparkSession, text: Column): Column = {
@@ -866,6 +957,12 @@ object TextHashExprs {
   def repetitionMetrics(spark: SparkSession, text: Column): Column = {
     ensureRegistered(spark)
     call_function("repetition_metrics", text)
+  }
+
+  def quantStats(spark: SparkSession, v: Column, levels: Int): Column = {
+    ensureRegistered(spark)
+    call_function("quant_stats", v,
+      org.apache.spark.sql.functions.lit(levels))
   }
 
   def nearestCentroids(spark: SparkSession, vec: Column,

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.TextHashExprs
 
@@ -137,5 +138,41 @@ object TextAnalysis {
         round(col("df").cast("double") / col("n"), 9).as("doc_frac"))
       .orderBy(col("df").desc, col("token"))
       .limit(k)
+  }
+
+  /** Unigram-LM surprisal: per-doc mean negative log-likelihood under the
+    * corpus's own unigram distribution — the classic cheap "perplexity"
+    * quality filter (docs far from the corpus distribution score high).
+    * Emits (doc_id, n_toks, avg_nll) for docs with ≥1 token.
+    *
+    * 100 TB shape: the corpus is reduced to per-doc (token, tf) rows
+    * FIRST (one groupBy collapses repeated tokens, so the LM join carries
+    * per-doc vocabulary, not the token instance stream), the unigram
+    * table derives from those same rows with a map-side-combining
+    * aggregate, and the corpus-total denominator broadcasts as one row.
+    * The token-keyed LM join is the honest shuffle; at real vocabulary
+    * sizes it cannot broadcast. Two passes over the tokenized corpus are
+    * inherent to "score the corpus under its own LM" — lineage-pure by
+    * repo convention (persist `docTf` upstream if the tokenize is the
+    * dominant cost).
+    *
+    * Determinism: per-(doc,token) surprisal terms are rounded to 9 digits
+    * and accumulated in DECIMAL(28,9) — partition/summation-order
+    * independent in both engines (the x28 oracle hash-compares). */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val docTf = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val unigrams = docTf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+    val total = unigrams.agg(sum(col("cnt")).as("total"))
+    docTf.join(unigrams, "token")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_toks"),
+        round(sum(round(col("tf") * log(col("total").cast("double") / col("cnt")), 9)
+            .cast(DecimalType(28, 9))).cast("double") / sum(col("tf")), 9)
+          .as("avg_nll"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Decontamination, Dedup, JoinStrategies, Multimodal, Redaction, Sampling, Similarity, TextAnalysis, Text}
+import graft.ops.{Decontamination, Dedup, JoinStrategies, Multimodal, Quantization, Redaction, Relevance, Sampling, Similarity, TextAnalysis, Text}
 import graft.tables.Tables
 
 /**
@@ -742,7 +742,83 @@ object Extensions {
     spark.table("x26_sink").orderBy("win_start", "event_type")
   }
 
+  // ---------------------------------------------------------------- x27
+  // BM25 relevance against a fixed query-term set, full DuckDB oracle.
+  // Determinism: per-term scores round to 9 digits then accumulate in
+  // DECIMAL(28,9) (summation-order independent); the oracle spells the
+  // constants as the SAME IEEE ops Spark folds (`1.2 + 1`, `1 - 0.75` —
+  // a pre-folded 2.2 literal is one ulp off 1.2+1); rounded-score ties
+  // break on doc_id so the LIMIT set is a total order in both engines.
+  val x27 = Q.df(
+    "x27_bm25_scoring",
+    """WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM documents),
+      |d AS (SELECT doc_id, len(w) AS dl, w FROM toks),
+      |stats AS (SELECT count(*) AS n,
+      |    CAST(SUM(len(w)) AS DOUBLE) / count(*) AS avgdl FROM toks),
+      |m AS (SELECT doc_id, dl,
+      |    unnest(list_filter(w, x -> list_contains(['spark','vector','stream'], x))) AS token
+      |  FROM d),
+      |tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM m GROUP BY 1, 2, 3),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+      |SELECT tf.doc_id,
+      |  ROUND(CAST(SUM(CAST(ROUND(
+      |    (ln(1 + ((SELECT n FROM stats) - df.df + 0.5) / (df.df + 0.5)) *
+      |      (tf.tf * (1.2 + 1))) /
+      |      (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * tf.dl / (SELECT avgdl FROM stats)))
+      |  , 9) AS DECIMAL(28,9))) AS DOUBLE), 9) AS bm25
+      |FROM tf JOIN df USING (token)
+      |GROUP BY tf.doc_id
+      |ORDER BY bm25 DESC, doc_id LIMIT 100""".stripMargin) { (spark, dir) =>
+    Relevance.bm25(Tables.load(spark, dir, "documents"),
+      terms = Seq("spark", "vector", "stream"), k = 100)
+  }
+
+  // ---------------------------------------------------------------- x28
+  // Unigram-LM surprisal quality score, full DuckDB oracle. The corpus
+  // collapses to per-doc (token, tf) before the LM join (per-doc vocab,
+  // not token instances, crosses the shuffle); surprisal terms use the
+  // same round-then-DECIMAL accumulation as x27.
+  val x28 = Q.df(
+    "x28_unigram_surprisal",
+    """WITH t AS (SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS token
+      |  FROM documents),
+      |dt AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+      |c AS (SELECT token, SUM(tf) AS cnt FROM dt GROUP BY 1),
+      |tot AS (SELECT SUM(cnt) AS total FROM c)
+      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_toks,
+      |  ROUND(CAST(SUM(CAST(ROUND(tf * ln(CAST(total AS DOUBLE) / cnt), 9)
+      |    AS DECIMAL(28,9))) AS DOUBLE) / SUM(tf), 9) AS avg_nll
+      |FROM dt JOIN c USING (token) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    TextAnalysis.unigramSurprisal(Tables.load(spark, dir, "documents"))
+  }
+
+  // ---------------------------------------------------------------- x29
+  // Symmetric int8 quantization audit over the embedding column, full
+  // DuckDB oracle: scale, integer-code checksum, and max reconstruction
+  // error per vector. Every accumulation is order-insensitive (max / Σ of
+  // exact integers) and both engines run the identical IEEE double ops
+  // (float→double widening, division, floor(x+0.5)) — the oracle is a
+  // hard hash compare, not a tolerance check.
+  val x29 = Q.df(
+    "x29_int8_quantization",
+    """WITH v AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |    list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM v)
+      |SELECT vec_id, ROUND(scale, 9) AS scale,
+      |  CAST(CASE WHEN scale = 0 THEN 0
+      |    ELSE list_sum(list_transform(v, x -> floor(x / scale + 0.5))) END AS BIGINT) AS q_sum,
+      |  ROUND(CASE WHEN scale = 0 THEN 0.0
+      |    ELSE list_max(list_transform(v, x -> abs(x - floor(x / scale + 0.5) * scale))) END, 9) AS max_abs_err
+      |FROM s ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    Quantization.int8Stats(Tables.load(spark, dir, "embeddings"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
-    x21, x22, x23, x24, x25, x26)
+    x21, x22, x23, x24, x25, x26, x27, x28, x29)
 }
