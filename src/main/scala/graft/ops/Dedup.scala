@@ -151,6 +151,59 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /**
+   * Incremental (cross-corpus) dedup: the rows of `batch` that have no
+   * duplicate in `corpus` — exact text match or MinHash near-dup at
+   * `minJaccard`. This is THE ingestion shape at 100 TB: an existing
+   * deduplicated corpus, and each new crawl batch screened against it
+   * without re-clustering anything.
+   *
+   * Scale design:
+   *  - exact duplicates leave first on an 8-byte `xxhash64(text)`
+   *    anti-join (they never reach the signature stage);
+   *  - the corpus signature tables are the durable INDEX artifact: with
+   *    `checkpointDir` they are built once and reused across batches
+   *    (fingerprint-validated parquet, same machinery as `dedupCorpus`),
+   *    so a steady-state ingest prices only the batch's own signatures;
+   *  - candidates come from a banded band-key equi-join between batch
+   *    and corpus — cost follows actual cross-corpus signature
+   *    collisions, never |batch| × |corpus| — and are verified with
+   *    exact Jaccard over the shingle sets before anything is dropped.
+   */
+  def dedupAgainst(batch: DataFrame, corpus: DataFrame, numPerm: Int = 64,
+      bands: Int = 16, minJaccard: Double = 0.7,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val corpusHashes = corpus.select(xxhash64(col("text")).as("__xd_h")).distinct()
+    val fresh = batch.join(corpusHashes,
+      xxhash64(col("text")) === col("__xd_h"), "left_anti")
+    val (cPre, cSig) = checkpointDir match {
+      case Some(dir) =>
+        val fp = Artifacts.fingerprint(corpus, s"xdedup-v1|numPerm=$numPerm")
+        val pre = Artifacts.parquetCheckpoint(spark, s"$dir/pre", fp)(shingled(corpus))
+        (pre, Artifacts.parquetCheckpoint(spark, s"$dir/sig", fp)(signed(pre, numPerm)))
+      case None =>
+        // same lazy-localCheckpoint materialization/durability trade as
+        // minhashLsh above: one signature pass, no storage residue
+        val pre = shingled(corpus).localCheckpoint(eager = false)
+        (pre, signed(pre, numPerm).localCheckpoint(eager = false))
+    }
+    val bPre = shingled(fresh).localCheckpoint(eager = false)
+    val bSig = signed(bPre, numPerm).localCheckpoint(eager = false)
+    def banded(sig: DataFrame, idAs: String) = sig.select(col("doc_id").as(idAs),
+      posexplode(bandKeys(col("sig"), numPerm, bands)).as(Seq("band_id", "band_key")))
+    val cand = banded(bSig, "b_id").join(banded(cSig, "c_id"), Seq("band_id", "band_key"))
+      .select(col("b_id"), col("c_id")).distinct()
+    val dupped = cand
+      .join(bPre.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
+      .join(cPre.select(col("doc_id").as("c_id"), col("sh").as("sh_c")), "c_id")
+      .filter(Text.jaccard(col("sh_b"), col("sh_c")) >= minJaccard)
+      .select(col("b_id").as("doc_id")).distinct()
+    fresh.join(dupped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("keep_id"))
+      .orderBy(col("keep_id"))
+  }
+
   /** Per-doc 64-bit SimHash signatures (doc_id, simhash). Each token
     * votes ±1 on every bit of its hash; the sign of the vote total
     * becomes the bit. One tight-loop Expression eval per row

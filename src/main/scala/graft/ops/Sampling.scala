@@ -115,6 +115,62 @@ object Sampling {
     * `seed` per epoch for fresh orders with zero RNG state. */
   def shuffleKey(key: Column, seed: Int = 42): Column = bucketHex(key, seed)
 
+  /** In-plan form of `hexThreshold` for a rate computed inside the query
+    * (no driver round-trip): the same floor(f·2³² + 0.5) with the same
+    * 2³²−1 clamp, rendered as 8 lowercase hex chars. floor(x+0.5) rather
+    * than round() so every engine with md5/hex/floor derives the
+    * identical threshold (round()'s half-even vs half-away conventions
+    * diverge across engines; floor doesn't). */
+  private def hexThresholdCol(rate: Column): Column =
+    lpad(lower(hex(least(floor(rate * lit(4294967296.0) + lit(0.5)),
+      lit(4294967295.0)).cast("long"))), 8, "0")
+
+  /**
+   * Domain-mixture sampling to a weight budget — the data-mixing step of
+   * a training pipeline ("sample each source so the kept corpus hits
+   * these proportions under this total token budget"). Each domain `d`
+   * in `targets` keeps the deterministic fraction
+   * `rate_d = min(1, targets(d) · budget / Σ weight over d)` of its
+   * rows, selected by the same portable md5 bucket as
+   * `deterministicSplit` — so the sample is stable under re-runs,
+   * repartitioning, and cluster layout, and any engine with md5 can
+   * reproduce the exact row set. Domains absent from `targets` (and
+   * null domains) are dropped — that is the mixture contract: only the
+   * listed sources participate. Rows gain a `keep_rate` column (the
+   * domain's rate, rounded to 9 digits) for auditability.
+   *
+   * Scale shape: the per-domain totals are one map-side-combining
+   * aggregate whose result is |domains| rows; rates derive in-plan and
+   * broadcast back onto the corpus, so the main pass is a broadcast
+   * join + codegen'd filter — the corpus itself never shuffles and
+   * nothing corpus-sized reaches the driver. Sampling by row weight
+   * (not row count) means heavy documents and light documents are
+   * kept at the same RATE; the realized weight share per domain
+   * converges to the target by uniformity of the hash bucket.
+   */
+  def mixtureSample(df: DataFrame, domain: Column, weight: Column,
+      targets: Map[String, Double], budget: Double, key: Column,
+      seed: Int = 42): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.values.forall(_ > 0.0), "target shares must be positive")
+    require(budget > 0.0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    val targetRows = spark.createDataFrame(targets.toSeq.sortBy(_._1))
+      .toDF("__mix_domain", "__mix_share")
+    val totals = df.groupBy(domain.as("__mix_domain"))
+      .agg(sum(weight).as("__mix_total"))
+    val rates = totals.join(targetRows, "__mix_domain")
+      .select(col("__mix_domain"),
+        least(lit(1.0), col("__mix_share") * lit(budget) /
+          col("__mix_total").cast("double")).as("__mix_rate"))
+    val hex = bucketHex(key, seed)
+    df.join(broadcast(rates), domain === col("__mix_domain"))
+      .filter(col("__mix_rate") >= lit(1.0) ||
+        hex < hexThresholdCol(col("__mix_rate")))
+      .withColumn("keep_rate", round(col("__mix_rate"), 9))
+      .drop("__mix_domain", "__mix_rate")
+  }
+
   /** Keeps a per-stratum fraction of rows (stratum → rate; strata absent
     * from `rates` keep `defaultRate`). Rates >= 1 keep everything. */
   def stratifiedSample(df: DataFrame, strata: Column, rates: Map[String, Double],

@@ -818,7 +818,79 @@ object Extensions {
     Quantization.int8Stats(Tables.load(spark, dir, "embeddings"))
   }
 
+  // ---------------------------------------------------------------- x30
+  // Incremental (cross-corpus) dedup with a full DuckDB oracle: batch =
+  // every 5th doc, corpus = the rest; survivors are batch docs with no
+  // exact-text match and no trigram-Jaccard >= 0.7 partner in the corpus.
+  // Oracle soundness rides the x02b equivalences: hashed-trigram jaccard
+  // == string-trigram jaccard absent an xxhash64 collision inside one
+  // pair's union, the in-operator exact verification bounds drops to
+  // true J >= 0.7 partners, and x30's cross-side pairs are a SUBSET of
+  // the x02b pair set, so any banding miss would already fail x02b.
+  val x30 = Q.df(
+    "x30_cross_corpus_dedup",
+    """WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      |c AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+      |wb AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w FROM b),
+      |wc AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w FROM c),
+      |gb AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(w) >= 3
+      |         THEN [concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in generate_series(1, len(w)-2)]
+      |         ELSE [array_to_string(w, ' ')] END) AS g FROM wb),
+      |gc AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(w) >= 3
+      |         THEN [concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in generate_series(1, len(w)-2)]
+      |         ELSE [array_to_string(w, ' ')] END) AS g FROM wc),
+      |ex AS (SELECT DISTINCT b.doc_id FROM b JOIN c ON b.text = c.text),
+      |near AS (SELECT DISTINCT a.doc_id FROM gb a JOIN gc o
+      |  ON CAST(len(list_intersect(a.g, o.g)) AS DOUBLE)
+      |     / len(list_distinct(list_concat(a.g, o.g))) >= 0.7)
+      |SELECT doc_id AS keep_id FROM b
+      |WHERE doc_id NOT IN (SELECT doc_id FROM ex)
+      |  AND doc_id NOT IN (SELECT doc_id FROM near)
+      |ORDER BY keep_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    Dedup.dedupAgainst(
+      batch = docs.filter(col("doc_id") % 5 === 0),
+      corpus = docs.filter(col("doc_id") % 5 =!= 0),
+      numPerm = 64, bands = 16, minJaccard = 0.7)
+  }
+
+  // ---------------------------------------------------------------- x31
+  // Domain-mixture sampling to a char budget, full DuckDB oracle. The
+  // rate math runs in doubles on both sides (DuckDB decimal literals are
+  // CAST to DOUBLE), and the hex threshold is the same floor(r*2^32+0.5)
+  // both engines render as 8 lowercase hex chars — so the kept row SET
+  // and the keep_rate column hash-compare exactly. src4's share is sized
+  // to push its rate past 1 and pin the clamp (all src4 rows kept).
+  val x31 = Q.df(
+    "x31_mixture_sample",
+    """WITH tot AS (SELECT source, SUM(n_chars) AS total FROM documents GROUP BY 1),
+      |r AS (SELECT source, LEAST(CAST(1.0 AS DOUBLE),
+      |    CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+      |                WHEN 'src1' THEN CAST(0.25 AS DOUBLE)
+      |                WHEN 'src2' THEN CAST(0.15 AS DOUBLE)
+      |                WHEN 'src3' THEN CAST(0.1 AS DOUBLE)
+      |                WHEN 'src4' THEN CAST(0.8 AS DOUBLE) END
+      |      * CAST(12000 AS DOUBLE) / CAST(total AS DOUBLE)) AS rate
+      |  FROM tot WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4'))
+      |SELECT d.doc_id, d.source, d.n_chars, ROUND(r.rate, 9) AS keep_rate
+      |FROM documents d JOIN r USING (source)
+      |WHERE r.rate >= 1.0
+      |   OR substring(md5('k' || CAST(d.doc_id AS VARCHAR) || ':7'), 1, 8)
+      |      < printf('%08x', CAST(LEAST(floor(r.rate * 4294967296.0 + 0.5),
+      |                                  CAST(4294967295.0 AS DOUBLE)) AS BIGINT))
+      |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    Sampling.mixtureSample(Tables.load(spark, dir, "documents"),
+        domain = col("source"), weight = col("n_chars"),
+        targets = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.15,
+          "src3" -> 0.1, "src4" -> 0.8),
+        budget = 12000.0, key = col("doc_id"), seed = 7)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("keep_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
-    x21, x22, x23, x24, x25, x26, x27, x28, x29)
+    x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31)
 }
