@@ -140,6 +140,39 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Cross-document duplicated n-gram audit — the memorization-risk /
+    * boilerplate signal over a corpus: for each doc, how much of its
+    * (distinct) word-trigram set also appears in at least `minDocs`−1
+    * OTHER documents. Docs dominated by cross-doc repeated spans are
+    * templated/boilerplate (or duplicated training text that exact
+    * dedup missed below the document level). Emits
+    * (doc_id, n_grams, dup_grams, dup_frac) ordered by doc_id.
+    *
+    * 100 TB shape: grams travel as 8-byte xxhash64 values (the same
+    * tight-loop trigram kernel the dedup family uses), already
+    * DISTINCT per doc, so the document-frequency aggregate and the
+    * gram-keyed join back carry per-doc gram VOCABULARY — bounded by
+    * text size, never quadratic, with map-side partial aggregation on
+    * the df pass. Like `unigramSurprisal`, scoring a corpus against
+    * its own statistics is inherently two passes over the gram stream
+    * — lineage-pure by repo convention; persist the gram frame
+    * upstream if tokenization dominates. */
+  def duplicatedNgrams(docs: DataFrame, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val grams = docs.select(col("doc_id"),
+      explode(TextHashExprs.tokenTrigramHashes(docs.sparkSession, col("text"))).as("gh"))
+    // rows are (doc, gram) with grams distinct per doc, so count(1) per
+    // gram IS its document frequency
+    val gramDf = grams.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    grams.join(gramDf, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("dup_grams"))
+      .withColumn("dup_frac",
+        round(col("dup_grams").cast("double") / col("n_grams"), 9))
+      .orderBy(col("doc_id"))
+  }
+
   /** Unigram-LM surprisal: per-doc mean negative log-likelihood under the
     * corpus's own unigram distribution — the classic cheap "perplexity"
     * quality filter (docs far from the corpus distribution score high).

@@ -890,7 +890,34 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- x32
+  // Cross-document duplicated-trigram audit, full DuckDB oracle. The
+  // oracle works on string trigram sets, the engine on the hashed sets
+  // (the x04 equivalence: the distinct-set sizes and per-gram document
+  // frequencies agree absent an xxhash64 collision in the corpus gram
+  // population). Counts are exact integers; dup_frac is one rounded
+  // division — hash-compare safe.
+  val x32 = Q.df(
+    "x32_dup_ngram_audit",
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM documents),
+      |g AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(w) >= 3
+      |         THEN [concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in generate_series(1, len(w)-2)]
+      |         ELSE [array_to_string(w, ' ')] END) AS g FROM w),
+      |e AS (SELECT doc_id, unnest(g) AS gram FROM g),
+      |f AS (SELECT gram, count(*) AS df FROM e GROUP BY 1)
+      |SELECT e.doc_id, count(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+      |  ROUND(CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / count(*), 9) AS dup_frac
+      |FROM e JOIN f USING (gram)
+      |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin) { (spark, dir) =>
+    TextAnalysis.duplicatedNgrams(Tables.load(spark, dir, "documents"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
-    x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31)
+    x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32)
 }

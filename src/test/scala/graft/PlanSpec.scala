@@ -137,6 +137,33 @@ class PlanSpec extends AnyFunSuite {
       "Bucketed: true".r.findAllIn(p).size == 2, s"scan not bucketed:\n$p")
   }
 
+  test("x31: mixture sampling broadcasts the rates; the corpus pass never shuffles") {
+    val df = graft.ops.Sampling.mixtureSample(
+      spark.read.parquet(TestSessions.sf001 + "/documents.parquet"),
+      org.apache.spark.sql.functions.col("source"),
+      org.apache.spark.sql.functions.col("n_chars"),
+      targets = Map("src0" -> 0.5, "src1" -> 0.3), budget = 5000.0,
+      key = org.apache.spark.sql.functions.col("doc_id"), seed = 7)
+    val p = df.queryExecution.executedPlan.toString
+    // rates reach the corpus via broadcast, and the only Exchange in the
+    // whole plan is the tiny per-domain totals aggregate — the corpus
+    // side is scan -> broadcast-join -> filter, shuffle-free
+    assert(p.contains("BroadcastHashJoin"), s"rates not broadcast:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"corpus-side shuffle appeared:\n$p")
+  }
+
+  test("x30: cross-corpus dedup joins on band keys, never a cartesian") {
+    val docs = spark.read.parquet(TestSessions.sf001 + "/documents.parquet")
+      .select("doc_id", "text")
+    val c = org.apache.spark.sql.functions.col("doc_id")
+    val df = graft.ops.Dedup.dedupAgainst(
+      docs.filter(c % 5 === 0), docs.filter(c % 5 =!= 0))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"all-pairs join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$p")
+  }
+
   test("q59: GROUPS emulation plans two window stages, no extra shuffle between them") {
     val df = graft.queries.EngineOps.q59.run(spark, TestSessions.sf001)
     val p = df.queryExecution.executedPlan.toString
