@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Budget-capped selection for training pipelines: keep documents in
+ * descending score order until a global weight budget (token count,
+ * char count, byte count) is exhausted — "take the best N tokens", the
+ * step after quality scoring and before packing.
+ *
+ * Scale: selection needs each row's GLOBAL rank-ordered running weight,
+ * and a naive `SUM OVER (ORDER BY score)` window is a single-partition
+ * corpus sort. Instead the score axis is cut into `buckets` contiguous
+ * ranges by a cheap approx-quantile probe (score column only; boundary
+ * placement shapes load balance, never results — the offsets lift is
+ * exact for ANY boundary list, the same contract as the range
+ * percentile mode), each bucket cumsum-s locally under the window's own
+ * hash exchange, and a `buckets`-row totals table lifts local sums to
+ * global ones — the same distributed prefix-sum shape as `Packing`,
+ * but over a DATA-DEPENDENT order instead of a hash order. Equal
+ * scores always land in one bucket (the bucket is a pure function of
+ * the score), so the cross-bucket order is strict and the (score desc,
+ * key) tiebreak stays total.
+ */
+object Selection {
+
+  /** Rows of `df` whose inclusive running weight — accumulated in
+    * (`score` desc, `key` asc) order — stays within `budget`, with the
+    * running weight exposed as `cum_weight`. Null scores order last
+    * (they are only taken if the budget survives every scored row);
+    * null/negative weights count 0. `key` must be unique per row for a
+    * total order. Deterministic: the kept set and every `cum_weight`
+    * are pure functions of the data, independent of partitioning and
+    * of where the probe places bucket boundaries. */
+  def budgetSelect(df: DataFrame, score: Column, key: Column,
+      weight: Column, budget: Long, buckets: Int = 256): DataFrame = {
+    require(budget >= 1, s"budget must be positive, got $budget")
+    require(buckets >= 1 && buckets <= 4096, s"buckets $buckets outside [1, 4096]")
+    val keyed = df
+      .withColumn("__bs_s", score.cast("double"))
+      .withColumn("__bs_w", greatest(coalesce(weight.cast("long"), lit(0L)), lit(0L)))
+    // probe: approx quantiles of the score column only (load balance,
+    // not correctness — see scaladoc above)
+    val qs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds: Array[Double] =
+      if (qs.isEmpty) Array.empty
+      else keyed.select(col("__bs_s")).na.drop("any")
+        .stat.approxQuantile("__bs_s", qs, 0.01).distinct.sorted
+    // bucket = number of boundaries <= v (binary-search CaseWhen tree:
+    // log2(b) codegen'd compares — the same literal-boundary shape as
+    // the range percentile mode); null scores get bucket -1 (ordered
+    // LAST under the descending bucket order below)
+    def search(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi + 1) / 2
+        when(col("__bs_s") >= lit(bounds(mid - 1)), search(mid, hi))
+          .otherwise(search(lo, mid - 1))
+      }
+    val bucket =
+      when(col("__bs_s").isNull, lit(-1))
+        .otherwise(if (bounds.isEmpty) lit(0) else search(0, bounds.length))
+    val bucketed = keyed.withColumn("__bs_b", bucket)
+    val wLocal = Window.partitionBy(col("__bs_b"))
+      .orderBy(col("__bs_s").desc_nulls_last, key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed.withColumn("__bs_cum", sum(col("__bs_w")).over(wLocal))
+    val totals = bucketed.groupBy(col("__bs_b")).agg(sum(col("__bs_w")).as("__bs_t"))
+    // <= buckets+1 rows: the single-partition window runs over the
+    // TOTALS table, never the corpus (descending bucket = selection order)
+    val wOff = Window.orderBy(col("__bs_b").desc)
+    val offsets = totals
+      .withColumn("__bs_off", sum(col("__bs_t")).over(wOff) - col("__bs_t"))
+      .select(col("__bs_b"), col("__bs_off"))
+    local.join(offsets, "__bs_b") // AQE broadcasts the tiny side
+      .withColumn("cum_weight", col("__bs_cum") + col("__bs_off"))
+      .filter(col("cum_weight") <= budget)
+      .drop("__bs_b", "__bs_s", "__bs_w", "__bs_cum", "__bs_off")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Decontamination, Dedup, JoinStrategies, Multimodal, Quantization, Redaction, Relevance, Sampling, Similarity, TextAnalysis, Text}
+import graft.ops.{Decontamination, Dedup, JoinStrategies, Multimodal, Quantization, Redaction, Relevance, Sampling, Selection, Similarity, TextAnalysis, Text}
 import graft.tables.Tables
 
 /**
@@ -917,7 +917,35 @@ object Extensions {
     TextAnalysis.duplicatedNgrams(Tables.load(spark, dir, "documents"))
   }
 
+  // ---------------------------------------------------------------- x33
+  // Budget-capped selection ("take the best docs until the char budget
+  // fills"), full DuckDB oracle: the oracle states the semantics as ONE
+  // global ordered window; the engine computes the identical running
+  // weights with the bucketed distributed prefix sum (boundary placement
+  // cannot affect results — pinned by SelectionSpec's bucket-count
+  // invariance row). The synthetic score (doc_id*37 % 101) is dense in
+  // ties, stressing the (score desc, doc_id) total-order tiebreak.
+  // Every value is an exact integer or an exact small double — hard
+  // hash compare.
+  val x33 = Q.df(
+    "x33_budget_select",
+    """WITH s AS (SELECT doc_id, n_chars,
+      |    CAST((doc_id * 37) % 101 AS DOUBLE) AS score FROM documents),
+      |c AS (SELECT doc_id, score, n_chars,
+      |    SUM(n_chars) OVER (ORDER BY score DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_weight
+      |  FROM s)
+      |SELECT doc_id, score, n_chars, cum_weight FROM c
+      |WHERE cum_weight <= 60000 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val scored = Tables.load(spark, dir, "documents")
+      .withColumn("score", ((col("doc_id") * 37) % 101).cast("double"))
+    Selection.budgetSelect(scored, col("score"), col("doc_id"),
+        col("n_chars"), budget = 60000L)
+      .select(col("doc_id"), col("score"), col("n_chars"), col("cum_weight"))
+      .orderBy(col("doc_id"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
-    x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32)
+    x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33)
 }

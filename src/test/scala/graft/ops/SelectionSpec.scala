@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSessions
+
+class SelectionSpec extends AnyFunSuite {
+  private lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  // (id, score, w): selection order is score desc then id asc
+  private val rows = Seq(
+    (1L, 5.0, 10L), (2L, 9.0, 20L), (3L, 9.0, 30L), (4L, 1.0, 40L),
+    (5L, 7.0, 25L)).toDF("id", "score", "w")
+
+  private def take(budget: Long, buckets: Int = 4) =
+    Selection.budgetSelect(rows, col("score"), col("id"), col("w"),
+        budget, buckets)
+      .select(col("id"), col("cum_weight")).as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+
+  test("selection follows (score desc, id) with exact running weights") {
+    // order: 2 (20), 3 (50), 5 (75), 1 (85), 4 (125)
+    assert(take(75) == Seq((2L, 20L), (3L, 50L), (5L, 75L)))
+    assert(take(84) == Seq((2L, 20L), (3L, 50L), (5L, 75L)))
+    assert(take(85) == Seq((1L, 85L), (2L, 20L), (3L, 50L), (5L, 75L)))
+  }
+
+  test("a budget below the first weight selects nothing; a huge one selects all") {
+    assert(take(19).isEmpty)
+    assert(take(1000000).map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("result is invariant to bucket count and repartitioning") {
+    val base = take(85, buckets = 1)
+    assert(take(85, buckets = 2) == base)
+    assert(take(85, buckets = 4) == base)
+    val shuffled = Selection.budgetSelect(rows.repartition(7), col("score"),
+        col("id"), col("w"), 85, 4)
+      .select(col("id"), col("cum_weight")).as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(shuffled == base)
+  }
+
+  test("null scores order last; null weights count zero") {
+    val withNulls = Seq(
+      (1L, Some(5.0), Some(10L)), (2L, None, Some(1L)),
+      (3L, Some(4.0), None)).toDF("id", "score", "w")
+    def sel(b: Long) = Selection.budgetSelect(withNulls, col("score"),
+        col("id"), col("w"), b, 2)
+      .select(col("id"), col("cum_weight")).as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    // order: 1 (10), 3 (10: null w = 0), 2 (11: null score last)
+    assert(sel(10) == Seq((1L, 10L), (3L, 10L)))
+    assert(sel(11) == Seq((1L, 10L), (2L, 11L), (3L, 10L)))
+  }
+
+  test("the corpus never passes through a single-partition window") {
+    val df = Selection.budgetSelect(rows, col("score"), col("id"), col("w"),
+      85, 4)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only empty-partition window is over the tiny totals table;
+    // the corpus window is hash-partitioned by bucket
+    assert(p.contains("Window"), s"plan:\n$p")
+    assert("Exchange hashpartitioning\\(__bs_b".r.findAllIn(p).nonEmpty,
+      s"bucketed corpus window missing:\n$p")
+  }
+
+  test("bad arguments are rejected") {
+    intercept[IllegalArgumentException](
+      Selection.budgetSelect(rows, col("score"), col("id"), col("w"), 0))
+    intercept[IllegalArgumentException](
+      Selection.budgetSelect(rows, col("score"), col("id"), col("w"), 10, 0))
+  }
+}
