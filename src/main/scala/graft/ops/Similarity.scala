@@ -87,6 +87,43 @@ object Similarity {
   }
 
   /**
+   * Hard-negative mining for contrastive/embedding training: for each
+   * query vector, the top-k most-similar corpus vectors whose `label`
+   * DIFFERS from the query's — the near-miss examples a metric-learning
+   * loss needs. Rows with a null label on either side are excluded
+   * (an unknown label cannot be a CONFIRMED negative). Ranking is
+   * deterministic: rounded similarity desc, then cid.
+   *
+   * This is the exact (brute-force) form — broadcast queries, one
+   * WSCG-fused dot product per (corpus row, query), per-query top-k
+   * heaps via the rank filter. At ANN scale compose with the IVF index
+   * instead: probe `ivfTopK` with an oversampled k and apply the same
+   * label filter — the standard retrieve-then-filter practice.
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    def side(df: DataFrame, p: String) = df.select(
+      col("vec_id").as(s"${p}id"), col("label").as(s"${p}label"),
+      col("embedding").as(s"${p}e"),
+      TextHashExprs.vecNorm(spark, col("embedding")).as(s"${p}n"))
+    val q = side(queries, "q")
+    val c = side(spread(corpus), "c")
+    val scored = c.join(broadcast(q),
+        col("clabel").isNotNull && col("qlabel").isNotNull &&
+        col("clabel") =!= col("qlabel"))
+      .select(col("qid"), col("cid"),
+        // same zero-norm nullif guard as bruteForceTopK
+        round(TextHashExprs.dotProd(spark, col("qe"), col("ce")) /
+          nullif(col("qn") * col("cn"), lit(0.0)), 9).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /**
    * IVF (inverted-file) ANN — the second scale path beside RHP-LSH:
    *
    *  1. learn `nlist` centroids with a few Lloyd iterations (seeded from

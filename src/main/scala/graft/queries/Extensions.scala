@@ -945,7 +945,35 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- x34
+  // Hard-negative mining (top-k nearest with a DIFFERENT label), full
+  // DuckDB oracle — the x06 brute-force shape plus the label-mismatch
+  // predicate and null-label exclusion. Same rounded-sim + cid tiebreak
+  // determinism.
+  val x34 = Q.df(
+    "x34_hard_negatives",
+    """WITH q AS (SELECT vec_id AS qid, label AS ql, embedding AS qe
+      |  FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS cid, label AS cl, embedding AS ce
+      |  FROM embeddings WHERE vec_id >= 5),
+      |s AS (SELECT qid, cid,
+      |    ROUND(
+      |      list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(generate_series(1, len(ce)), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))), 9) AS sim
+      |  FROM q CROSS JOIN c
+      |  WHERE ql IS NOT NULL AND cl IS NOT NULL AND ql <> cl)
+      |SELECT qid, cid, sim, CAST(rn AS INT) AS rank FROM (
+      |  SELECT qid, cid, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn FROM s)
+      |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+    Similarity.hardNegatives(
+        e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5), k = 5)
+      .select(col("qid"), col("cid"), col("sim"), col("rank").cast("int").as("rank"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
-    x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33)
+    x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34)
 }
