@@ -79,4 +79,22 @@ object Selection {
       .filter(col("cum_weight") <= budget)
       .drop("__bs_b", "__bs_s", "__bs_w", "__bs_cum", "__bs_off")
   }
+
+  /** Keep the best `n` rows of every group ("best 5 docs per domain" —
+    * the keep-best step of group-capped curation), exposing the rank as
+    * `rk`. `order` must be a total order within a group (include a
+    * unique tiebreak) for a deterministic kept set.
+    *
+    * Scale: the rank-filter shape is what Spark's WindowGroupLimit
+    * optimization targets — each map task keeps a per-group top-n heap
+    * BEFORE the exchange, so the shuffle carries at most n rows per
+    * (task, group) instead of the corpus, and the post-shuffle sort
+    * sees only survivors. PlanSpec pins the WindowGroupLimit node. */
+  def topPerGroup(df: DataFrame, group: Column, order: Seq[Column],
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    df.withColumn("rk",
+        row_number().over(Window.partitionBy(group).orderBy(order: _*)))
+      .filter(col("rk") <= n)
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Decontamination, Dedup, JoinStrategies, Multimodal, Quantization, Redaction, Relevance, Sampling, Selection, Similarity, TextAnalysis, Text}
+import graft.ops.{AsOf, Decontamination, Dedup, JoinStrategies, Multimodal, Quantization, Redaction, Relevance, Sampling, Selection, Sessions, Similarity, TextAnalysis, Text}
 import graft.tables.Tables
 
 /**
@@ -973,7 +973,88 @@ object Extensions {
       .select(col("qid"), col("cid"), col("sim"), col("rank").cast("int").as("rank"))
   }
 
+  // ---------------------------------------------------------------- x35
+  // Batch gap-based sessionization (6-hour gap), full DuckDB oracle
+  // stated as the standard lag→flag→running-sum window idiom; the
+  // engine runs the same semantics via `graft.ops.Sessions` (gap
+  // compared at microsecond precision — exactly what the interval
+  // comparison does at timestamp resolution). session_start/end are
+  // exact timestamps, total_value accumulates in DECIMAL: hard hash row.
+  val x35 = Q.df(
+    "x35_sessionization",
+    """WITH f AS (SELECT user_id, event_id, ts, value,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL '6' HOUR THEN 1 ELSE 0 END AS nb
+      |  FROM events),
+      |s AS (SELECT user_id, ts, value,
+      |    SUM(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+      |  FROM f)
+      |SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    Sessions.sessionize(Tables.load(spark, dir, "events"),
+        key = "user_id", ts = "ts", tiebreak = "event_id",
+        gapSeconds = 6 * 3600L, value = "value")
+      .orderBy("user_id", "sess_no")
+  }
+
+  // ---------------------------------------------------------------- x36
+  // Backward as-of join (click → latest prior-or-equal purchase of the
+  // same user), full DuckDB oracle via its native ASOF LEFT JOIN. The
+  // engine never runs a range join: `graft.ops.AsOf` union-tags both
+  // sides and carries the last purchase payload forward in ONE window
+  // over (user, ts). (user_id, ts) is duplicate-free in the fixtures,
+  // so the match — and the hash compare — is deterministic.
+  val x36 = Q.df(
+    "x36_asof_join",
+    """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+      |  p.event_id AS purchase_id, p.ts AS purchase_ts,
+      |  epoch_us(c.ts) - epoch_us(p.ts) AS lag_us
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY click_id""".stripMargin) { (spark, dir) =>
+    val events = Tables.load(spark, dir, "events")
+    val clicks = events.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    AsOf.joinAsOf(clicks, purchases, key = "user_id", ts = "ts")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"),
+        col("asof.event_id").as("purchase_id"),
+        col("asof.ts").as("purchase_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("asof.ts"))).as("lag_us"))
+      .orderBy("click_id")
+  }
+
+  // ---------------------------------------------------------------- x37
+  // Keep-best-n-per-group curation (top 5 docs per source by size),
+  // full DuckDB oracle. The point is the PLAN: the rank filter must
+  // trigger Spark's WindowGroupLimit so map tasks keep per-group heaps
+  // before the exchange (pinned in PlanSpec) — at 100 TB the shuffle
+  // carries ≤ n rows per (task, group), never the corpus.
+  val x37 = Q.df(
+    "x37_top_per_group",
+    """SELECT doc_id, source, n_chars, CAST(rk AS INT) AS rk FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 5 ORDER BY source, rk""".stripMargin) { (spark, dir) =>
+    Selection.topPerGroup(
+        Tables.load(spark, dir, "documents").select("doc_id", "source", "n_chars"),
+        group = col("source"),
+        order = Seq(col("n_chars").desc, col("doc_id")), n = 5)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("rk").cast("int").as("rk"))
+      .orderBy("source", "rk")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
-    x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34)
+    x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
+    x35, x36, x37)
 }

@@ -373,6 +373,19 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  // ---------------------------------------------------------------- q73
+  // Time-interval RANGE frame: a sliding 30-minute sum per user. RANGE
+  // pools same-timestamp peers, so no tiebreak is needed for
+  // determinism; the DECIMAL accumulation keeps the sum
+  // summation-order-independent. Same text parses on both engines
+  // (Spark calendar-interval frame bound / DuckDB interval RANGE).
+  val q73 = Q.sql(
+    "q73_time_range_frame",
+    """SELECT event_id, user_id, ts,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts
+      |    RANGE BETWEEN INTERVAL '30' MINUTE PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_30m
+      |FROM events ORDER BY event_id""".stripMargin)
+
   // ---------------------------------------------------------------- q20
   val q20 = Q.sql(
     "q20_sort_limit_offset",
@@ -522,5 +535,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q51, q69)
+    q31, q32, q33, q51, q69, q73)
 }

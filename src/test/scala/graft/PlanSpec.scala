@@ -174,4 +174,27 @@ class PlanSpec extends AnyFunSuite {
       .r.findAllIn(p).length
     assert(exchanges <= 1, s"window stages re-shuffled:\n$p")
   }
+
+  test("x37: rank filter triggers WindowGroupLimit (pre-shuffle per-group heaps)") {
+    val p = plan(graft.queries.Extensions.x37)
+    assert(p.contains("WindowGroupLimit"), s"top-n pushdown missing:\n$p")
+  }
+
+  test("x36: as-of join plans one window, never a range/nested-loop join") {
+    val p = plan(graft.queries.Extensions.x36)
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"range join appeared:\n$p")
+    assert(!p.contains("CartesianProduct"), s"range join appeared:\n$p")
+    assert("Exchange hashpartitioning\\(__k".r.findAllIn(p).length <= 1,
+      s"as-of union re-shuffled:\n$p")
+  }
+
+  test("x35: sessionization windows and the session aggregate share one key exchange") {
+    val p = plan(graft.queries.Extensions.x35)
+    // lag + running sum ride ONE (user_id, ts, event_id) sort; the
+    // session aggregate is partial->final so its exchange carries one
+    // row per (user, session)
+    assert(p.contains("HashAggregate"), s"plan:\n$p")
+    assert("Exchange hashpartitioning\\(user_id#\\d+L, 4\\)".r.findAllIn(p).length <= 1,
+      s"extra per-event exchange:\n$p")
+  }
 }

@@ -1,0 +1,64 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSessions
+
+class AsOfSpec extends AnyFunSuite {
+  private lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val left = Seq(
+    (1L, 10L, "2024-01-01 10:00:00"),
+    (1L, 11L, "2024-01-01 12:00:00"),
+    (2L, 20L, "2024-01-01 09:00:00"))
+    .map { case (k, id, t) => (k, id, ts(t)) }.toDF("user_id", "lid", "ts")
+
+  private val right = Seq(
+    (1L, 100L, "2024-01-01 09:30:00"),
+    (1L, 101L, "2024-01-01 12:00:00"), // equal ts to left lid=11
+    (2L, 200L, "2024-01-01 09:30:00")) // AFTER user 2's only left row
+    .map { case (k, id, t) => (k, id, ts(t)) }.toDF("user_id", "rid", "ts")
+
+  test("matches the latest right row at-or-before the left ts; none -> null") {
+    val out = AsOf.joinAsOf(left, right, key = "user_id", ts = "ts")
+      .select(col("lid"), col("asof.rid").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    // lid 10 -> rid 100 (09:30 <= 10:00); lid 11 -> rid 101 (equal ts
+    // matches, and it beats 100); user 2's purchase is in the future
+    assert(out == Map(10L -> Some(100L), 11L -> Some(101L), 20L -> None))
+  }
+
+  test("duplicate right (key, ts) resolves to the largest tiebreak") {
+    val dup = Seq(
+      (1L, 100L, "2024-01-01 09:00:00"),
+      (1L, 105L, "2024-01-01 09:00:00"),
+      (1L, 103L, "2024-01-01 09:00:00"))
+      .map { case (k, id, t) => (k, id, ts(t)) }.toDF("user_id", "rid", "ts")
+    val out = AsOf.joinAsOf(left.filter(col("lid") === 10), dup,
+        key = "user_id", ts = "ts", rightTiebreak = Some("rid"))
+      .select(col("asof.rid")).as[Long].collect().toSeq
+    assert(out == Seq(105L))
+  }
+
+  test("every left row and column survives the join unchanged") {
+    val out = AsOf.joinAsOf(left, right, key = "user_id", ts = "ts")
+    assert(out.count() == 3)
+    assert(out.columns.toSeq == Seq("user_id", "lid", "ts", "asof"))
+    assert(out.select("user_id", "lid", "ts").except(left).count() == 0)
+  }
+
+  test("result is stable under repartitioning") {
+    val a = AsOf.joinAsOf(left, right, key = "user_id", ts = "ts")
+      .select(col("lid"), col("asof.rid")).orderBy("lid").collect().toSeq
+    val b = AsOf.joinAsOf(left.repartition(5), right.repartition(3),
+        key = "user_id", ts = "ts")
+      .select(col("lid"), col("asof.rid")).orderBy("lid").collect().toSeq
+    assert(a == b)
+  }
+}

@@ -74,4 +74,18 @@ class SelectionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Selection.budgetSelect(rows, col("score"), col("id"), col("w"), 10, 0))
   }
+
+  test("topPerGroup keeps exactly the n best per group with ranks 1..n") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 5), ("a", 2L, 9), ("a", 3L, 9), ("a", 4L, 1),
+        ("b", 5L, 2)).toDF("g", "id", "s")
+    val out = Selection.topPerGroup(df, col("g"),
+        Seq(col("s").desc, col("id")), n = 2)
+      .select("g", "id", "rk").as[(String, Long, Int)]
+      .collect().toSet
+    // ties on s=9 break by id: 2 before 3; id=4 (worst) is dropped
+    assert(out == Set(("a", 2L, 1), ("a", 3L, 2), ("b", 5L, 1)))
+    intercept[IllegalArgumentException](
+      Selection.topPerGroup(df, col("g"), Seq(col("s")), 0))
+  }
 }
