@@ -16,13 +16,16 @@ import org.apache.spark.sql.functions._
  *    prunes columns into the scan, so downstream operators only pay for what
  *    they use. No caching/materialization here: at 100 TB the tables do not
  *    fit in memory and the scan must stream.
- *  - `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
- *    vectorized reader rejects. We read nanos as raw longs
- *    (`spark.sql.legacy.parquet.nanosAsLong`) and convert to microsecond
- *    timestamps with `timestamp_micros(ns / 1000)` — the same truncation
- *    DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP, keeping the
- *    oracle comparable. The conversion is a codegen'd expression, so the
- *    scan stays vectorized and distributed.
+ *  - `events.ts` has shipped in two fixture vintages: parquet
+ *    TIMESTAMP(NANOS) (pre-r06), which Spark's vectorized reader rejects —
+ *    read nanos as raw longs (`spark.sql.legacy.parquet.nanosAsLong`) and
+ *    convert with `timestamp_micros(ns / 1000)`, the same truncation DuckDB
+ *    applies casting TIMESTAMP_NS → TIMESTAMP — and plain TIMESTAMP(MICROS)
+ *    (r06 driver regen), which reads as TIMESTAMP_NTZ and is cast to a
+ *    session-tz instant (every graft session pins UTC, so the wall-clock
+ *    values match DuckDB's naive reads exactly). The branch keys on the
+ *    OBSERVED schema, so either vintage loads identically. Both conversions
+ *    are codegen'd expressions; the scan stays vectorized and distributed.
  */
 object Tables {
   val names: Seq[String] = Seq(
@@ -36,16 +39,28 @@ object Tables {
 
   /** Read one fixture table from `dir` (no view registration). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // TIMESTAMP(NANOS) parquet: read ns-as-long, truncate to micros.
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = if (name == "events") {
+      // TIMESTAMP(NANOS) vintage: read ns-as-long, truncate to micros.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/events.parquet")
-      // integer div: `/` on longs is fractional (double) and ns epochs
-      // exceed double's 2^53 exact range
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val r = spark.read.parquet(s"$dir/events.parquet")
+      val ts = r.schema("ts").dataType match {
+        // integer div: `/` on longs is fractional (double) and ns epochs
+        // exceed double's 2^53 exact range
+        case LongType => timestamp_micros(expr("ts div 1000"))
+        case _        => col("ts") // µs vintage: generic NTZ pass below
+      }
+      r.withColumn("ts", ts)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
+    }
+    // r06 fixture regen: timestamp columns became naive micros and read as
+    // TIMESTAMP_NTZ. Cast every NTZ column to a session-tz instant (all
+    // graft sessions pin UTC), keeping output schemas — and DuckDB
+    // wall-clock parity — identical to the judged TimestampType vintage.
+    raw.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(raw) {
+      (d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType))
     }
   }
 
