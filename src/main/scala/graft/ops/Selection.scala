@@ -80,6 +80,34 @@ object Selection {
       .drop("__bs_b", "__bs_s", "__bs_w", "__bs_cum", "__bs_off")
   }
 
+  /** Rows whose `value` falls outside the Tukey fences
+    * `[q1 - k·IQR, q3 + k·IQR]` of their group — the length/score
+    * outlier-trim step of corpus curation ("drop documents whose size is
+    * anomalous for their source"). Quartiles are EXACT, computed by the
+    * engine's rank-selection percentile machinery ([[Percentiles]] — the
+    * adaptive plan that never buffers a group's values and spreads giant
+    * groups over all reducers), so the fences are bit-for-bit
+    * reproducible against a `percentile_cont` oracle.
+    *
+    * Scale: the fences table is one row per group; the join back is left
+    * to AQE, which broadcasts it while it fits and falls back to a hash
+    * join for ultra-high-cardinality group domains — both correct, no
+    * driver-side collect either way. */
+  def iqrOutliers(df: DataFrame, group: String, value: String,
+      k: Double = 1.5): DataFrame = {
+    require(k >= 0, s"fence multiplier must be non-negative, got $k")
+    val bounds = Percentiles.exactAdaptive(df, Seq(group),
+      Seq(Percentiles.Spec(value, 0.25, "__iqr_q1"),
+        Percentiles.Spec(value, 0.75, "__iqr_q3")))
+    // fence expressions mirror the oracle's `q1 - k*(q3-q1)` shape so the
+    // double arithmetic rounds identically on both engines
+    val iqr = col("__iqr_q3") - col("__iqr_q1")
+    df.join(bounds, group)
+      .filter(col(value) < col("__iqr_q1") - lit(k) * iqr ||
+        col(value) > col("__iqr_q3") + lit(k) * iqr)
+      .drop("__iqr_q1", "__iqr_q3")
+  }
+
   /** Keep the best `n` rows of every group ("best 5 docs per domain" —
     * the keep-best step of group-capped curation), exposing the rank as
     * `rk`. `order` must be a total order within a group (include a

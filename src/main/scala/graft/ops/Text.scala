@@ -39,4 +39,43 @@ object Text {
     size(filter(toks, t => array_contains(set, t))).cast("double") /
       greatest(size(toks), lit(1)).cast("double")
   }
+
+  /** Number of context-window chunks [[chunkWindows]] yields for `text`:
+    * `1 + ceil(max(n_tokens - chunkTokens, 0) / stride)`. Computed
+    * arithmetically (no array build) so callers can project it beside the
+    * exploded chunks without evaluating the window transform twice. */
+  def chunkCount(text: Column, chunkTokens: Int, overlap: Int): Column = {
+    val stride = chunkTokens - overlap
+    val nt = size(split(text, " "))
+    // token counts are far below 2^53, so the double floor-div is exact
+    (floor((greatest(nt - chunkTokens, lit(0)) + (stride - 1))
+      .cast("double") / stride) + 1).cast("int")
+  }
+
+  /** Fixed-size context-window chunking with `overlap` tokens carried
+    * between consecutive windows — the layout step that turns documents
+    * into training-context rows. Tokens are WHITESPACE-split (casing and
+    * punctuation stay in the chunk, unlike [[tokens]]); a document
+    * shorter than `chunkTokens` yields exactly ONE chunk (possibly
+    * partial), so no text is ever dropped. Returns an array of structs
+    * `(chunk_idx, chunk, chunk_tokens)` — explode with `inline`, which is
+    * a Generate barrier, so the per-element transform runs once per row
+    * however many downstream expressions touch the result.
+    *
+    * Scale: a pure projection — no shuffle at any corpus size; fan-out is
+    * `~n_tokens / stride` rows per document and chunks stream out of the
+    * generator without materializing the corpus anywhere. */
+  def chunkWindows(text: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(0 <= overlap && overlap < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlap
+    val toks = split(text, " ")
+    transform(sequence(lit(0), chunkCount(text, chunkTokens, overlap) - 1), i =>
+      struct(
+        i.as("chunk_idx"),
+        array_join(slice(toks, i * stride + 1, lit(chunkTokens)), " ").as("chunk"),
+        least(lit(chunkTokens), size(toks) - i * stride).cast("int")
+          .as("chunk_tokens")))
+  }
 }

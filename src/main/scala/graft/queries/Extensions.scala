@@ -1053,8 +1053,61 @@ object Extensions {
       .orderBy("source", "rk")
   }
 
+  // ---------------------------------------------------------------- x38
+  // Context-window chunking (64-token windows, 16-token overlap → stride
+  // 48), full DuckDB oracle. Whitespace tokens on BOTH engines (Spark
+  // split / DuckDB string_split preserve empty tokens identically), list
+  // slices clamp identically, and a short doc yields exactly one chunk —
+  // so every (doc, chunk_idx, chunk text) cell hash-matches. The Spark
+  // side is a pure projection + one Generate (inline): no shuffle at any
+  // corpus size, and n_chunks is derived arithmetically so the window
+  // transform is evaluated exactly once per document.
+  val x38 = Q.df(
+    "x38_chunking",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |n AS (SELECT doc_id, toks,
+      |    CAST(1 + (greatest(len(toks) - 64, 0) + 47) // 48 AS INT) AS nch FROM t),
+      |x AS (SELECT doc_id, toks, nch,
+      |    CAST(unnest(range(0, nch)) AS INT) AS i FROM n)
+      |SELECT doc_id, i AS chunk_idx, nch AS n_chunks,
+      |  array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk,
+      |  CAST(len(toks[i*48+1 : i*48+64]) AS INT) AS chunk_tokens
+      |FROM x ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        Text.chunkCount(col("text"), 64, 16).as("n_chunks"),
+        inline(Text.chunkWindows(col("text"), 64, 16)))
+      .select("doc_id", "chunk_idx", "n_chunks", "chunk", "chunk_tokens")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  // ---------------------------------------------------------------- x39
+  // Per-source IQR outlier trim (Tukey fences over n_chars, k = 0.5 —
+  // aggressive enough that the sf0.01 fixture flags ~43 docs; k is a
+  // parameter of the op). Quartiles route through the engine's exact
+  // rank-selection percentile machinery, so the fences — and therefore
+  // the flagged SET — are bit-for-bit reproducible against DuckDB's
+  // percentile_cont; the output carries only exact-typed columns.
+  val x39 = Q.df(
+    "x39_iqr_outliers",
+    """WITH b AS (SELECT source,
+      |    percentile_cont(0.25) WITHIN GROUP (ORDER BY n_chars) AS q1,
+      |    percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars) AS q3
+      |  FROM documents GROUP BY source)
+      |SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+      |FROM documents d JOIN b USING (source)
+      |WHERE d.n_chars < b.q1 - 0.5*(b.q3 - b.q1)
+      |   OR d.n_chars > b.q3 + 0.5*(b.q3 - b.q1)
+      |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    Selection.iqrOutliers(
+        Tables.load(spark, dir, "documents").select("doc_id", "source", "n_chars"),
+        group = "source", value = "n_chars", k = 0.5)
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
-    x35, x36, x37)
+    x35, x36, x37, x38, x39)
 }

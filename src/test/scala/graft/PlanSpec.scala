@@ -80,6 +80,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p19.contains("PushedFilters") || p19.contains("Filter"), s"plan:\n$p19")
   }
 
+  test("x38: chunking is one Generate over a projection, shuffle-free") {
+    // context-window chunking must never shuffle the corpus: one inline
+    // Generate, no aggregate/join, and the only Exchange is the final
+    // presentation ORDER BY (rangepartitioning)
+    val p = plan(graft.queries.Extensions.x38)
+    assert(p.contains("Generate inline"), s"plan:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"plan:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"), s"plan:\n$p")
+  }
+
   test("q66: SQL MEDIAN/PERCENTILE_CONT plans the sort-based selection") {
     val p = plan(graft.queries.EngineOps.q66)
     assert(!p.contains("percentile") && !p.contains("Median"), s"plan:\n$p")

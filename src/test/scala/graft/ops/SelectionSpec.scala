@@ -27,6 +27,25 @@ class SelectionSpec extends AnyFunSuite {
     assert(take(85) == Seq((1L, 85L), (2L, 20L), (3L, 50L), (5L, 75L)))
   }
 
+  test("iqrOutliers flags exactly the rows outside the Tukey fences") {
+    // group g: 1..11 -> q1 = 3.5, q3 = 8.5, IQR = 5, fences [-4, 16];
+    // planted outliers 100 and -50 are the only rows flagged
+    val vals = ((1 to 11).map(_.toDouble) ++ Seq(100.0, -50.0))
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }.toDF("id", "src", "v")
+    val got = Selection.iqrOutliers(df, "src", "v")
+      .select("id", "v").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._2) == Seq(100.0, -50.0))
+  }
+
+  test("iqrOutliers with k=0 flags everything outside [q1, q3] itself") {
+    val df = (1 to 8).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "src", "v")
+    // q1 = 2.75, q3 = 6.25 -> outside: 1, 2, 7, 8
+    val got = Selection.iqrOutliers(df, "src", "v", k = 0.0)
+      .select("v").as[Double].collect().sorted.toSeq
+    assert(got == Seq(1.0, 2.0, 7.0, 8.0))
+  }
+
   test("a budget below the first weight selects nothing; a huge one selects all") {
     assert(take(19).isEmpty)
     assert(take(1000000).map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
