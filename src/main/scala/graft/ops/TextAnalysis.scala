@@ -192,6 +192,50 @@ object TextAnalysis {
     * Determinism: per-(doc,token) surprisal terms are rounded to 9 digits
     * and accumulated in DECIMAL(28,9) — partition/summation-order
     * independent in both engines (the x28 oracle hash-compares). */
+  /** Top-`k` bigram collocations by lift — how much more often two
+    * tokens appear ADJACENT than unigram frequencies predict
+    * (`(n2/T2) / ((n1_a/T1)·(n1_b/T1))`, i.e. pointwise mutual
+    * information without the log). The log is deliberately omitted:
+    * `ln` implementations differ in the last ulp across engines, while
+    * IEEE multiply/divide are exactly rounded, so the ratio form is
+    * bit-for-bit reproducible against a SQL oracle and orders
+    * identically. `(lift desc, a, b)` is a total order, making the
+    * LIMIT set deterministic.
+    *
+    * Scale: two corpus scans (unigram and bigram counts — the same
+    * lineage-pure two-pass shape as [[unigramSurprisal]]); every
+    * downstream join/aggregate is VOCAB-sized, never corpus-sized, the
+    * totals are 1-row broadcasts, and the top-k plans as
+    * TakeOrderedAndProject (per-partition heaps, no global sort).
+    * Bigrams explode from one array transform per row behind the
+    * Generate barrier. `t2` sums the UNfiltered bigram counts, so
+    * `minCount` prunes candidates without biasing the denominator. */
+  def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 50): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"minCount/k must be >= 1")
+    val toks = docs.select(Text.tokens(col("text")).as("w"))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n1"))
+    val t1 = uni.agg(sum(col("n1")).as("t1"))
+    val pairs = toks.select(explode(when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1), i =>
+          struct(element_at(col("w"), i).as("a"),
+            element_at(col("w"), i + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n2"))
+    val t2 = pairs.agg(sum(col("n2")).as("t2"))
+    pairs.filter(col("n2") >= minCount)
+      .join(uni.select(col("t").as("a"), col("n1").as("__n1a")), "a")
+      .join(uni.select(col("t").as("b"), col("n1").as("__n1b")), "b")
+      .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      // mirrors the oracle's `(n2/t2)/((n1a/t1)*(n1b/t1))` shape exactly
+      .select(col("a"), col("b"), col("n2"),
+        ((col("n2") / col("t2")) /
+          ((col("__n1a") / col("t1")) * (col("__n1b") / col("t1")))).as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   def unigramSurprisal(docs: DataFrame): DataFrame = {
     val docTf = docs
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))

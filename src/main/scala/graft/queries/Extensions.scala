@@ -1106,8 +1106,41 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- x40
+  // Bigram collocation mining by lift (PMI without the log — IEEE
+  // multiply/divide are exactly rounded where `ln` differs in the last
+  // ulp across engines, so the ratio is hash-comparable and orders the
+  // same). (lift DESC, a, b) totally orders the LIMIT set; t2 sums the
+  // UNfiltered bigram counts so min-count pruning doesn't bias the
+  // denominator. Every join/aggregate past the two corpus scans is
+  // vocab-sized; the top-k is a TakeOrderedAndProject.
+  val x40 = Q.df(
+    "x40_collocations",
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM documents),
+      |u AS (SELECT unnest(w) AS t FROM w),
+      |uc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n1 FROM u GROUP BY t),
+      |tot1 AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1 FROM uc),
+      |bgl AS (SELECT CASE WHEN len(w) >= 2
+      |    THEN [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)]
+      |    ELSE [] END AS bg FROM w),
+      |bu AS (SELECT unnest(bg) AS p FROM bgl),
+      |bc AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n2 FROM bu GROUP BY p),
+      |tot2 AS (SELECT CAST(SUM(n2) AS BIGINT) AS t2 FROM bc)
+      |SELECT split_part(p, ' ', 1) AS a, split_part(p, ' ', 2) AS b, n2,
+      |  (n2 / t2) / ((ua.n1 / t1) * (ub.n1 / t1)) AS lift
+      |FROM bc, tot1, tot2
+      |JOIN uc ua ON ua.t = split_part(p, ' ', 1)
+      |JOIN uc ub ON ub.t = split_part(p, ' ', 2)
+      |WHERE n2 >= 5
+      |ORDER BY lift DESC, a, b LIMIT 50""".stripMargin) { (spark, dir) =>
+    TextAnalysis.collocations(Tables.load(spark, dir, "documents"),
+      minCount = 5, k = 50)
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
-    x35, x36, x37, x38, x39)
+    x35, x36, x37, x38, x39, x40)
 }

@@ -90,6 +90,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate") && !p.contains("Join"), s"plan:\n$p")
   }
 
+  test("x39: IQR fences use the rank selection, never a buffered percentile") {
+    val p = plan(graft.queries.Extensions.x39)
+    assert(!p.contains("percentile") && !p.contains("Median"), s"plan:\n$p")
+  }
+
+  test("x40: collocation top-k is per-partition heaps, not a global sort") {
+    val p = plan(graft.queries.Extensions.x40)
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+    // the only nested-loop joins are the two 1-row totals broadcasts
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
   test("q66: SQL MEDIAN/PERCENTILE_CONT plans the sort-based selection") {
     val p = plan(graft.queries.EngineOps.q66)
     assert(!p.contains("percentile") && !p.contains("Median"), s"plan:\n$p")
