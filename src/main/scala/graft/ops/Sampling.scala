@@ -78,6 +78,20 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Leakage-safe split: [[deterministicSplit]] keyed on a GROUP
+    * attribute (source domain, site, author) instead of the row id, so
+    * every row of a group lands in the SAME split. Splitting by row id
+    * leaks when near-duplicates cluster within a group — a train doc's
+    * sibling lands in test and the eval measures memorization; keying
+    * the bucket on the group makes straddling impossible by
+    * construction, not by post-hoc filtering. Same portable md5
+    * bucket, same pure-projection scale shape (no shuffle, stable
+    * under re-runs/appends); group sizes skew the realized row
+    * fractions, so weights govern the GROUP allocation, not rows. */
+  def groupSplit(df: DataFrame, group: Column,
+      splits: Seq[(String, Double)], seed: Int = 42): DataFrame =
+    deterministicSplit(df, group, splits, seed)
+
   /** Deterministic shard id in [0, n): the hash bucket's position among
     * n equal-width threshold cells, computed as a sum of n-1 codegen'd
     * hex comparisons — no numeric hex parsing needed, so any engine

@@ -202,14 +202,18 @@ object TextAnalysis {
     * identically. `(lift desc, a, b)` is a total order, making the
     * LIMIT set deterministic.
     *
-    * Scale: two corpus scans (unigram and bigram counts — the same
-    * lineage-pure two-pass shape as [[unigramSurprisal]]); every
-    * downstream join/aggregate is VOCAB-sized, never corpus-sized, the
-    * totals are 1-row broadcasts, and the top-k plans as
-    * TakeOrderedAndProject (per-partition heaps, no global sort).
-    * Bigrams explode from one array transform per row behind the
-    * Generate barrier. `t2` sums the UNfiltered bigram counts, so
-    * `minCount` prunes candidates without biasing the denominator. */
+    * Scale: the unigram and bigram count subtrees appear on several
+    * branches (both join sides, both totals), but they are canonically
+    * equal, so AQE's shuffle-stage reuse collapses them at runtime —
+    * the executed sf0.01 plan carries 2 ReusedQueryStage markers
+    * (pinned in CollocationsSpec), bounding the corpus passes at a
+    * small constant independent of `k`. Every join/aggregate past
+    * those scans is VOCAB-sized, never corpus-sized, the totals are
+    * 1-row broadcasts, and the top-k plans as TakeOrderedAndProject
+    * (per-partition heaps, no global sort). Bigrams explode from one
+    * array transform per row behind the Generate barrier. `t2` sums
+    * the UNfiltered bigram counts, so `minCount` prunes candidates
+    * without biasing the denominator. */
   def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 50): DataFrame = {
     require(minCount >= 1 && k >= 1, s"minCount/k must be >= 1")
     val toks = docs.select(Text.tokens(col("text")).as("w"))

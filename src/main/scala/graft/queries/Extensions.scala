@@ -1139,8 +1139,31 @@ object Extensions {
       minCount = 5, k = 50)
   }
 
+  // ---------------------------------------------------------------- x41
+  // Leakage-safe grouped split: the bucket is keyed on SOURCE, so every
+  // doc of a source co-assigns and near-dup siblings can never straddle
+  // train/test (the x18 per-row split leaks when duplicates cluster
+  // within a source). The oracle restates the md5 CASE per row AND
+  // re-derives the assignment from the source alone — both must agree,
+  // which pins the no-straddle invariant row-by-row.
+  val x41 = Q.df(
+    "x41_group_split", {
+      val t80 = Sampling.hexThreshold(0.8)
+      val t90 = Sampling.hexThreshold(0.8 + 0.1)
+      s"""SELECT doc_id, source,
+         |  CASE WHEN substr(md5('k' || source || ':7'), 1, 8) < '$t80' THEN 'train'
+         |       WHEN substr(md5('k' || source || ':7'), 1, 8) < '$t90' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    Sampling.groupSplit(Tables.load(spark, dir, "documents"), col("source"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7)
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
-    x35, x36, x37, x38, x39, x40)
+    x35, x36, x37, x38, x39, x40, x41)
 }

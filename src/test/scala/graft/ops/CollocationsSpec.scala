@@ -33,6 +33,16 @@ class CollocationsSpec extends AnyFunSuite {
     assert(got.head._4 == lift(3, 8, 3, 3, 10))
   }
 
+  test("AQE reuses the repeated count stages at runtime (bounded corpus passes)") {
+    val df = TextAnalysis.collocations(
+      graft.tables.Tables.load(spark, "/root/testdata/sf0.001", "documents"),
+      minCount = 2, k = 10)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val reused = "ReusedQueryStage|ReusedExchange".r.findAllIn(p).size
+    assert(reused >= 2, s"expected >=2 reused stages, got $reused in:\n$p")
+  }
+
   test("punctuation and case fold into the same tokens; 1-token docs are inert") {
     val d = Seq((1L, "New York! new york?"), (2L, "solo")).toDF("doc_id", "text")
     val got = TextAnalysis.collocations(d, minCount = 2, k = 5)

@@ -11,6 +11,21 @@ class SamplingSpec extends AnyFunSuite {
 
   private def ids(n: Int) = (0L until n.toLong).toDF("id")
 
+  test("groupSplit never lets a group straddle splits") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val df = (1 to 200).map(i => (i.toLong, "g" + (i % 13))).toDF("id", "grp")
+    val out = Sampling.groupSplit(df, col("grp"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7)
+    val pairs = out.select("grp", "split").distinct().count()
+    assert(pairs == 13L) // one split per group, by construction
+    // and the assignment is the same function a per-row split uses,
+    // just keyed on the group attribute
+    val viaRow = Sampling.deterministicSplit(df, col("grp"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7)
+    assert(out.select(countDistinct(col("split"))).head.getLong(0) ==
+      viaRow.select(countDistinct(col("split"))).head.getLong(0))
+  }
+
   test("hexThreshold maps fractions to the 32-bit hex space") {
     assert(Sampling.hexThreshold(0.0) == "00000000")
     assert(Sampling.hexThreshold(0.5) == "80000000")
