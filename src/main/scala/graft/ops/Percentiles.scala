@@ -176,6 +176,29 @@ object Percentiles {
       outName: String = "median"): DataFrame =
     exact(df, groupCols, Seq(Spec(valueCol, 0.5, outName)))
 
+  /** Per-group robust location/scale — exact median and MAD (median
+    * absolute deviation, `median(|x − median(x)|)`), the
+    * outlier-insensitive alternative to mean/stddev for normalizing
+    * quality scores and lengths before selection. Returns one row per
+    * group: (groupCols*, medName, madName).
+    *
+    * MAD is inherently sequential (the deviations need the median), so
+    * this is two adaptive rank-selection passes with the per-group
+    * medians joined back between them (group-count-sized table — AQE
+    * broadcasts it while it fits). Deviations are computed as
+    * `abs(double(x) − med)` — the same IEEE expression DuckDB's `mad`
+    * evaluates — so both passes inherit the engine's bit-for-bit
+    * percentile parity. Neither pass buffers a group's values. */
+  def robustStats(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      medName: String = "med", madName: String = "mad"): DataFrame = {
+    require(groupCols.nonEmpty, "robustStats needs at least one group column")
+    val med = exactAdaptive(df, groupCols, Seq(Spec(valueCol, 0.5, medName)))
+    val dev = df.join(med, groupCols)
+      .withColumn("__rs_dev", abs(col(valueCol).cast("double") - col(medName)))
+    val mad = exactAdaptive(dev, groupCols, Seq(Spec("__rs_dev", 0.5, madName)))
+    med.join(mad, groupCols)
+  }
+
   // ------------------------------------------------------------ internals
 
   private final case class Prep(specs: Seq[Spec], gCols: Seq[String],

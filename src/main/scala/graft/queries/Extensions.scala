@@ -1162,8 +1162,24 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- x42
+  // Per-source robust location/scale (median + MAD) — the
+  // outlier-insensitive normalization stats for quality scores and
+  // lengths. Two sequential rank-selection passes (deviations need the
+  // median first); deviations are abs(double(x) − med), the same IEEE
+  // expression DuckDB's mad() evaluates, so the output inherits the
+  // engine's bit-for-bit percentile parity end-to-end.
+  val x42 = Q.df(
+    "x42_robust_stats",
+    """SELECT source, median(n_chars) AS med, mad(n_chars) AS mad
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    graft.ops.Percentiles.robustStats(
+        Tables.load(spark, dir, "documents"), Seq("source"), "n_chars")
+      .orderBy("source")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
-    x35, x36, x37, x38, x39, x40, x41)
+    x35, x36, x37, x38, x39, x40, x41, x42)
 }

@@ -12,6 +12,16 @@ class PercentilesSpec extends AnyFunSuite {
 
   private lazy val li = Tables.load(spark, TestSessions.sf001, "lineitem")
 
+  test("robustStats: median and MAD per group, interpolated like percentile_cont") {
+    val df = Seq(("g", 1), ("g", 2), ("g", 4), ("g", 100),
+      ("h", 1), ("h", 2), ("h", 3)).toDF("grp", "v")
+    val got = Percentiles.robustStats(df, Seq("grp"), "v")
+      .orderBy("grp").as[(String, Double, Double)].collect().toSeq
+    // g: med (2+4)/2 = 3.0, deviations 2,1,1,97 -> mad (1+2)/2 = 1.5
+    // h: med 2.0, deviations 1,0,1 -> mad 1.0
+    assert(got == Seq(("g", 3.0, 1.5), ("h", 2.0, 1.0)))
+  }
+
   test("sort-based selection matches Spark's buffered percentile exactly") {
     // same interpolation formula -> bit-identical doubles, incl. ties
     // (l_quantity has ~50 distinct values, heavy tie coverage); both the
