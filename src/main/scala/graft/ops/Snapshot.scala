@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus snapshot diffing — classify every document of two corpus
+ * versions as added / removed / changed / unchanged by id and content
+ * fingerprint. This is the audit step of incremental ingest: before
+ * re-running dedup/decontamination on a refreshed crawl, know exactly
+ * which rows moved (and re-process only those — `Dedup.dedupAgainst`
+ * is the companion for the added slice).
+ *
+ * Scale: one hash equi-join on the 8-byte id — fingerprints are
+ * computed per-row BEFORE the join, so the shuffle carries (id, fp)
+ * pairs, never document text. No driver-side state at any corpus size.
+ */
+object Snapshot {
+
+  /** One row per doc_id present in either snapshot:
+    * `(id, status ∈ added|removed|changed|unchanged)`. Both inputs must
+    * carry `idCol`; `fp` maps a frame to its per-row content
+    * fingerprint column (default `xxhash64(text)` — swap in `md5` when
+    * an external system must re-derive the same labels). */
+  def diff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      fp: DataFrame => Column = df => xxhash64(df("text"))): DataFrame = {
+    val o = oldDf.select(col(idCol).as("__sd_oid"), fp(oldDf).as("__sd_ofp"))
+    val n = newDf.select(col(idCol).as("__sd_nid"), fp(newDf).as("__sd_nfp"))
+    o.join(n, col("__sd_oid") === col("__sd_nid"), "full_outer")
+      .select(
+        coalesce(col("__sd_oid"), col("__sd_nid")).as(idCol),
+        when(col("__sd_oid").isNull, lit("added"))
+          .when(col("__sd_nid").isNull, lit("removed"))
+          .when(col("__sd_ofp") =!= col("__sd_nfp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+}

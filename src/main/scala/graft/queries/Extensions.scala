@@ -1178,8 +1178,40 @@ object Extensions {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- x43
+  // Corpus snapshot diff — the incremental-ingest audit: both snapshot
+  // versions are carved from the one fixture in-query (old drops
+  // doc_id%11=0, new drops %13=0 and appends ' v2' to %7=0 texts), so
+  // every status class is planted deterministically. Fingerprints use
+  // md5 here (portable — DuckDB re-derives identical labels); the
+  // product default is xxhash64. The join shuffles (id, fp) pairs only,
+  // never text.
+  val x43 = Q.df(
+    "x43_snapshot_diff",
+    """WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents
+      |  WHERE doc_id % 11 <> 0),
+      |new AS (SELECT doc_id,
+      |    md5(text || CASE WHEN doc_id % 7 = 0 THEN ' v2' ELSE '' END) AS fp
+      |  FROM documents WHERE doc_id % 13 <> 0)
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN o.fp <> n.fp THEN 'changed' ELSE 'unchanged' END AS status
+      |FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    val oldSnap = docs.filter(col("doc_id") % 11 =!= 0).select("doc_id", "text")
+    val newSnap = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 7 === 0, lit(" v2"))
+          .otherwise(lit(""))).as("text"))
+    graft.ops.Snapshot.diff(oldSnap, newSnap, "doc_id",
+        fp = df => md5(df("text")))
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
-    x35, x36, x37, x38, x39, x40, x41, x42)
+    x35, x36, x37, x38, x39, x40, x41, x42, x43)
 }
