@@ -240,6 +240,27 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Top-`k` tokens of every group by document frequency — the
+    * per-domain vocabulary profile ([[documentFrequency]] partitioned
+    * by a group column; "what does each source talk about"). The
+    * `(df desc, token)` order is total within a group, so the kept set
+    * is deterministic.
+    *
+    * Scale: the aggregate shuffles (group, token) pairs — per-doc
+    * DISTINCT tokens, so a token counts once per document — and the
+    * rank filter is the WindowGroupLimit shape ([[Selection
+    * .topPerGroup]]): per-group top-k heaps BEFORE the window's
+    * exchange, so only ≤ k rows per (task, group) reach the sort. */
+  def topTokensPerGroup(docs: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val df = docs
+      .select(col(groupCol),
+        explode(array_distinct(Text.tokens(col("text")))).as("token"))
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("df"))
+    Selection.topPerGroup(df, col(groupCol),
+      Seq(col("df").desc, col("token")), k)
+  }
+
   def unigramSurprisal(docs: DataFrame): DataFrame = {
     val docTf = docs
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))

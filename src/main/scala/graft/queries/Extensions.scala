@@ -1210,8 +1210,35 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- x44
+  // Per-source top-10 tokens by document frequency — the per-domain
+  // vocabulary profile (x25's corpus-wide profile partitioned by
+  // source). (df DESC, token) totally orders each group, and the rank
+  // filter takes the WindowGroupLimit plan (pre-shuffle per-group
+  // heaps, asserted in PlanSpec) so only ≤ k rows per (task, source)
+  // reach the window sort.
+  val x44 = Q.df(
+    "x44_source_top_tokens",
+    """WITH w AS (SELECT source,
+      |    unnest(list_distinct(list_filter(
+      |      string_split_regex(lower(text), '\W+'), x -> x <> ''))) AS token
+      |  FROM documents),
+      |c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS df
+      |  FROM w GROUP BY source, token)
+      |SELECT source, token, df, CAST(rk AS INT) AS rk FROM (
+      |  SELECT source, token, df,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY df DESC, token) AS rk
+      |  FROM c)
+      |WHERE rk <= 10 ORDER BY source, rk""".stripMargin) { (spark, dir) =>
+    TextAnalysis.topTokensPerGroup(
+        Tables.load(spark, dir, "documents"), "source", k = 10)
+      .select(col("source"), col("token"), col("df"),
+        col("rk").cast("int").as("rk"))
+      .orderBy("source", "rk")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
-    x35, x36, x37, x38, x39, x40, x41, x42, x43)
+    x35, x36, x37, x38, x39, x40, x41, x42, x43, x44)
 }

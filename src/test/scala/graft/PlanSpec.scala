@@ -102,6 +102,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
   }
 
+  test("x44: per-group top tokens rank filter takes WindowGroupLimit") {
+    val p = plan(graft.queries.Extensions.x44)
+    assert(p.contains("WindowGroupLimit"), s"plan:\n$p")
+  }
+
   test("q66: SQL MEDIAN/PERCENTILE_CONT plans the sort-based selection") {
     val p = plan(graft.queries.EngineOps.q66)
     assert(!p.contains("percentile") && !p.contains("Median"), s"plan:\n$p")
