@@ -96,9 +96,9 @@ object Similarity {
    *
    * This is the exact (brute-force) form — broadcast queries, one
    * WSCG-fused dot product per (corpus row, query), per-query top-k
-   * heaps via the rank filter. At ANN scale compose with the IVF index
-   * instead: probe `ivfTopK` with an oversampled k and apply the same
-   * label filter — the standard retrieve-then-filter practice.
+   * heaps via the rank filter. At ANN scale use `hardNegativesIvf`,
+   * which composes the same label filter with the IVF index at an
+   * oversampled k — the standard retrieve-then-filter practice.
    */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -120,6 +120,52 @@ object Similarity {
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /**
+   * ANN-scale hard-negative mining: `hardNegatives`' retrieve-then-filter
+   * composition over the IVF index instead of the brute-force cross
+   * product — the shape a 100 TB contrastive-mining run actually uses.
+   *
+   *  1. null-label rows are dropped up front on BOTH sides (an unknown
+   *     label cannot be a CONFIRMED negative — same contract as
+   *     `hardNegatives`);
+   *  2. the inverted index is probed with an OVERSAMPLED k
+   *     (`k * oversample`) so that after same-label candidates are
+   *     discarded the survivors still fill k — the standard
+   *     retrieve-then-filter practice (recall of the filtered top-k
+   *     rises with oversample exactly as IVF recall rises with nprobe);
+   *  3. labels re-join onto the candidate set, never the corpus scan:
+   *     query labels broadcast, and the candidate frame
+   *     (|Q|·k·oversample rows) is the build side of the corpus-label
+   *     join, so the corpus streams through once and nothing
+   *     corpus-sized shuffles;
+   *  4. same deterministic ranking contract as every top-k here:
+   *     rounded sim desc, then cid.
+   *
+   * Pass `checkpointDir` to reuse a durable index across mining batches.
+   */
+  def hardNegativesIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+      oversample: Int = 4, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(oversample >= 1, s"oversample must be >= 1, got $oversample")
+    val c = corpus.filter(col("label").isNotNull)
+    val q = queries.filter(col("label").isNotNull)
+    val cand = ivfTopK(c, q, k * oversample, nlist, nprobe, iters,
+      checkpointDir).drop("rank")
+    val qLabels = q.select(col("vec_id").as("qid"), col("label").as("qlabel"))
+    val cLabels = c.select(col("vec_id").as("cid"), col("label").as("clabel"))
+    val filtered = cand
+      .join(broadcast(qLabels), "qid")
+      .join(cLabels, "cid")
+      .filter(col("clabel") =!= col("qlabel"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    filtered.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rank"))
       .orderBy(col("qid"), col("rank"))
   }
 

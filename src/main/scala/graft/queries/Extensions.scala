@@ -932,8 +932,9 @@ object Extensions {
     """WITH s AS (SELECT doc_id, n_chars,
       |    CAST((doc_id * 37) % 101 AS DOUBLE) AS score FROM documents),
       |c AS (SELECT doc_id, score, n_chars,
-      |    SUM(n_chars) OVER (ORDER BY score DESC, doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_weight
+      |    CAST(SUM(n_chars) OVER (ORDER BY score DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum_weight
       |  FROM s)
       |SELECT doc_id, score, n_chars, cum_weight FROM c
       |WHERE cum_weight <= 60000 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
@@ -1237,8 +1238,45 @@ object Extensions {
       .orderBy("source", "rk")
   }
 
+  // ---------------------------------------------------------------- x45
+  // ANN-scale hard negatives (VERDICT r06 next #3): hardNegativesIvf
+  // composes the IVF probe at an oversampled k with the label-mismatch
+  // filter. Approximate → the full output is rows-only (x45), and the
+  // hard-pass companion plants each query's EXACT embedding into the
+  // corpus under a GUARANTEED-different label (label + 100): the twin's
+  // inverted list is the query's own #1 nearest centroid, so any
+  // nprobe >= 1 probes it; cosine 1.0 outranks every real candidate;
+  // and the label filter cannot drop it — rank 1 holds for WHATEVER
+  // centroids Lloyd produces (the x15b drift-proof design).
+  val x45 = Q.dfOnly("x45_hard_negatives_ivf") { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+    Similarity.hardNegativesIvf(
+      e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
+      k = 5, oversample = 4, nlist = 16, nprobe = 4, iters = 2,
+      checkpointDir = Some(ckptDir("x45", dir)))
+  }
+
+  val x45b = Q.df(
+    "x45b_hard_neg_ivf_planted",
+    """SELECT CAST(vec_id AS BIGINT) AS qid,
+      |  CAST(vec_id + 100000 AS BIGINT) AS cid, CAST(1 AS INT) AS rank
+      |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding", "label")
+    val queries = e.filter(col("vec_id") < 5)
+    val planted = queries
+      .withColumn("vec_id", col("vec_id") + lit(100000L))
+      .withColumn("label", col("label") + lit(100))
+    Similarity.hardNegativesIvf(
+        e.filter(col("vec_id") >= 5).unionByName(planted), queries,
+        k = 5, oversample = 4, nlist = 16, nprobe = 4, iters = 2)
+      .filter(col("cid") === col("qid") + 100000L)
+      .select(col("qid"), col("cid"), col("rank").cast("int").as("rank"))
+      .orderBy(col("qid"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
-    x35, x36, x37, x38, x39, x40, x41, x42, x43, x44)
+    x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b)
 }

@@ -47,4 +47,63 @@ class HardNegativesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Similarity.hardNegatives(vecs(), vecs(), 0))
   }
+
+  // ---- hardNegativesIvf (VERDICT r06 next #3) ----
+
+  private lazy val emb = graft.tables.Tables
+    .load(spark, graft.TestSessions.sf001, "embeddings")
+
+  test("hardNegativesIvf with full probe + full oversample equals brute force") {
+    // nprobe = nlist probes every list and oversample covers the whole
+    // corpus, so retrieve-then-filter degenerates to EXACTLY the brute
+    // label-filtered top-k — the composition plumbing (index probe,
+    // label re-join, re-rank) is what's under test.
+    val corpus = emb.filter(col("vec_id") >= 5 && col("vec_id") < 105)
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.hardNegatives(corpus, queries, k = 5)
+      .select("qid", "cid", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val ivf = Similarity.hardNegativesIvf(corpus, queries, k = 5,
+        oversample = 20, nlist = 8, nprobe = 8, iters = 2)
+      .select("qid", "cid", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(ivf == brute)
+  }
+
+  test("hardNegativesIvf recalls most brute hard negatives at nprobe/nlist = 1/2") {
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.hardNegatives(corpus, queries, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.hardNegativesIvf(corpus, queries, k = 5,
+        oversample = 4, nlist = 8, nprobe = 4, iters = 2)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(ivf.size == 25) // 5 queries x k=5 — oversample refilled after the filter
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("hardNegativesIvf: planted different-label twin always ranks 1") {
+    val queries = emb.filter(col("vec_id") < 5)
+      .select("vec_id", "embedding", "label")
+    val planted = queries
+      .withColumn("vec_id", col("vec_id") + lit(100000L))
+      .withColumn("label", col("label") + lit(100))
+    val corpus = emb.select("vec_id", "embedding", "label")
+      .filter(col("vec_id") >= 5).unionByName(planted)
+    val top1 = Similarity.hardNegativesIvf(corpus, queries, k = 5,
+        oversample = 4, nlist = 16, nprobe = 4, iters = 2)
+      .filter(col("rank") === 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach { q =>
+      assert(top1(q) == q + 100000L, s"query $q twin not rank 1")
+    }
+  }
+
+  test("hardNegativesIvf rejects non-positive k and oversample") {
+    intercept[IllegalArgumentException](
+      Similarity.hardNegativesIvf(vecs(), vecs(), 0))
+    intercept[IllegalArgumentException](
+      Similarity.hardNegativesIvf(vecs(), vecs(), 1, oversample = 0))
+  }
 }
