@@ -41,11 +41,20 @@ object Relevance {
     * containing no query term score 0 and are omitted (same as the
     * reference retrieval convention: no posting, no score). */
   def bm25(docs: DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Tokens(docs.select(col("doc_id"), Text.tokens(col("text")).as("w")),
+      terms, k, k1, b)
+
+  /** [[bm25]] over a PRE-TOKENIZED `(doc_id, w: array<string>)` frame
+    * ([[Text.tokens]]' shape). The corpus-stats branch and the tf branch
+    * both consume this one frame, so a 100 TB caller who persists tokens
+    * upstream pays the tokenize exactly once across all the corpus-stats
+    * operators (VERDICT r06 next #4). */
+  def bm25Tokens(toks: DataFrame, terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     require(k >= 1, s"k must be >= 1, got $k")
     val termSet = array(terms.map(lit): _*)
-    val toks = docs.select(col("doc_id"), Text.tokens(col("text")).as("w"))
     // one-row corpus stats: doc count + average doc length (exact long
     // sum / long count — no fp accumulation-order dependence)
     val stats = toks.agg(

@@ -157,10 +157,22 @@ object TextAnalysis {
     * its own statistics is inherently two passes over the gram stream
     * — lineage-pure by repo convention; persist the gram frame
     * upstream if tokenization dominates. */
-  def duplicatedNgrams(docs: DataFrame, minDocs: Int = 2): DataFrame = {
+  def duplicatedNgrams(docs: DataFrame, minDocs: Int = 2): DataFrame =
+    duplicatedNgramsGrams(
+      docs.select(col("doc_id"),
+        explode(TextHashExprs.tokenTrigramHashes(docs.sparkSession, col("text")))
+          .as("gh")),
+      minDocs)
+
+  /** [[duplicatedNgrams]] over a PRE-COMPUTED gram frame — `(doc_id, gh)`
+    * rows with gram hashes DISTINCT per doc (exactly what
+    * `TextHashExprs.tokenTrigramHashes` explodes to). Both internal
+    * branches (the df aggregate and the join back) consume this one
+    * frame, so a 100 TB caller who persists the gram frame pays the
+    * tokenize+hash pass exactly once — across this operator AND the
+    * dedup family sharing the same kernel (VERDICT r06 next #4). */
+  def duplicatedNgramsGrams(grams: DataFrame, minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val grams = docs.select(col("doc_id"),
-      explode(TextHashExprs.tokenTrigramHashes(docs.sparkSession, col("text"))).as("gh"))
     // rows are (doc, gram) with grams distinct per doc, so count(1) per
     // gram IS its document frequency
     val gramDf = grams.groupBy(col("gh")).agg(count(lit(1)).as("df"))
@@ -173,25 +185,6 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Unigram-LM surprisal: per-doc mean negative log-likelihood under the
-    * corpus's own unigram distribution — the classic cheap "perplexity"
-    * quality filter (docs far from the corpus distribution score high).
-    * Emits (doc_id, n_toks, avg_nll) for docs with ≥1 token.
-    *
-    * 100 TB shape: the corpus is reduced to per-doc (token, tf) rows
-    * FIRST (one groupBy collapses repeated tokens, so the LM join carries
-    * per-doc vocabulary, not the token instance stream), the unigram
-    * table derives from those same rows with a map-side-combining
-    * aggregate, and the corpus-total denominator broadcasts as one row.
-    * The token-keyed LM join is the honest shuffle; at real vocabulary
-    * sizes it cannot broadcast. Two passes over the tokenized corpus are
-    * inherent to "score the corpus under its own LM" — lineage-pure by
-    * repo convention (persist `docTf` upstream if the tokenize is the
-    * dominant cost).
-    *
-    * Determinism: per-(doc,token) surprisal terms are rounded to 9 digits
-    * and accumulated in DECIMAL(28,9) — partition/summation-order
-    * independent in both engines (the x28 oracle hash-compares). */
   /** Top-`k` bigram collocations by lift — how much more often two
     * tokens appear ADJACENT than unigram frequencies predict
     * (`(n2/T2) / ((n1_a/T1)·(n1_b/T1))`, i.e. pointwise mutual
@@ -214,9 +207,16 @@ object TextAnalysis {
     * array transform per row behind the Generate barrier. `t2` sums
     * the UNfiltered bigram counts, so `minCount` prunes candidates
     * without biasing the denominator. */
-  def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 50): DataFrame = {
+  def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 50): DataFrame =
+    collocationsTokens(docs.select(Text.tokens(col("text")).as("w")), minCount, k)
+
+  /** [[collocations]] over a PRE-TOKENIZED frame — any frame with a
+    * `w: array<string>` column ([[Text.tokens]]' output shape). All four
+    * count branches (unigrams, bigrams, both totals) consume this one
+    * frame, so a caller who persists tokens once pays the tokenize once
+    * across every corpus-stats operator (VERDICT r06 next #4). */
+  def collocationsTokens(toks: DataFrame, minCount: Long = 5, k: Int = 50): DataFrame = {
     require(minCount >= 1 && k >= 1, s"minCount/k must be >= 1")
-    val toks = docs.select(Text.tokens(col("text")).as("w"))
     val uni = toks.select(explode(col("w")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("n1"))
     val t1 = uni.agg(sum(col("n1")).as("t1"))
@@ -261,9 +261,36 @@ object TextAnalysis {
       Seq(col("df").desc, col("token")), k)
   }
 
-  def unigramSurprisal(docs: DataFrame): DataFrame = {
-    val docTf = docs
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+  /** Unigram-LM surprisal: per-doc mean negative log-likelihood under the
+    * corpus's own unigram distribution — the classic cheap "perplexity"
+    * quality filter (docs far from the corpus distribution score high).
+    * Emits (doc_id, n_toks, avg_nll) for docs with ≥1 token.
+    *
+    * 100 TB shape: the corpus is reduced to per-doc (token, tf) rows
+    * FIRST (one groupBy collapses repeated tokens, so the LM join carries
+    * per-doc vocabulary, not the token instance stream), the unigram
+    * table derives from those same rows with a map-side-combining
+    * aggregate, and the corpus-total denominator broadcasts as one row.
+    * The token-keyed LM join is the honest shuffle; at real vocabulary
+    * sizes it cannot broadcast. Two passes over the tokenized corpus are
+    * inherent to "score the corpus under its own LM" — lineage-pure by
+    * repo convention (persist the token frame upstream and use
+    * [[unigramSurprisalTokens]] if the tokenize is the dominant cost).
+    *
+    * Determinism: per-(doc,token) surprisal terms are rounded to 9 digits
+    * and accumulated in DECIMAL(28,9) — partition/summation-order
+    * independent in both engines (the x28 oracle hash-compares). */
+  def unigramSurprisal(docs: DataFrame): DataFrame =
+    unigramSurprisalTokens(
+      docs.select(col("doc_id"), Text.tokens(col("text")).as("w")))
+
+  /** [[unigramSurprisal]] over a PRE-TOKENIZED `(doc_id, w: array<string>)`
+    * frame. Both the per-doc tf reduction and (through it) the LM table
+    * derive from this one frame, so a persisted token frame is scanned —
+    * not re-tokenized — on both passes (VERDICT r06 next #4). */
+  def unigramSurprisalTokens(toks: DataFrame): DataFrame = {
+    val docTf = toks
+      .select(col("doc_id"), explode(col("w")).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val unigrams = docTf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
     val total = unigrams.agg(sum(col("cnt")).as("total"))
