@@ -192,11 +192,15 @@ object Percentiles {
   def robustStats(df: DataFrame, groupCols: Seq[String], valueCol: String,
       medName: String = "med", madName: String = "mad"): DataFrame = {
     require(groupCols.nonEmpty, "robustStats needs at least one group column")
-    val med = exactAdaptive(df, groupCols, Seq(Spec(valueCol, 0.5, medName)))
+    // internal __rs_ alias for the median column until the final output:
+    // if df already carries a column named medName, the join would
+    // otherwise produce a duplicate and make the deviation reference
+    // ambiguous at analysis time (ADVICE r06)
+    val med = exactAdaptive(df, groupCols, Seq(Spec(valueCol, 0.5, "__rs_med")))
     val dev = df.join(med, groupCols)
-      .withColumn("__rs_dev", abs(col(valueCol).cast("double") - col(medName)))
+      .withColumn("__rs_dev", abs(col(valueCol).cast("double") - col("__rs_med")))
     val mad = exactAdaptive(dev, groupCols, Seq(Spec("__rs_dev", 0.5, madName)))
-    med.join(mad, groupCols)
+    med.join(mad, groupCols).withColumnRenamed("__rs_med", medName)
   }
 
   // ------------------------------------------------------------ internals

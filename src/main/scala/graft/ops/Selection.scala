@@ -89,6 +89,13 @@ object Selection {
     * groups over all reducers), so the fences are bit-for-bit
     * reproducible against a `percentile_cont` oracle.
     *
+    * NULL contract (ADVICE r06): rows with a NULL group or NULL value are
+    * never flagged — the fences join is an inner equi-join (NULL groups
+    * match nothing) and NULL comparisons against the fences are UNKNOWN,
+    * which the filter drops. This matches the audit's intent (an unknown
+    * value cannot be CONFIRMED anomalous); pre-filter `isNull` rows
+    * separately if they should be surfaced.
+    *
     * Scale: the fences table is one row per group; the join back is left
     * to AQE, which broadcasts it while it fits and falls back to a hash
     * join for ultra-high-cardinality group domains — both correct, no

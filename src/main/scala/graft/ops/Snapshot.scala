@@ -21,7 +21,13 @@ object Snapshot {
     * `(id, status ∈ added|removed|changed|unchanged)`. Both inputs must
     * carry `idCol`; `fp` maps a frame to its per-row content
     * fingerprint column (default `xxhash64(text)` — swap in `md5` when
-    * an external system must re-derive the same labels). */
+    * an external system must re-derive the same labels).
+    *
+    * Contract (ADVICE r06): `idCol` must be UNIQUE within each snapshot
+    * — duplicate ids row-multiply through the full-outer join. The
+    * fingerprint comparison is null-safe: a doc whose fingerprint is
+    * NULL on exactly one side (e.g. text changed to/from NULL under the
+    * default xxhash64) classifies as 'changed', not 'unchanged'. */
   def diff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       fp: DataFrame => Column = df => xxhash64(df("text"))): DataFrame = {
     val o = oldDf.select(col(idCol).as("__sd_oid"), fp(oldDf).as("__sd_ofp"))
@@ -31,7 +37,7 @@ object Snapshot {
         coalesce(col("__sd_oid"), col("__sd_nid")).as(idCol),
         when(col("__sd_oid").isNull, lit("added"))
           .when(col("__sd_nid").isNull, lit("removed"))
-          .when(col("__sd_ofp") =!= col("__sd_nfp"), lit("changed"))
+          .when(!(col("__sd_ofp") <=> col("__sd_nfp")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }
 }

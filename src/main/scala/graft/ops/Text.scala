@@ -45,6 +45,9 @@ object Text {
     * arithmetically (no array build) so callers can project it beside the
     * exploded chunks without evaluating the window transform twice. */
   def chunkCount(text: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(0 <= overlap && overlap < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
     val stride = chunkTokens - overlap
     val nt = size(split(text, " "))
     // token counts are far below 2^53, so the double floor-div is exact
@@ -54,10 +57,19 @@ object Text {
 
   /** Fixed-size context-window chunking with `overlap` tokens carried
     * between consecutive windows — the layout step that turns documents
-    * into training-context rows. Tokens are WHITESPACE-split (casing and
-    * punctuation stay in the chunk, unlike [[tokens]]); a document
-    * shorter than `chunkTokens` yields exactly ONE chunk (possibly
-    * partial), so no text is ever dropped. Returns an array of structs
+    * into training-context rows. Tokens are split on the SINGLE space
+    * character (casing and punctuation stay in the chunk, unlike
+    * [[tokens]]); a document shorter than `chunkTokens` yields exactly
+    * ONE chunk (possibly partial), so no text is ever dropped.
+    *
+    * Tokenization contract (VERDICT r06 next #6, pinned in ChunkingSpec):
+    * consecutive spaces produce EMPTY tokens that count toward
+    * `chunk_tokens`. This is deliberate — splitting on `" "` and
+    * re-joining with `" "` reproduces the original byte run (each empty
+    * token restores one extra space), so concatenating a doc's chunks at
+    * `overlap = 0` yields exactly the original text. A `\s+` split would
+    * make counts "purer" but silently collapses whitespace — the wrong
+    * trade for a layout step whose output IS the training text. Returns an array of structs
     * `(chunk_idx, chunk, chunk_tokens)` — explode with `inline`, which is
     * a Generate barrier, so the per-element transform runs once per row
     * however many downstream expressions touch the result.

@@ -22,6 +22,14 @@ class PercentilesSpec extends AnyFunSuite {
     assert(got == Seq(("g", 3.0, 1.5), ("h", 2.0, 1.0)))
   }
 
+  test("robustStats works when the input already has a column named 'med' (ADVICE r06)") {
+    val df = Seq(("g", 1, 9.9), ("g", 2, 9.9), ("g", 4, 9.9), ("g", 100, 9.9))
+      .toDF("grp", "v", "med")
+    val got = Percentiles.robustStats(df, Seq("grp"), "v")
+      .as[(String, Double, Double)].collect().toSeq
+    assert(got == Seq(("g", 3.0, 1.5)))
+  }
+
   test("sort-based selection matches Spark's buffered percentile exactly") {
     // same interpolation formula -> bit-identical doubles, incl. ties
     // (l_quantity has ~50 distinct values, heavy tie coverage); both the

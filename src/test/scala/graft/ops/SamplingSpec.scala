@@ -18,12 +18,14 @@ class SamplingSpec extends AnyFunSuite {
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7)
     val pairs = out.select("grp", "split").distinct().count()
     assert(pairs == 13L) // one split per group, by construction
-    // and the assignment is the same function a per-row split uses,
-    // just keyed on the group attribute
-    val viaRow = Sampling.deterministicSplit(df, col("grp"),
+    // contrast (ADVICE r06): a split keyed on the ROW id CAN straddle a
+    // group — that's the leakage groupSplit exists to prevent
+    val viaRow = Sampling.deterministicSplit(df, col("id"),
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7)
-    assert(out.select(countDistinct(col("split"))).head.getLong(0) ==
-      viaRow.select(countDistinct(col("split"))).head.getLong(0))
+    val straddled = viaRow.groupBy("grp")
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(straddled > 0, "row-keyed split unexpectedly kept all groups whole")
   }
 
   test("hexThreshold maps fractions to the 32-bit hex space") {

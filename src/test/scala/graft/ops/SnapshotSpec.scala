@@ -28,4 +28,16 @@ class SnapshotSpec extends AnyFunSuite {
         fp = df => org.apache.spark.sql.functions.length(df("text")))
       .as[(Long, String)].head()._2 == "unchanged")
   }
+
+  test("a fingerprint going to/from NULL classifies as changed (ADVICE r06)") {
+    val oldSnap = Seq((1L, "real text"), (2L, null: String), (3L, null: String))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, null: String), (2L, "now real"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val got = Snapshot.diff(oldSnap, newSnap, "doc_id")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    // null-safe compare: null vs value is 'changed' both ways; null vs
+    // null is 'unchanged' (same absent content)
+    assert(got == Seq((1L, "changed"), (2L, "changed"), (3L, "unchanged")))
+  }
 }
