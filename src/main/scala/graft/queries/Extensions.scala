@@ -1256,6 +1256,42 @@ object Extensions {
       checkpointDir = Some(ckptDir("x45", dir)))
   }
 
+  // ---------------------------------------------------------------- x46
+  // Append-mode + watermark through the oracle gate (VERDICT r06 next
+  // #7): x26 proved the windowed-agg path in Complete mode; production
+  // ingest runs APPEND with a watermark, emitting a window exactly once
+  // when the watermark (max event time − 10 min) passes its end. The
+  // replay stages the events table to a file-stream source, drains it in
+  // Append mode (the post-data no-data micro-batch advances the
+  // watermark and flushes the closed windows to the memory sink), and
+  // the oracle states the same semantics in batch SQL: every 5-minute
+  // bucket whose END is ≤ max(ts) − 10 min — the final unclosed windows
+  // are excluded on BOTH engines. The fixture's max(ts) sits 132 s off
+  // the 300 s window grid, so the ≤-vs-< boundary convention cannot
+  // matter. Window-grid note as x26: Spark and DuckDB align 5-minute
+  // buckets identically.
+  val x46 = Q.df(
+    "x46_stream_append_closed_windows",
+    """SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |HAVING time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes'
+      |       <= (SELECT max(ts) - INTERVAL '10 minutes' FROM events)
+      |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val staged = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_x46_stage").toString
+    Tables.load(spark, dir, "events").coalesce(2)
+      .write.mode("overwrite").parquet(staged)
+    val q = graft.streaming.EventStream.runToMemory(
+      graft.streaming.EventStream.windowedCounts(
+        graft.streaming.EventStream.readEvents(spark, staged)),
+      "x46_sink", org.apache.spark.sql.streaming.OutputMode.Append)
+    q.stop()
+    spark.table("x46_sink").orderBy("win_start", "event_type")
+  }
+
   val x45b = Q.df(
     "x45b_hard_neg_ivf_planted",
     """SELECT CAST(vec_id AS BIGINT) AS qid,
@@ -1278,5 +1314,5 @@ object Extensions {
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
-    x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b)
+    x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46)
 }
