@@ -989,6 +989,15 @@ class SqlEngineSpec extends AnyFunSuite {
             |              FROM VALUES (1) u(x) WHERE u.x = t.v)""".stripMargin)
       }
       assert(e.getMessage.contains("CORRELATED"), e.getMessage)
+      // LATERAL is never lifted — correlation is its purpose; the
+      // refusal is the README decision record's pinned non-goal (r07)
+      val e2 = intercept[UnsupportedOperationException] {
+        engine.executeSql(
+          """SELECT t.v, d.s FROM VALUES (1) t(v),
+            |LATERAL (SELECT sum(x) OVER (ORDER BY x GROUPS CURRENT ROW) AS s
+            |         FROM VALUES (1) u(x) WHERE u.x <= t.v) d""".stripMargin)
+      }
+      assert(e2.getMessage.contains("GROUPS"), e2.getMessage)
     } finally engine.setResultFormat(ResultFormat.Table)
   }
 
