@@ -250,13 +250,56 @@ object Dedup {
         lshCaches.foreach(_.unpersist(blocking = false))
         p
     }
+    val labels =
+      try connectedComponents(pairs, maxIter)
+      catch {
+        case e: Throwable =>
+          // release the pair checkpoint BEFORE rethrowing — a caller that
+          // catches and retries with higher maxIter (the message's own
+          // advice) must not accumulate storage residue per attempt
+          pairs.unpersist(blocking = false)
+          throw e
+      }
+    // survivors = cluster representatives (tiny) + every doc in no pair
+    // (the promised single final anti-join over the corpus); `labels`
+    // covers exactly the pair members, so it doubles as the membership
+    // set for the anti-join
+    val reps = labels.filter(col("doc_id") === col("label")).select(col("doc_id"))
+    val nonMembers = docs.select(col("doc_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val survivors = reps.union(nonMembers)
+      .select(col("doc_id").as("keep_id"))
+      .localCheckpoint()
+    pairs.unpersist(blocking = false)
+    survivors.orderBy(col("keep_id"))
+  }
+
+  /**
+   * Connected components of an undirected near-dup pair set `(doc_a,
+   * doc_b)` by iterative min-label propagation — the clustering step
+   * shared by [[dedupCorpus]] and `Similarity.semanticDedup`. Returns
+   * `(doc_id, label)` for every pair MEMBER, where `label` is the
+   * smallest doc_id in the member's component; docs in no pair are the
+   * caller's to handle (they are trivially their own components).
+   *
+   * Scale: every iteration is one shuffle join of the PAIR set (bounded
+   * by actual duplicates, never corpus size) against the label table;
+   * dup clusters have tiny diameters, so a handful of rounds converges.
+   * The result is materialized (localCheckpoint) and every internal
+   * persist is released before returning — repeated invocations leave
+   * no executor-storage residue. Throws if `maxIter` rounds don't
+   * converge (partial clusters would silently under-dedup).
+   */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     // undirected edges both ways
-    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val edges = pairs
+      .select(col("doc_a"), col("doc_b"))
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // labels over PAIR MEMBERS only — docs in no pair are trivially their
-    // own survivors and rejoin via the final anti-join, which is what
-    // keeps every iteration bounded by the pair set, not the corpus
+    // own survivors and rejoin via the caller's final anti-join, which is
+    // what keeps every iteration bounded by the pair set, not the corpus
     // (r04 review: corpus-wide labels made each round two corpus-scale
     // joins, contradicting the scale contract above)
     var pinned = edges.select(col("doc_a").as("doc_id")).distinct()
@@ -292,29 +335,18 @@ object Dedup {
       iter += 1
     }
     if (!converged) {
-      // release the pinned frames BEFORE throwing — a caller that
-      // catches and retries with higher maxIter (the message's own
-      // advice) must not accumulate storage residue per attempt
+      // release the pinned frames BEFORE throwing (retry hygiene)
       pinned.unpersist(blocking = false)
       edges.unpersist(blocking = false)
-      pairs.unpersist(blocking = false)
       throw new IllegalStateException(
-        s"dedupCorpus: label propagation did not converge within $maxIter iterations — " +
-        "clusters would be silently partial; raise maxIter")
+        s"connectedComponents: label propagation did not converge within $maxIter " +
+        "iterations — clusters would be silently partial; raise maxIter")
     }
-    // survivors = cluster representatives (tiny) + every doc in no pair
-    // (the promised single final anti-join over the corpus); materialize,
-    // then release every remaining pinned frame
-    val reps = labels.filter(col("doc_id") === col("label")).select(col("doc_id"))
-    val nonMembers = docs.select(col("doc_id"))
-      .join(edges.select(col("doc_a").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-    val survivors = reps.union(nonMembers)
-      .select(col("doc_id").as("keep_id"))
-      .localCheckpoint()
+    // hand back a materialized frame so no internal pin outlives the call
+    val out = labels.localCheckpoint()
     pinned.unpersist(blocking = false)
     edges.unpersist(blocking = false)
-    pairs.unpersist(blocking = false)
-    survivors.orderBy(col("keep_id"))
+    out
   }
 
   /**

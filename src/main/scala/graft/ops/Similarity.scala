@@ -355,6 +355,80 @@ object Similarity {
   }
 
   /**
+   * SemDeDup-style semantic near-dup pairs: cluster the embedding space
+   * with the IVF centroids, then verify exact cosine only WITHIN each
+   * cell — the embedding-space analogue of banded MinHash candidate
+   * generation ("SemDeDup: Data-efficient learning at web-scale through
+   * semantic deduplication", Abbas et al. 2023, the public recipe:
+   * k-means cells bound the pairwise work). Returns (vec_a, vec_b, sim)
+   * with sim ≥ minCosine among same-cell pairs.
+   *
+   * Scale design:
+   *  - pairwise cost is Σ cell², never O(n²): with nlist scaling ~√n the
+   *    expected cell size stays flat, and the cell self-join is a hash
+   *    equi-join on list_id — exactly the banded-bucket shape the text
+   *    dedup path uses;
+   *  - the inverted index already carries precomputed norms, so the
+   *    verify is one WSCG dot product per candidate pair;
+   *  - recall: a near-dup pair at cosine ≥ 0.95 sits closer to each
+   *    other than to almost any centroid, so both land in the same cell
+   *    with high probability — but cell boundaries CAN split a true
+   *    pair (the SemDeDup trade). Pairs of IDENTICAL vectors can never
+   *    split (same input ⇒ same nearest centroid), which is what the
+   *    planted-twin oracle row pins. For recall-critical mining compose
+   *    with `cosineNearDups` (RHP bands are cell-boundary-free);
+   *  - with `checkpointDir` the index (centroids + assignment) is the
+   *    durable artifact reused across runs — re-mining at a different
+   *    threshold prices only the cell self-join.
+   */
+  def semanticDedupPairs(embeddings: DataFrame, minCosine: Double = 0.95,
+      nlist: Int = 16, iters: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    val built = buildIvfIndex(embeddings, nlist, iters, checkpointDir)
+    // without a parquet checkpoint the assignment is a plain projection —
+    // localCheckpoint keeps the self-join from evaluating nearestCentroid
+    // twice per vector (cosineNearDups' barrier pattern; same lineage-
+    // truncation durability trade)
+    val idx =
+      if (checkpointDir.isDefined) built.index
+      else built.index.localCheckpoint(eager = false)
+    idx.as("a").join(idx.as("b"),
+        col("a.list_id") === col("b.list_id") && col("a.cid") < col("b.cid"))
+      .select(col("a.cid").as("vec_a"), col("b.cid").as("vec_b"),
+        // same zero-norm nullif guard as bruteForceTopK
+        round(TextHashExprs.dotProd(spark, col("a.ce"), col("b.ce")) /
+          nullif(col("a.cn") * col("b.cn"), lit(0.0)), 9).as("sim"))
+      .filter(col("sim") >= minCosine)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /**
+   * End-to-end semantic dedup: [[semanticDedupPairs]] → connected
+   * components (`Dedup.connectedComponents` — the same pair-set-bounded
+   * min-label propagation the text pipeline uses) → keep the smallest
+   * vec_id per component. Returns the surviving (keep_id) set, i.e. the
+   * corpus with semantic near-duplicates collapsed to one representative
+   * each. The corpus itself is touched twice (index assignment + the
+   * final anti-join); every iteration in between is bounded by the pair
+   * set.
+   */
+  def semanticDedup(embeddings: DataFrame, minCosine: Double = 0.95,
+      nlist: Int = 16, iters: Int = 3, maxIter: Int = 10,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = semanticDedupPairs(embeddings, minCosine, nlist, iters,
+        checkpointDir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val labels = Dedup.connectedComponents(pairs, maxIter)
+    val reps = labels.filter(col("doc_id") === col("label")).select(col("doc_id"))
+    val nonMembers = embeddings.select(col("vec_id").as("doc_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    reps.union(nonMembers)
+      .select(col("doc_id").as("keep_id"))
+      .orderBy(col("keep_id"))
+  }
+
+  /**
    * LSH-bucketed ANN: L hash tables of `bits`-bit random-hyperplane
    * buckets (tight-loop `TextHashExprs.RhpBuckets` expression, seeded
    * deterministically); candidates = corpus vectors sharing any

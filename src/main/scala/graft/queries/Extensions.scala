@@ -1311,8 +1311,44 @@ object Extensions {
       .orderBy(col("qid"))
   }
 
+  // ---------------------------------------------------------------- x47
+  // SemDeDup-style semantic dedup: IVF cells bound the pairwise work,
+  // exact cosine verifies within cells, connected components + keep-min
+  // collapse each semantic cluster to one representative. Cell
+  // boundaries make the pair recall approximate (centroids are
+  // Lloyd-trained floats) → the full survivor set is rows-only; the
+  // hard-pass companion plants EXACT twins, which can never split
+  // across cells (identical input ⇒ identical nearest centroid), so
+  // each planted pair MUST surface with cosine 1.0 — drift-proof for
+  // whatever centroids Lloyd produces, the x15b construction.
+  val x47 = Q.dfOnly("x47_semantic_dedup") { (spark, dir) =>
+    // the fixture embeddings carry no natural 0.95-cosine pairs — plant
+    // twins of every 20th vector so the collapse path actually runs
+    val e = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val planted = e.filter(col("vec_id") % 20 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(100000L))
+    Similarity.semanticDedup(e.unionByName(planted),
+      minCosine = 0.95, nlist = 16, iters = 2)
+  }
+
+  val x47b = Q.df(
+    "x47b_semantic_dedup_planted",
+    """SELECT CAST(vec_id AS BIGINT) AS vec_a,
+      |  CAST(vec_id + 100000 AS BIGINT) AS vec_b, CAST(1.0 AS DOUBLE) AS sim
+      |FROM embeddings WHERE vec_id IN (1, 2, 3, 4, 5) ORDER BY vec_a""".stripMargin) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val planted = e.filter(col("vec_id").isin(1, 2, 3, 4, 5))
+      .withColumn("vec_id", col("vec_id") + lit(100000L))
+    Similarity.semanticDedupPairs(e.unionByName(planted),
+        minCosine = 0.95, nlist = 16, iters = 2)
+      .filter(col("vec_b") === col("vec_a") + 100000L &&
+        col("vec_a").isin(1, 2, 3, 4, 5))
+      .orderBy(col("vec_a"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
-    x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46)
+    x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
+    x47, x47b)
 }
