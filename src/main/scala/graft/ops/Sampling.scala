@@ -185,6 +185,58 @@ object Sampling {
       .drop("__mix_domain", "__mix_rate")
   }
 
+  /**
+   * Temperature-scaled (α) domain mixture — the "sampling temperature"
+   * recipe multilingual/LM pipelines use when the mixture proportions
+   * should derive from the DATA rather than a hand-written target map
+   * (the public recipe: shares ∝ size^α, α < 1 up-weights small domains;
+   * α = 1 is proportional sampling, α → 0 approaches uniform). Each
+   * domain keeps the deterministic fraction
+   *
+   *   rate_d = round(min(1, share_d · budget / total_d), 9),
+   *   share_d = total_d^α / Σ_e total_e^α
+   *
+   * of its rows, selected by the same portable md5 bucket as
+   * [[mixtureSample]] (stable under re-runs, repartitioning, appends;
+   * reproducible by any engine with md5). Null domains are dropped —
+   * the mixture contract, as in [[mixtureSample]]. Rows gain the
+   * domain's `keep_rate`.
+   *
+   * The round-to-9 on the rate is part of the CONTRACT, not cosmetics:
+   * `pow` is the one non-exactly-rounded IEEE operation in the
+   * derivation (JVM `Math.pow` and libm can disagree in the last ulp,
+   * and the Σ over domains accumulates in arbitrary order), so the rate
+   * is pinned to 9 digits BEFORE the threshold derives from it — the
+   * kept row set stays cross-engine and cross-run reproducible.
+   *
+   * Scale shape: one map-side-combining aggregate to |domains| rows;
+   * the share normalization is a window over that TINY frame (a single
+   * aggregation subtree — a separate Σ-join would scan the corpus
+   * twice); rates broadcast back onto the corpus, so the main pass is a
+   * broadcast join + codegen'd filter with no corpus shuffle.
+   */
+  def temperatureMixture(df: DataFrame, domain: Column, weight: Column,
+      alpha: Double, budget: Double, key: Column, seed: Int = 42): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(budget > 0.0, s"budget must be positive, got $budget")
+    val t = col("__mix_total").cast("double")
+    val rates = df.filter(domain.isNotNull)
+      .groupBy(domain.as("__mix_domain"))
+      .agg(sum(weight).as("__mix_total"))
+      .withColumn("__mix_p", pow(t, lit(alpha)))
+      .withColumn("__mix_z", sum(col("__mix_p"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("__mix_domain"),
+        round(least(lit(1.0),
+          col("__mix_p") / col("__mix_z") * lit(budget) / t), 9).as("__mix_rate"))
+    val hex = bucketHex(key, seed)
+    df.join(broadcast(rates), domain === col("__mix_domain"))
+      .filter(col("__mix_rate") >= lit(1.0) ||
+        hex < hexThresholdCol(col("__mix_rate")))
+      .withColumn("keep_rate", col("__mix_rate"))
+      .drop("__mix_domain", "__mix_rate")
+  }
+
   /** Keeps a per-stratum fraction of rows (stratum → rate; strata absent
     * from `rates` keep `defaultRate`). Rates >= 1 keep everything. */
   def stratifiedSample(df: DataFrame, strata: Column, rates: Map[String, Double],

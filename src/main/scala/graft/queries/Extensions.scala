@@ -1346,9 +1346,39 @@ object Extensions {
       .orderBy(col("vec_a"))
   }
 
+  // ---------------------------------------------------------------- x48
+  // Temperature-scaled (alpha) mixture: shares derive from the data
+  // itself (share ∝ total^α) instead of a hand-written target map. The
+  // rate is ROUNDed to 9 digits BEFORE the threshold derives from it —
+  // pow is the one non-exactly-rounded IEEE op in the derivation (and
+  // the Σ over domains accumulates in arbitrary order), so pinning the
+  // rate is what keeps the kept row SET hash-identical across engines.
+  // Same portable md5 bucket + floor-not-round hex threshold as x31.
+  val x48 = Q.df(
+    "x48_temperature_mixture",
+    """WITH tot AS (SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS total
+      |  FROM documents GROUP BY 1),
+      |r AS (SELECT source, ROUND(LEAST(CAST(1.0 AS DOUBLE),
+      |    pow(total, 0.5) / SUM(pow(total, 0.5)) OVER ()
+      |      * CAST(60000 AS DOUBLE) / total), 9) AS rate
+      |  FROM tot)
+      |SELECT d.doc_id, d.source, d.n_chars, r.rate AS keep_rate
+      |FROM documents d JOIN r USING (source)
+      |WHERE r.rate >= 1.0
+      |   OR substring(md5('k' || CAST(d.doc_id AS VARCHAR) || ':11'), 1, 8)
+      |      < printf('%08x', CAST(LEAST(floor(r.rate * 4294967296.0 + 0.5),
+      |                                  CAST(4294967295.0 AS DOUBLE)) AS BIGINT))
+      |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    Sampling.temperatureMixture(Tables.load(spark, dir, "documents"),
+        domain = col("source"), weight = col("n_chars"),
+        alpha = 0.5, budget = 60000.0, key = col("doc_id"), seed = 11)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("keep_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
-    x47, x47b)
+    x47, x47b, x48)
 }

@@ -129,6 +129,57 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.deterministicSplit(ids(10), col("id"), Seq("all" -> 1.0)))
   }
 
+  test("temperatureMixture: rates match the share formula, alpha flattens") {
+    // three domains with strongly skewed weight totals
+    val df = ((0L until 900L).map(i => (i, "big", 10L)) ++
+      (900L until 1000L).map(i => (i, "mid", 10L)) ++
+      (1000L until 1010L).map(i => (i, "small", 10L)))
+      .toDF("id", "src", "w")
+    def rates(alpha: Double): Map[String, Double] =
+      Sampling.temperatureMixture(df, col("src"), col("w"),
+          alpha = alpha, budget = 2000.0, key = col("id"), seed = 3)
+        .select("src", "keep_rate").distinct().as[(String, Double)]
+        .collect().toMap
+    val totals = Map("big" -> 9000.0, "mid" -> 1000.0, "small" -> 100.0)
+    def expected(alpha: Double): Map[String, Double] = {
+      val z = totals.values.map(math.pow(_, alpha)).sum
+      totals.map { case (d, t) =>
+        d -> BigDecimal(math.min(1.0, math.pow(t, alpha) / z * 2000.0 / t))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    }
+    val r1 = rates(1.0)
+    assert(r1 == expected(1.0))
+    // alpha = 1 is proportional: every domain keeps the same rate
+    assert(r1.values.toSet.size == 1)
+    val r05 = rates(0.5)
+    assert(r05 == expected(0.5))
+    // alpha < 1 up-weights small domains relative to big ones
+    assert(r05("small") > r05("big"))
+  }
+
+  test("temperatureMixture: rate clamps at 1.0 and keeps every row; null domains drop") {
+    val df = ((0L until 500L).map(i => (i, "big": String, 10L)) ++
+      (500L until 505L).map(i => (i, "tiny": String, 1L)) ++
+      Seq((990L, null: String, 5L)))
+      .toDF("id", "src", "w")
+    val kept = Sampling.temperatureMixture(df, col("src"), col("w"),
+      alpha = 0.3, budget = 2500.0, key = col("id"), seed = 3)
+    val bySrc = kept.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc("tiny") == 5) // clamped to 1.0 -> all rows kept
+    assert(kept.filter(col("src") === "tiny")
+      .select("keep_rate").distinct().as[Double].collect().toSeq == Seq(1.0))
+    assert(!bySrc.contains(null)) // mixture contract: null domains drop
+  }
+
+  test("temperatureMixture rejects bad alpha and budget") {
+    intercept[IllegalArgumentException](Sampling.temperatureMixture(
+      ids(3), col("id"), lit(1), alpha = 0.0, budget = 1.0, key = col("id")))
+    intercept[IllegalArgumentException](Sampling.temperatureMixture(
+      ids(3), col("id"), lit(1), alpha = 1.5, budget = 1.0, key = col("id")))
+    intercept[IllegalArgumentException](Sampling.temperatureMixture(
+      ids(3), col("id"), lit(1), alpha = 0.5, budget = 0.0, key = col("id")))
+  }
+
   test("stratifiedSample: per-stratum rates incl. rate>=1 and default 0") {
     val df = (0L until 9000L).map(i => (i, Seq("a", "b", "c")(i.toInt % 3)))
       .toDF("id", "src")
