@@ -115,6 +115,52 @@ object Selection {
       .drop("__iqr_q1", "__iqr_q3")
   }
 
+  /**
+   * Global quantile-bucket assignment — "which quarter/decile of the
+   * corpus does this row's value sit in": curriculum phase by quality
+   * score, difficulty bin by length, the binning step before
+   * phase-ordered training. Adds `outName` (INT in [1, n]; NULL value →
+   * NULL bucket): bucket i covers `b_{i-1} < value ≤ b_i` where `b_i`
+   * is the exact `percentile_cont(i/n)` of `valueCol`.
+   *
+   * Scale: the naive form is `ntile(n) OVER (ORDER BY value)` — a
+   * single-partition sort of the corpus. Here the n−1 boundaries come
+   * from the engine's distributed rank-selection percentile machinery
+   * ([[Percentiles]] — never buffers values, spreads the sort over all
+   * reducers), and the assignment is a broadcast of that 1-row
+   * boundary frame plus a log₂(n) binary-search CaseWhen per row: the
+   * corpus itself never shuffles and nothing corpus-sized is sorted.
+   * Everything stays in-plan (no driver collect between the two
+   * stages). Boundary semantics vs ntile: equal values always share a
+   * bucket (boundaries are value cuts), where ntile splits ties to
+   * force equal counts — value cuts are the curriculum-correct choice.
+   *
+   * Boundaries are rounded to 9 digits before comparison as the
+   * cross-engine contract (the interpolation arithmetic is IEEE-exact,
+   * but the pin keeps the bucket map reproducible wherever the oracle
+   * rounds too).
+   */
+  def quantileBuckets(df: DataFrame, valueCol: String, n: Int,
+      outName: String = "bucket"): DataFrame = {
+    require(n >= 2 && n <= 1024, s"bucket count $n outside [2, 1024]")
+    val specs = (1 until n).map(i =>
+      Percentiles.Spec(valueCol, i.toDouble / n, s"__qb_$i"))
+    val bounds = Percentiles.exactAdaptive(df, Nil, specs)
+      .select((1 until n).map(i => round(col(s"__qb_$i"), 9).as(s"__qb_$i")): _*)
+    val v = col(valueCol).cast("double")
+    // bucket ids in [lo, hi]; descend on the boundary between the halves
+    def tree(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi) / 2
+        when(v <= col(s"__qb_$mid"), tree(lo, mid)).otherwise(tree(mid + 1, hi))
+      }
+    df.crossJoin(broadcast(bounds))
+      .withColumn(outName,
+        when(col(valueCol).isNull, lit(null)).otherwise(tree(1, n)).cast("int"))
+      .drop((1 until n).map(i => s"__qb_$i"): _*)
+  }
+
   /** Keep the best `n` rows of every group ("best 5 docs per domain" —
     * the keep-best step of group-capped curation), exposing the rank as
     * `rk`. `order` must be a total order within a group (include a

@@ -1376,9 +1376,38 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- x49
+  // Global quantile-bucket (curriculum) assignment: quartile of n_chars
+  // per document WITHOUT a global sort — boundaries come from the
+  // distributed rank-selection percentile machinery and broadcast back;
+  // the oracle restates the same value-cut CASE over DuckDB's
+  // percentile_cont, both sides comparing against 9-digit-rounded
+  // boundaries. ntile would NOT oracle here: it splits ties to force
+  // equal counts, value cuts keep equal values in one bucket.
+  val x49 = Q.df(
+    "x49_quantile_buckets",
+    """WITH b AS (SELECT
+      |    round(percentile_cont(0.25) WITHIN GROUP (ORDER BY n_chars), 9) AS b1,
+      |    round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY n_chars), 9) AS b2,
+      |    round(percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars), 9) AS b3
+      |  FROM documents)
+      |SELECT d.doc_id, d.n_chars,
+      |  CAST(CASE WHEN d.n_chars IS NULL THEN NULL
+      |       WHEN d.n_chars <= b.b1 THEN 1
+      |       WHEN d.n_chars <= b.b2 THEN 2
+      |       WHEN d.n_chars <= b.b3 THEN 3
+      |       ELSE 4 END AS INT) AS bucket
+      |FROM documents d, b
+      |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    Selection.quantileBuckets(
+        Tables.load(spark, dir, "documents"), "n_chars", n = 4)
+      .select(col("doc_id"), col("n_chars"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
-    x47, x47b, x48)
+    x47, x47b, x48, x49)
 }

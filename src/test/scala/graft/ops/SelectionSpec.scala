@@ -94,6 +94,49 @@ class SelectionSpec extends AnyFunSuite {
       Selection.budgetSelect(rows, col("score"), col("id"), col("w"), 10, 0))
   }
 
+  test("quantileBuckets: value cuts at exact percentile_cont boundaries") {
+    // 1..8: quartile boundaries 2.75 / 4.5 / 6.25 -> buckets 1,1,2,2,3,3,4,4
+    val df = (1L to 8L).map(v => (v, v)).toDF("id", "v")
+    val got = Selection.quantileBuckets(df, "v", n = 4)
+      .select("id", "bucket").as[(Long, Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2,
+      5L -> 3, 6L -> 3, 7L -> 4, 8L -> 4))
+  }
+
+  test("quantileBuckets: ties share a bucket, nulls get a null bucket") {
+    val df = Seq[(Long, java.lang.Long)]((1L, 5L), (2L, 5L), (3L, 5L),
+      (4L, 5L), (5L, 100L), (6L, null)).toDF("id", "v")
+    val got = Selection.quantileBuckets(df, "v", n = 2)
+      .select("id", "bucket").as[(Long, Option[Int])]
+      .collect().sortBy(_._1).toSeq
+    // median of (5,5,5,5,100) is 5 -> all ties land in bucket 1 together
+    assert(got == Seq(1L -> Some(1), 2L -> Some(1), 3L -> Some(1),
+      4L -> Some(1), 5L -> Some(2), 6L -> None))
+  }
+
+  test("quantileBuckets: assignment is a broadcast, never a corpus sort") {
+    val df = (1L to 100L).map(v => (v, v * 3 % 97)).toDF("id", "v")
+    val out = Selection.quantileBuckets(df, "v", n = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    // the 1-row boundary frame broadcasts (its own subtree may sort/
+    // window — it is n-1 numbers); the CORPUS side must sit directly
+    // under the join with no exchange/sort/window — assignment is a
+    // pure projection of the scan
+    assert("BroadcastNestedLoopJoin[^\\n]*\\n\\s*:- LocalTableScan".r
+      .findFirstIn(plan).isDefined, plan)
+    // buckets are near-equal for distinct values
+    val sizes = out.groupBy("bucket").count().as[(Int, Long)].collect().toMap
+    assert(sizes.keySet == (1 to 8).toSet)
+    sizes.values.foreach(c => assert(math.abs(c - 12.5) <= 1.5, sizes.toString))
+  }
+
+  test("quantileBuckets rejects bad bucket counts") {
+    intercept[IllegalArgumentException](
+      Selection.quantileBuckets(rows, "score", 1))
+    intercept[IllegalArgumentException](
+      Selection.quantileBuckets(rows, "score", 2000))
+  }
+
   test("topPerGroup keeps exactly the n best per group with ranks 1..n") {
     import spark.implicits._
     val df = Seq(("a", 1L, 5), ("a", 2L, 9), ("a", 3L, 9), ("a", 4L, 1),
