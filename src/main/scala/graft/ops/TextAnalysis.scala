@@ -261,6 +261,51 @@ object TextAnalysis {
       Seq(col("df").desc, col("token")), k)
   }
 
+  /** Cross-group vocabulary overlap matrix — for every group pair
+    * `(group_a < group_b)` the intersection size, union size, and
+    * Jaccard of the two groups' DISTINCT token sets: the drift /
+    * redundancy audit between sources ("is src7 just src3 under a new
+    * domain?") and the input to source-level mixture decisions. Pairs
+    * sharing no tokens still appear (n_inter 0), so the matrix is
+    * complete: G·(G−1)/2 rows. Null groups are excluded (the pair
+    * predicate orders groups, and NULL orders against nothing — the
+    * same drop contract as the mixture operators).
+    *
+    * 100 TB shape: per-doc DISTINCT tokens explode map-side and
+    * collapse to the (group, token) VOCABULARY with one
+    * partial→final aggregate — shuffle volume is Σ group vocab, never
+    * the token instance stream; that vocab frame is the barrier
+    * (localCheckpoint) feeding the three consumers (sizes + both
+    * self-join sides), so the corpus is tokenized exactly once. The
+    * pair counts come from the vocab token self-join: candidate volume
+    * is Σ_token m_t² with m_t ≤ G groups containing the token — at
+    * most G²·|vocab| for the (small) domain count G, independent of
+    * corpus row count. The G-row size table broadcasts onto the
+    * G²-row result. */
+  def sourceOverlap(docs: DataFrame, groupCol: String): DataFrame = {
+    val vocab = docs
+      .select(col(groupCol).as("g"),
+        explode(array_distinct(Text.tokens(col("text")))).as("token"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val sizes = vocab.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val inter = vocab.as("a").join(vocab.as("b"),
+        col("a.token") === col("b.token") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("ga"), col("b.g").as("gb"))
+      .agg(count(lit(1)).as("n_inter"))
+    sizes.as("sa").join(sizes.as("sb"), col("sa.g") < col("sb.g"))
+      .join(inter,
+        col("ga") === col("sa.g") && col("gb") === col("sb.g"), "left")
+      .select(col("sa.g").as("group_a"), col("sb.g").as("group_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (col("sa.n") + col("sb.n") - coalesce(col("n_inter"), lit(0L)))
+          .as("n_union"),
+        round(coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("sa.n") + col("sb.n") - coalesce(col("n_inter"), lit(0L))), 9)
+          .as("jaccard"))
+      .orderBy(col("group_a"), col("group_b"))
+  }
+
   /** Unigram-LM surprisal: per-doc mean negative log-likelihood under the
     * corpus's own unigram distribution — the classic cheap "perplexity"
     * quality filter (docs far from the corpus distribution score high).

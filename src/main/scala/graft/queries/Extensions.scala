@@ -1405,9 +1405,35 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- x50
+  // Cross-source vocabulary overlap matrix, full DuckDB oracle: the
+  // source-drift / redundancy audit. Counts are exact integers over
+  // distinct token sets; jaccard is one rounded division. The matrix
+  // is complete (zero-overlap pairs ride the left join with n_inter 0).
+  val x50 = Q.df(
+    "x50_source_overlap",
+    """WITH v0 AS (SELECT source AS g,
+      |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+      |      x -> x <> '')) AS token
+      |  FROM documents WHERE source IS NOT NULL),
+      |v AS (SELECT DISTINCT g, token FROM v0),
+      |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+      |i AS (SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS n_inter
+      |  FROM v a JOIN v b ON a.token = b.token AND a.g < b.g GROUP BY 1, 2)
+      |SELECT sa.g AS group_a, sb.g AS group_b,
+      |  COALESCE(i.n_inter, 0) AS n_inter,
+      |  CAST(sa.n + sb.n - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union,
+      |  ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+      |        / (sa.n + sb.n - COALESCE(i.n_inter, 0)), 9) AS jaccard
+      |FROM s sa JOIN s sb ON sa.g < sb.g
+      |LEFT JOIN i ON i.ga = sa.g AND i.gb = sb.g
+      |ORDER BY group_a, group_b""".stripMargin) { (spark, dir) =>
+    TextAnalysis.sourceOverlap(Tables.load(spark, dir, "documents"), "source")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
-    x47, x47b, x48, x49)
+    x47, x47b, x48, x49, x50)
 }

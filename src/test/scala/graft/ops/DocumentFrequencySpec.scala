@@ -34,4 +34,21 @@ class DocumentFrequencySpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k:\n$plan")
   }
+
+  test("sourceOverlap: exact set arithmetic over a complete pair matrix") {
+    val d = Seq(
+      (1L, "alpha beta gamma", "s1"),
+      (2L, "beta delta", "s1"),
+      (3L, "beta gamma", "s2"),
+      (4L, "zeta", "s3"),
+      (5L, "ignored", null: String)) // null group drops, documented
+      .toDF("doc_id", "text", "source")
+    // vocab: s1 {alpha,beta,gamma,delta}, s2 {beta,gamma}, s3 {zeta}
+    val got = TextAnalysis.sourceOverlap(d, "source")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("s1", "s2", 2L, 4L, 0.5),
+      ("s1", "s3", 0L, 5L, 0.0),   // zero-overlap pair still present
+      ("s2", "s3", 0L, 3L, 0.0)))
+  }
 }
