@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * The end-to-end curation loop, composed from this library's own stages
+ * into one call: exact dedup → benchmark decontamination → length
+ * filter → deterministic split assignment. This is the minimal
+ * "crawl in, training corpus out" pipeline; each stage is the same
+ * operator the standalone queries verify, so the composition inherits
+ * their oracles — and the x51 row verifies the COMPOSITION itself
+ * against a single DuckDB restatement end to end.
+ *
+ * Requires `doc_id` unique (the dedup keep-set joins back by id),
+ * `text`, and `n_chars` columns; `evalDocs` needs `text`.
+ *
+ * Scale shape (all inherited from the underlying operators):
+ *  - exact dedup shuffles 8-byte xxhash64(text) keys, never text, and
+ *    rejoins survivors by id ([[Dedup.exactByHash]]'s contract);
+ *  - decontamination broadcasts the (tiny) eval gram set; the corpus
+ *    never shuffles for the overlap join ([[Decontamination]]);
+ *  - the length filter and split assignment are codegen'd projections
+ *    ([[Sampling.deterministicSplit]] — portable md5 buckets, stable
+ *    under re-runs/appends);
+ *  - the corpus passes: one for the dedup hash aggregate, one for the
+ *    decontamination gram explode, one for the final projection —
+ *    no corpus-sized sort, window, or driver collect anywhere.
+ */
+object Curation {
+
+  /** The curated corpus: rows of `docs` that survive exact dedup (the
+    * smallest doc_id per identical text), share no word-trigram with
+    * `evalDocs` (at `minHits` sensitivity), and fall inside
+    * `[minChars, maxChars]` — each surviving row carrying its
+    * deterministic `split` assignment. */
+  def curate(docs: DataFrame, evalDocs: DataFrame,
+      minChars: Long, maxChars: Long,
+      splits: Seq[(String, Double)], seed: Int = 42,
+      minHits: Int = 1): DataFrame = {
+    require(minChars <= maxChars,
+      s"empty length window: minChars $minChars > maxChars $maxChars")
+    val keepIds = docs
+      .groupBy(xxhash64(col("text")).as("__cu_h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val deduped = docs.join(keepIds, Seq("doc_id"), "left_semi")
+    val contaminated = Decontamination
+      .overlapHits(deduped, evalDocs, col("doc_id"), col("text"), minHits)
+      .select("doc_id")
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val sized = clean.filter(
+      col("n_chars").between(lit(minChars), lit(maxChars)))
+    Sampling.deterministicSplit(sized, col("doc_id"), splits, seed)
+  }
+}

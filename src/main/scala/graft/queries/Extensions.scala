@@ -1431,9 +1431,61 @@ object Extensions {
     TextAnalysis.sourceOverlap(Tables.load(spark, dir, "documents"), "source")
   }
 
+  // ---------------------------------------------------------------- x51
+  // The END-TO-END curation loop under ONE oracle: exact dedup →
+  // decontamination (eval = doc_id % 97, carved in-query) → length
+  // filter → deterministic split, then a per-(split, source) summary.
+  // Every stage is individually oracled elsewhere (x01/x23/x18/x31
+  // patterns); this row verifies the COMPOSITION — the DuckDB SQL
+  // restates the whole pipeline (string trigrams per the x04
+  // equivalence, the same md5 bucket + floor(f·2³²+0.5) thresholds)
+  // and the (split, source) totals must hash-match.
+  val x51 = Q.df(
+    "x51_curation_pipeline",
+    """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+      |d AS (SELECT doc.* FROM documents doc JOIN keep USING (doc_id)),
+      |w AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM d),
+      |g AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(w) >= 3
+      |         THEN [concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in generate_series(1, len(w)-2)]
+      |         ELSE [array_to_string(w, ' ')] END) AS g
+      |  FROM w),
+      |ew AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM documents WHERE doc_id % 97 = 0),
+      |eg AS (SELECT list_distinct(flatten(list(list_distinct(
+      |    CASE WHEN len(w) >= 3
+      |         THEN [concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in generate_series(1, len(w)-2)]
+      |         ELSE [array_to_string(w, ' ')] END)))) AS eg
+      |  FROM ew),
+      |s AS (SELECT d.source, d.n_chars,
+      |    CASE WHEN substring(md5('k' || CAST(d.doc_id AS VARCHAR) || ':13'), 1, 8)
+      |              < printf('%08x', CAST(floor(0.8 * 4294967296.0 + 0.5) AS BIGINT))
+      |         THEN 'train'
+      |         WHEN substring(md5('k' || CAST(d.doc_id AS VARCHAR) || ':13'), 1, 8)
+      |              < printf('%08x', CAST(floor(0.9 * 4294967296.0 + 0.5) AS BIGINT))
+      |         THEN 'val' ELSE 'test' END AS split
+      |  FROM d JOIN g ON g.doc_id = d.doc_id, eg
+      |  WHERE len(list_intersect(g.g, eg.eg)) = 0
+      |    AND d.n_chars BETWEEN 150 AND 450)
+      |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    graft.ops.Curation.curate(docs,
+        evalDocs = docs.filter(col("doc_id") % 97 === 0),
+        minChars = 150, maxChars = 450,
+        splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 13)
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split"), col("source"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
-    x47, x47b, x48, x49, x50)
+    x47, x47b, x48, x49, x50, x51)
 }
