@@ -1483,9 +1483,44 @@ object Extensions {
       .orderBy(col("split"), col("source"))
   }
 
+  // ---------------------------------------------------------------- x52
+  // Streaming dedup through the oracle gate — the third streaming shape
+  // (x26 windowed-agg Complete, x46 Append+watermark, now
+  // dropDuplicatesWithinWatermark): the staged input contains EVERY
+  // event twice (the planted-duplicate construction), the stream must
+  // emit each event_id exactly once, and the oracle is simply the
+  // batch aggregate of the ORIGINAL events table — a surviving
+  // duplicate fails the count and the decimal-exact value sum loudly.
+  val x52 = Q.df(
+    "x52_stream_dedup_replay",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val staged = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_x52_stage").toString
+    val ev = Tables.load(spark, dir, "events")
+    // two part-files: the first holds (mostly) the original copy, the
+    // second the duplicates; maxFilesPerTrigger=1 then replays them as
+    // SEPARATE micro-batches, so the second copy must die against
+    // cross-batch dedup state / the advanced watermark — not merely
+    // within-batch dedup
+    ev.unionByName(ev).coalesce(2).write.mode("overwrite").parquet(staged)
+    val q = graft.streaming.EventStream.runToMemory(
+      graft.streaming.EventStream.dedupedEvents(
+        graft.streaming.EventStream.readEvents(spark, staged,
+          maxFilesPerTrigger = Some(1))),
+      "x52_sink", org.apache.spark.sql.streaming.OutputMode.Append)
+    q.stop()
+    spark.table("x52_sink")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
-    x47, x47b, x48, x49, x50, x51)
+    x47, x47b, x48, x49, x50, x51, x52)
 }

@@ -22,11 +22,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object EventStream {
 
-  /** Schema-locked streaming read of an events directory. */
-  def readEvents(spark: SparkSession, path: String): DataFrame = {
+  /** Schema-locked streaming read of an events directory.
+    * `maxFilesPerTrigger` caps files per micro-batch (None = all
+    * available) — replay harnesses use 1 to force multi-batch runs, so
+    * cross-batch state (dedup horizon, watermark advancement) actually
+    * exercises. */
+  def readEvents(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
       "event_type STRING, value DOUBLE, props STRING"
-    spark.readStream.schema(schema).parquet(path)
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
+      .parquet(path)
   }
 
   /** Tumbling 5-minute windows per event type with a 10-minute watermark. */
