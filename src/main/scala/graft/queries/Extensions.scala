@@ -1518,9 +1518,51 @@ object Extensions {
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------------------------- x53
+  // Streaming sessionization (flatMapGroupsWithState) through the
+  // oracle gate — the last unoracled streaming shape. A replayed
+  // session closes two ways: IN-BATCH when a later same-user event
+  // arrives past the 30-min gap (⇔ it is not that user's LAST
+  // session), or BY TIMEOUT when the final no-data micro-batch lifts
+  // the watermark (max ts − 10 min) past session_end + gap. The oracle
+  // restates exactly that closed subset over batch lag/running-sum
+  // sessionization. total_value is deliberately NOT compared: the
+  // streaming state accumulates raw doubles in arrival order, which no
+  // engine-independent SQL can restate bit-for-bit; n_events is exact.
+  val x53 = Q.df(
+    "x53_stream_sessions",
+    """WITH s AS (SELECT user_id, ts, event_id,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS nb
+      |  FROM events),
+      |n AS (SELECT user_id, ts, SUM(nb) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_no
+      |  FROM s),
+      |agg AS (SELECT user_id, sess_no, CAST(count(*) AS BIGINT) AS n_events,
+      |    max(ts) AS session_end,
+      |    max(sess_no) OVER (PARTITION BY user_id) AS last_no
+      |  FROM n GROUP BY 1, 2),
+      |m AS (SELECT max(ts) AS mx FROM events)
+      |SELECT user_id, n_events FROM agg, m
+      |WHERE sess_no < last_no
+      |   OR session_end + INTERVAL '30 minutes' < mx - INTERVAL '10 minutes'
+      |ORDER BY user_id, n_events""".stripMargin) { (spark, dir) =>
+    val staged = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_x53_stage").toString
+    Tables.load(spark, dir, "events").coalesce(2)
+      .write.mode("overwrite").parquet(staged)
+    val q = graft.streaming.EventStream.runToMemory(
+      graft.streaming.EventStream.sessionize(spark,
+        graft.streaming.EventStream.readEvents(spark, staged)),
+      "x53_sink", org.apache.spark.sql.streaming.OutputMode.Append)
+    q.stop()
+    spark.table("x53_sink").select(col("user_id"), col("n_events"))
+      .orderBy(col("user_id"), col("n_events"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
-    x47, x47b, x48, x49, x50, x51, x52)
+    x47, x47b, x48, x49, x50, x51, x52, x53)
 }
