@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -90,4 +90,29 @@ object Text {
         least(lit(chunkTokens), size(toks) - i * stride).cast("int")
           .as("chunk_tokens")))
   }
+
+  /** Reassemble per-part rows into one text per id, parts joined by
+    * `sep` in `posCol` order — the inverse layout step (pages →
+    * document, shards → corpus row, chunks back → document). Returns
+    * `(idCol, textCol)`; `posCol` must be unique within an id for a
+    * deterministic order. Exact inverse of [[chunkWindows]] at
+    * `overlap = 0` with `sep = " "`: the empty-token contract above
+    * means every chunk boundary restores exactly one space, so the
+    * round trip is byte-identical (the x54 oracle row proves it
+    * corpus-wide against the identity query).
+    *
+    * Scale: one hash aggregate keyed on the id; the ordered concat
+    * builds per-GROUP arrays bounded by a single document's size (the
+    * same bound the chunk fan-out came from), never corpus-sized, and
+    * `sort_array` on (pos, part) structs needs no window or global
+    * sort. */
+  def assemble(parts: DataFrame, idCol: String, posCol: String,
+      textCol: String, sep: String = " "): DataFrame =
+    parts.groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(struct(col(posCol).as("p"),
+            col(textCol).as("t")))),
+          s => s.getField("t")),
+        sep).as(textCol))
 }

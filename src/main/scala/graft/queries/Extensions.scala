@@ -1560,9 +1560,29 @@ object Extensions {
       .orderBy(col("user_id"), col("n_events"))
   }
 
+  // ---------------------------------------------------------------- x54
+  // Chunk → assemble round trip under the strongest possible oracle:
+  // IDENTITY. Every document is chunked at overlap 0 (x38's layout
+  // operator), the chunks re-assembled in chunk_idx order, and the
+  // result must be byte-identical to the original table — which is
+  // exactly what the empty-token contract (VERDICT r06 next #6)
+  // guarantees: each chunk boundary restores one space. A drift in
+  // either operator (tokenization, slicing, ordering, separator)
+  // fails 500/500 rows loudly.
+  val x54 = Q.df(
+    "x54_chunk_roundtrip",
+    "SELECT doc_id, text FROM documents ORDER BY doc_id") { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    val chunks = docs.select(col("doc_id"),
+      inline(Text.chunkWindows(col("text"), chunkTokens = 64, overlap = 0)))
+    Text.assemble(chunks, "doc_id", "chunk_idx", "chunk", " ")
+      .select(col("doc_id"), col("chunk").as("text"))
+      .orderBy(col("doc_id"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
-    x47, x47b, x48, x49, x50, x51, x52, x53)
+    x47, x47b, x48, x49, x50, x51, x52, x53, x54)
 }

@@ -72,4 +72,26 @@ class ChunkingSpec extends AnyFunSuite {
       .select(Text.chunkCount(col("text"), 3, 0)).as[Int].head()
     assert(n == got.size)
   }
+
+  test("assemble orders parts by position, whatever the input order") {
+    val parts = Seq((7L, 2, "gamma"), (7L, 0, "alpha"), (7L, 1, "beta"),
+      (8L, 0, "solo")).toDF("doc_id", "pos", "part")
+    val got = Text.assemble(parts, "doc_id", "pos", "part", " ")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(7L -> "alpha beta gamma", 8L -> "solo"))
+  }
+
+  test("assemble inverts chunkWindows at overlap 0, byte-exactly") {
+    val docs = Seq(
+      (1L, "alpha  beta gamma   delta epsilon"), // double/triple spaces
+      (2L, "one two three four five six seven eight nine"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val chunks = docs.select(col("doc_id"),
+      inline(Text.chunkWindows(col("text"), 3, 0)))
+    val got = Text.assemble(chunks, "doc_id", "chunk_idx", "chunk")
+      .as[(Long, String)].collect().toMap
+    val orig = docs.as[(Long, String)].collect().toMap
+    assert(got == orig)
+  }
 }
