@@ -53,4 +53,38 @@ object Curation {
       col("n_chars").between(lit(minChars), lit(maxChars)))
     Sampling.deterministicSplit(sized, col("doc_id"), splits, seed)
   }
+
+  /**
+   * Per-group corpus datasheet — the summary table every dataset release
+   * ships: document count, total/mean/median size per group, in ONE
+   * pass over the corpus. The median rides the distributed
+   * rank-selection percentile machinery and the count/sum/mean ride the
+   * SAME melted pass as payload aggregates ([[Percentiles.exact]]'s
+   * `extraAggs` — the q72 single-pass contract), so the plan scans the
+   * corpus exactly once (spec-pinned) where the naive
+   * `groupBy.agg(count, sum, avg) join median` shape scans it twice.
+   *
+   * Returns `(groupCol, n_docs, total_chars, avg_chars, median_chars)`
+   * ordered by group. Null sizes count toward `n_docs` but are excluded
+   * from sum/mean/median, matching SQL aggregate semantics.
+   */
+  def datasheet(docs: DataFrame, groupCol: String,
+      sizeCol: String = "n_chars"): DataFrame = {
+    val prepped = docs.select(col(groupCol), col(sizeCol),
+      col(sizeCol).as("__ds_w"))
+    // extraAggs contract: restrict to one melted copy per source row
+    val one = col("__pct_c") === 0
+    Percentiles.exactAdaptive(prepped, Seq(groupCol),
+        Seq(Percentiles.Spec(sizeCol, 0.5, "median_chars")),
+        rowCountCol = Some("n_docs"),
+        extraCols = Seq("__ds_w"),
+        extraAggs = Seq(
+          "total_chars" -> sum(when(one, col("__ds_w"))),
+          "avg_chars" -> round(
+            sum(when(one, col("__ds_w"))).cast("double") /
+              count(when(one, col("__ds_w"))), 9)))
+      .select(col(groupCol), col("n_docs"), col("total_chars"),
+        col("avg_chars"), round(col("median_chars"), 9).as("median_chars"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -1580,9 +1580,26 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- x55
+  // Per-source corpus datasheet in ONE pass: count/sum/mean ride the
+  // median's melted rank-selection pass as payload aggregates (the q72
+  // single-pass machinery surfaced through the ops API). Oracle is the
+  // plain GROUP BY restatement; median/avg rounded @9 on both sides.
+  val x55 = Q.df(
+    "x55_datasheet",
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / count(n_chars), 9) AS avg_chars,
+      |  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 9)
+      |    AS median_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    graft.ops.Curation.datasheet(
+      Tables.load(spark, dir, "documents"), "source")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
-    x47, x47b, x48, x49, x50, x51, x52, x53, x54)
+    x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55)
 }

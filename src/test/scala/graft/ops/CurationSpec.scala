@@ -60,4 +60,47 @@ class CurationSpec extends AnyFunSuite {
   test("an empty length window is rejected") {
     intercept[IllegalArgumentException](run(min = 100, max = 10))
   }
+
+  test("datasheet: single-pass per-group stats match SQL aggregate semantics") {
+    // 6 groups (> the session's 4 shuffle slices, so the adaptive
+    // percentile keeps the default one-scan mode); one null size
+    val rows = (0 until 60).map { i =>
+      (s"g${i % 6}",
+        if (i == 0) null else java.lang.Long.valueOf(i * 7 % 100))
+    }
+    val df = rows.toDF("source", "n_chars")
+    val got = Curation.datasheet(df, "source")
+      .as[(String, Long, Option[Long], Option[Double], Option[Double])]
+      .collect().toSeq
+    // independent recomputation with SQL semantics (nulls excluded from
+    // sum/avg/median, counted in n_docs; percentile_cont interpolation)
+    def pctCont(vs: Seq[Long]): Double = {
+      val s = vs.sorted.map(_.toDouble)
+      val r = 0.5 * (s.size - 1)
+      val (lo, hi) = (s(r.toInt), s(math.ceil(r).toInt))
+      val frac = r - math.floor(r)
+      lo * (1.0 - frac) + hi * frac
+    }
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rs) =>
+      val vs = rs.flatMap(r => Option(r._2).map(_.longValue()))
+      def r9(d: Double) =
+        BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (g, rs.size.toLong, Some(vs.sum), Some(r9(vs.sum.toDouble / vs.size)),
+        Some(r9(pctCont(vs))))
+    }
+    assert(got == expected)
+  }
+
+  test("datasheet: the corpus is scanned exactly once") {
+    val df = (0 until 60).map(i => (s"g${i % 6}", i.toLong * 3 % 97))
+      .toDF("source", "n_chars")
+    val out = Curation.datasheet(df, "source")
+    out.collect()
+    // AQE's toString prints the final AND the initial plan — count the
+    // final one only
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "LocalTableScan".r.findAllIn(plan).size
+    assert(scans == 1, s"expected one corpus scan, got $scans:\n$plan")
+  }
 }
