@@ -355,6 +355,40 @@ object Similarity {
   }
 
   /**
+   * ANN recall audit — the operational check a 100 TB pipeline runs on a
+   * SAMPLE of queries before trusting an approximate index: top-k recall
+   * of the LSH and IVF paths against the exact brute force, as one
+   * summary row per method. "Recall" is the fraction of the brute-force
+   * top-k (qid, cid) pairs the approximate method also returns —
+   * order-insensitive, the standard ANN metric.
+   *
+   * Run it on a hash-sampled query subset (e.g.
+   * `Sampling.stratifiedSample` or a `bucketHex` filter), never the full
+   * query log: the audit pays one brute-force pass over the corpus per
+   * query batch, which is exactly what the sample bounds. The three
+   * top-k frames are computed by the operators under audit themselves,
+   * so the audit can never drift from production behavior.
+   */
+  def recallAudit(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      tables: Int = 8, bits: Int = 6): DataFrame = {
+    val brute = bruteForceTopK(corpus, queries, k).select(col("qid"), col("cid"))
+      .localCheckpoint(eager = false) // feeds every per-method semi-join
+    val nBrute = brute.groupBy().agg(count(lit(1)).as("n_brute"))
+    def row(name: String, topk: DataFrame) =
+      topk.select(col("qid"), col("cid"))
+        .join(brute, Seq("qid", "cid"), "left_semi")
+        .groupBy().agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(nBrute))
+        .select(lit(name).as("method"), col("n_hits"), col("n_brute"),
+          round(col("n_hits").cast("double") / col("n_brute"), 9).as("recall"))
+    row("brute", bruteForceTopK(corpus, queries, k))
+      .unionByName(row("ivf", ivfTopK(corpus, queries, k, nlist, nprobe, iters)))
+      .unionByName(row("lsh", lshTopK(corpus, queries, k, tables, bits)))
+      .orderBy(col("method"))
+  }
+
+  /**
    * SemDeDup-style semantic near-dup pairs: cluster the embedding space
    * with the IVF centroids, then verify exact cosine only WITHIN each
    * cell — the embedding-space analogue of banded MinHash candidate

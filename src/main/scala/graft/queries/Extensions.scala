@@ -1597,9 +1597,22 @@ object Extensions {
       Tables.load(spark, dir, "documents"), "source")
   }
 
+  // ---------------------------------------------------------------- x56
+  // ANN recall audit over a hash-sampled query batch: the operational
+  // pre-flight a 100 TB run does before trusting an approximate index.
+  // Banding/Lloyd aren't SQL-expressible → rows-only; the spec pins the
+  // invariants (brute ≡ 1.0, recalls in [0,1], fixture floors).
+  val x56 = Q.dfOnly("x56_ann_recall_audit") { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+    Similarity.recallAudit(
+      e.filter(col("vec_id") >= 10),
+      e.filter(col("vec_id") < 10), k = 5,
+      nlist = 16, nprobe = 4, iters = 2)
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
-    x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55)
+    x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56)
 }
