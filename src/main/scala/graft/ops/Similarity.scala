@@ -382,7 +382,9 @@ object Similarity {
         .crossJoin(broadcast(nBrute))
         .select(lit(name).as("method"), col("n_hits"), col("n_brute"),
           round(col("n_hits").cast("double") / col("n_brute"), 9).as("recall"))
-    row("brute", bruteForceTopK(corpus, queries, k))
+    // the brute row audits the checkpointed frame against itself — by
+    // construction 1.0, and it costs a semi-join, not a second corpus pass
+    row("brute", brute)
       .unionByName(row("ivf", ivfTopK(corpus, queries, k, nlist, nprobe, iters)))
       .unionByName(row("lsh", lshTopK(corpus, queries, k, tables, bits)))
       .orderBy(col("method"))
