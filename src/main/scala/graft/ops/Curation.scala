@@ -68,6 +68,40 @@ object Curation {
    * ordered by group. Null sizes count toward `n_docs` but are excluded
    * from sum/mean/median, matching SQL aggregate semantics.
    */
+  /**
+   * Per-column profile — the expectations/data-quality gate run before
+   * a corpus enters training: row count, non-null count, exact distinct
+   * count, and stringified min/max per requested column, one row per
+   * column. Null-rate drift, a collapsed id column, or an out-of-range
+   * value shows up here before it poisons a run.
+   *
+   * Scale: ONE aggregation pass; multiple exact distincts plan as
+   * Spark's Expand (one scan, |cols|× row multiplication into the
+   * aggregate) — the standard multi-distinct shape. For a quick 100 TB
+   * profile run it over a hash sample, or swap `countDistinct` for
+   * `approx_count_distinct` upstream; the exact form here is what makes
+   * the x58 oracle row possible.
+   */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = Seq(count(lit(1)).as("__pr_rows")) ++ cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__pr_n_$c"),
+        countDistinct(col(c)).as(s"__pr_d_$c"),
+        min(col(c)).cast("string").as(s"__pr_min_$c"),
+        max(col(c)).cast("string").as(s"__pr_max_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col("__pr_rows").as("n_rows"),
+        col(s"__pr_n_$c").as("n_nonnull"),
+        col(s"__pr_d_$c").as("n_distinct"),
+        col(s"__pr_min_$c").as("min_value"),
+        col(s"__pr_max_$c").as("max_value"))): _*)).as("r"))
+      .select(col("r.*"))
+      .orderBy(col("col_name"))
+  }
+
   def datasheet(docs: DataFrame, groupCol: String,
       sizeCol: String = "n_chars"): DataFrame = {
     val prepped = docs.select(col(groupCol), col(sizeCol),

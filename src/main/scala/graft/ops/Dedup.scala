@@ -42,6 +42,27 @@ object Dedup {
       .select(col("keep_id"), col("dup_count"))
       .orderBy(col("keep_id"))
 
+  /** Canonical text for [[exactNormalized]]: lowercase, every
+    * non-alphanumeric run (punctuation AND whitespace) collapsed to one
+    * space, trimmed. Engine-portable: two regexp_replace passes any
+    * regex engine agrees on (character classes only, no lookaround). */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
+
+  /** Exact dedup AFTER canonical normalization — the "exact match on
+    * normalized text" recipe public curation pipelines run between
+    * byte-exact and near-dup passes: casing, punctuation, and
+    * whitespace variants of one document collapse to a single survivor
+    * (smallest doc_id), byte-exact semantics otherwise unchanged. Same
+    * scale shape as [[exactByHash]]: the shuffle carries the 8-byte
+    * hash of the NORMALIZED text, never the text. */
+  def exactNormalized(docs: DataFrame): DataFrame =
+    docs.groupBy(xxhash64(normalized(col("text"))).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      .select(col("keep_id"), col("dup_count"))
+      .orderBy(col("keep_id"))
+
   /** MinHash signature of a shingle array: `numPerm` permutations
     * simulated as seeded xxhash64 min-hashes. Pure per-row expression —
     * evaluate it exactly once (persist!) before fanning out to bands. */

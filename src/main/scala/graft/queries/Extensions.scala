@@ -1610,9 +1610,75 @@ object Extensions {
       nlist = 16, nprobe = 4, iters = 2)
   }
 
+  // ---------------------------------------------------------------- x57
+  // Normalization-exact dedup ("exact after normalization" — the pass
+  // public pipelines run between byte-exact and near-dup): casing /
+  // punctuation / whitespace variants collapse to one survivor. The
+  // fixture is already canonical, so variants are PLANTED in-query
+  // (uppercased + doubled spaces + trailing bangs at doc_id+100000);
+  // every planted variant must merge into its original's group —
+  // dup_count rises where planted, and no planted id survives. The
+  // oracle runs the identical two-pass normalization (DuckDB needs the
+  // 'g' flag for Spark's replace-all default).
+  val x57 = Q.df(
+    "x57_dedup_normalized",
+    """WITH u AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |    upper(text) || '  !!' FROM documents WHERE doc_id % 10 = 0),
+      |n AS (SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+      |      '\s+', ' ', 'g')) AS nt
+      |  FROM u)
+      |SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+      |  CAST(COUNT(*) AS BIGINT) AS dup_count
+      |FROM n GROUP BY nt ORDER BY keep_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(upper(col("text")), lit("  !!")).as("text"))
+    Dedup.exactNormalized(docs.unionByName(planted))
+  }
+
+  // ---------------------------------------------------------------- x58
+  // Per-column profile gate (the expectations check before training):
+  // exact counts + stringified min/max per column, one aggregation
+  // pass (multi-distinct plans as Expand). Full DuckDB oracle as a
+  // UNION ALL of per-column aggregates.
+  val x58 = Q.df(
+    "x58_column_profile",
+    """SELECT * FROM (
+      |  SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(count(doc_id) AS BIGINT) AS n_nonnull,
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+      |    CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+      |    CAST(MAX(doc_id) AS VARCHAR) AS max_value FROM documents
+      |  UNION ALL
+      |  SELECT 'lang', CAST(count(*) AS BIGINT), CAST(count(lang) AS BIGINT),
+      |    CAST(count(DISTINCT lang) AS BIGINT),
+      |    CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR) FROM documents
+      |  UNION ALL
+      |  SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(count(n_chars) AS BIGINT),
+      |    CAST(count(DISTINCT n_chars) AS BIGINT),
+      |    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
+      |  UNION ALL
+      |  SELECT 'source', CAST(count(*) AS BIGINT), CAST(count(source) AS BIGINT),
+      |    CAST(count(DISTINCT source) AS BIGINT),
+      |    CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR) FROM documents
+      |  UNION ALL
+      |  SELECT 'text', CAST(count(*) AS BIGINT), CAST(count(text) AS BIGINT),
+      |    CAST(count(DISTINCT text) AS BIGINT),
+      |    CAST(MIN(text) AS VARCHAR), CAST(MAX(text) AS VARCHAR) FROM documents)
+      |ORDER BY col_name""".stripMargin) { (spark, dir) =>
+    graft.ops.Curation.columnProfile(
+      Tables.load(spark, dir, "documents"),
+      Seq("doc_id", "lang", "n_chars", "source", "text"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
-    x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56)
+    x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58)
 }

@@ -91,6 +91,33 @@ class CurationSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("columnProfile: exact per-column stats incl. nulls and distincts") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "b"), (2L, "a"), (2L, null), (null, "a"))
+      .toDF("id", "s")
+    val got = Curation.columnProfile(df, Seq("id", "s"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("id", 4L, 3L, 2L, Some("1"), Some("2")),
+      ("s", 4L, 3L, 2L, Some("a"), Some("b"))))
+  }
+
+  test("columnProfile rejects an empty column list") {
+    intercept[IllegalArgumentException](
+      Curation.columnProfile(Seq((1L, "x")).toDF("id", "s"), Nil))
+  }
+
+  test("exactNormalized merges casing/punctuation/whitespace variants") {
+    val docs = Seq(
+      (1L, "Hello,   World!"),
+      (2L, "hello world"),
+      (3L, "unrelated text")).toDF("doc_id", "text")
+    val got = Dedup.exactNormalized(docs)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 2L, 3L -> 1L))
+  }
+
   test("datasheet: the corpus is scanned exactly once") {
     val df = (0 until 60).map(i => (s"g${i % 6}", i.toLong * 3 % 97))
       .toDF("source", "n_chars")
