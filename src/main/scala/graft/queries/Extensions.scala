@@ -1676,9 +1676,41 @@ object Extensions {
       Seq("doc_id", "lang", "n_chars", "source", "text"))
   }
 
+  // ---------------------------------------------------------------- x59
+  // Scoring → selection COMPOSED: the x09 quality score (a real metric
+  // over the text, not a synthetic hash) feeds the x33 budget-capped
+  // selection. The fixture has no punctuation, so quality_score
+  // saturates at 1.0 for every ≥100-token doc — dense ties stressing
+  // the (score desc, doc_id) total order across the bucketed
+  // distributed prefix sum. One oracle restates the whole chain.
+  val x59 = Q.df(
+    "x59_quality_budget_select",
+    """WITH q AS (SELECT doc_id, n_chars,
+      |    ROUND(least(CAST(len(regexp_extract_all(text, '\w+')) AS DOUBLE) / 100.0, 1.0)
+      |          * (1.0 - ROUND(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+      |                         / greatest(length(text), 1), 9)), 9) AS quality_score
+      |  FROM documents),
+      |c AS (SELECT doc_id, quality_score, n_chars,
+      |    CAST(SUM(n_chars) OVER (ORDER BY quality_score DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum_weight
+      |  FROM q)
+      |SELECT doc_id, quality_score, n_chars, cum_weight FROM c
+      |WHERE cum_weight <= 40000 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    val scored = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("quality_score"))
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    Selection.budgetSelect(scored, col("quality_score"), col("doc_id"),
+        col("n_chars"), budget = 40000L)
+      .select(col("doc_id"), col("quality_score"), col("n_chars"),
+        col("cum_weight"))
+      .orderBy(col("doc_id"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
-    x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58)
+    x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59)
 }
