@@ -178,9 +178,13 @@ object Sampling {
         least(lit(1.0), col("__mix_share") * lit(budget) /
           col("__mix_total").cast("double")).as("__mix_rate"))
     val hex = bucketHex(key, seed)
+    // isNotNull is load-bearing: a null rate (domain whose weights are
+    // all null) would clamp through Spark's null-ignoring least() in
+    // hexThresholdCol to the max threshold and keep the row
     df.join(broadcast(rates), domain === col("__mix_domain"))
-      .filter(col("__mix_rate") >= lit(1.0) ||
-        hex < hexThresholdCol(col("__mix_rate")))
+      .filter(col("__mix_rate").isNotNull &&
+        (col("__mix_rate") >= lit(1.0) ||
+          hex < hexThresholdCol(col("__mix_rate"))))
       .withColumn("keep_rate", round(col("__mix_rate"), 9))
       .drop("__mix_domain", "__mix_rate")
   }
@@ -230,11 +234,53 @@ object Sampling {
         round(least(lit(1.0),
           col("__mix_p") / col("__mix_z") * lit(budget) / t), 9).as("__mix_rate"))
     val hex = bucketHex(key, seed)
+    // same null-rate guard as mixtureSample (see there)
     df.join(broadcast(rates), domain === col("__mix_domain"))
-      .filter(col("__mix_rate") >= lit(1.0) ||
-        hex < hexThresholdCol(col("__mix_rate")))
+      .filter(col("__mix_rate").isNotNull &&
+        (col("__mix_rate") >= lit(1.0) ||
+          hex < hexThresholdCol(col("__mix_rate"))))
       .withColumn("keep_rate", col("__mix_rate"))
       .drop("__mix_domain", "__mix_rate")
+  }
+
+  /**
+   * Time-decay (recency-weighted) sampling: each row keeps with
+   * probability `2^(−age / halflife)` where `age = refTs − ts` — the
+   * standard recency weighting when stitching crawl snapshots into a
+   * training mix (yesterday's crawl keeps ~everything, a
+   * halflife-old one keeps half). Selection is the same portable md5
+   * bucket as every sampler here; rows gain their `keep_rate`.
+   *
+   * `refTs` is an explicit column/literal, NOT a wall-clock read — the
+   * kept set must be a pure function of the data so re-runs and
+   * engines agree (pass e.g. the corpus max-ts via a scalar subquery,
+   * or a pinned cutoff literal). Rows newer than `refTs` clamp to
+   * rate 1; rows with a NULL timestamp drop (an unknown age cannot be
+   * weighted — pre-filter them if they must be kept).
+   *
+   * The rate is rounded to 9 digits BEFORE thresholding — the same
+   * pow-ulp contract as [[temperatureMixture]]. Scale: a pure per-row
+   * codegen'd projection/filter, no shuffle, no state.
+   */
+  def decaySample(df: DataFrame, ts: Column, refTs: Column,
+      halflifeSeconds: Double, key: Column, seed: Int = 42): DataFrame = {
+    require(halflifeSeconds > 0.0,
+      s"halflife must be positive, got $halflifeSeconds")
+    val ageSec = (unix_micros(refTs) - unix_micros(ts)).cast("double") /
+      lit(1000000.0)
+    // NOT functions.greatest: Spark's greatest IGNORES nulls, so a null
+    // timestamp would clamp to age 0 and keep at rate 1 — the when-form
+    // propagates null (matching SQL GREATEST), and the filter then
+    // drops the row as documented
+    val clamped = when(ageSec < lit(0.0), lit(0.0)).otherwise(ageSec)
+    val rate = round(pow(lit(2.0), -clamped / lit(halflifeSeconds)), 9)
+    // the explicit isNotNull is load-bearing: a null rate reaching
+    // hexThresholdCol would clamp through Spark's null-IGNORING least()
+    // to the max threshold and keep the row
+    df.withColumn("keep_rate", rate)
+      .filter(col("keep_rate").isNotNull &&
+        (col("keep_rate") >= lit(1.0) ||
+          bucketHex(key, seed) < hexThresholdCol(col("keep_rate"))))
   }
 
   /** Keeps a per-stratum fraction of rows (stratum → rate; strata absent

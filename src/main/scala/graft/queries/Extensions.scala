@@ -1708,9 +1708,39 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- x60
+  // Time-decay (recency-weighted) sampling over the events table with a
+  // one-day halflife anchored at max(ts). Age is derived as a
+  // MICROSECOND difference in both engines (DuckDB's interval epoch()
+  // decomposes days+micros and could round differently), the rate is
+  // pinned @9 before the threshold (the pow-ulp contract), and the
+  // newest event pins the clamp (age 0 → rate 1).
+  val x60 = Q.df(
+    "x60_decay_sample",
+    """WITH m AS (SELECT max(ts) AS mx FROM events),
+      |r AS (SELECT event_id, event_type,
+      |    ROUND(pow(2.0, -greatest(CAST(date_diff('microsecond', ts, mx)
+      |        AS DOUBLE) / 1000000.0, 0.0) / 86400.0), 9) AS keep_rate
+      |  FROM events, m)
+      |SELECT event_id, event_type, keep_rate FROM r
+      |WHERE keep_rate >= 1.0
+      |   OR substring(md5('k' || CAST(event_id AS VARCHAR) || ':21'), 1, 8)
+      |      < printf('%08x', CAST(LEAST(floor(keep_rate * 4294967296.0 + 0.5),
+      |                                  CAST(4294967295.0 AS DOUBLE)) AS BIGINT))
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    val ev = Tables.load(spark, dir, "events")
+    val mx = ev.agg(max(col("ts")).as("mx"))
+    Sampling.decaySample(ev.crossJoin(broadcast(mx)),
+        ts = col("ts"), refTs = col("mx"),
+        halflifeSeconds = 86400.0, key = col("event_id"), seed = 21)
+      .select(col("event_id"), col("event_type"), col("keep_rate"))
+      .orderBy(col("event_id"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
-    x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59)
+    x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
+    x60)
 }

@@ -171,6 +171,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(!bySrc.contains(null)) // mixture contract: null domains drop
   }
 
+  test("decaySample: halflife semantics, clamp at ref, null-ts drop") {
+    val ref = java.sql.Timestamp.valueOf("2024-06-10 00:00:00")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, t("2024-06-10 00:00:00")), // age 0 -> rate 1 (clamp branch)
+      (2L, t("2024-06-09 00:00:00")), // one halflife -> 0.5
+      (3L, t("2024-06-08 00:00:00")), // two -> 0.25
+      (4L, t("2024-06-11 00:00:00")), // FUTURE of ref -> clamp to 1
+      (5L, null.asInstanceOf[java.sql.Timestamp])) // unknown age -> drop
+      .toDF("id", "ts")
+    val got = Sampling.decaySample(df, col("ts"), lit(ref),
+        halflifeSeconds = 86400.0, key = col("id"), seed = 3)
+      .select("id", "keep_rate").as[(Long, Double)].collect().toMap
+    assert(got.get(1L).contains(1.0) && got.get(4L).contains(1.0))
+    assert(!got.contains(5L))
+    // rows 2/3 carry the exact decayed rate whenever their bucket kept them
+    got.get(2L).foreach(r => assert(r == 0.5))
+    got.get(3L).foreach(r => assert(r == 0.25))
+    // over a large population the kept fraction tracks the rate
+    val big = (0L until 4000L).map((_, t("2024-06-09 00:00:00")))
+      .toDF("id", "ts")
+    val kept = Sampling.decaySample(big, col("ts"), lit(ref),
+      86400.0, col("id"), seed = 3).count()
+    assert(math.abs(kept - 2000L) < 200, s"kept $kept of 4000 at rate 0.5")
+  }
+
   test("temperatureMixture rejects bad alpha and budget") {
     intercept[IllegalArgumentException](Sampling.temperatureMixture(
       ids(3), col("id"), lit(1), alpha = 0.0, budget = 1.0, key = col("id")))
