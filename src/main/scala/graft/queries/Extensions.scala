@@ -1737,10 +1737,45 @@ object Extensions {
       .orderBy(col("event_id"))
   }
 
+  // ---------------------------------------------------------------- x61
+  // Stream-static near-dup detection through the oracle gate — the last
+  // streaming surface that was spec-only. Every 25th document is
+  // replayed through the file-stream source as an "incoming" doc
+  // (id + 100000, identical text) against the full corpus as the static
+  // side: an identical text shares every trigram, so each planted doc
+  // MUST surface against its original at jaccard exactly 1.0 —
+  // deterministic for the banding because identical shingle sets
+  // produce identical band keys (the x03b construction, streamed).
+  val x61 = Q.df(
+    "x61_stream_neardup_planted",
+    """SELECT CAST(doc_id + 100000 AS BIGINT) AS doc_id,
+      |  CAST(doc_id AS BIGINT) AS corpus_id, CAST(1.0 AS DOUBLE) AS jaccard
+      |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val staged = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_x61_stage").toString
+    val docs = Tables.load(spark, dir, "documents")
+    docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("ts"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, ts TIMESTAMP, text STRING").parquet(staged)
+    val (dups, caches) = graft.streaming.EventStream
+      .nearDupsAgainstCorpusCached(stream, docs.select("doc_id", "text"))
+    val q = graft.streaming.EventStream.runToMemory(dups,
+      "x61_sink", org.apache.spark.sql.streaming.OutputMode.Append)
+    q.stop()
+    caches.foreach(_.unpersist(blocking = false)) // bench reruns: no residue
+    spark.table("x61_sink")
+      .filter(col("corpus_id") === col("doc_id") - 100000L)
+      .select(col("doc_id"), col("corpus_id"), col("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
-    x60)
+    x60, x61)
 }
