@@ -355,6 +355,41 @@ object Similarity {
   }
 
   /**
+   * Semantic (embedding-level) decontamination: drop every corpus
+   * vector whose cosine against ANY eval/benchmark vector reaches
+   * `minCosine` — the vector-space sibling of the n-gram
+   * `Decontamination.overlapHits` check, catching paraphrased or
+   * re-rendered benchmark material that shares no literal n-grams.
+   * Returns the surviving (keep_id) set.
+   *
+   * Scale shape mirrors the n-gram path: the eval side is tiny and
+   * BROADCASTS (with precomputed norms), the corpus streams through
+   * one WSCG-fused dot product per (corpus row, eval row), and the
+   * flagged-id anti-join closes the pass — the corpus never shuffles.
+   * Cost is |corpus|·|eval| multiply-adds, the same budget a single
+   * brute-force query batch already spends; for very large eval
+   * suites compose with `ivfTopK` instead (retrieve per eval vector,
+   * drop retrieved ids above the threshold).
+   */
+  def semanticDecontaminate(corpus: DataFrame, eval: DataFrame,
+      minCosine: Double = 0.95): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = withNorm(spread(corpus), "cid", "ce", "cn")
+    val e = withNorm(eval, "qid", "qe", "qn")
+    val flagged = c.join(broadcast(e))
+      .filter(round(TextHashExprs.dotProd(spark, col("ce"), col("qe")) /
+        nullif(col("cn") * col("qn"), lit(0.0)), 9) >= minCosine)
+      .select(col("cid")).distinct()
+    // the flagged set is contamination-bounded (subset of matches against
+    // a tiny eval suite) — broadcast it so the anti-join never exchanges
+    // the corpus, not even as bare ids (spec-pinned)
+    corpus.select(col("vec_id").as("cid"))
+      .join(broadcast(flagged), Seq("cid"), "left_anti")
+      .select(col("cid").as("keep_id"))
+      .orderBy(col("keep_id"))
+  }
+
+  /**
    * ANN recall audit — the operational check a 100 TB pipeline runs on a
    * SAMPLE of queries before trusting an approximate index: top-k recall
    * of the LSH and IVF paths against the exact brute force, as one

@@ -1772,10 +1772,30 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- x62
+  // Semantic decontamination with a FULL oracle by construction: the
+  // corpus is embeddings(>=10) plus planted exact twins of every eval
+  // vector (<10) at id+100000; a twin's cosine is exactly 1.0 so it
+  // MUST drop, and the fixture carries no natural 0.95-cosine pairs
+  // (verified in SemanticDedupSpec's vacuity guards), so the survivor
+  // set is exactly embeddings(>=10) — an exact identity the oracle
+  // states directly.
+  val x62 = Q.df(
+    "x62_semantic_decontamination",
+    """SELECT CAST(vec_id AS BIGINT) AS keep_id FROM embeddings
+      |WHERE vec_id >= 10 ORDER BY keep_id""".stripMargin) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val eval = e.filter(col("vec_id") < 10)
+    val planted = eval.withColumn("vec_id", col("vec_id") + lit(100000L))
+    Similarity.semanticDecontaminate(
+      e.filter(col("vec_id") >= 10).unionByName(planted), eval,
+      minCosine = 0.95)
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
-    x60, x61)
+    x60, x61, x62)
 }

@@ -92,6 +92,32 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(dropped.nonEmpty) // the fixture's planted dups must collapse
   }
 
+  test("semanticDecontaminate drops twins of eval vectors, keeps the rest") {
+    val eval = emb.filter(col("vec_id") < 5)
+    val corpus = emb.filter(col("vec_id") >= 5 && col("vec_id") < 100)
+      .unionByName(eval.withColumn("vec_id", col("vec_id") + lit(100000L)))
+    val kept = Similarity.semanticDecontaminate(corpus, eval, 0.95)
+      .as[Long].collect().toSet
+    assert(kept == (5L until 100L).toSet) // twins gone, naturals intact
+  }
+
+  test("semanticDecontaminate: the corpus side never shuffles") {
+    val eval = emb.filter(col("vec_id") < 5)
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val plan = Similarity.semanticDecontaminate(corpus, eval, 0.95)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the similarity join broadcasts eval and the anti-join broadcasts
+    // the flagged set, so exactly ONE hash exchange remains: the
+    // distinct over flagged ids — contamination-bounded, never the
+    // corpus (whose scans sit directly under broadcast joins)
+    val hashExchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"$hashExchanges hash exchanges:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan)
+  }
+
   test("connectedComponents labels every member with its component minimum") {
     val pairs = Seq((2L, 5L), (5L, 9L), (30L, 31L), (7L, 2L))
       .toDF("doc_a", "doc_b")
