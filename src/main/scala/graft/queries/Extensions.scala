@@ -1792,10 +1792,43 @@ object Extensions {
       minCosine = 0.95)
   }
 
+  // ---------------------------------------------------------------- x63
+  // Interpolated bigram-LM surprisal (x28 one level up: local fluency,
+  // not just token rarity), full DuckDB oracle. The probability
+  // arithmetic is written in the IDENTICAL left-associative order on
+  // both engines, terms are rounded @9 (absorbing ln's last ulp) and
+  // accumulated in DECIMAL(28,9) — order-independent hash compare.
+  val x63 = Q.df(
+    "x63_bigram_surprisal",
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM documents),
+      |t AS (SELECT doc_id, unnest(w) AS token FROM w),
+      |c1 AS (SELECT token, CAST(count(*) AS BIGINT) AS c1 FROM t GROUP BY 1),
+      |tot AS (SELECT SUM(c1) AS total FROM c1),
+      |bg AS (SELECT doc_id, p.a AS a, p.b AS b FROM (
+      |    SELECT doc_id, unnest([{'a': w[i], 'b': w[i+1]}
+      |      for i in generate_series(1, len(w)-1)]) AS p
+      |    FROM w WHERE len(w) >= 2)),
+      |dbg AS (SELECT doc_id, a, b, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+      |n2 AS (SELECT a, b, SUM(tf) AS n2 FROM dbg GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+      |  ROUND(CAST(SUM(CAST(ROUND(tf * ln(1.0 /
+      |      (0.75 * n2 / ca.c1 + 0.25 * cb.c1 / CAST(total AS DOUBLE))), 9)
+      |    AS DECIMAL(28,9))) AS DOUBLE) / SUM(tf), 9) AS avg_nll
+      |FROM dbg JOIN n2 USING (a, b)
+      |JOIN c1 ca ON ca.token = dbg.a
+      |JOIN c1 cb ON cb.token = dbg.b
+      |CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    TextAnalysis.bigramSurprisal(
+      Tables.load(spark, dir, "documents"), lambda = 0.75)
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
-    x60, x61, x62)
+    x60, x61, x62, x63)
 }

@@ -33,4 +33,53 @@ class SurprisalSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(nll(3L) < nll(1L) && nll(1L) < nll(2L))
   }
+
+  test("bigram surprisal matches a hand-derived interpolated LM") {
+    // corpus: doc1 "a b a b", doc2 "b a", doc3 "solo"
+    // c1: a=3 b=3 solo=1, T=7 (doc3 contributes no bigrams but its
+    // token COUNTS in the unigram interpolation mass)
+    // bigram types: (a,b) n2=2, (b,a) n2=2
+    // every p = 0.75*2/3 + 0.25*3/7
+    def r9(d: Double) =
+      BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val term = r9(math.log(1.0 / (0.75 * 2 / 3 + 0.25 * 3 / 7)))
+    val bdocs = Seq((1L, "a b a b"), (2L, "b a"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisal(bdocs)
+      .as[(Long, Long, Double)].collect().toSeq
+    val d1 = r9((BigDecimal(r9(2 * term)) + BigDecimal(term)).toDouble / 3)
+    assert(got == Seq((1L, 3L, d1), (2L, 1L, r9(term))))
+    // single-token doc 3 has no bigrams and drops, like empty docs in x28
+  }
+
+  test("bigram LM penalizes scrambled order that unigrams cannot see") {
+    val base = (1L to 20L).map(i => (i, "the quick brown fox jumps"))
+    val scrambled = Seq((100L, "fox the jumps quick brown"))
+    val d = (base ++ scrambled).toDF("doc_id", "text")
+    val uni = TextAnalysis.unigramSurprisal(d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val bi = TextAnalysis.bigramSurprisal(d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(100L) == uni(1L)) // same tokens: unigram LM is blind
+    assert(bi(100L) > bi(1L))    // bigram LM sees the broken order
+  }
+
+  test("bigramSurprisalTokens over an independent tokenizer equals the string form") {
+    import org.apache.spark.sql.functions._
+    val d = Seq((1L, "x y x z"), (2L, "z z y")).toDF("doc_id", "text")
+    val toks = d.select(col("doc_id"),
+      split(lower(col("text")), "\\s+").as("w"))
+    val a = TextAnalysis.bigramSurprisal(d)
+      .as[(Long, Long, Double)].collect().toSeq
+    val b = TextAnalysis.bigramSurprisalTokens(toks)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("bigram lambda outside (0,1) is rejected") {
+    intercept[IllegalArgumentException](
+      TextAnalysis.bigramSurprisal(docs, lambda = 0.0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bigramSurprisal(docs, lambda = 1.0))
+  }
 }
