@@ -203,6 +203,35 @@ object Percentiles {
     med.join(mad, groupCols).withColumnRenamed("__rs_med", medName)
   }
 
+  /** Per-group ROBUST z-score normalization: adds `outName` =
+    * `round((x − med) / (1.4826022185056018 · mad), 9)` — the
+    * median/MAD standardization that makes quality scores comparable
+    * ACROSS sources before a global threshold or budget selection
+    * (mean/stddev would let one source's outliers stretch its own
+    * scale; the robust form doesn't). The constant is
+    * `1/Φ⁻¹(3/4)` in its exact double form, making MAD a consistent
+    * σ estimator under normality — stated to 16 digits because the
+    * oracle must multiply the identical double. Groups with
+    * `mad = 0` (over half the group shares one value) yield null
+    * scores rather than ±∞ — callers route those through a plain
+    * rank instead. The division order `(x − med) / (k · mad)` is the
+    * contract: the oracle restates it verbatim.
+    *
+    * Scale: [[robustStats]]' two rank-selection passes plus one
+    * broadcast join of the group-count-sized stats table back onto
+    * the corpus — no per-group buffering anywhere. */
+  def robustZScore(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      outName: String = "z_robust"): DataFrame = {
+    val k = 1.4826022185056018
+    val stats = robustStats(df, groupCols, valueCol,
+      medName = "__rz_med", madName = "__rz_mad")
+    df.join(broadcast(stats), groupCols)
+      .withColumn(outName,
+        round((col(valueCol).cast("double") - col("__rz_med")) /
+          nullif(lit(k) * col("__rz_mad"), lit(0.0)), 9))
+      .drop("__rz_med", "__rz_mad")
+  }
+
   // ------------------------------------------------------------ internals
 
   private final case class Prep(specs: Seq[Spec], gCols: Seq[String],

@@ -1825,10 +1825,32 @@ object Extensions {
       Tables.load(spark, dir, "documents"), lambda = 0.75)
   }
 
+  // ---------------------------------------------------------------- x64
+  // Per-source ROBUST z-score normalization (median/MAD), full DuckDB
+  // oracle: the standardization that makes scores comparable across
+  // sources before a global threshold. Consistency constant stated in
+  // its exact 16-digit double form on both sides; division order is
+  // the contract; mad=0 groups yield null, not ±inf.
+  val x64 = Q.df(
+    "x64_robust_zscore",
+    """WITH s AS (SELECT source,
+      |    median(n_chars) AS med, mad(n_chars) AS mad
+      |  FROM documents GROUP BY 1)
+      |SELECT d.doc_id, d.source, d.n_chars,
+      |  ROUND((CAST(d.n_chars AS DOUBLE) - s.med) /
+      |        nullif(1.4826022185056018 * s.mad, 0.0), 9) AS z_robust
+      |FROM documents d JOIN s USING (source)
+      |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    graft.ops.Percentiles.robustZScore(
+        Tables.load(spark, dir, "documents"), Seq("source"), "n_chars")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("z_robust"))
+      .orderBy(col("doc_id"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
-    x60, x61, x62, x63)
+    x60, x61, x62, x63, x64)
 }

@@ -30,6 +30,21 @@ class PercentilesSpec extends AnyFunSuite {
     assert(got == Seq(("g", 3.0, 1.5)))
   }
 
+  test("robustZScore: standardization arithmetic, mad=0 nulls out") {
+    val df = Seq(("g", 1), ("g", 2), ("g", 4), ("g", 100),
+      ("c", 7), ("c", 7), ("c", 7)).toDF("grp", "v")
+    val got = Percentiles.robustZScore(df, Seq("grp"), "v")
+      .as[(String, Int, Option[Double])].collect().toSeq.sorted
+    def r9(d: Double) =
+      BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val k = 1.4826022185056018
+    // g: med 3.0, mad 1.5 -> z = (v - 3) / (k * 1.5)
+    val zg = Seq(1, 2, 4, 100).map(v => ("g", v, Some(r9((v - 3.0) / (k * 1.5)))))
+    // c: all equal -> mad 0 -> null score, never +-inf
+    val zc = Seq(7, 7, 7).map(v => ("c", v, None))
+    assert(got == (zc ++ zg).sorted)
+  }
+
   test("sort-based selection matches Spark's buffered percentile exactly") {
     // same interpolation formula -> bit-identical doubles, incl. ties
     // (l_quantity has ~50 distinct values, heavy tie coverage); both the
