@@ -329,6 +329,40 @@ object TextAnalysis {
     unigramSurprisalTokens(
       docs.select(col("doc_id"), Text.tokens(col("text")).as("w")))
 
+  /** Per-group KL divergence from the corpus token distribution —
+    * `KL(P_g ‖ P_corpus) = Σ_t p_g(t)·ln(p_g(t)/p_c(t))` — the
+    * quantified form of "how far has this source drifted from the
+    * corpus": the number the [[sourceOverlap]] matrix only hints at,
+    * and the drift alarm an ingest pipeline monitors per batch.
+    * Emits `(groupCol, n_tokens, kl_unigram)`; null groups drop
+    * (the mixture contract). Every group token is corpus vocabulary,
+    * so `p_c > 0` always — no smoothing needed.
+    *
+    * Determinism: per-token terms rounded @9 and accumulated in
+    * DECIMAL(28,9) (the x28 contract — order-independent, ln's last
+    * ulp absorbed); every division is written double/double in the
+    * same order on both engines.
+    *
+    * 100 TB shape: one (group, token) count aggregate bounds every
+    * downstream frame at vocabulary size — the corpus totals, group
+    * totals, and the token-keyed join all derive from it; token
+    * INSTANCES never cross a second shuffle. */
+  def sourceDivergence(docs: DataFrame, groupCol: String): DataFrame = {
+    val cs = docs.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("g"), col("token")).agg(count(lit(1)).as("cs"))
+    val ts = cs.groupBy(col("g")).agg(sum(col("cs")).as("ts"))
+    val c = cs.groupBy(col("token")).agg(sum(col("cs")).as("c"))
+    val t = c.agg(sum(col("c")).as("t"))
+    val pg = col("cs").cast("double") / col("ts").cast("double")
+    val pc = col("c").cast("double") / col("t").cast("double")
+    cs.join(ts, "g").join(c, "token").crossJoin(broadcast(t))
+      .groupBy(col("g").as(groupCol), col("ts").as("n_tokens"))
+      .agg(round(sum(round(pg * log(pg / pc), 9)
+          .cast(DecimalType(28, 9))).cast("double"), 9).as("kl_unigram"))
+      .orderBy(col(groupCol))
+  }
+
   /** Bigram-LM surprisal with interpolation smoothing: per-doc mean
     * negative log-likelihood of each token given its predecessor under
     * the corpus's own interpolated bigram model

@@ -1847,10 +1847,36 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- x65
+  // Per-source KL divergence from the corpus token distribution — the
+  // quantified drift number behind the x50 overlap matrix. Terms
+  // rounded @9 + DECIMAL(28,9) accumulation (the x28 contract); every
+  // division is double/double in the same order on both engines.
+  val x65 = Q.df(
+    "x65_source_divergence",
+    """WITH t0 AS (SELECT source AS g,
+      |    unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS token
+      |  FROM documents WHERE source IS NOT NULL),
+      |cs AS (SELECT g, token, CAST(count(*) AS BIGINT) AS cs FROM t0 GROUP BY 1, 2),
+      |ts AS (SELECT g, CAST(SUM(cs) AS BIGINT) AS ts FROM cs GROUP BY 1),
+      |c AS (SELECT token, CAST(SUM(cs) AS BIGINT) AS c FROM cs GROUP BY 1),
+      |tt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM c)
+      |SELECT g AS source, ts.ts AS n_tokens,
+      |  ROUND(CAST(SUM(CAST(ROUND(
+      |      (CAST(cs.cs AS DOUBLE) / CAST(ts.ts AS DOUBLE))
+      |      * ln((CAST(cs.cs AS DOUBLE) / CAST(ts.ts AS DOUBLE))
+      |           / (CAST(c.c AS DOUBLE) / CAST(tt.t AS DOUBLE))), 9)
+      |    AS DECIMAL(28,9))) AS DOUBLE), 9) AS kl_unigram
+      |FROM cs JOIN ts USING (g) JOIN c USING (token) CROSS JOIN tt
+      |GROUP BY g, ts.ts ORDER BY source""".stripMargin) { (spark, dir) =>
+    TextAnalysis.sourceDivergence(
+      Tables.load(spark, dir, "documents"), "source")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
-    x60, x61, x62, x63, x64)
+    x60, x61, x62, x63, x64, x65)
 }

@@ -35,6 +35,29 @@ class DocumentFrequencySpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k:\n$plan")
   }
 
+  test("sourceDivergence: KL arithmetic; identical distribution scores zero") {
+    import org.apache.spark.sql.functions._
+    // s1 and s2 have IDENTICAL token distributions -> both equal the
+    // corpus mix of themselves... so add s3 skewed to make them nonzero,
+    // then check s1 == s2 (same distribution, same KL) and s3 > s1
+    val d = Seq(
+      (1L, "a a b", "s1"), (2L, "a a b", "s2"),
+      (3L, "c c c c", "s3"), (4L, "ignored", null: String))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceDivergence(d, "source")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == Set("s1", "s2", "s3")) // null group dropped
+    assert(got("s1") == got("s2")) // identical distributions, identical KL
+    assert(got("s3")._2 > got("s1")._2)
+    assert(got.values.forall(_._2 >= 0.0)) // KL is non-negative
+    // corpus == group when only one source exists -> KL exactly 0
+    val solo = TextAnalysis.sourceDivergence(
+      d.filter(col("source") === "s1"), "source")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(solo == Seq(("s1", 3L, 0.0)))
+  }
+
   test("sourceOverlap: exact set arithmetic over a complete pair matrix") {
     val d = Seq(
       (1L, "alpha beta gamma", "s1"),
