@@ -371,6 +371,44 @@ object Dedup {
   }
 
   /**
+   * [[dedupCorpus]] with a QUALITY-AWARE canonical choice: instead of
+   * the smallest doc_id, each near-dup cluster keeps its best row by
+   * `scoreCol` (ties broken by smallest doc_id — a total order, so the
+   * survivor set is deterministic). This is what production pipelines
+   * actually do — keep the longest / highest-quality duplicate, not an
+   * arbitrary one. Returns (keep_id), ordered. `scoreCol` must be
+   * non-null on cluster members (struct-ordered max_by has no defined
+   * null placement) — coalesce a default upstream if scores can miss.
+   *
+   * Scale: identical to [[dedupCorpus]] (the pair set and label
+   * propagation are unchanged) plus ONE extra join of the
+   * member-count-sized label table against the members' (id, score)
+   * rows and a max_by aggregate per cluster — bounded by actual
+   * duplicates, never corpus size.
+   */
+  def dedupCorpusBy(docs: DataFrame, scoreCol: String,
+      minJaccard: Double = 0.9, maxIter: Int = 10,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = minhashLsh(docs, minJaccard = minJaccard,
+        checkpointDir = checkpointDir)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = connectedComponents(pairs, maxIter)
+    // per-cluster argmax: (score desc, doc_id asc) via max_by on a
+    // (score, -id) struct — struct ordering gives the total order
+    val scored = labels
+      .join(docs.select(col("doc_id"), col(scoreCol).as("__db_s")), "doc_id")
+    val reps = scored.groupBy(col("label"))
+      .agg(max_by(col("doc_id"),
+        struct(col("__db_s"), -col("doc_id"))).as("doc_id"))
+      .select(col("doc_id"))
+    val nonMembers = docs.select(col("doc_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    reps.union(nonMembers)
+      .select(col("doc_id").as("keep_id"))
+      .orderBy(col("keep_id"))
+  }
+
+  /**
    * SimHash near-dup mining: signature per doc (one cached pass), 4×16-bit
    * band bucketing (any pair within Hamming distance 3 shares ≥1 identical
    * band by pigeonhole), candidate equi-join, exact Hamming verification.

@@ -1873,10 +1873,43 @@ object Extensions {
       Tables.load(spark, dir, "documents"), "source")
   }
 
+  // ---------------------------------------------------------------- x66
+  // Quality-aware canonical dedup: each near-dup cluster keeps its BEST
+  // row by score (ties → smallest id), the production policy. Banding
+  // keeps the survivor set rows-only; the hard companion plants an
+  // identical-text twin with a +1e6 score boost for every 20th doc —
+  // whatever cluster an original lands in, its twin is there too with a
+  // strictly higher score, so NO planted original can ever survive
+  // (twins may merge clusters among themselves, so the invariant is on
+  // originals, not twins): x66b counts surviving originals, exactly 0.
+  val x66 = Q.dfOnly("x66_dedup_best_of_cluster") { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "n_chars")
+    val planted = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+        (col("n_chars") + 1000000L).as("n_chars"))
+    Dedup.dedupCorpusBy(docs.unionByName(planted), "n_chars",
+      minJaccard = 0.9)
+  }
+
+  val x66b = Q.df(
+    "x66b_best_of_cluster_planted",
+    "SELECT CAST(0 AS BIGINT) AS n_surviving_originals") { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "n_chars")
+    val planted = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+        (col("n_chars") + 1000000L).as("n_chars"))
+    Dedup.dedupCorpusBy(docs.unionByName(planted), "n_chars",
+        minJaccard = 0.9)
+      .filter(col("keep_id") % 20 === 0 && col("keep_id") < 100000L)
+      .agg(count(lit(1)).as("n_surviving_originals"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
-    x60, x61, x62, x63, x64, x65)
+    x60, x61, x62, x63, x64, x65, x66, x66b)
 }

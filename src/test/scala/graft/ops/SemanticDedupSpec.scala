@@ -118,6 +118,42 @@ class SemanticDedupSpec extends AnyFunSuite {
       plan.contains("LeftAnti"), plan)
   }
 
+  test("dedupCorpusBy keeps the best-scored member; ties break to min id") {
+    import graft.tables.Tables
+    val docs = Tables.load(spark, graft.TestSessions.sf001, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .filter(col("doc_id") < 200)
+    val planted = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+        (col("n_chars") + 1000000L).as("n_chars"))
+    val all = docs.unionByName(planted)
+    val kept = Dedup.dedupCorpusBy(all, "n_chars", minJaccard = 0.9)
+      .as[Long].collect().toSet
+    // independent recomputation: engine pair set -> union-find -> argmax
+    val pairs = Dedup.minhashLsh(all, minJaccard = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val score = all.select("doc_id", "n_chars")
+      .as[(Long, Long)].collect().toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val best = members.groupBy(find).values
+      .map(cl => cl.maxBy(id => (score(id), -id))).toSet
+    val expected = score.keySet -- members ++ best
+    assert(kept == expected)
+    assert(members.nonEmpty) // twins must have clustered
+    // no planted original may survive: its twin always outranks it
+    assert(!kept.exists(id => id < 100000L && id % 25 == 0 &&
+      members.contains(id + 100000L)))
+  }
+
   test("connectedComponents labels every member with its component minimum") {
     val pairs = Seq((2L, 5L), (5L, 9L), (30L, 31L), (7L, 2L))
       .toDF("doc_a", "doc_b")
