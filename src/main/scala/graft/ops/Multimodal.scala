@@ -89,6 +89,106 @@ object Multimodal {
     }.toDF()
   }
 
+  /** A textured PNG: per-pixel hash-mixed intensity, so downsampled
+    * gradient STRUCTURE varies with the seed (a solid fill would give
+    * every image the all-zero dHash). Deterministic bytes per
+    * (w, h, seed). */
+  private[graft] def gradientPng(width: Int, height: Int, seed: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        // full-avalanche mix (murmur3 fmix32): a weaker xor-of-products
+        // left the downsampled gradient signs correlated across seeds,
+        // and hundreds of distinct images collided within hamming 3
+        var h = x * 31 + y * 1009 + seed * 1000003
+        h ^= h >>> 16; h *= 0x85ebca6b
+        h ^= h >>> 13; h *= 0xc2b2ae35
+        h ^= h >>> 16
+        raster.setSample(x, y, 0, h & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  /** Image-only media table with TEXTURED payloads — the fixture the
+    * perceptual-hash operators need (solid fills all share one dHash). */
+  def texturedImageTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (64 + (id % 8) * 32).toInt
+        val h = (64 + (id % 5) * 32).toInt
+        MediaRow(id, "image", gradientPng(w, h, (id % 100000).toInt), w, h)
+      }
+    }.toDF()
+  }
+
+  /** 64-bit difference hash (dHash) per image row — the classic
+    * perceptual fingerprint: decode, resample to 9×8 grayscale, emit
+    * one bit per horizontal neighbor comparison. Identical payloads
+    * produce identical hashes on any JDK; near-identical images (same
+    * content re-encoded, minor noise) land within a few bits. Returns
+    * (doc_id, dhash). Non-image rows are skipped. Scale: pure
+    * partition-local decode work, no shuffle. */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.filter(_.media_type == "image").map { m =>
+        val img = decodePng(m.payload, m.doc_id)
+        val out = new BufferedImage(9, 8, BufferedImage.TYPE_BYTE_GRAY)
+        val g = out.createGraphics()
+        g.drawImage(img, 0, 0, 9, 8, null)
+        g.dispose()
+        val r = out.getRaster
+        var bits = 0L
+        var i = 0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (r.getSample(x + 1, y, 0) > r.getSample(x, y, 0))
+              bits |= (1L << i)
+            i += 1; x += 1
+          }
+          y += 1
+        }
+        (m.doc_id, bits)
+      }
+    }.toDF("doc_id", "dhash")
+  }
+
+  /** Perceptual near-dup image pairs: [[imageDHash]] signatures bucketed
+    * by the same 4×16-bit pigeonhole bands as text SimHash (any pair
+    * within Hamming distance 3 shares ≥1 identical band), candidate
+    * equi-join, exact Hamming verification. Returns
+    * (doc_a, doc_b, hamming) with hamming ≤ maxHamming — the image-side
+    * sibling of `Dedup.simhash`, same Σ bucket² scale bound. */
+  def dhashNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // one decode pass; barrier for the self-join (the simhash pattern)
+    val sigs = imageDHash(media).localCheckpoint(eager = false)
+    val banded = sigs.select(
+      col("doc_id"), col("dhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), j -> (shiftrightunsigned(dhash, CAST(j * 16 AS INT)) & 65535))"))
+        .as(Seq("band_id", "band_val")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Decode + feature-extract each payload. Images decode for real:
     * width/height/checksum/mean come from the decoded raster, not the
     * metadata columns. */

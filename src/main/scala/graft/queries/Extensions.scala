@@ -1906,10 +1906,47 @@ object Extensions {
       .agg(count(lit(1)).as("n_surviving_originals"))
   }
 
+  // ---------------------------------------------------------------- x67
+  // Perceptual (dHash) image near-dup pairs over textured PNG fixtures —
+  // the image-side sibling of SimHash dedup, through a REAL decode +
+  // resample. The full pair set is rows-only (the 9×8 resample is a JDK
+  // raster op, not SQL); the hard companion plants byte-identical image
+  // twins, whose dHash must match at hamming exactly 0 — the planted
+  // oracle every approximate operator here carries.
+  val x67 = Q.dfOnly("x67_image_dhash_pairs") { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    // twins carry the ORIGINAL id's payload bytes; the id shifts after
+    // the build, so each twin is byte-identical to its original
+    val planted = Multimodal.texturedImageTable(
+        docs.filter(col("doc_id") % 25 === 0))
+      .withColumn("doc_id", col("doc_id") + lit(100000L))
+    Multimodal.dhashNearDups(
+      Multimodal.texturedImageTable(docs).unionByName(planted),
+      maxHamming = 3)
+  }
+
+  val x67b = Q.df(
+    "x67b_image_dhash_planted",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_a,
+      |  CAST(doc_id + 100000 AS BIGINT) AS doc_b, CAST(0 AS INT) AS hamming
+      |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_a""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    val media = Multimodal.texturedImageTable(docs)
+    val planted = Multimodal.texturedImageTable(
+        docs.filter(col("doc_id") % 25 === 0))
+      .withColumn("doc_id", col("doc_id") + lit(100000L))
+    Multimodal.dhashNearDups(media.unionByName(planted), maxHamming = 3)
+      .filter(col("doc_b") === col("doc_a") + 100000L &&
+        col("doc_a") % 25 === 0)
+      .select(col("doc_a"), col("doc_b"),
+        col("hamming").cast("int").as("hamming"))
+      .orderBy(col("doc_a"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
-    x60, x61, x62, x63, x64, x65, x66, x66b)
+    x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b)
 }
