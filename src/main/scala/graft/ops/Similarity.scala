@@ -426,6 +426,44 @@ object Similarity {
   }
 
   /**
+   * Contrastive training triplets — the assembled (anchor, positive,
+   * negative) rows a metric-learning / embedding-finetune run consumes:
+   * every vector with a near-duplicate (cosine ≥ `minPositive`, mined
+   * by [[cosineNearDups]]' banded path) becomes an anchor, keeps its
+   * BEST positive (sim desc, id tiebreak), and gains the top-`k`
+   * hardest DIFFERENT-label negatives ([[hardNegatives]]' brute
+   * ranking). Returns (anchor, positive, pos_sim, negative, neg_sim,
+   * rank), one row per (anchor, negative rank).
+   *
+   * Scale: positives come from the banded candidate join (Σ bucket²,
+   * never O(n²)); the anchor set is bounded by actual near-dup counts,
+   * so the negative-mining query side broadcasts ([[hardNegatives]]'
+   * asymmetry); at huge anchor counts swap in [[hardNegativesIvf]].
+   */
+  def trainingTriplets(corpus: DataFrame, minPositive: Double = 0.95,
+      k: Int = 2, tables: Int = 8, bits: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pos = cosineNearDups(corpus.select(col("vec_id"), col("embedding")),
+      minPositive, tables, bits)
+    val both = pos.select(col("vec_a").as("anchor"),
+        col("vec_b").as("positive"), col("sim").as("pos_sim"))
+      .unionByName(pos.select(col("vec_b").as("anchor"),
+        col("vec_a").as("positive"), col("sim").as("pos_sim")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor")).orderBy(col("pos_sim").desc, col("positive"))
+    val bestPos = both.withColumn("__tt_r", row_number().over(w))
+      .filter(col("__tt_r") === 1).drop("__tt_r")
+    val queries = bestPos.select(col("anchor").as("vec_id")).join(corpus, "vec_id")
+    val negs = hardNegatives(corpus, queries, k)
+      .select(col("qid").as("anchor"), col("cid").as("negative"),
+        col("sim").as("neg_sim"), col("rank"))
+    bestPos.join(negs, "anchor")
+      .select(col("anchor"), col("positive"), col("pos_sim"),
+        col("negative"), col("neg_sim"), col("rank"))
+      .orderBy(col("anchor"), col("rank"))
+  }
+
+  /**
    * SemDeDup-style semantic near-dup pairs: cluster the embedding space
    * with the IVF centroids, then verify exact cosine only WITHIN each
    * cell — the embedding-space analogue of banded MinHash candidate

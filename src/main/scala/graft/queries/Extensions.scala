@@ -1943,10 +1943,53 @@ object Extensions {
       .orderBy(col("doc_a"))
   }
 
+  // ---------------------------------------------------------------- x68
+  // Contrastive training triplets with a FULL oracle: the x16 corpus
+  // (embeddings < 100 + exact twins of 3 and 7, labels UNCHANGED so the
+  // twin is the positive and can never double as a negative) makes the
+  // positive mining exact (x16 proved the banded path finds exactly the
+  // true >=0.95 pairs here), and the negative ranking is brute-force
+  // deterministic — DuckDB restates the entire assembly: all-pairs
+  // cosine, best-positive window, label-mismatch rank window.
+  val x68 = Q.df(
+    "x68_training_triplets",
+    """WITH e AS (
+      |  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 100
+      |  UNION ALL
+      |  SELECT vec_id + 9001, embedding, label FROM embeddings WHERE vec_id IN (3, 7)),
+      |s AS (SELECT a.vec_id AS ai, b.vec_id AS bi, a.label AS al, b.label AS bl,
+      |    ROUND(
+      |      list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+      |           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 9) AS sim
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      |pos AS (SELECT ai AS anchor, bi AS positive, sim AS pos_sim,
+      |    ROW_NUMBER() OVER (PARTITION BY ai ORDER BY sim DESC, bi) AS pr
+      |  FROM s WHERE sim >= 0.95),
+      |bp AS (SELECT anchor, positive, pos_sim FROM pos WHERE pr = 1),
+      |neg AS (SELECT s.ai AS anchor, s.bi AS negative, s.sim AS neg_sim,
+      |    ROW_NUMBER() OVER (PARTITION BY s.ai ORDER BY s.sim DESC, s.bi) AS rank
+      |  FROM s JOIN bp ON bp.anchor = s.ai
+      |  WHERE s.al IS NOT NULL AND s.bl IS NOT NULL AND s.al <> s.bl)
+      |SELECT anchor, positive, pos_sim, negative, neg_sim, CAST(rank AS INT) AS rank
+      |FROM bp JOIN neg USING (anchor) WHERE rank <= 2
+      |ORDER BY anchor, rank""".stripMargin) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding", "label")
+    val corpus = e.filter(col("vec_id") < 100).unionByName(
+      e.filter(col("vec_id").isin(3L, 7L))
+        .select((col("vec_id") + 9001).as("vec_id"), col("embedding"),
+          col("label")))
+    Similarity.trainingTriplets(corpus, minPositive = 0.95, k = 2)
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
-    x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b)
+    x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68)
 }

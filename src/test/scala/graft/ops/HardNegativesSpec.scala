@@ -100,6 +100,20 @@ class HardNegativesSpec extends AnyFunSuite {
     }
   }
 
+  test("trainingTriplets: best positive per anchor + ranked negatives") {
+    val corpus = vecs(
+      (1L, Array(1f, 0f), 1), (2L, Array(1f, 0f), 1), // twin pair, same label
+      (3L, Array(0.5f, 0.5f), 2),                     // cos ~0.707 to 1/2
+      (4L, Array(0f, 1f), 3))                         // orthogonal
+    val got = Similarity.trainingTriplets(corpus, minPositive = 0.95, k = 2)
+      .select("anchor", "positive", "negative", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    // only the twin pair clears 0.95 -> anchors 1 and 2; the same-label
+    // twin can never double as a negative; negatives rank 3 then 4
+    assert(got == Seq((1L, 2L, 3L, 1), (1L, 2L, 4L, 2),
+      (2L, 1L, 3L, 1), (2L, 1L, 4L, 2)))
+  }
+
   test("hardNegativesIvf rejects non-positive k and oversample") {
     intercept[IllegalArgumentException](
       Similarity.hardNegativesIvf(vecs(), vecs(), 0))
