@@ -370,6 +370,44 @@ object Dedup {
     out
   }
 
+  /** Duplicate-cluster SIZE histogram — the corpus-health audit over a
+    * duplicate pair set: labels every pair member via
+    * [[connectedComponents]], sizes each cluster, and returns
+    * `(cluster_size, n_clusters)` ordered by size. Singleton docs (in
+    * no pair) are by definition not clusters and don't appear; the
+    * histogram answers "how duplicated IS this corpus" — the shape that
+    * decides whether exact dedup suffices or near-dup mining is worth
+    * the pass. Also the full-OUTPUT verification of the label
+    * propagation itself: over exact-duplicate pairs the histogram must
+    * equal the text-group-size histogram, which an oracle can state
+    * directly (the x71 row).
+    *
+    * Scale: everything after the caller's pair mining is bounded by the
+    * pair set, never the corpus — the component aggregate shuffles one
+    * row per pair member, the histogram one row per cluster. */
+  def clusterSizes(pairs: DataFrame, maxIter: Int = 10): DataFrame =
+    connectedComponents(pairs, maxIter)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).cast("int").as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
+  /** Exact-duplicate pairs `(doc_a, doc_b)` with `doc_a < doc_b`, mined
+    * by self-joining on xxhash64(text) — the pair-set entry point for
+    * [[clusterSizes]] / [[connectedComponents]] when the duplication
+    * relation is exact text equality. Hash-keyed equi-join: shuffle
+    * carries (id, 8-byte hash), never text; output is Σ group², bounded
+    * by actual duplicate group sizes. Distinct texts colliding in 64
+    * bits would spuriously pair — the documented negligible-odds
+    * equivalence (x02b). */
+  def exactPairs(docs: DataFrame): DataFrame = {
+    val h = docs.select(col("doc_id"), xxhash64(col("text")).as("h"))
+    h.as("a").join(h.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  }
+
   /**
    * [[dedupCorpus]] with a QUALITY-AWARE canonical choice: instead of
    * the smallest doc_id, each near-dup cluster keeps its best row by

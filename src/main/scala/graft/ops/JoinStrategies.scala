@@ -61,4 +61,33 @@ object JoinStrategies {
       explode(sequence(lit(0), lit(salt - 1))))
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Join-key SKEW audit — the pre-join diagnostic that decides whether
+    * a 100 TB equi-join needs [[saltedJoin]] / AQE skew handling at
+    * all: the top-`k` heaviest keys with their row counts, corpus
+    * share, and `skew_x` = how many times the MEAN key frequency this
+    * key carries (`cnt·n_keys/total`; the double product is
+    * IEEE-exactly-rounded on identical inputs, so it is deterministic
+    * cross-engine even where `cnt·n_keys` exceeds 2^53 exactness).
+    * Emits `(key, cnt, share, skew_x)` ordered by (cnt desc, key) — a
+    * total order, so the top-k SET is deterministic.
+    *
+    * Scale: one partial→final hash aggregate on the join key (shuffle =
+    * Σ per-partition key vocabulary), the (total, n_keys) denominators
+    * ride a broadcast one-row aggregate of the COUNTS table (not the
+    * corpus), and the ordered limit plans as TakeOrderedAndProject —
+    * per-partition top-k heaps, never a global sort. */
+  def skewAudit(df: DataFrame, key: Column, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("key"), col("cnt"),
+        round(col("cnt").cast("double") / col("total"), 9).as("share"),
+        round(col("cnt").cast("double") * col("n_keys") / col("total"), 9)
+          .as("skew_x"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(k)
+  }
 }

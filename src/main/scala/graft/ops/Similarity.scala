@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.TextHashExprs
 
@@ -43,6 +44,38 @@ object Similarity {
     * partitions and a blanket repartition would be a gratuitous full
     * shuffle (VERDICT r01 "What's wrong" #7). */
   private def spread(df: DataFrame): DataFrame = Artifacts.spread(df)
+
+  /** Per-DIMENSION corpus statistics `(dim, n, mean, variance, mn, mx)`
+    * ordered by dim — the whitening/standardization precompute (and the
+    * drift audit: a dimension whose mean/variance shifts between
+    * snapshots signals an embedding-model or pipeline change). Values
+    * are rounded @9 then accumulated in DECIMAL(28,9), so the sums —
+    * and therefore mean and the E[x²]−E[x]² variance — are independent
+    * of partitioning/summation order in both engines (the x28
+    * convention); the final mean/variance divisions are IEEE
+    * exactly-rounded double ops on identical inputs.
+    *
+    * Scale: one posexplode (a Generate, no shuffle), then a single
+    * partial→final hash aggregate keyed on the dimension index — the
+    * shuffle carries `dim-count × partitions` partial rows no matter
+    * the corpus size; nothing corpus-sized moves. */
+  def dimensionStats(embeddings: DataFrame): DataFrame = {
+    val v = embeddings
+      .select(posexplode(col("embedding")).as(Seq("pos", "x0")))
+      .select((col("pos") + 1).cast("int").as("dim"),
+        round(col("x0").cast("double"), 9).as("x"))
+    val m1 = col("s1").cast("double") / col("n")
+    v.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(28, 9))).as("s1"),
+        sum(round(col("x") * col("x"), 9).cast(DecimalType(28, 9))).as("s2"),
+        min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .select(col("dim"), col("n"),
+        round(m1, 9).as("mean"),
+        round(col("s2").cast("double") / col("n") - m1 * m1, 9).as("variance"),
+        col("mn"), col("mx"))
+      .orderBy(col("dim"))
+  }
 
   /** Exact cosine for adjacent (vec_id, vec_id+1) pairs — linear, used as
     * the oracle-checkable correctness anchor for the cosine expression. */

@@ -417,6 +417,108 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-corpus repeated-span (boilerplate) REMOVAL — the acting
+    * counterpart of [[duplicatedNgrams]]'s audit: each document's text
+    * is partitioned into consecutive `blockTokens`-token blocks (split
+    * on the single space, the byte-preserving [[Text.chunkWindows]]
+    * contract; the final block may be partial), a block whose text
+    * appears in more than `maxDocs` DISTINCT documents is boilerplate,
+    * and the cleaned document is the in-order rejoin of its surviving
+    * blocks. Emits `(doc_id, clean_text, n_blocks, kept_blocks)`
+    * ordered by doc_id; a fully-boilerplate document survives with
+    * `clean_text = ''` (never silently dropped — the caller decides).
+    * Block identity travels as xxhash64(block) — two DIFFERENT 8-token
+    * blocks colliding in 64 bits is the same negligible-odds
+    * equivalence the dedup family documents (x02b).
+    *
+    * 100 TB shape: blocks explode through one `inline` Generate (the
+    * one-eval barrier — the transform runs once per row); the
+    * document-frequency aggregate shuffles per-doc-DISTINCT 8-byte
+    * hashes (map-side combined — Σ partition block-vocabulary, never
+    * token instances); the keep-filter is a hash-keyed join of block
+    * instances against that vocabulary-sized df table; reassembly is
+    * one hash aggregate whose per-GROUP array is bounded by a single
+    * document (the [[Text.assemble]] shape — no window, no global
+    * sort). The `(doc_id, n_blocks)` base rides a second pure
+    * projection of the corpus — lineage-pure by repo convention;
+    * persist the block frame upstream if the tokenize pass dominates. */
+  def stripBoilerplate(docs: DataFrame, blockTokens: Int = 8,
+      maxDocs: Int = 1): DataFrame = {
+    require(blockTokens > 0, s"blockTokens must be positive, got $blockTokens")
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val toks = split(col("text"), " ")
+    // token counts are far below 2^53, so the double floor-div is exact
+    val nb = ((size(toks) + (blockTokens - 1)).cast("double") / blockTokens)
+      .cast("int")
+    val blocks = docs.select(col("doc_id"),
+      inline(transform(sequence(lit(0), nb - 1), i => struct(
+        i.cast("int").as("idx"),
+        array_join(slice(toks, i * blockTokens + 1, lit(blockTokens)), " ")
+          .as("blk")))))
+      .withColumn("bh", xxhash64(col("blk")))
+    // rows are distinct (doc, block-hash) pairs, so count(1) IS the
+    // block's document frequency — the duplicatedNgramsGrams pattern
+    val blockDf = blocks.select(col("doc_id"), col("bh")).distinct()
+      .groupBy(col("bh")).agg(count(lit(1)).as("df"))
+    val kept = blocks.join(blockDf, "bh").filter(col("df") <= maxDocs)
+    val assembled = kept.groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("idx").as("p"), col("blk").as("t")))),
+            s => s.getField("t")),
+          " ").as("clean_text"),
+        count(lit(1)).cast("int").as("kept_blocks"))
+    docs.select(col("doc_id"), nb.as("n_blocks"))
+      .join(assembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_blocks"),
+        coalesce(col("kept_blocks"), lit(0)).as("kept_blocks"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-document top-`k` TF-IDF keyword extraction with a LOG-FREE
+    * idf: `score = tf · N / df` — the log is deliberately omitted (the
+    * [[collocations]] rationale: `ln` differs in the last ulp across
+    * engines while IEEE multiply/divide are exactly rounded, so the
+    * ratio form is bit-for-bit reproducible and, for a FIXED tf, orders
+    * identically; across different tf values the linear-idf ranking is
+    * a documented variant, not log-tf-idf). `(score desc, token)` is a
+    * total order per doc, making each doc's top-k deterministic. Emits
+    * `(doc_id, token, tf, df, score, rank)` ordered by (doc_id, rank).
+    *
+    * 100 TB shape: ONE token explode feeds both the (doc, token) tf
+    * aggregate and — through it — the df aggregate (df counts tf rows
+    * per token, so it shuffles the per-doc vocabulary, map-side
+    * combined); N broadcasts as a one-row aggregate; the per-doc top-k
+    * row_number filter plans as WindowGroupLimit (per-partition heaps
+    * BEFORE the window shuffle — spec-pinned). */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame =
+    tfidfKeywordsTokens(
+      docs.select(col("doc_id"), Text.tokens(col("text")).as("w")), k)
+
+  /** [[tfidfKeywords]] over a PRE-TOKENIZED `(doc_id, w: array<string>)`
+    * frame (the persisted-token-table form, VERDICT r06 next #4). */
+  def tfidfKeywordsTokens(toks: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = toks.select(col("doc_id"), explode(col("w")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    // tf has one row per (doc, token) -> count per token IS its df
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = toks.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round((col("tf") * col("n")).cast("double") / col("df"), 9).as("score"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "token", "tf", "df", "score", "rank")
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** [[unigramSurprisal]] over a PRE-TOKENIZED `(doc_id, w: array<string>)`
     * frame. Both the per-doc tf reduction and (through it) the LM table
     * derive from this one frame, so a persisted token frame is scanned —

@@ -1986,10 +1986,138 @@ object Extensions {
     Similarity.trainingTriplets(corpus, minPositive = 0.95, k = 2)
   }
 
+  // ---------------------------------------------------------------- x69
+  // Repeated-span (boilerplate) REMOVAL at 8-token-block granularity —
+  // the acting counterpart of x32's audit. Ten planted full-document
+  // twins make every block of those 20 docs boilerplate (stripped to
+  // ''), and the corpus's own repeated short final blocks strip
+  // partially — both shapes exercised. Engine block identity travels as
+  // xxhash64(block); the oracle groups the block STRINGS (the x02b
+  // negligible-collision equivalence).
+  val x69 = Q.df(
+    "x69_strip_boilerplate",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 50 = 0),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+      |n AS (SELECT doc_id, toks, CAST((len(toks) + 7) // 8 AS INT) AS nb FROM t),
+      |b AS (SELECT doc_id, CAST(unnest(range(0, nb)) AS INT) AS idx,
+      |    array_to_string(toks[idx*8+1 : idx*8+8], ' ') AS blk FROM n),
+      |bdf AS (SELECT blk, COUNT(DISTINCT doc_id) AS df FROM b GROUP BY blk),
+      |kept AS (SELECT b.doc_id, b.idx, b.blk
+      |  FROM b JOIN bdf USING (blk) WHERE bdf.df <= 1)
+      |SELECT n.doc_id,
+      |  coalesce(string_agg(kept.blk, ' ' ORDER BY kept.idx), '') AS clean_text,
+      |  any_value(n.nb) AS n_blocks,
+      |  CAST(count(kept.blk) AS INT) AS kept_blocks
+      |FROM n LEFT JOIN kept ON kept.doc_id = n.doc_id
+      |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    TextAnalysis.stripBoilerplate(corpus, blockTokens = 8, maxDocs = 1)
+  }
+
+  // ---------------------------------------------------------------- x70
+  // Per-doc top-3 TF-IDF keywords with the LOG-FREE idf (score =
+  // tf·N/df — IEEE multiply/divide are exactly rounded, ln is not;
+  // the x40 collocations rationale). (score desc, token) totally
+  // orders each doc's candidates, so the top-k SET is deterministic.
+  val x70 = Q.df(
+    "x70_tfidf_keywords",
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(w) AS token FROM w),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+      |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT COUNT(*) AS n FROM w),
+      |s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |    ROUND(CAST(tf.tf * n.n AS DOUBLE) / df.df, 9) AS score
+      |  FROM tf JOIN df USING (token) CROSS JOIN n),
+      |r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, token) AS INT) AS rank FROM s)
+      |SELECT doc_id, token, tf, df, score, rank FROM r
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (spark, dir) =>
+    TextAnalysis.tfidfKeywords(Tables.load(spark, dir, "documents"), k = 3)
+  }
+
+  // ---------------------------------------------------------------- x71
+  // Duplicate-cluster size histogram — the FULL-OUTPUT verification of
+  // connectedComponents: over exact-duplicate pairs the component-size
+  // histogram must equal the text-group-size histogram, which the
+  // oracle states directly. Planted twins (+10000 every 50th doc) and
+  // triplet members (+20000 every 100th) overlap, so every 100th doc
+  // forms a 3-cluster and the other 50ths form 2-clusters — the
+  // propagation has real multi-hop work to do.
+  val x71 = Q.df(
+    "x71_cluster_sizes",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 50 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 100 = 0),
+      |g AS (SELECT text, CAST(COUNT(*) AS INT) AS cluster_size
+      |  FROM corpus GROUP BY text HAVING COUNT(*) > 1)
+      |SELECT cluster_size, COUNT(*) AS n_clusters FROM g
+      |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val corpus = docs
+      .unionByName(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    Dedup.clusterSizes(Dedup.exactPairs(corpus))
+  }
+
+  // ---------------------------------------------------------------- x72
+  // Per-dimension embedding statistics (whitening precompute): round@9
+  // + DECIMAL(28,9) accumulation makes the sums summation-order-
+  // independent in both engines (the x28 convention); mean/variance are
+  // then identical IEEE double ops on identical inputs.
+  val x72 = Q.df(
+    "x72_dimension_stats",
+    """WITH v AS (SELECT
+      |    CAST(unnest(generate_series(1, len(embedding))) AS INT) AS dim,
+      |    ROUND(CAST(unnest(embedding) AS DOUBLE), 9) AS x
+      |  FROM embeddings),
+      |a AS (SELECT dim, COUNT(*) AS n,
+      |    SUM(CAST(x AS DECIMAL(28,9))) AS s1,
+      |    SUM(CAST(ROUND(x*x, 9) AS DECIMAL(28,9))) AS s2,
+      |    MIN(x) AS mn, MAX(x) AS mx
+      |  FROM v GROUP BY dim)
+      |SELECT dim, n, ROUND(CAST(s1 AS DOUBLE) / n, 9) AS mean,
+      |  ROUND(CAST(s2 AS DOUBLE) / n
+      |    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 9) AS variance,
+      |  mn, mx FROM a ORDER BY dim""".stripMargin) { (spark, dir) =>
+    Similarity.dimensionStats(Tables.load(spark, dir, "embeddings"))
+  }
+
+  // ---------------------------------------------------------------- x73
+  // Join-key skew audit on lineitem.l_suppkey — the pre-join
+  // diagnostic for salting/AQE decisions. total is CAST to BIGINT in
+  // the oracle (DuckDB SUM(BIGINT) → HUGEINT, the x33 lesson) before
+  // the double divisions.
+  val x73 = Q.df(
+    "x73_skew_audit",
+    """WITH c AS (SELECT l_suppkey AS "key", COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY l_suppkey),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys FROM c)
+      |SELECT "key", cnt, ROUND(CAST(cnt AS DOUBLE) / total, 9) AS share,
+      |  ROUND(CAST(cnt AS DOUBLE) * n_keys / total, 9) AS skew_x
+      |FROM c CROSS JOIN t ORDER BY cnt DESC, "key" LIMIT 20""".stripMargin) { (spark, dir) =>
+    JoinStrategies.skewAudit(
+      Tables.load(spark, dir, "lineitem"), col("l_suppkey"), k = 20)
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
-    x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68)
+    x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
+    x69, x70, x71, x72, x73)
 }

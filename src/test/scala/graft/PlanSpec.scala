@@ -207,6 +207,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"top-n pushdown missing:\n$p")
   }
 
+  test("x69: boilerplate strip joins by hash — no cartesian, no nested loop") {
+    val p = plan(graft.queries.Extensions.x69)
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
+
+  test("x70: per-doc keyword rank filter takes WindowGroupLimit") {
+    val p = plan(graft.queries.Extensions.x70)
+    assert(p.contains("WindowGroupLimit"), s"top-k pushdown missing:\n$p")
+  }
+
+  test("x72: dimension stats is one partial->final aggregate, no extra shuffle") {
+    val p = plan(graft.queries.Extensions.x72)
+    assert(p.contains("HashAggregate"), s"plan:\n$p")
+    assert("Exchange hashpartitioning\\(dim".r.findAllIn(p).length == 1,
+      s"dimension aggregate re-shuffled:\n$p")
+  }
+
+  test("x73: skew audit top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(graft.queries.Extensions.x73)
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"plan:\n$p")
+  }
+
   test("x36: as-of join plans one window, never a range/nested-loop join") {
     val p = plan(graft.queries.Extensions.x36)
     assert(!p.contains("BroadcastNestedLoopJoin"), s"range join appeared:\n$p")
