@@ -92,6 +92,32 @@ object Sampling {
       splits: Seq[(String, Double)], seed: Int = 42): DataFrame =
     deterministicSplit(df, group, splits, seed)
 
+  /** EXACT-k deterministic sample per stratum — eval/calibration set
+    * construction, where "about 10%" ([[stratifiedSample]]) is the
+    * wrong contract and "exactly k docs per language" is the right
+    * one: each stratum keeps the k rows whose portable md5 bucket
+    * ([[bucketHex]]) orders smallest (ties broken by `key`). The
+    * selection is a pure function of (key values, seed) — stable
+    * across re-runs and engines — but NOT append-stable: a new row
+    * whose hash orders below a survivor displaces it (rate-based
+    * sampling keeps per-row stability; exact-k trades it for the exact
+    * count). `key` should be row-unique — rows SHARING a key value tie
+    * beyond the ordering and the survivor among them is arbitrary.
+    *
+    * 100 TB shape: a per-stratum row_number filter, which Spark plans
+    * as WindowGroupLimit — per-partition top-k heaps BEFORE the window
+    * shuffle, so each partition contributes at most k rows per stratum
+    * to the exchange regardless of corpus size (spec-pinned). */
+  def sampleExactK(df: DataFrame, strata: Column, key: Column, k: Int,
+      seed: Int = 42): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata).orderBy(bucketHex(key, seed), key)
+    df.withColumn("__smp_rn", row_number().over(w))
+      .filter(col("__smp_rn") <= k)
+      .drop("__smp_rn")
+  }
+
   /** Deterministic shard id in [0, n): the hash bucket's position among
     * n equal-width threshold cells, computed as a sum of n-1 codegen'd
     * hex comparisons — no numeric hex parsing needed, so any engine

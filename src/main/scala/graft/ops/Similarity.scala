@@ -77,6 +77,38 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** Whitening APPLICATION — [[dimensionStats]]' acting counterpart:
+    * standardizes every vector per-dimension to
+    * `(x − mean) / √(variance + eps)`, returning `(vec_id,
+    * std_embedding: array<double>)`. Each arithmetic step (subtract,
+    * add-eps, sqrt, divide) is an IEEE exactly-rounded double op on the
+    * deterministic stats, with round@9 at both ends — bit-for-bit
+    * reproducible cross-engine.
+    *
+    * Scale: the stats table is dim-count rows of doubles — driver-side
+    * metadata by design (the IVF-centroid precedent), embedded as
+    * literal arrays so the apply pass is a pure per-row projection: no
+    * join, no shuffle, nothing corpus-sized moves. The stats pass
+    * itself is [[dimensionStats]]' single partial→final aggregate.
+    * The per-element lambda is an interpreted HOF — fine for one
+    * projection pass; a hot 100 TB path would lift it into a
+    * `TextHashExprs`-style codegen kernel. */
+  def standardize(embeddings: DataFrame, eps: Double = 1e-9): DataFrame = {
+    val stats = dimensionStats(embeddings)
+      .select(col("dim"), col("mean"), col("variance"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val means = array(stats.map(s => lit(s._2)).toIndexedSeq: _*)
+    val vars_ = array(stats.map(s => lit(s._3)).toIndexedSeq: _*)
+    embeddings.select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        round(
+          (round(x.cast("double"), 9) - element_at(means, i + 1)) /
+            sqrt(element_at(vars_, i + 1) + lit(eps)),
+          9)).as("std_embedding"))
+  }
+
   /** Exact cosine for adjacent (vec_id, vec_id+1) pairs — linear, used as
     * the oracle-checkable correctness anchor for the cosine expression. */
   def adjacentCosine(embeddings: DataFrame): DataFrame = {

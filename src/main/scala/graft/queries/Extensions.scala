@@ -2113,11 +2113,59 @@ object Extensions {
       Tables.load(spark, dir, "lineitem"), col("l_suppkey"), k = 20)
   }
 
+  // ---------------------------------------------------------------- x74
+  // EXACT-k per-stratum sampling (eval-set construction: exactly 40
+  // docs per language, not "about 8%") — per-stratum smallest-k of the
+  // portable md5 bucket, the same hash the split/sample family
+  // restates; the rank filter plans as WindowGroupLimit (plan-pinned).
+  val x74 = Q.df(
+    "x74_exact_k_sample",
+    """WITH r AS (SELECT doc_id, lang, source,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY substr(md5('k' || doc_id || ':7'), 1, 8), doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, lang, source FROM r WHERE rn <= 40
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Sampling.sampleExactK(Tables.load(spark, dir, "documents"),
+        col("lang"), col("doc_id"), k = 40, seed = 7)
+      .select("doc_id", "lang", "source").orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- x75
+  // Whitening APPLIED (x72's acting counterpart): every vector
+  // standardized per-dimension to (x−mean)/√(var+eps). The engine
+  // embeds the dim-count stats as literal arrays (driver metadata, the
+  // IVF-centroid precedent) so the apply pass is a pure projection;
+  // the oracle re-derives the identical stats (the x72 equivalence)
+  // and restates the arithmetic in the same IEEE op order. Output is
+  // exploded to (vec_id, dim, x_std) rows — no raw array reaches the
+  // driver's comparator (the q70 lesson).
+  val x75 = Q.df(
+    "x75_standardize",
+    """WITH v AS (SELECT vec_id,
+      |    CAST(unnest(generate_series(1, len(embedding))) AS INT) AS dim,
+      |    ROUND(CAST(unnest(embedding) AS DOUBLE), 9) AS x
+      |  FROM embeddings),
+      |a AS (SELECT dim, COUNT(*) AS n, SUM(CAST(x AS DECIMAL(28,9))) AS s1,
+      |    SUM(CAST(ROUND(x*x, 9) AS DECIMAL(28,9))) AS s2 FROM v GROUP BY dim),
+      |st AS (SELECT dim, ROUND(CAST(s1 AS DOUBLE) / n, 9) AS mean,
+      |    ROUND(CAST(s2 AS DOUBLE) / n
+      |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 9) AS variance
+      |  FROM a)
+      |SELECT v.vec_id, v.dim,
+      |  ROUND((v.x - st.mean) / sqrt(st.variance + 1e-9), 9) AS x_std
+      |FROM v JOIN st USING (dim) ORDER BY vec_id, dim""".stripMargin) { (spark, dir) =>
+    Similarity.standardize(Tables.load(spark, dir, "embeddings"))
+      .select(col("vec_id"), posexplode(col("std_embedding")).as(Seq("p", "x_std")))
+      .select(col("vec_id"), (col("p") + 1).cast("int").as("dim"), col("x_std"))
+      .orderBy("vec_id", "dim")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
-    x69, x70, x71, x72, x73)
+    x69, x70, x71, x72, x73, x74, x75)
 }

@@ -225,6 +225,22 @@ class PlanSpec extends AnyFunSuite {
       s"dimension aggregate re-shuffled:\n$p")
   }
 
+  test("x74: exact-k sample rank filter takes WindowGroupLimit") {
+    val p = plan(graft.queries.Extensions.x74)
+    assert(p.contains("WindowGroupLimit"), s"per-stratum heaps missing:\n$p")
+  }
+
+  test("x75: whitening apply is a pure projection after the stats pass") {
+    val p = graft.ops.Similarity
+      .standardize(graft.tables.Tables.load(spark, TestSessions.sf001, "embeddings"))
+      .queryExecution.executedPlan.toString
+    // stats are embedded as literals -> the apply plan has no join, no
+    // aggregate, no exchange: scan -> project only
+    assert(!p.contains("Join"), s"plan:\n$p")
+    assert(!p.contains("HashAggregate"), s"plan:\n$p")
+    assert(!p.contains("Exchange"), s"plan:\n$p")
+  }
+
   test("x73: skew audit top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan(graft.queries.Extensions.x73)
     assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
