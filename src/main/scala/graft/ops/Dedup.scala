@@ -408,6 +408,32 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
   }
 
+  /** Per-group exact-duplication-rate report `(group, n_docs, n_dups,
+    * dup_rate)` ordered by group — the ingest-health number behind "is
+    * this crawl slice worth deduping before mixing": a doc counts as a
+    * duplicate when it is not the canonical (smallest-id) holder of its
+    * text. Cross-group duplicates charge every NON-canonical member to
+    * its own group — the canonical's group keeps its copy free.
+    *
+    * Scale: the canonical table is the [[exactByHash]] aggregate
+    * (8-byte xxhash64 keys, map-side combined); the join back is
+    * hash-keyed; the per-group aggregate shuffles one partial row per
+    * (partition, group). Text never moves. Same hash-collision
+    * equivalence note as the rest of the exact-dedup family. */
+  def dupRate(docs: DataFrame, groupCol: String): DataFrame = {
+    val keep = docs.groupBy(xxhash64(col("text")).as("__dr_h"))
+      .agg(min(col("doc_id")).as("__dr_keep"))
+    docs.select(col("doc_id"), col(groupCol), xxhash64(col("text")).as("__dr_h"))
+      .join(keep, "__dr_h")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("__dr_keep"), 1L).otherwise(0L))
+          .as("n_dups"))
+      .withColumn("dup_rate",
+        round(col("n_dups").cast("double") / col("n_docs"), 9))
+      .orderBy(col(groupCol))
+  }
+
   /**
    * [[dedupCorpus]] with a QUALITY-AWARE canonical choice: instead of
    * the smallest doc_id, each near-dup cluster keeps its best row by

@@ -66,4 +66,39 @@ object Packing {
       .withColumn("straddles", col("seq_offset") + col("__pack_t") > budget)
       .drop("__pack_b", "__pack_t", "__pack_cum", "__pack_off", "__pack_start")
   }
+
+  /** Length-bucketed batch assembly — the padding-efficiency layout for
+    * batched inference/training: rows shard deterministically
+    * ([[Sampling.shard]]'s portable md5 tree), each shard orders by
+    * descending `tokens` (ties by `key`) so consecutive rows have
+    * similar lengths, and consecutive runs of `batchSize` form batches.
+    * Returns per-batch stats `(shard, batch, n_docs, max_tokens,
+    * sum_tokens, padding)` ordered by (shard, batch), where `padding`
+    * = n_docs·max_tokens − sum_tokens is the exact token waste a
+    * pad-to-longest collator pays — the number this layout minimizes
+    * versus random batching. Null/negative `tokens` count as 0.
+    *
+    * Scale: NO global sort — the length ordering is per-shard (the
+    * window's hash exchange on the shard id), so sort scope is
+    * corpus/nShards and batches never cross shards; the stats
+    * aggregate shuffles one partial row per (partition, shard, batch).
+    * Pick nShards ≈ the write parallelism you want downstream. */
+  def lengthBatches(df: DataFrame, key: Column, tokens: Column,
+      batchSize: Int, nShards: Int = 64, seed: Int = 42): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val sharded = Sampling.shard(df, key, nShards, seed)
+      .withColumn("__lb_t",
+        greatest(coalesce(tokens.cast("long"), lit(0L)), lit(0L)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__lb_t").desc, key)
+    sharded
+      .withColumn("__lb_rn", row_number().over(w))
+      .withColumn("batch", ((col("__lb_rn") - 1) / batchSize).cast("int"))
+      .groupBy(col("shard"), col("batch"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        max(col("__lb_t")).as("max_tokens"),
+        sum(col("__lb_t")).as("sum_tokens"))
+      .withColumn("padding",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+      .orderBy(col("shard"), col("batch"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOf, Decontamination, Dedup, JoinStrategies, Multimodal, Quantization, Redaction, Relevance, Sampling, Selection, Sessions, Similarity, TextAnalysis, Text}
+import graft.ops.{AsOf, Decontamination, Dedup, JoinStrategies, Multimodal, Packing, Quantization, Redaction, Relevance, Sampling, Selection, Sessions, Similarity, TextAnalysis, Text}
 import graft.tables.Tables
 
 /**
@@ -2161,11 +2161,68 @@ object Extensions {
       .orderBy("vec_id", "dim")
   }
 
+  // ---------------------------------------------------------------- x76
+  // Per-source exact-duplication-rate report. The sf fixture has no
+  // natural exact dups (x01), so twins (+10000 every 50th doc) and
+  // triplet members (+20000 every 100th) are planted WITH their source
+  // attribution; non-canonical members charge their own source.
+  val x76 = Q.df(
+    "x76_dup_rate",
+    """WITH corpus AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text, source FROM documents WHERE doc_id % 50 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000, text, source FROM documents WHERE doc_id % 100 = 0),
+      |k AS (SELECT doc_id, source,
+      |    MIN(doc_id) OVER (PARTITION BY text) AS keep FROM corpus)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(COUNT(CASE WHEN doc_id <> keep THEN 1 END) AS BIGINT) AS n_dups,
+      |  ROUND(CAST(COUNT(CASE WHEN doc_id <> keep THEN 1 END) AS DOUBLE)
+      |    / COUNT(*), 9) AS dup_rate
+      |FROM k GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "source")
+    val corpus = docs
+      .unionByName(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"), col("source")))
+      .unionByName(docs.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text"), col("source")))
+    Dedup.dupRate(corpus, "source")
+  }
+
+  // ---------------------------------------------------------------- x77
+  // Length-bucketed batch assembly (padding-efficiency layout): shard
+  // by the portable md5 tree (the x20 restatement), order each shard by
+  // descending n_chars, cut runs of 16 into batches, report the exact
+  // pad-to-longest waste per batch. No global sort anywhere — the
+  // oracle restates the per-shard windows directly.
+  val x77 = Q.df(
+    "x77_length_batches", {
+      val n = 4
+      val cases = (1 until n).map(i =>
+        s"(CASE WHEN substr(md5('k' || doc_id || ':11'), 1, 8) >= '${graft.ops.Sampling.hexThreshold(i.toDouble / n)}' THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH s AS (SELECT doc_id, n_chars, $cases AS shard FROM documents),
+         |r AS (SELECT shard, n_chars, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY shard
+         |      ORDER BY n_chars DESC, doc_id) AS rn FROM s),
+         |b AS (SELECT shard, CAST((rn - 1) // 16 AS INT) AS batch, n_chars FROM r)
+         |SELECT shard, batch, CAST(COUNT(*) AS INT) AS n_docs,
+         |  MAX(n_chars) AS max_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_tokens,
+         |  CAST(COUNT(*) AS INT) * MAX(n_chars) - CAST(SUM(n_chars) AS BIGINT) AS padding
+         |FROM b GROUP BY shard, batch ORDER BY shard, batch""".stripMargin
+    }) { (spark, dir) =>
+    Packing.lengthBatches(Tables.load(spark, dir, "documents"),
+      col("doc_id"), col("n_chars"), batchSize = 16, nShards = 4, seed = 11)
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
-    x69, x70, x71, x72, x73, x74, x75)
+    x69, x70, x71, x72, x73, x74, x75, x76, x77)
 }
