@@ -421,6 +421,89 @@ object TextHashExprs {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** Per-dimension standardization `(round9(x) − μᵢ) / σᵢ` rounded @9 —
+    * the codegen form of `Similarity.standardize`'s per-element
+    * arithmetic, bit-identical to the HOF formulation (the same
+    * `BigDecimal.valueOf` HALF_UP rounding Spark's `round` applies to
+    * finite doubles, the same IEEE subtract/divide) but one imperative
+    * loop inside WSCG instead of an interpreted expression-tree walk
+    * per element. `means`/`denoms` are FOLDABLE literal arrays
+    * (driver-computed whitening stats — dim-count doubles, the
+    * IVF-centroid precedent). A vector whose length disagrees with the
+    * stats, or with a null element, yields null (it cannot be
+    * standardized). */
+  case class VecStandardize(vec: Expression, meansE: Expression,
+      denomsE: Expression) extends TernaryExpression {
+    override def first: Expression = vec
+    override def second: Expression = meansE
+    override def third: Expression = denomsE
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override def checkInputDataTypes() =
+      checkPrimitiveVectorInput("vec_standardize", vec)
+
+    @transient private lazy val means: Array[Double] =
+      meansE.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+    @transient private lazy val denoms: Array[Double] =
+      denomsE.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+    @transient private lazy val rd = elemReader(vec.dataType)
+
+    private def round9(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+
+    override def nullSafeEval(v: Any, m: Any, d: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (n != means.length) return null
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i)) return null
+        out(i) = round9((round9(rd(a, i)) - means(i)) / denoms(i))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val meansRef = ctx.addReferenceObj("vstdMeans", means, "double[]")
+      val denomsRef = ctx.addReferenceObj("vstdDenoms", denoms, "double[]")
+      val fn = ctx.freshName("round9Vstd")
+      val r9 = ctx.addNewFunction(fn,
+        s"""
+           |private double $fn(double x) {
+           |  if (Double.isNaN(x) || Double.isInfinite(x)) return x;
+           |  return java.math.BigDecimal.valueOf(x)
+           |    .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue();
+           |}
+         """.stripMargin)
+      nullSafeCodeGen(ctx, ev, (a, _, _) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val bad = ctx.freshName("bad"); val out = ctx.freshName("out")
+        val x = ctx.freshName("x")
+        s"""
+           |int $n = $a.numElements();
+           |boolean $bad = ($n != $meansRef.length);
+           |double[] $out = $bad ? null : new double[$n];
+           |for (int $i = 0; !$bad && $i < $n; $i++) {
+           |  if ($a.isNullAt($i)) { $bad = true; break; }
+           |  double $x = ${elemJava(vec.dataType, a, i)};
+           |  $out[$i] = $r9(($r9($x) - $meansRef[$i]) / $denomsRef[$i]);
+           |}
+           |${ev.isNull} = $bad;
+           |${ev.value} = $bad ? null
+           |  : new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+    }
+    override def prettyName: String = "vec_standardize"
+    override protected def withNewChildrenInternal(f: Expression,
+        s: Expression, t: Expression) = copy(f, s, t)
+  }
+
   /** Symmetric integer quantization audit for a numeric vector: one pass
     * finds max|v|, a second derives scale = max|v| / levels, qᵢ =
     * floor(vᵢ/scale + 0.5) (round-half-up — `floor(x+0.5)` is the same
@@ -899,6 +982,8 @@ object TextHashExprs {
       { case Seq(a, b) => DotProd(a, b) }, "built-in")
     reg.createOrReplaceTempFunction("vec_norm",
       { case Seq(x) => VecNorm(x) }, "built-in")
+    reg.createOrReplaceTempFunction("vec_standardize",
+      { case Seq(x, m, d) => VecStandardize(x, m, d) }, "built-in")
     reg.createOrReplaceTempFunction("text_metrics",
       { case Seq(x) => TextMetrics(x) }, "built-in")
     reg.createOrReplaceTempFunction("repetition_metrics",
@@ -947,6 +1032,12 @@ object TextHashExprs {
   def vecNorm(spark: SparkSession, v: Column): Column = {
     ensureRegistered(spark)
     call_function("vec_norm", v)
+  }
+
+  def vecStandardize(spark: SparkSession, v: Column, means: Column,
+      denoms: Column): Column = {
+    ensureRegistered(spark)
+    call_function("vec_standardize", v, means, denoms)
   }
 
   def textMetrics(spark: SparkSession, text: Column): Column = {

@@ -400,12 +400,39 @@ object Dedup {
     * carries (id, 8-byte hash), never text; output is Σ group², bounded
     * by actual duplicate group sizes. Distinct texts colliding in 64
     * bits would spuriously pair — the documented negligible-odds
-    * equivalence (x02b). */
+    * equivalence (x02b). NULL texts never pair (SQL equality
+    * semantics — xxhash64 would otherwise hash every null to the seed
+    * and spuriously cluster them). */
   def exactPairs(docs: DataFrame): DataFrame = {
-    val h = docs.select(col("doc_id"), xxhash64(col("text")).as("h"))
+    val h = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), xxhash64(col("text")).as("h"))
     h.as("a").join(h.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  }
+
+  /** Cross-group duplicate-pair matrix `(source_a, source_b, n_pairs)`
+    * ordered, with the pair normalized so `source_a <= source_b` — the
+    * contamination-FLOW view [[dupRate]] aggregates away: which corpus
+    * slices mirror each other (crawl A republishing crawl B, a dataset
+    * included twice under different names). Diagonal entries count
+    * within-group duplication.
+    *
+    * Scale: the pair set is [[exactPairs]] (Σ group², bounded by actual
+    * duplicates); the two attribution joins shuffle `(id, group)` pairs
+    * against the pair-set-sized frame, never text. */
+  def dupPairMatrix(docs: DataFrame, groupCol: String): DataFrame = {
+    val attr = docs.select(col("doc_id"), col(groupCol))
+    exactPairs(docs)
+      .join(attr.select(col("doc_id").as("doc_a"), col(groupCol).as("__dm_ga")),
+        "doc_a")
+      .join(attr.select(col("doc_id").as("doc_b"), col(groupCol).as("__dm_gb")),
+        "doc_b")
+      .select(least(col("__dm_ga"), col("__dm_gb")).as("source_a"),
+        greatest(col("__dm_ga"), col("__dm_gb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
   }
 
   /** Per-group exact-duplication-rate report `(group, n_docs, n_dups,

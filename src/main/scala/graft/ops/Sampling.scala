@@ -269,6 +269,40 @@ object Sampling {
       .drop("__mix_domain", "__mix_rate")
   }
 
+  /** The mixture PLANNING table behind [[temperatureMixture]] — per
+    * domain: its token mass, temperature-scaled share (∝ tokensᵅ),
+    * target token allocation under `budget`, the sampling rate that
+    * realizes it, and `epochs` = ⌈rate⌉ (a rate above 1 means the
+    * domain must repeat — the capacity warning a mixture designer
+    * reads BEFORE launching the 100 TB sampling pass). Same pow-ulp
+    * contract as [[temperatureMixture]]: every derived double is
+    * rounded @9 after the pow/Σ arithmetic (x48's precedent), and
+    * `epochs` is the ceiling of the ROUNDED rate. NULL domains are
+    * excluded (un-attributable mass cannot be allocated).
+    *
+    * Scale: one map-side-combining aggregate to |domains| rows; the
+    * normalization window runs over that tiny frame. The corpus is
+    * scanned exactly once. */
+  def mixturePlan(df: DataFrame, domain: Column, weight: Column,
+      budget: Double, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(budget > 0.0, s"budget must be positive, got $budget")
+    val t = col("tokens").cast("double")
+    val share = col("__mp_p") / col("__mp_z")
+    df.filter(domain.isNotNull)
+      .groupBy(domain.as("domain"))
+      .agg(sum(weight).as("tokens"))
+      .withColumn("__mp_p", pow(t, lit(alpha)))
+      .withColumn("__mp_z", sum(col("__mp_p"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("domain"), col("tokens"),
+        round(share, 9).as("share"),
+        round(share * budget, 9).as("target_tokens"),
+        round(share * budget / t, 9).as("rate"))
+      .withColumn("epochs", ceil(col("rate")).cast("int"))
+      .orderBy(col("domain"))
+  }
+
   /**
    * Time-decay (recency-weighted) sampling: each row keeps with
    * probability `2^(−age / halflife)` where `age = refTs − ts` — the

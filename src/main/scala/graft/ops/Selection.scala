@@ -178,4 +178,29 @@ object Selection {
         row_number().over(Window.partitionBy(group).orderBy(order: _*)))
       .filter(col("rk") <= n)
   }
+
+  /** Fixed-width histogram `(bin, lo, hi, n)` ordered by bin — the
+    * distribution-datasheet primitive (length/score/quality
+    * distributions at corpus scale in ONE aggregate). `bin` =
+    * ⌊value/binWidth⌋ (floor semantics, so negatives bin correctly);
+    * `[lo, hi)` are the bin edges as exact double products of the bin
+    * index. NULL values are excluded (they have no bin — count them
+    * upstream if the null rate matters; [[graft.ops]]' profile gate
+    * does). The double floor-div is exact for |value| < 2^53.
+    *
+    * Scale: a codegen'd projection into a partial→final hash aggregate
+    * keyed on the bin — shuffle carries bins × partitions rows,
+    * nothing corpus-sized. Empty bins between occupied ones are absent
+    * (a dense axis is the caller's presentation concern). */
+  def histogram(df: DataFrame, value: Column, binWidth: Double): DataFrame = {
+    require(binWidth > 0.0, s"binWidth must be positive, got $binWidth")
+    df.filter(value.isNotNull)
+      .select(floor(value.cast("double") / binWidth).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        (col("bin") * binWidth).as("lo"),
+        ((col("bin") + 1) * binWidth).as("hi"),
+        col("n"))
+      .orderBy(col("bin"))
+  }
 }

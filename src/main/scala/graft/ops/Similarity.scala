@@ -90,23 +90,24 @@ object Similarity {
     * literal arrays so the apply pass is a pure per-row projection: no
     * join, no shuffle, nothing corpus-sized moves. The stats pass
     * itself is [[dimensionStats]]' single partial→final aggregate.
-    * The per-element lambda is an interpreted HOF — fine for one
-    * projection pass; a hot 100 TB path would lift it into a
-    * `TextHashExprs`-style codegen kernel. */
+    * The per-element arithmetic runs in `TextHashExprs.VecStandardize`
+    * — a real `doGenCode` kernel (one imperative loop inside WSCG),
+    * not an interpreted `transform` lambda; the kernel's rounding is
+    * the same `BigDecimal.valueOf` HALF_UP algorithm as Spark's
+    * `round`, so results are bit-identical to the HOF formulation
+    * (spec-pinned). */
   def standardize(embeddings: DataFrame, eps: Double = 1e-9): DataFrame = {
+    val spark = embeddings.sparkSession
     val stats = dimensionStats(embeddings)
       .select(col("dim"), col("mean"), col("variance"))
       .collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1)
     val means = array(stats.map(s => lit(s._2)).toIndexedSeq: _*)
-    val vars_ = array(stats.map(s => lit(s._3)).toIndexedSeq: _*)
+    val denoms = array(stats.map(s => lit(math.sqrt(s._3 + eps))).toIndexedSeq: _*)
     embeddings.select(col("vec_id"),
-      transform(col("embedding"), (x, i) =>
-        round(
-          (round(x.cast("double"), 9) - element_at(means, i + 1)) /
-            sqrt(element_at(vars_, i + 1) + lit(eps)),
-          9)).as("std_embedding"))
+      TextHashExprs.vecStandardize(spark, col("embedding"), means, denoms)
+        .as("std_embedding"))
   }
 
   /** Exact cosine for adjacent (vec_id, vec_id+1) pairs — linear, used as

@@ -2218,11 +2218,75 @@ object Extensions {
       col("doc_id"), col("n_chars"), batchSize = 16, nShards = 4, seed = 11)
   }
 
+  // ---------------------------------------------------------------- x78
+  // Cross-source duplicate-pair matrix — which slices mirror each
+  // other. A 'mirror' slice is planted (every 25th doc under a NEW
+  // source label), so the matrix carries (source_i, mirror) flows;
+  // the fixture has no natural dups, making the planted flow the
+  // entire (and fully predictable) answer.
+  val x78 = Q.df(
+    "x78_dup_pair_matrix",
+    """WITH corpus AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text, 'mirror' FROM documents WHERE doc_id % 25 = 0),
+      |p AS (SELECT a.source AS sa, b.source AS sb
+      |  FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id)
+      |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+      |  COUNT(*) AS n_pairs
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "source")
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+          lit("mirror").as("source")))
+    Dedup.dupPairMatrix(corpus, "source")
+  }
+
+  // ---------------------------------------------------------------- x79
+  // Temperature-mixture PLANNING table (x48's design-time view): per
+  // source, token mass, α-share, target allocation, realizing rate and
+  // epoch count. pow rides the x48 round@9 contract; the oracle CASTs
+  // the token sum to BIGINT (the x33 HUGEINT lesson) and ceils the
+  // ROUNDED rate exactly as the engine does.
+  val x79 = Q.df(
+    "x79_mixture_plan",
+    """WITH a AS (SELECT source AS domain, CAST(SUM(n_chars) AS BIGINT) AS tokens
+      |  FROM documents WHERE source IS NOT NULL GROUP BY source),
+      |p AS (SELECT domain, tokens, pow(CAST(tokens AS DOUBLE), 0.5) AS pp FROM a),
+      |z AS (SELECT SUM(pp) AS z FROM p)
+      |SELECT domain, tokens, ROUND(pp / z, 9) AS share,
+      |  ROUND(pp / z * 1000000.0, 9) AS target_tokens,
+      |  ROUND(pp / z * 1000000.0 / CAST(tokens AS DOUBLE), 9) AS rate,
+      |  CAST(CEIL(ROUND(pp / z * 1000000.0 / CAST(tokens AS DOUBLE), 9)) AS INT)
+      |    AS epochs
+      |FROM p CROSS JOIN z ORDER BY domain""".stripMargin) { (spark, dir) =>
+    Sampling.mixturePlan(Tables.load(spark, dir, "documents"),
+      col("source"), col("n_chars"), budget = 1000000.0, alpha = 0.5)
+  }
+
+  // ---------------------------------------------------------------- x80
+  // Fixed-width histogram of document lengths — the distribution-
+  // datasheet primitive in one partial->final aggregate; floor-div bin
+  // semantics stated identically on both engines.
+  val x80 = Q.df(
+    "x80_histogram",
+    """SELECT CAST(FLOOR(CAST(n_chars AS DOUBLE) / 100.0) AS BIGINT) AS bin,
+      |  CAST(FLOOR(CAST(n_chars AS DOUBLE) / 100.0) AS BIGINT) * 100.0 AS lo,
+      |  (CAST(FLOOR(CAST(n_chars AS DOUBLE) / 100.0) AS BIGINT) + 1) * 100.0 AS hi,
+      |  COUNT(*) AS n
+      |FROM documents WHERE n_chars IS NOT NULL
+      |GROUP BY 1 ORDER BY bin""".stripMargin) { (spark, dir) =>
+    Selection.histogram(Tables.load(spark, dir, "documents"),
+      col("n_chars"), binWidth = 100.0)
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
-    x69, x70, x71, x72, x73, x74, x75, x76, x77)
+    x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80)
 }

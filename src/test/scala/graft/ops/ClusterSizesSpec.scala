@@ -15,6 +15,12 @@ class ClusterSizesSpec extends AnyFunSuite {
     assert(got == Seq((2, 1L), (3, 1L)))
   }
 
+  test("null texts never pair (SQL equality semantics)") {
+    val docs = Seq((1L, null: String), (2L, null: String), (3L, "z"))
+      .toDF("doc_id", "text")
+    assert(Dedup.exactPairs(docs).count() == 0)
+  }
+
   test("exactPairs mines all same-text pairs, a < b") {
     val docs = Seq(
       (1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"), (5L, "y"), (6L, "z"))
