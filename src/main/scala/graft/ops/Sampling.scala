@@ -118,6 +118,32 @@ object Sampling {
       .drop("__smp_rn")
   }
 
+  /** Split-LEAKAGE audit — the measurement that motivates [[groupSplit]]:
+    * given a duplicate/near-duplicate pair set and a frame carrying a
+    * `split` assignment, counts pairs per (split_a, split_b) with the
+    * pair normalized `split_a <= split_b`. Off-diagonal mass IS train/
+    * test leakage: a duplicate straddling the boundary lets the eval
+    * measure memorization. Run it against a row-keyed
+    * [[deterministicSplit]] to quantify the leak and against
+    * [[groupSplit]] to prove the zero (x81 does both in one row).
+    *
+    * Scale: two id-keyed joins of the PAIR set (bounded by actual
+    * duplicates) against `(id, split)` projections — the corpus never
+    * shuffles; the final aggregate is |splits|² rows. */
+  def splitLeakage(pairs: DataFrame, assigned: DataFrame): DataFrame = {
+    val s = assigned.select(col("doc_id"), col("split"))
+    pairs
+      .join(s.select(col("doc_id").as("doc_a"), col("split").as("__sl_a")),
+        "doc_a")
+      .join(s.select(col("doc_id").as("doc_b"), col("split").as("__sl_b")),
+        "doc_b")
+      .select(least(col("__sl_a"), col("__sl_b")).as("split_a"),
+        greatest(col("__sl_a"), col("__sl_b")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   /** Deterministic shard id in [0, n): the hash bucket's position among
     * n equal-width threshold cells, computed as a sum of n-1 codegen'd
     * hex comparisons — no numeric hex parsing needed, so any engine

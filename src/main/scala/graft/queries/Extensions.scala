@@ -1912,9 +1912,14 @@ object Extensions {
   // resample. The full pair set is rows-only (the 9×8 resample is a JDK
   // raster op, not SQL); the hard companion plants byte-identical image
   // twins, whose dHash must match at hamming exactly 0 — the planted
-  // oracle every approximate operator here carries.
+  // oracle every approximate operator here carries. The base table is
+  // the doc_id % 5 slice: PNG encode+decode dominates the row (the x12
+  // codec-bound precedent), and 1/5 of the corpus exercises banding and
+  // the planted twins (25 | 5, so every twin's original stays in-slice)
+  // identically at a fifth of the codec bill.
   val x67 = Q.dfOnly("x67_image_dhash_pairs") { (spark, dir) =>
     val docs = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 5 === 0)
     // twins carry the ORIGINAL id's payload bytes; the id shifts after
     // the build, so each twin is byte-identical to its original
     val planted = Multimodal.texturedImageTable(
@@ -1931,6 +1936,7 @@ object Extensions {
       |  CAST(doc_id + 100000 AS BIGINT) AS doc_b, CAST(0 AS INT) AS hamming
       |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_a""".stripMargin) { (spark, dir) =>
     val docs = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 5 === 0)
     val media = Multimodal.texturedImageTable(docs)
     val planted = Multimodal.texturedImageTable(
         docs.filter(col("doc_id") % 25 === 0))
@@ -2282,11 +2288,58 @@ object Extensions {
       col("n_chars"), binWidth = 100.0)
   }
 
+  // ---------------------------------------------------------------- x81
+  // Split-leakage audit, both keyings in ONE row: over planted exact
+  // twins, the row-keyed split leaks (off-diagonal train/test pairs —
+  // the memorization-eval hazard) while the text-keyed group split is
+  // leak-free BY CONSTRUCTION (identical text ⇒ identical md5 bucket ⇒
+  // same split). The oracle restates both md5 CASE chains and the
+  // text-equality pair set.
+  val x81 = Q.df(
+    "x81_split_leakage", {
+      val t = graft.ops.Sampling.hexThreshold(0.8)
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 50 = 0),
+         |p AS (SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id),
+         |rs AS (SELECT doc_id, CASE WHEN substr(md5('k' || doc_id || ':42'), 1, 8)
+         |    < '$t' THEN 'train' ELSE 'test' END AS split FROM corpus),
+         |gs AS (SELECT doc_id, CASE WHEN substr(md5('k' || text || ':42'), 1, 8)
+         |    < '$t' THEN 'train' ELSE 'test' END AS split FROM corpus),
+         |u AS (
+         |  SELECT 'row' AS mode, least(ra.split, rb.split) AS split_a,
+         |    greatest(ra.split, rb.split) AS split_b
+         |  FROM p JOIN rs ra ON ra.doc_id = p.da JOIN rs rb ON rb.doc_id = p.db
+         |  UNION ALL
+         |  SELECT 'group', least(ga.split, gb.split), greatest(ga.split, gb.split)
+         |  FROM p JOIN gs ga ON ga.doc_id = p.da JOIN gs gb ON gb.doc_id = p.db)
+         |SELECT mode, split_a, split_b, COUNT(*) AS n_pairs FROM u
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val splits = Seq("train" -> 0.8, "test" -> 0.2)
+    val pairs = Dedup.exactPairs(corpus)
+    val byRow = Sampling
+      .splitLeakage(pairs, Sampling.deterministicSplit(corpus, col("doc_id"), splits))
+      .withColumn("mode", lit("row"))
+    val byGroup = Sampling
+      .splitLeakage(pairs, Sampling.groupSplit(corpus, col("text"), splits))
+      .withColumn("mode", lit("group"))
+    byRow.unionByName(byGroup)
+      .select("mode", "split_a", "split_b", "n_pairs")
+      .orderBy("mode", "split_a", "split_b")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
-    x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80)
+    x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81)
 }
