@@ -435,6 +435,51 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Edit-distance (typo-level) near-dup pairs `(doc_a, doc_b, edits)`
+    * with `edits <= maxEdits` — the third duplication modality beside
+    * token-set (MinHash/Jaccard) and bit-profile (SimHash): OCR noise,
+    * single-character vandalism, re-encoded punctuation. Candidates
+    * are pairs sharing ≥1 hashed word-trigram AND within `maxEdits`
+    * characters in length; survivors verify with exact Levenshtein.
+    * COMPLETE for documents longer than `3·maxEdits` word-trigrams: one
+    * character edit can damage at most 3 trigrams, so `maxEdits` edits
+    * leave a shared trigram whenever the doc has more than `3·maxEdits`
+    * of them — within that regime the operator is exact, not
+    * approximate (and the x82 oracle restates it directly). Shorter
+    * docs can miss; both engines share the miss (same trigram
+    * definition). NULL texts never pair.
+    *
+    * Scale: the trigram-candidate join is Σ df² over the gram
+    * vocabulary, pruned hard by the in-join length filter, and carries
+    * 8-byte ids — texts re-join onto the DISTINCT candidate pair set
+    * only for the final Levenshtein, so the O(len²) verify runs once
+    * per surviving candidate, never per gram hit. At 100 TB compose
+    * with rare-gram selection or [[minhashLsh]] banding to bound the
+    * candidate volume further. */
+  def editDistancePairs(docs: DataFrame, maxEdits: Int): DataFrame = {
+    require(maxEdits >= 1, s"maxEdits must be >= 1, got $maxEdits")
+    val spark = docs.sparkSession
+    val grams = docs.select(col("doc_id"), length(col("text")).as("__ed_len"),
+      explode(graft.functions.TextHashExprs.tokenTrigramHashes(spark,
+        col("text"))).as("gh"))
+    val cand = grams.as("a").join(grams.as("b"),
+        col("a.gh") === col("b.gh") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        abs(col("a.__ed_len") - col("b.__ed_len")) <= maxEdits)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val texts = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("__ed_ta")),
+        "doc_a")
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("__ed_tb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("__ed_ta"), col("__ed_tb")).as("edits"))
+      .filter(col("edits") <= maxEdits)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Per-group exact-duplication-rate report `(group, n_docs, n_dups,
     * dup_rate)` ordered by group — the ingest-health number behind "is
     * this crawl slice worth deduping before mixing": a doc counts as a

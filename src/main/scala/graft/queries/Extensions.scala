@@ -2335,11 +2335,49 @@ object Extensions {
       .orderBy("mode", "split_a", "split_b")
   }
 
+  // ---------------------------------------------------------------- x82
+  // Edit-distance near-dup pairs under a FULL oracle: candidates =
+  // shared word-trigram (the x02b hashed≡string equivalence) + length
+  // window, verified by exact Levenshtein — COMPLETE for docs longer
+  // than 3·maxEdits trigrams (one edit damages ≤3 trigrams), which the
+  // planted single-substitution twins ('Z' over the first char) all
+  // are. Both engines compute classic unit-cost Levenshtein.
+  val x82 = Q.df(
+    "x82_edit_distance_pairs",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, 'Z' || substr(text, 2)
+      |  FROM documents WHERE doc_id % 50 = 0),
+      |w AS (SELECT doc_id, text,
+      |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM corpus),
+      |g0 AS (SELECT doc_id, text, list_distinct(
+      |    CASE WHEN len(w) >= 3
+      |         THEN [concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in generate_series(1, len(w)-2)]
+      |         ELSE [array_to_string(w, ' ')] END) AS g FROM w),
+      |gr AS (SELECT doc_id, text, unnest(g) AS gram FROM g0),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |    AND abs(length(a.text) - length(b.text)) <= 2),
+      |s AS (SELECT da AS doc_a, db AS doc_b, levenshtein(ca.text, cb.text) AS edits
+      |  FROM cand JOIN corpus ca ON ca.doc_id = cand.da
+      |    JOIN corpus cb ON cb.doc_id = cand.db)
+      |SELECT doc_a, doc_b, CAST(edits AS INT) AS edits FROM s
+      |WHERE edits <= 2 ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(lit("Z"), expr("substr(text, 2)")).as("text")))
+    Dedup.editDistancePairs(corpus, maxEdits = 2)
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
-    x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81)
+    x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82)
 }
