@@ -44,4 +44,38 @@ object Sessions {
         count(lit(1)).as("n_events"),
         sum(col(value).cast("decimal(18,2)")).cast("double").as("total_value"))
   }
+
+  /** Windowed ingest ANOMALY detection — pipeline monitoring over an
+    * event/crawl stream: bucket events into fixed `windowSeconds`
+    * windows per group, then flag windows whose count sits more than
+    * `minAbsZ` robust z-scores (median/MAD — outlier-proof, unlike
+    * mean/σ which the anomalies themselves corrupt) from that group's
+    * typical window. Emits `(grp, win, cnt, z_robust)` for flagged
+    * windows ordered by (grp, win); `win` = ⌊epoch_µs /
+    * (windowSeconds·10⁶)⌋ (exact double floor-div — indexes, not
+    * timestamps, so the output is engine-portable). Windows with NO
+    * events don't appear and are therefore never flagged — feed a
+    * densified axis upstream if silence itself is the anomaly. MAD=0
+    * groups yield null z (dropped by the flag filter; the x64
+    * contract). NULL ts/group rows are excluded.
+    *
+    * Scale: the corpus-sized work is ONE partial→final count aggregate
+    * keyed on (group, window); the robust stats run on the window-count
+    * frame (windows × groups rows, not events) via the adaptive
+    * rank-selection percentiles, and broadcast back. */
+  def windowAnomalies(events: DataFrame, ts: String, group: String,
+      windowSeconds: Long, minAbsZ: Double): DataFrame = {
+    require(windowSeconds >= 1, s"windowSeconds must be >= 1, got $windowSeconds")
+    require(minAbsZ >= 0.0, s"minAbsZ must be >= 0, got $minAbsZ")
+    val win = floor(unix_micros(col(ts)).cast("double") /
+      (windowSeconds * 1000000.0)).cast("long")
+    val counts = events
+      .filter(col(ts).isNotNull && col(group).isNotNull)
+      .select(col(group).as("grp"), win.as("win"))
+      .groupBy(col("grp"), col("win")).agg(count(lit(1)).as("cnt"))
+    Percentiles.robustZScore(counts, Seq("grp"), "cnt")
+      .filter(abs(col("z_robust")) >= minAbsZ)
+      .select(col("grp"), col("win"), col("cnt"), col("z_robust"))
+      .orderBy(col("grp"), col("win"))
+  }
 }

@@ -2373,11 +2373,36 @@ object Extensions {
     Dedup.editDistancePairs(corpus, maxEdits = 2)
   }
 
+  // ---------------------------------------------------------------- x83
+  // Windowed ingest anomaly detection — hourly event counts per type,
+  // flagged at |robust z| >= 2.5 (median/MAD, so the anomalies can't
+  // corrupt their own baseline). Window INDEXES (µs floor-div) keep the
+  // output engine-portable; the robust stats run on the window-count
+  // frame, never the events.
+  val x83 = Q.df(
+    "x83_ingest_anomalies",
+    """WITH c AS (SELECT event_type AS grp,
+      |    CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0) AS BIGINT) AS win,
+      |    COUNT(*) AS cnt
+      |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY 1, 2),
+      |s AS (SELECT grp, median(cnt) AS med, mad(cnt) AS mad FROM c GROUP BY 1)
+      |SELECT c.grp, c.win, c.cnt,
+      |  ROUND((CAST(c.cnt AS DOUBLE) - s.med)
+      |    / nullif(1.4826022185056018 * s.mad, 0.0), 9) AS z_robust
+      |FROM c JOIN s USING (grp)
+      |WHERE abs(z_robust) >= 2.5
+      |ORDER BY grp, win""".stripMargin) { (spark, dir) =>
+    Sessions.windowAnomalies(Tables.load(spark, dir, "events"),
+      ts = "ts", group = "event_type", windowSeconds = 3600, minAbsZ = 2.5)
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
-    x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82)
+    x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
+    x83)
 }
