@@ -421,6 +421,41 @@ object TextHashExprs {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** Deflate compression ratio (compressed bytes / raw bytes, @9) of a
+    * string — the classic repetitiveness/quality proxy (highly
+    * compressible text is templated or degenerate; near-random text
+    * ratios toward 1). Empty strings yield null (no ratio exists).
+    * Deterministic per JVM build ([[Zlib]]'s contract), not
+    * SQL-restatable — consumed by a rows-only row plus an invariant
+    * hard oracle. Codegen'd: the loop lives in [[Zlib]] behind a
+    * per-thread Deflater, the generated code is one static call. */
+  case class DeflateRatio(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes() = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("deflate_ratio needs a string")
+    }
+    override def nullSafeEval(s: Any): Any = {
+      val b = s.asInstanceOf[UTF8String].getBytes
+      if (b.length == 0) null else Zlib.ratio(b)
+    }
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      nullSafeCodeGen(ctx, ev, s => {
+        val b = ctx.freshName("b")
+        s"""
+           |byte[] $b = $s.getBytes();
+           |${ev.isNull} = ($b.length == 0);
+           |${ev.value} = ${ev.isNull} ? 0.0 : graft.functions.Zlib.ratio($b);
+         """.stripMargin
+      })
+    }
+    override def prettyName: String = "deflate_ratio"
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   /** Per-dimension standardization `(round9(x) − μᵢ) / σᵢ` rounded @9 —
     * the codegen form of `Similarity.standardize`'s per-element
     * arithmetic, bit-identical to the HOF formulation (the same
@@ -984,6 +1019,8 @@ object TextHashExprs {
       { case Seq(x) => VecNorm(x) }, "built-in")
     reg.createOrReplaceTempFunction("vec_standardize",
       { case Seq(x, m, d) => VecStandardize(x, m, d) }, "built-in")
+    reg.createOrReplaceTempFunction("deflate_ratio",
+      { case Seq(x) => DeflateRatio(x) }, "built-in")
     reg.createOrReplaceTempFunction("text_metrics",
       { case Seq(x) => TextMetrics(x) }, "built-in")
     reg.createOrReplaceTempFunction("repetition_metrics",
@@ -1038,6 +1075,11 @@ object TextHashExprs {
       denoms: Column): Column = {
     ensureRegistered(spark)
     call_function("vec_standardize", v, means, denoms)
+  }
+
+  def deflateRatio(spark: SparkSession, text: Column): Column = {
+    ensureRegistered(spark)
+    call_function("deflate_ratio", text)
   }
 
   def textMetrics(spark: SparkSession, text: Column): Column = {

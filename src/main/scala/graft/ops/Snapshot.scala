@@ -40,4 +40,26 @@ object Snapshot {
           .when(!(col("__sd_ofp") <=> col("__sd_nfp")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }
+
+  /** Cross-modality COVERAGE audit `(status, n)` with status ∈
+    * {matched, left_only, right_only} — the referential-integrity check
+    * a multimodal pipeline runs before training: every document should
+    * have its embedding (and vice versa); `left_only` mass is
+    * un-embedded text, `right_only` is orphaned vectors. Keys must be
+    * unique per side ([[diff]]'s contract — duplicates row-multiply).
+    *
+    * Scale: one full-outer shuffle join on the (8-byte) keys — payloads
+    * never move — and a 3-row aggregate. */
+  def coverage(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String): DataFrame = {
+    val l = left.select(col(leftKey).as("__cv_l"))
+    val r = right.select(col(rightKey).as("__cv_r"))
+    l.join(r, col("__cv_l") === col("__cv_r"), "full_outer")
+      .select(
+        when(col("__cv_l").isNotNull && col("__cv_r").isNotNull, lit("matched"))
+          .when(col("__cv_r").isNull, lit("left_only"))
+          .otherwise(lit("right_only")).as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .orderBy(col("status"))
+  }
 }

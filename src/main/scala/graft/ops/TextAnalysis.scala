@@ -417,6 +417,26 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Deflate compression-ratio quality signal `(doc_id, n_bytes,
+    * deflate_ratio)` ordered by doc_id — the CCNet-style
+    * repetitiveness proxy: templated/degenerate text compresses far
+    * below 1, near-random text sits close to (or, for short inputs,
+    * above) 1. Empty docs carry a null ratio. The ratio is
+    * deterministic per JVM build but not SQL-restatable (no deflate in
+    * DuckDB) — the x85 row is rows-only and x85b pins the
+    * self-repetition INVARIANT (text·4 must compress strictly better
+    * than text) as a hard oracle.
+    *
+    * Scale: a pure codegen'd projection — one static Zlib call per row
+    * behind a per-thread Deflater, no shuffle, no state. */
+  def compressionRatio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    docs.select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      TextHashExprs.deflateRatio(spark, col("text")).as("deflate_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cross-corpus repeated-span (boilerplate) REMOVAL — the acting
     * counterpart of [[duplicatedNgrams]]'s audit: each document's text
     * is partitioned into consecutive `blockTokens`-token blocks (split

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOf, Decontamination, Dedup, JoinStrategies, Multimodal, Packing, Quantization, Redaction, Relevance, Sampling, Selection, Sessions, Similarity, TextAnalysis, Text}
+import graft.ops.{AsOf, Decontamination, Dedup, JoinStrategies, Multimodal, Packing, Quantization, Redaction, Relevance, Sampling, Selection, Sessions, Similarity, Snapshot, TextAnalysis, Text}
 import graft.tables.Tables
 
 /**
@@ -2397,6 +2397,53 @@ object Extensions {
       ts = "ts", group = "event_type", windowSeconds = 3600, minAbsZ = 2.5)
   }
 
+  // ---------------------------------------------------------------- x84
+  // Cross-modality coverage audit: documents vs embeddings with a
+  // planted asymmetry (docs >= 50, vectors < 400) so all three
+  // statuses appear — un-embedded text, orphaned vectors, matched
+  // mass. One full-outer join on 8-byte keys; payloads never move.
+  val x84 = Q.df(
+    "x84_coverage_audit",
+    """WITH l AS (SELECT doc_id AS k FROM documents WHERE doc_id >= 50),
+      |r AS (SELECT vec_id AS k FROM embeddings WHERE vec_id < 400),
+      |j AS (SELECT l.k AS lk, r.k AS rk FROM l FULL OUTER JOIN r ON l.k = r.k)
+      |SELECT CASE WHEN lk IS NOT NULL AND rk IS NOT NULL THEN 'matched'
+      |            WHEN rk IS NULL THEN 'left_only'
+      |            ELSE 'right_only' END AS status, COUNT(*) AS n
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    Snapshot.coverage(
+      Tables.load(spark, dir, "documents").filter(col("doc_id") >= 50),
+      Tables.load(spark, dir, "embeddings").filter(col("vec_id") < 400),
+      "doc_id", "vec_id")
+  }
+
+  // ---------------------------------------------------------------- x85
+  // Deflate compression-ratio quality signal (the CCNet-style
+  // repetitiveness proxy). The ratio is a pure function of the JDK's
+  // zlib — deterministic per build, not SQL-restatable → rows-only;
+  // x85b is the hard oracle: text·4 MUST compress strictly better
+  // than text (self-similarity is what deflate exists to exploit).
+  val x85 = Q.dfOnly("x85_compression_ratio") { (spark, dir) =>
+    TextAnalysis.compressionRatio(Tables.load(spark, dir, "documents"))
+  }
+
+  val x85b = Q.df(
+    "x85b_compression_invariant",
+    """SELECT doc_id, CAST(TRUE AS BOOLEAN) AS repeated_compresses_better
+      |FROM documents WHERE doc_id % 50 = 0 AND n_chars > 0
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 50 === 0 && col("n_chars") > 0)
+    val both = docs.select(col("doc_id"), col("text"),
+      concat(col("text"), col("text"), col("text"), col("text")).as("rep"))
+    val spark2 = spark
+    both.select(col("doc_id"),
+        (graft.functions.TextHashExprs.deflateRatio(spark2, col("rep")) <
+          graft.functions.TextHashExprs.deflateRatio(spark2, col("text")))
+          .as("repeated_compresses_better"))
+      .orderBy(col("doc_id"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -2404,5 +2451,5 @@ object Extensions {
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
-    x83)
+    x83, x84, x85, x85b)
 }
