@@ -449,19 +449,32 @@ object Dedup {
     * docs can miss; both engines share the miss (same trigram
     * definition). NULL texts never pair.
     *
-    * Scale: the trigram-candidate join is Σ df² over the gram
-    * vocabulary, pruned hard by the in-join length filter, and carries
-    * 8-byte ids — texts re-join onto the DISTINCT candidate pair set
-    * only for the final Levenshtein, so the O(len²) verify runs once
-    * per surviving candidate, never per gram hit. At 100 TB compose
-    * with rare-gram selection or [[minhashLsh]] banding to bound the
-    * candidate volume further. */
+    * Scale: each doc contributes only its `k = 6·maxEdits + 1`
+    * SMALLEST distinct trigram hashes to the candidate join (a pure
+    * `array_sort`+`slice` projection — no shuffle to select). This
+    * min-k selection is still COMPLETE: if A and B are within
+    * `maxEdits` edits, each side's gram set differs from the other's by
+    * at most `3·maxEdits` hashes, so among the k smallest hashes of
+    * `A ∪ B` at most `3·maxEdits` are A-only and at most `3·maxEdits`
+    * are B-only — at least one is shared, and a shared hash in the
+    * union's bottom-k is necessarily in BOTH docs' bottom-k. The
+    * argument holds for ANY hash function, so the string-gram oracle
+    * needs no restatement: spurious candidates the full join would add
+    * are killed by the same Levenshtein verify. The candidate join is
+    * therefore Σ df² over the SELECTED gram table (≤ k rows/doc,
+    * df deflated by ~k/T for a doc of T grams), pruned further by the
+    * in-join length filter, and carries 8-byte ids — texts re-join
+    * onto the DISTINCT candidate pair set only for the final
+    * Levenshtein, so the O(len²) verify runs once per surviving
+    * candidate, never per gram hit. */
   def editDistancePairs(docs: DataFrame, maxEdits: Int): DataFrame = {
     require(maxEdits >= 1, s"maxEdits must be >= 1, got $maxEdits")
     val spark = docs.sparkSession
+    val k = 6 * maxEdits + 1
     val grams = docs.select(col("doc_id"), length(col("text")).as("__ed_len"),
-      explode(graft.functions.TextHashExprs.tokenTrigramHashes(spark,
-        col("text"))).as("gh"))
+      explode(slice(array_sort(array_distinct(
+        graft.functions.TextHashExprs.tokenTrigramHashes(spark,
+          col("text")))), 1, k)).as("gh"))
     val cand = grams.as("a").join(grams.as("b"),
         col("a.gh") === col("b.gh") &&
         col("a.doc_id") < col("b.doc_id") &&

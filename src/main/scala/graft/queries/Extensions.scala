@@ -1610,6 +1610,25 @@ object Extensions {
       nlist = 16, nprobe = 4, iters = 2)
   }
 
+  // Hard companion to x56 (closing the one rows-only row without an
+  // oracle-gate twin): the brute row's counts are SQL-derivable — a
+  // corpus of >= k vectors gives every query exactly k neighbors, so
+  // n_brute = |Q|·k and brute self-recall is EXACTLY 1.0. Catches a
+  // topK that silently returns fewer than k rows or a recall join that
+  // drifts off 1.0.
+  val x56b = Q.df(
+    "x56b_brute_recall_exact",
+    """SELECT 'brute' AS method, CAST(COUNT(*) * 5 AS BIGINT) AS n_hits,
+      |  CAST(COUNT(*) * 5 AS BIGINT) AS n_brute, 1.0 AS recall
+      |FROM embeddings WHERE vec_id < 10""".stripMargin) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+    Similarity.recallAudit(
+        e.filter(col("vec_id") >= 10),
+        e.filter(col("vec_id") < 10), k = 5,
+        nlist = 16, nprobe = 4, iters = 2)
+      .filter(col("method") === "brute")
+  }
+
   // ---------------------------------------------------------------- x57
   // Normalization-exact dedup ("exact after normalization" — the pass
   // public pipelines run between byte-exact and near-dup): casing /
@@ -2449,7 +2468,7 @@ object Extensions {
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
     x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x45b, x46,
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
-    x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
+    x56b, x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
     x83, x84, x85, x85b)
 }
