@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 import graft.ops.{AsOf, Decontamination, Dedup, JoinStrategies, Multimodal, Packing, Quantization, Redaction, Relevance, Sampling, Selection, Sessions, Similarity, Snapshot, TextAnalysis, Text}
 import graft.tables.Tables
@@ -2463,6 +2464,42 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- x86
+  // JSON sidecar-metadata extraction — crawl records, image manifests
+  // and eval logs all carry per-row JSON sidecars, and the FIRST pass
+  // of any pipeline over them is "parse the sidecar, type the fields,
+  // aggregate by slice". Spark side is the idiomatic `from_json` with
+  // an explicit schema (schema-on-read: no inference pass over 100 TB —
+  // the projection stays a single scan; JsonToStructs is per-row
+  // Jackson, the one non-codegen expression here, which is the normal
+  // production trade for arbitrary JSON). Malformed/null sidecars
+  // yield NULL fields by PERMISSIVE-mode contract and are excluded —
+  // restated as json_valid() on the oracle side.
+  val x86 = Q.df(
+    "x86_json_sidecar",
+    """SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(MIN(k) AS INT) AS min_k,
+      |  CAST(MAX(k) AS INT) AS max_k
+      |FROM (SELECT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |  FROM events WHERE props IS NOT NULL AND json_valid(props))
+      |WHERE k IS NOT NULL AND event_type IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k"))
+      .filter(col("k").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).cast("long").as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -2470,5 +2507,5 @@ object Extensions {
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x56b, x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
-    x83, x84, x85, x85b)
+    x83, x84, x85, x85b, x86)
 }
