@@ -161,6 +161,58 @@ object Selection {
       .drop((1 until n).map(i => s"__qb_$i"): _*)
   }
 
+  /**
+   * Multi-signal quality-rank ensemble — the blend step of modern
+   * curation recipes: several imperfect quality signals (a length
+   * proxy, a model score, a repetition metric) are each converted to a
+   * GLOBAL quantile rank and combined as a weighted mean of bucket
+   * ids, so signals with incomparable units and skews vote on a common
+   * [1, n] scale. Adds one `<outName>_b<i>` INT bucket per signal
+   * (order of `signals`) plus `outName` = `round(Σ wᵢ·bucketᵢ / Σ wᵢ,
+   * 9)`. A NULL signal value yields a NULL bucket and a NULL blend —
+   * an incomplete vote never silently counts as bucket 1; coalesce
+   * upstream to assign a floor instead.
+   *
+   * Scale: ALL signals' `n−1` boundaries come from ONE
+   * [[Percentiles.exactAdaptive]] pass (the melted rank-selection plan
+   * — one corpus scan however many signals), broadcast back as a
+   * single 1-row frame; each bucket is the same log₂(n) CaseWhen
+   * binary search as [[quantileBuckets]] and the blend is plain
+   * projected arithmetic. The corpus never shuffles and nothing
+   * corpus-sized is sorted — vs the naive k × `ntile` which would run
+   * k single-partition corpus sorts. Boundaries and the blend round @9
+   * as the cross-engine contract.
+   */
+  def rankBlend(df: DataFrame, signals: Seq[(String, Double)], n: Int = 10,
+      outName: String = "blend"): DataFrame = {
+    require(signals.nonEmpty, "rankBlend needs at least one signal")
+    require(signals.forall(_._2 > 0), "signal weights must be positive")
+    require(n >= 2 && n <= 1024, s"bucket count $n outside [2, 1024]")
+    val specs = signals.zipWithIndex.flatMap { case ((c, _), s) =>
+      (1 until n).map(i =>
+        Percentiles.Spec(c, i.toDouble / n, s"__rb_${s}_$i")) }
+    val bounds = Percentiles.exactAdaptive(df, Nil, specs)
+      .select(specs.map(sp => round(col(sp.outName), 9).as(sp.outName)): _*)
+    def tree(s: Int, v: Column, lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi) / 2
+        when(v <= col(s"__rb_${s}_$mid"), tree(s, v, lo, mid))
+          .otherwise(tree(s, v, mid + 1, hi))
+      }
+    val bucketCols = signals.zipWithIndex.map { case ((c, _), s) =>
+      when(col(c).isNull, lit(null))
+        .otherwise(tree(s, col(c).cast("double"), 1, n))
+        .cast("int").as(s"${outName}_b$s") }
+    val wsum = signals.map(_._2).sum
+    val blend = signals.zipWithIndex
+      .map { case ((_, w), s) => lit(w) * col(s"${outName}_b$s") }
+      .reduce(_ + _) / lit(wsum)
+    df.crossJoin(broadcast(bounds))
+      .select(df.columns.map(col) ++ bucketCols: _*)
+      .withColumn(outName, round(blend, 9))
+  }
+
   /** Keep the best `n` rows of every group ("best 5 docs per domain" —
     * the keep-best step of group-capped curation), exposing the rank as
     * `rk`. `order` must be a total order within a group (include a

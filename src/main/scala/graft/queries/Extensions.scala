@@ -2500,6 +2500,67 @@ object Extensions {
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------------------------- x87
+  // Multi-signal quality-rank ensemble: token count and chars-per-token
+  // density each become a GLOBAL decile (value-cut buckets from the
+  // rank-selection percentile machinery — no corpus sort), then blend
+  // as a weighted mean of bucket ids. This is the signal-combination
+  // step of public curation recipes, on a common [1,10] scale that
+  // ignores the signals' units and skew. ONE boundary pass computes
+  // both signals' deciles; the oracle restates the same 9-digit-rounded
+  // value cuts over percentile_cont and the same blend arithmetic.
+  val x87 = Q.df(
+    "x87_rank_blend",
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS re_tokens,
+      |    ROUND(CAST(length(text) AS DOUBLE)
+      |          / greatest(len(regexp_extract_all(text, '\w+|[^\w\s]')), 1), 9) AS chars_per_token
+      |  FROM documents),
+      |b AS (SELECT
+      |    round(percentile_cont(0.1) WITHIN GROUP (ORDER BY re_tokens), 9) AS a1,
+      |    round(percentile_cont(0.2) WITHIN GROUP (ORDER BY re_tokens), 9) AS a2,
+      |    round(percentile_cont(0.3) WITHIN GROUP (ORDER BY re_tokens), 9) AS a3,
+      |    round(percentile_cont(0.4) WITHIN GROUP (ORDER BY re_tokens), 9) AS a4,
+      |    round(percentile_cont(0.5) WITHIN GROUP (ORDER BY re_tokens), 9) AS a5,
+      |    round(percentile_cont(0.6) WITHIN GROUP (ORDER BY re_tokens), 9) AS a6,
+      |    round(percentile_cont(0.7) WITHIN GROUP (ORDER BY re_tokens), 9) AS a7,
+      |    round(percentile_cont(0.8) WITHIN GROUP (ORDER BY re_tokens), 9) AS a8,
+      |    round(percentile_cont(0.9) WITHIN GROUP (ORDER BY re_tokens), 9) AS a9,
+      |    round(percentile_cont(0.1) WITHIN GROUP (ORDER BY chars_per_token), 9) AS c1,
+      |    round(percentile_cont(0.2) WITHIN GROUP (ORDER BY chars_per_token), 9) AS c2,
+      |    round(percentile_cont(0.3) WITHIN GROUP (ORDER BY chars_per_token), 9) AS c3,
+      |    round(percentile_cont(0.4) WITHIN GROUP (ORDER BY chars_per_token), 9) AS c4,
+      |    round(percentile_cont(0.5) WITHIN GROUP (ORDER BY chars_per_token), 9) AS c5,
+      |    round(percentile_cont(0.6) WITHIN GROUP (ORDER BY chars_per_token), 9) AS c6,
+      |    round(percentile_cont(0.7) WITHIN GROUP (ORDER BY chars_per_token), 9) AS c7,
+      |    round(percentile_cont(0.8) WITHIN GROUP (ORDER BY chars_per_token), 9) AS c8,
+      |    round(percentile_cont(0.9) WITHIN GROUP (ORDER BY chars_per_token), 9) AS c9
+      |  FROM t),
+      |k AS (SELECT t.doc_id,
+      |    CAST(CASE WHEN t.re_tokens IS NULL THEN NULL
+      |         WHEN t.re_tokens <= b.a1 THEN 1 WHEN t.re_tokens <= b.a2 THEN 2
+      |         WHEN t.re_tokens <= b.a3 THEN 3 WHEN t.re_tokens <= b.a4 THEN 4
+      |         WHEN t.re_tokens <= b.a5 THEN 5 WHEN t.re_tokens <= b.a6 THEN 6
+      |         WHEN t.re_tokens <= b.a7 THEN 7 WHEN t.re_tokens <= b.a8 THEN 8
+      |         WHEN t.re_tokens <= b.a9 THEN 9 ELSE 10 END AS INT) AS b_tok,
+      |    CAST(CASE WHEN t.chars_per_token IS NULL THEN NULL
+      |         WHEN t.chars_per_token <= b.c1 THEN 1 WHEN t.chars_per_token <= b.c2 THEN 2
+      |         WHEN t.chars_per_token <= b.c3 THEN 3 WHEN t.chars_per_token <= b.c4 THEN 4
+      |         WHEN t.chars_per_token <= b.c5 THEN 5 WHEN t.chars_per_token <= b.c6 THEN 6
+      |         WHEN t.chars_per_token <= b.c7 THEN 7 WHEN t.chars_per_token <= b.c8 THEN 8
+      |         WHEN t.chars_per_token <= b.c9 THEN 9 ELSE 10 END AS INT) AS b_den
+      |  FROM t, b)
+      |SELECT doc_id, b_tok, b_den,
+      |  ROUND((3.0 * b_tok + 2.0 * b_den) / 5.0, 9) AS blend
+      |FROM k ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val t = TextAnalysis.tokenCounts(Tables.load(spark, dir, "documents"))
+    Selection.rankBlend(t,
+        Seq("re_tokens" -> 3.0, "chars_per_token" -> 2.0), n = 10)
+      .select(col("doc_id"), col("blend_b0").as("b_tok"),
+        col("blend_b1").as("b_den"), col("blend"))
+      .orderBy(col("doc_id"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -2507,5 +2568,5 @@ object Extensions {
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x56b, x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
-    x83, x84, x85, x85b, x86)
+    x83, x84, x85, x85b, x86, x87)
 }
