@@ -500,9 +500,22 @@ object Dedup {
         "doc_a")
       .join(texts.select(col("doc_id").as("doc_b"), col("text").as("__ed_tb")),
         "doc_b")
-      .repartition(nVerify, col("doc_a"), col("doc_b"))
+      // ROUND-ROBIN with an explicit count: hash-keyed repartition on
+      // (doc_a, doc_b) would be elided as already-satisfied (the
+      // distinct's exchange has those exact keys), landing the kernel
+      // back in the byte-coalesced stage; round-robin is never
+      // satisfied by a hash partitioning, so the exchange survives and
+      // balances the CPU-dense rows evenly.
+      .repartition(nVerify)
+      // Generate-inline barrier: without it Catalyst pushes the
+      // edits<=maxEdits filter INTO the preceding join's condition,
+      // which both re-evaluates the kernel (once in the join, once in
+      // the output projection) and moves the CPU-dense work below the
+      // pinned repartition into a byte-coalesced stage. A filter on a
+      // generator output cannot push below the Generate, so the kernel
+      // runs exactly once per candidate, in the pinned stage.
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("__ed_ta"), col("__ed_tb")).as("edits"))
+        expr("inline(array(struct(levenshtein(__ed_ta, __ed_tb) AS edits)))"))
       .filter(col("edits") <= maxEdits)
   }
 

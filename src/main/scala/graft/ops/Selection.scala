@@ -116,6 +116,44 @@ object Selection {
   }
 
   /**
+   * Per-group winsorization — the CLAMPING complement of
+   * [[iqrOutliers]]' trim: values below the group's `pLo` percentile
+   * or above its `pHi` percentile are replaced by the percentile
+   * itself, everything else passes through. Keeps every row (a trim
+   * changes corpus composition; a winsorize only tames the tails —
+   * the usual prep before mean-based statistics or score
+   * normalization). Adds `outName` (DOUBLE). Percentile fences are
+   * EXACT and rounded @9 as the cross-engine contract — clamped rows
+   * carry the fence VALUE into the output, so the fence itself must
+   * hash identically. NULL contract mirrors [[iqrOutliers]]: NULL
+   * group rows drop with the inner fences join, a NULL value yields a
+   * NULL `outName` (explicitly guarded — Spark's `least`/`greatest`
+   * skip NULLs, which would silently clamp a NULL to the low fence).
+   *
+   * Scale: identical shape to [[iqrOutliers]] — one rank-selection
+   * pass for the two fences per group (never buffers a group), a
+   * one-row-per-group fences table joined back under AQE (broadcast
+   * while it fits), and a pure clamp projection. The corpus shuffles
+   * once for the fences aggregate, never for the clamp. */
+  def winsorize(df: DataFrame, group: String, value: String,
+      pLo: Double = 0.05, pHi: Double = 0.95,
+      outName: String = "winsorized"): DataFrame = {
+    require(0 <= pLo && pLo <= pHi && pHi <= 1,
+      s"need 0 <= pLo <= pHi <= 1, got ($pLo, $pHi)")
+    val bounds = Percentiles.exactAdaptive(df, Seq(group),
+        Seq(Percentiles.Spec(value, pLo, "__wz_lo"),
+          Percentiles.Spec(value, pHi, "__wz_hi")))
+      .select(col(group), round(col("__wz_lo"), 9).as("__wz_lo"),
+        round(col("__wz_hi"), 9).as("__wz_hi"))
+    df.join(bounds, group)
+      .withColumn(outName,
+        when(col(value).isNull, lit(null))
+          .otherwise(least(greatest(col(value).cast("double"),
+            col("__wz_lo")), col("__wz_hi"))))
+      .drop("__wz_lo", "__wz_hi")
+  }
+
+  /**
    * Global quantile-bucket assignment — "which quarter/decile of the
    * corpus does this row's value sit in": curriculum phase by quality
    * score, difficulty bin by length, the binning step before

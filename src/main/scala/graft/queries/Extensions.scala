@@ -2561,6 +2561,32 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- x88
+  // Per-source winsorization: n_chars clamped to the source's exact
+  // [p05, p95] — every row kept, tails tamed (the prep step before
+  // mean-based stats or score normalization; x39 is the TRIM variant).
+  // Fences ride the same rank-selection machinery as x39/x42 and are
+  // rounded @9 on both engines because clamped rows carry the fence
+  // value itself into the hashed output. NULL value → NULL winsorized
+  // (guarded: both engines' least/greatest skip NULLs).
+  val x88 = Q.df(
+    "x88_winsorize",
+    """WITH b AS (SELECT source,
+      |    round(percentile_cont(0.05) WITHIN GROUP (ORDER BY n_chars), 9) AS lo,
+      |    round(percentile_cont(0.95) WITHIN GROUP (ORDER BY n_chars), 9) AS hi
+      |  FROM documents GROUP BY source)
+      |SELECT d.doc_id, d.source, d.n_chars,
+      |  CASE WHEN d.n_chars IS NULL THEN NULL
+      |       ELSE least(greatest(CAST(d.n_chars AS DOUBLE), b.lo), b.hi)
+      |  END AS n_chars_w
+      |FROM documents d JOIN b USING (source)
+      |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    Selection.winsorize(Tables.load(spark, dir, "documents"),
+        "source", "n_chars", pLo = 0.05, pHi = 0.95, outName = "n_chars_w")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("n_chars_w"))
+      .orderBy(col("doc_id"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -2568,5 +2594,5 @@ object Extensions {
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x56b, x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
-    x83, x84, x85, x85b, x86, x87)
+    x83, x84, x85, x85b, x86, x87, x88)
 }

@@ -264,4 +264,30 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(user_id#\\d+L, 4\\)".r.findAllIn(p).length <= 1,
       s"extra per-event exchange:\n$p")
   }
+
+  test("x82: Levenshtein verify parallelism is pinned against AQE byte-coalescing") {
+    val p = plan(graft.queries.Extensions.x82)
+    // the candidate pair set is byte-tiny but CPU-dense; an explicit
+    // partition count (REPARTITION_BY_NUM origin) is exempt from AQE's
+    // byte-based coalescing, so the O(len^2) kernel stays spread. A
+    // global sort above the kernel re-executes the lineage for range
+    // sampling — it must never reappear. The Generate-inline barrier
+    // keeps the kernel to ONE eval in the pinned stage: without it the
+    // filter pushes into the join condition and the kernel runs twice
+    // below the repartition.
+    assert(p.contains("REPARTITION_BY_NUM"), s"verify repartition lost:\n$p")
+    assert(!p.contains("rangepartitioning"), s"sort above the kernel:\n$p")
+    assert("levenshtein".r.findAllIn(p).length == 1,
+      s"kernel evaluated more than once:\n$p")
+    assert(p.contains("Generate inline"), s"barrier gone:\n$p")
+  }
+
+  test("x88: winsorize fences join broadcasts and the clamp is a projection") {
+    val p = plan(graft.queries.Extensions.x88)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"fences not broadcast at this scale:\n$p")
+    // the corpus shuffles for the fences aggregate only — no extra
+    // exchange on the clamp side of the join
+    assert(!p.contains("SortMergeJoin"), s"corpus re-shuffled for the clamp:\n$p")
+  }
 }
