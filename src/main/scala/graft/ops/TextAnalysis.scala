@@ -577,4 +577,45 @@ object TextAnalysis {
           .as("avg_nll"))
       .orderBy(col("doc_id"))
   }
+
+  /** Out-of-vocabulary rate per document — the tokenizer-design /
+    * domain-shift metric: with the corpus's own top-`vocabSize` tokens
+    * (by INSTANCE count, ties broken by token ascending for a total
+    * order) as the vocabulary, what fraction of each doc's token
+    * instances fall outside it. High-OOV docs are the ones a
+    * fixed-vocab model will fragment into many subword pieces — the
+    * rate ranks docs by tokenizer fit and flags vocabulary drift
+    * between corpus snapshots. Emits `(doc_id, n_tokens, oov_tokens,
+    * oov_rate)` ordered; docs with ZERO tokens (empty/null text) are
+    * absent by contract — an OOV rate over nothing is undefined.
+    *
+    * 100 TB shape: the vocabulary is a distributed top-k
+    * (map-side-combined token counts, then TakeOrderedAndProject —
+    * never a global sort) and is broadcast for the membership probe,
+    * so the token-instance stream joins shuffle-free; the per-doc
+    * aggregate is partial→final keyed on doc_id (one partial row per
+    * partition×doc). Tokenizing twice (vocab pass + membership pass)
+    * is inherent to scoring a corpus against its own statistics —
+    * lineage-pure by repo convention; [[oovRateTokens]] takes a
+    * persisted token frame to pay tokenize once. */
+  def oovRate(docs: DataFrame, vocabSize: Int): DataFrame =
+    oovRateTokens(docs.select(col("doc_id"),
+      Text.tokens(col("text")).as("w")), vocabSize)
+
+  /** [[oovRate]] over a pre-tokenized frame `(doc_id, w: array)`. */
+  def oovRateTokens(toks: DataFrame, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val inst = toks.select(col("doc_id"), explode(col("w")).as("token"))
+    val vocab = inst.groupBy(col("token"))
+      .agg(count(lit(1)).as("__ov_c"))
+      .orderBy(col("__ov_c").desc, col("token")).limit(vocabSize)
+      .select(col("token"), lit(1).as("__ov_in"))
+    inst.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__ov_in").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_rate",
+        round(col("oov_tokens").cast("double") / col("n_tokens"), 9))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -2587,6 +2587,32 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- x89
+  // Per-doc out-of-vocabulary rate against the corpus's own top-100
+  // vocabulary (instance counts, token-ascending tiebreak — a total
+  // order, so the boundary of the vocab is deterministic on both
+  // engines). The tokenizer-fit / domain-shift metric: high-OOV docs
+  // fragment under a fixed vocab. Zero-token docs are absent by
+  // contract on both sides (no tokens to rate).
+  val x89 = Q.df(
+    "x89_oov_rate",
+    """WITH t AS (SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+      |      x -> x <> '')) AS token
+      |  FROM documents),
+      |v AS (SELECT token, 1 AS in_v FROM (
+      |    SELECT token, COUNT(*) AS c FROM t GROUP BY 1
+      |    ORDER BY c DESC, token LIMIT 100)),
+      |j AS (SELECT t.doc_id, v.in_v FROM t LEFT JOIN v USING (token))
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN in_v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+      |  ROUND(CAST(SUM(CASE WHEN in_v IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / COUNT(*), 9) AS oov_rate
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    TextAnalysis.oovRate(Tables.load(spark, dir, "documents"), vocabSize = 100)
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -2594,5 +2620,5 @@ object Extensions {
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x56b, x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
-    x83, x84, x85, x85b, x86, x87, x88)
+    x83, x84, x85, x85b, x86, x87, x88, x89)
 }
