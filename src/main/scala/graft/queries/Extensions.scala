@@ -2613,6 +2613,42 @@ object Extensions {
     TextAnalysis.oovRate(Tables.load(spark, dir, "documents"), vocabSize = 100)
   }
 
+  // ---------------------------------------------------------------- x90
+  // Stream-stream interval join through the oracle gate — the last
+  // stateful Structured Streaming shape the suite didn't cover (x26/x46
+  // windowed agg, x52 dedup, x53 flatMapGroupsWithState, x61
+  // stream-static): view→click attribution, each click pairing with
+  // same-user views up to 12 h before it, as a symmetric state-store
+  // hash join across TWO file-stream sources drained one time-sorted
+  // file per micro-batch (so watermark advancement and cross-batch
+  // state probing actually exercise). Inner matches emit immediately;
+  // the sorted replay makes the drained result equal the batch join
+  // exactly (eviction only removes rows whose matches would be
+  // watermark-late — none exist in time order). Gap microsecond-exact
+  // on both engines.
+  val x90 = Q.df(
+    "x90_stream_interval_join",
+    """SELECT a.event_id AS l_id, b.event_id AS r_id, a.user_id,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      |  AND a.event_type = 'view' AND b.event_type = 'click'
+      |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '720 minutes'
+      |ORDER BY l_id, r_id""".stripMargin) { (spark, dir) =>
+    val staged = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_x90_stage").toString
+    Tables.load(spark, dir, "events")
+      .repartitionByRange(2, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(staged)
+    val q = graft.streaming.EventStream.runToMemory(
+      graft.streaming.EventStream.correlate(
+        graft.streaming.EventStream.readEvents(spark, staged, Some(1)),
+        graft.streaming.EventStream.readEvents(spark, staged, Some(1)),
+        "view", "click", maxGapMinutes = 720),
+      "x90_sink", org.apache.spark.sql.streaming.OutputMode.Append)
+    q.stop()
+    spark.table("x90_sink").orderBy("l_id", "r_id")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -2620,5 +2656,5 @@ object Extensions {
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x56b, x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
-    x83, x84, x85, x85b, x86, x87, x88, x89)
+    x83, x84, x85, x85b, x86, x87, x88, x89, x90)
 }

@@ -176,6 +176,47 @@ object EventStream {
     (out, Seq(pre, corpusBands))
   }
 
+  /** Stream-stream interval join — the attribution shape: every
+    * `right`-stream event pairs with same-user `left`-stream events at
+    * most `maxGapMinutes` BEFORE it (`l_ts <= r_ts <= l_ts + gap`).
+    * Both inputs are real streams, so this plans as Structured
+    * Streaming's symmetric state-store hash join: each side buffers
+    * rows in keyed state and probes the other side's state as batches
+    * arrive. Inner-join matches emit immediately (no watermark wait);
+    * the watermark + the time-range condition bound the STATE — a left
+    * row is evicted once the watermark passes `l_ts + gap`, a right
+    * row once it passes `r_ts`, which is what makes an unbounded feed
+    * survivable at 100 TB/day. Rows with a NULL timestamp or user are
+    * dropped up front (they could never match; NULL event time must
+    * not reach join state). Emits `(l_id, r_id, user_id, gap_us)`
+    * with the gap microsecond-exact.
+    *
+    * Replay caveat (how x90 drives it): with time-SORTED staged files
+    * and `maxFilesPerTrigger = 1`, the watermark after each batch
+    * trails every future batch's matchable left rows, so the drained
+    * result equals the batch join exactly — the eviction boundary
+    * `l_ts < wm − gap` only removes rows whose matches would be
+    * watermark-late anyway. */
+  def correlate(left: DataFrame, right: DataFrame,
+      leftType: String, rightType: String, maxGapMinutes: Int,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(maxGapMinutes >= 1, s"maxGapMinutes must be >= 1, got $maxGapMinutes")
+    def side(ev: DataFrame, tpe: String, p: String): DataFrame = ev
+      .filter(col("event_type") === tpe &&
+        col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
+        col("ts").as(s"${p}_ts"))
+      .withWatermark(s"${p}_ts", watermarkDelay)
+    val l = side(left, leftType, "l")
+    val r = side(right, rightType, "r")
+    l.join(r,
+        col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL '$maxGapMinutes' MINUTE"))
+      .select(col("l_id"), col("r_id"), col("l_user").as("user_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("gap_us"))
+  }
+
   /** Drive a streaming frame to a named in-memory sink until input drains
     * (the synchronous local test harness for streaming operators). */
   def runToMemory(df: DataFrame, name: String,

@@ -143,4 +143,41 @@ class EventStreamSpec extends AnyFunSuite {
     assert(graft.queries.Extensions.x46.run(spark, TestSessions.sf0001)
       .count() == streamed.size.toLong)
   }
+
+  test("stream-stream interval join matches planted pairs across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_corr").toString
+    def ev(id: Long, tsSec: Long, user: Long, tpe: String) =
+      (id, new java.sql.Timestamp(tsSec * 1000), user, tpe, 1.0, "{}")
+    import spark.implicits._
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val base = 1700000000L
+    // file 1 (earlier): views for users 1 and 2
+    Seq(ev(1, base, 1, "view"), ev(2, base, 2, "view"))
+      .toDF(cols: _*).coalesce(1).write.parquet(s"$dir/f1")
+    // file 2 (later): user 1 clicks within the 10-min gap (MATCH — view
+    // sits in batch-1 state), user 2 clicks past the gap (no match),
+    // user 3 clicks with no view at all (no match)
+    Seq(ev(3, base + 300, 1, "click"), ev(4, base + 3600, 2, "click"),
+        ev(5, base + 300, 3, "click"))
+      .toDF(cols: _*).coalesce(1).write.parquet(s"$dir/f2")
+    val staged = s"$dir/staged"
+    spark.read.parquet(s"$dir/f1").withColumn("__f", lit(1))
+      .unionByName(spark.read.parquet(s"$dir/f2").withColumn("__f", lit(2)))
+      .repartitionByRange(2, col("__f")).sortWithinPartitions(col("ts"))
+      .drop("__f").write.parquet(staged)
+    val q = EventStream.runToMemory(
+      EventStream.correlate(
+        EventStream.readEvents(spark, staged, Some(1)),
+        EventStream.readEvents(spark, staged, Some(1)),
+        "view", "click", maxGapMinutes = 10),
+      "corr_sink", OutputMode.Append)
+    try {
+      val got = spark.table("corr_sink")
+        .select("l_id", "r_id", "user_id", "gap_us")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 3L, 1L, 300000000L)),
+        s"expected exactly the within-gap cross-batch pair, got $got")
+    } finally q.stop()
+  }
 }
