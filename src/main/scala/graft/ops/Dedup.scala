@@ -494,29 +494,91 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val texts = docs.select(col("doc_id"), col("text"))
-    val nVerify = spark.sessionState.conf.numShufflePartitions
-    cand
+    val withTexts = cand
       .join(texts.select(col("doc_id").as("doc_a"), col("text").as("__ed_ta")),
         "doc_a")
       .join(texts.select(col("doc_id").as("doc_b"), col("text").as("__ed_tb")),
         "doc_b")
-      // ROUND-ROBIN with an explicit count: hash-keyed repartition on
-      // (doc_a, doc_b) would be elided as already-satisfied (the
-      // distinct's exchange has those exact keys), landing the kernel
-      // back in the byte-coalesced stage; round-robin is never
-      // satisfied by a hash partitioning, so the exchange survives and
-      // balances the CPU-dense rows evenly.
+    pinnedLevVerify(withTexts, "doc_a", "doc_b", maxEdits)
+  }
+
+  /** The shared CPU-dense verify tail of the edit-distance family:
+    * candidate rows carrying `__ed_ta`/`__ed_tb` texts → exact
+    * Levenshtein ≤ maxEdits, with the kernel's placement pinned.
+    *
+    * ROUND-ROBIN with an explicit count: a hash-keyed repartition on
+    * the id pair would be elided as already-satisfied (the candidate
+    * distinct's exchange has those exact keys), landing the kernel
+    * back in a byte-coalesced stage where AQE serializes CPU-dense
+    * work; round-robin is never satisfied by a hash partitioning, so
+    * the exchange survives and balances the kernel rows evenly.
+    *
+    * Generate-inline barrier: without it Catalyst pushes the
+    * edits<=maxEdits filter INTO the preceding join's condition, which
+    * both re-evaluates the kernel (once in the join, once in the
+    * output projection) and moves the CPU-dense work below the pinned
+    * repartition. A filter on a generator output cannot push below the
+    * Generate, so the kernel runs exactly once per candidate, in the
+    * pinned stage. */
+  private def pinnedLevVerify(withTexts: DataFrame, idA: String,
+      idB: String, maxEdits: Int): DataFrame = {
+    val nVerify = withTexts.sparkSession.sessionState.conf.numShufflePartitions
+    withTexts
       .repartition(nVerify)
-      // Generate-inline barrier: without it Catalyst pushes the
-      // edits<=maxEdits filter INTO the preceding join's condition,
-      // which both re-evaluates the kernel (once in the join, once in
-      // the output projection) and moves the CPU-dense work below the
-      // pinned repartition into a byte-coalesced stage. A filter on a
-      // generator output cannot push below the Generate, so the kernel
-      // runs exactly once per candidate, in the pinned stage.
-      .select(col("doc_a"), col("doc_b"),
+      .select(col(idA), col(idB),
         expr("inline(array(struct(levenshtein(__ed_ta, __ed_tb) AS edits)))"))
       .filter(col("edits") <= maxEdits)
+  }
+
+  /** Cross-table fuzzy key join (entity resolution): pairs every
+    * `left` row with the `right` rows whose `textCol` is within
+    * `maxEdits` character edits — matching a dirty feed of names /
+    * titles / URLs against a reference table when exact keys don't
+    * exist. Emits `(left_id, right_id, edits)`, unordered (same
+    * contract as [[editDistancePairs]]).
+    *
+    * Blocking uses CHARACTER trigrams, not word trigrams: short keys
+    * rarely reach 3 words, where the word-gram machinery degrades to a
+    * whole-string shingle (exact-only). One character edit damages ≤3
+    * char-trigrams, so the same min-k theorem applies verbatim — each
+    * side contributes only its `6·maxEdits+1` smallest distinct
+    * `xxhash64(trigram)` values (a pure projection), every true match
+    * still shares a selected gram under ANY hash, and spurious
+    * candidates die in the exact Levenshtein verify, so a full
+    * cross-verify oracle needs no blocking restatement. Strings
+    * shorter than 3 chars contribute their whole text as one gram.
+    *
+    * Scale: candidates are Σ df_left·df_right per selected gram plus
+    * the in-join length window, carrying 8-byte ids; texts re-join
+    * onto the DISTINCT candidate set and the verify runs in the pinned
+    * round-robin stage ([[pinnedLevVerify]]). CAVEAT for degenerate key
+    * spaces: when most keys share long common substrings (serial IDs,
+    * templated names), the shared region's grams dominate every row's
+    * min-k selection and blocking selectivity collapses toward the
+    * cross product — pre-strip the shared template or block on an
+    * additional discriminating key before calling. NULL texts never
+    * pair. */
+  def editDistanceJoin(left: DataFrame, right: DataFrame,
+      idCol: String, textCol: String, maxEdits: Int): DataFrame = {
+    require(maxEdits >= 1, s"maxEdits must be >= 1, got $maxEdits")
+    val k = 6 * maxEdits + 1
+    def grams(df: DataFrame, p: String): DataFrame =
+      df.select(col(idCol).as(s"${p}_id"),
+        length(col(textCol)).as(s"__ed_${p}len"),
+        explode(slice(array_sort(array_distinct(expr(
+          s"transform(sequence(1, greatest(length($textCol) - 2, 1)), " +
+            s"i -> xxhash64(substring($textCol, i, 3)))"))), 1, k)).as("gh"))
+    val cand = grams(left, "left").as("gl").join(grams(right, "right").as("gr"),
+        col("gl.gh") === col("gr.gh") &&
+        abs(col("gl.__ed_leftlen") - col("gr.__ed_rightlen")) <= maxEdits)
+      .select(col("gl.left_id"), col("gr.right_id"))
+      .distinct()
+    val withTexts = cand
+      .join(left.select(col(idCol).as("left_id"), col(textCol).as("__ed_ta")),
+        "left_id")
+      .join(right.select(col(idCol).as("right_id"), col(textCol).as("__ed_tb")),
+        "right_id")
+    pinnedLevVerify(withTexts, "left_id", "right_id", maxEdits)
   }
 
   /** Per-group exact-duplication-rate report `(group, n_docs, n_dups,

@@ -2649,6 +2649,41 @@ object Extensions {
     spark.table("x90_sink").orderBy("l_id", "r_id")
   }
 
+  // ---------------------------------------------------------------- x91
+  // Cross-table fuzzy key join (entity resolution): a dirty feed of
+  // customer names (one planted substitution at char 3) matched back to
+  // the reference table within 1 edit — char-trigram min-k blocking +
+  // exact Levenshtein. The oracle is the FULL CROSS-VERIFY (every
+  // left×right pair Levenshtein'd in DuckDB), so a hash match proves
+  // the blocking is lossless on this corpus, not merely self-consistent.
+  // Left subsets to every 5th customer and the feed to every 50th: the
+  // serial-ID name space is the operator's documented degenerate case
+  // (shared template dominates min-k selection), so the fixture keeps
+  // candidate volume honest while the planted-pair semantics stay exact
+  // — each feed row matches ONLY its own origin (any other pair adds a
+  // digit edit on top of the substitution).
+  val x91 = Q.df(
+    "x91_fuzzy_entity_join",
+    """WITH l AS (SELECT c_custkey AS left_id, c_name AS name
+      |  FROM customer WHERE c_custkey % 5 = 0),
+      |r AS (SELECT c_custkey + 1000000 AS right_id,
+      |    substr(c_name, 1, 2) || 'Z' || substr(c_name, 4) AS name
+      |  FROM customer WHERE c_custkey % 50 = 0)
+      |SELECT l.left_id, r.right_id,
+      |  CAST(levenshtein(l.name, r.name) AS INT) AS edits
+      |FROM l, r WHERE levenshtein(l.name, r.name) <= 1
+      |ORDER BY left_id, right_id""".stripMargin) { (spark, dir) =>
+    val c = Tables.load(spark, dir, "customer")
+    val left = c.filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val right = c.filter(col("c_custkey") % 50 === 0)
+      .select((col("c_custkey") + 1000000L).as("id"),
+        concat(expr("substr(c_name, 1, 2)"), lit("Z"),
+          expr("substr(c_name, 4)")).as("name"))
+    Dedup.editDistanceJoin(left, right, "id", "name", maxEdits = 1)
+      .select(col("left_id"), col("right_id"), col("edits"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -2656,5 +2691,5 @@ object Extensions {
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x56b, x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
-    x83, x84, x85, x85b, x86, x87, x88, x89, x90)
+    x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91)
 }

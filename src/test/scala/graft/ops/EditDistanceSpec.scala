@@ -35,4 +35,32 @@ class EditDistanceSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     assert(Dedup.editDistancePairs(docs, maxEdits = 2).count() == 0)
   }
+
+  test("cross-table fuzzy join matches within maxEdits on short keys") {
+    val ref = Seq(
+      (1L, "jonathan smith"), (2L, "maria garcia"), (3L, "wei chen"))
+      .toDF("id", "name")
+    val feed = Seq(
+      (10L, "jonathon smith"),  // 1 sub of ref 1
+      (11L, "maria garcias"),   // 1 insert of ref 2
+      (12L, "w chen"),          // 2 edits from ref 3 -> out at maxEdits=1
+      (13L, null: String))      // never pairs
+      .toDF("id", "name")
+    val got = Dedup.editDistanceJoin(ref, feed, "id", "name", maxEdits = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 10L, 1), (2L, 11L, 1)))
+    val wider = Dedup.editDistanceJoin(ref, feed, "id", "name", maxEdits = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(wider.contains((3L, 12L, 2)))
+  }
+
+  test("fuzzy join blocks sub-3-char keys on the whole-text gram") {
+    val ref = Seq((1L, "ab"), (2L, "xy")).toDF("id", "name")
+    val feed = Seq((10L, "ab")).toDF("id", "name")
+    // "ab" vs "xy" is 2 edits but they share NO gram — the documented
+    // short-string miss; the exact copy must still match
+    val got = Dedup.editDistanceJoin(ref, feed, "id", "name", maxEdits = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 10L, 0)))
+  }
 }
