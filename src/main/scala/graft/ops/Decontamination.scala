@@ -52,4 +52,50 @@ object Decontamination {
       .filter(col("n_hit") >= minHits)
       .orderBy(col("doc_id"))
   }
+
+  /** WHERE the contamination sits: maximal token spans of each training
+    * document whose word-trigrams all appear in the eval corpus —
+    * `(doc_id, span_start, span_end, n_grams)` in 1-based token
+    * coordinates, overlapping trigram windows merged (hits at starts
+    * {5,6,9} with span width 3 → spans [5,8] and [9,11]). [[overlapHits]]
+    * answers "drop this doc?"; this answers "cut exactly these spans" —
+    * the surgical alternative when a long document embeds one
+    * benchmark passage. Documents (either side) shorter than 3 tokens
+    * carry no trigram and emit nothing — span surgery below trigram
+    * granularity is not meaningful.
+    *
+    * 100 TB shape: same broadcast discipline as [[overlapHits]] (the
+    * corpus never shuffles for the membership join; positioned grams
+    * are a map-side posexplode). Only MATCHING (doc, position) rows
+    * reach the merge, whose two stacked windows share one (doc_id)
+    * exchange+sort — volume proportional to actual contamination. */
+  def contaminatedSpans(train: DataFrame, eval: DataFrame, idCol: Column,
+      textCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def gramArr(t: Column): Column = {
+      val toks = Text.tokens(t)
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2), i =>
+          xxhash64(concat_ws(" ", element_at(toks, i),
+            element_at(toks, i + 1), element_at(toks, i + 2)))))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    val evalGrams = eval.select(explode(gramArr(textCol)).as("t")).distinct()
+    val hits = train
+      .select(idCol.as("doc_id"), posexplode(gramArr(textCol)))
+      .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("t"))
+      .join(broadcast(evalGrams), "t")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    hits
+      .withColumn("__ds_new",
+        when(lag(col("start"), 1).over(w).isNull ||
+          col("start") > lag(col("start"), 1).over(w) + 2, 1).otherwise(0))
+      .withColumn("__ds_isl", sum(col("__ds_new")).over(w))
+      .groupBy(col("doc_id"), col("__ds_isl"))
+      .agg(min(col("start")).cast("int").as("span_start"),
+        (max(col("start")) + 2).cast("int").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("__ds_isl")
+      .orderBy(col("doc_id"), col("span_start"))
+  }
 }

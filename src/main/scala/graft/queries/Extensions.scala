@@ -2684,6 +2684,44 @@ object Extensions {
       .select(col("left_id"), col("right_id"), col("edits"))
   }
 
+  // ---------------------------------------------------------------- x92
+  // Span-level decontamination: WHERE the eval overlap sits, as maximal
+  // merged token spans — the surgical cut list (x23 is the binary
+  // drop/keep signal). Same eval fixture as x23 (every 50th doc is the
+  // "benchmark"); positioned grams via the hashed≡string equivalence;
+  // overlapping trigram windows merge when starts are within 2 tokens.
+  val x92 = Q.df(
+    "x92_contaminated_spans",
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM documents),
+      |g0 AS (SELECT doc_id, CASE WHEN len(w) >= 3
+      |    THEN [{'s': i, 'g': concat(w[i], ' ', w[i+1], ' ', w[i+2])}
+      |          for i in generate_series(1, len(w)-2)]
+      |    ELSE [] END AS gs FROM w),
+      |gr AS (SELECT doc_id, unnest(gs) AS u FROM g0),
+      |gp AS (SELECT doc_id, CAST(u.s AS INT) AS start, u.g AS g FROM gr
+      |  WHERE doc_id % 50 <> 0),
+      |ev AS (SELECT DISTINCT u.g AS g FROM gr WHERE doc_id % 50 = 0),
+      |h AS (SELECT gp.doc_id, gp.start FROM gp JOIN ev USING (g)),
+      |i AS (SELECT doc_id, start,
+      |    CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start) IS NULL
+      |         OR start > lag(start) OVER (PARTITION BY doc_id ORDER BY start) + 2
+      |         THEN 1 ELSE 0 END AS nw FROM h),
+      |j AS (SELECT doc_id, start,
+      |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY start) AS isl FROM i)
+      |SELECT doc_id, CAST(MIN(start) AS INT) AS span_start,
+      |  CAST(MAX(start) + 2 AS INT) AS span_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_grams
+      |FROM j GROUP BY doc_id, isl
+      |ORDER BY doc_id, span_start""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    Decontamination.contaminatedSpans(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      col("doc_id"), col("text"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -2691,5 +2729,5 @@ object Extensions {
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x56b, x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
-    x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91)
+    x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92)
 }

@@ -54,4 +54,25 @@ class DecontaminationSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"corpus must not sort-merge against the eval set:\n$plan")
   }
+
+  test("contaminatedSpans finds the embedded passage and merges overlapping windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // benchmark passage = "the quick brown fox jumps" (trigram starts
+    // cover tokens 4..8 of the train doc below: grams at 4,5,6 merge)
+    val eval = Seq((100L, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // passage embedded at tokens 4..8 -> one span [4, 8], 3 grams
+      (1L, "alpha beta gamma the quick brown fox jumps delta epsilon"),
+      // two DISJOINT hits: "the quick brown" at 1..3 and again at 7..9
+      // -> spans [1,3] and [7,9]
+      (2L, "the quick brown zig zag zog the quick brown"),
+      (3L, "nothing shared here at all")).toDF("doc_id", "text")
+    val got = Decontamination
+      .contaminatedSpans(train, eval, col("doc_id"), col("text"))
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    assert(got == Seq((1L, 4, 8, 3L), (2L, 1, 3, 1L), (2L, 7, 9, 1L)),
+      s"got $got")
+  }
 }
