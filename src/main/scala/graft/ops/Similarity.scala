@@ -121,6 +121,42 @@ object Similarity {
       .orderBy(col("vec_a"))
   }
 
+  /** Truncation (matryoshka) audit — how much cosine structure
+    * survives keeping only the first `d` dimensions, for each `d` in
+    * `dims`: over adjacent-id vector pairs (the [[adjacentCosine]]
+    * fixture convention — a deterministic corpus-wide pair sample),
+    * emits `(dim, n_pairs, mean_abs_delta, max_abs_delta)` where delta
+    * is `|cos_d − cos_full|`, each cosine rounded @9 before the
+    * difference (the cross-engine pin). The go/no-go table before
+    * shipping truncated embeddings to cut ANN index cost `full/d`-fold.
+    *
+    * Scale: ONE pass — every truncated cosine is a projection over the
+    * same joined pair row (array `slice` + the codegen'd cosine
+    * kernel), fanned out by a single inline explode; the aggregate is
+    * partial→final over |dims| keys. Deltas accumulate as
+    * DECIMAL(28,9) so the mean is accumulation-order-independent
+    * (partitioning-proof), the repo's exact-aggregation convention. */
+  def truncationAudit(embeddings: DataFrame, dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty, "truncationAudit needs at least one dim")
+    require(dims.forall(_ >= 1), s"dims must be >= 1, got $dims")
+    val a = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = embeddings.select((col("vec_id") - 1).as("vec_a"),
+      col("embedding").as("eb"))
+    val fullCos = round(cosine(col("ea"), col("eb")), 9)
+    val fan = array(dims.map(d => struct(lit(d).as("dim"),
+      round(abs(round(cosine(slice(col("ea"), 1, d), slice(col("eb"), 1, d)), 9)
+        - fullCos), 9).as("delta"))): _*)
+    a.join(b, "vec_a")
+      .select(explode(fan).as("x"))
+      .select(col("x.dim").as("dim"), col("x.delta").as("delta"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("delta").cast(DecimalType(28, 9))).cast("double")
+          / count(lit(1)), 9).as("mean_abs_delta"),
+        round(max(col("delta")), 9).as("max_abs_delta"))
+      .orderBy(col("dim"))
+  }
+
   /** (id, vec, norm) projection: one `VecNorm` eval per row. */
   private def withNorm(df: DataFrame, idName: String, vecName: String,
       normName: String): DataFrame = {

@@ -2722,6 +2722,38 @@ object Extensions {
       col("doc_id"), col("text"))
   }
 
+  // ---------------------------------------------------------------- x93
+  // Embedding truncation (matryoshka) audit: cosine preservation at
+  // dims 8/16/32/64 over the x05 adjacent-pair sample — the go/no-go
+  // table before shipping truncated vectors to shrink an ANN index.
+  // Each cosine rounds @9 before the difference; deltas accumulate as
+  // DECIMAL(28,9) (order-independent mean); dim=64 is the sanity row
+  // (delta exactly 0).
+  val x93 = Q.df(
+    "x93_truncation_audit",
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |p AS (SELECT a.embedding AS ea, b.embedding AS eb
+      |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+      |d AS (SELECT unnest([8, 16, 32, 64]) AS dim, ea, eb FROM p),
+      |c AS (SELECT dim,
+      |    ROUND(ABS(
+      |      ROUND(
+      |        list_sum(list_transform(generate_series(1, dim), i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))
+      |        / (sqrt(list_sum(list_transform(generate_series(1, dim), i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))))
+      |           * sqrt(list_sum(list_transform(generate_series(1, dim), i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))))), 9)
+      |      - ROUND(
+      |        list_sum(list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))
+      |        / (sqrt(list_sum(list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))))
+      |           * sqrt(list_sum(list_transform(generate_series(1, len(eb)), i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))))), 9)), 9) AS delta
+      |  FROM d)
+      |SELECT CAST(dim AS INT) AS dim, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  ROUND(CAST(SUM(CAST(delta AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 9) AS mean_abs_delta,
+      |  ROUND(MAX(delta), 9) AS max_abs_delta
+      |FROM c GROUP BY dim ORDER BY dim""".stripMargin) { (spark, dir) =>
+    Similarity.truncationAudit(Tables.load(spark, dir, "embeddings"),
+      dims = Seq(8, 16, 32, 64))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -2729,5 +2761,5 @@ object Extensions {
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x56b, x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
-    x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92)
+    x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93)
 }
