@@ -2754,6 +2754,51 @@ object Extensions {
       dims = Seq(8, 16, 32, 64))
   }
 
+  // ---------------------------------------------------------------- x94
+  // LEFT-OUTER stream-stream join — the never-converted rows: an
+  // unmatched view emits null-joined ONLY after the watermark passes
+  // `view.ts + gap` (no future click can match), so the drained sink is
+  // matches ∪ {unmatched views whose window the FINAL watermark
+  // closed}. The oracle restates that exact subset in batch SQL (the
+  // x46 closed-subset pattern applied to outer-join emission); at
+  // sf0.01 that is 453 matches + 1546 closed non-conversions, with 33
+  // end-of-input views open on BOTH engines. This pins the subtlest
+  // Structured Streaming emission semantics the suite exercises.
+  val x94 = Q.df(
+    "x94_stream_outer_join",
+    """WITH m AS (
+      |  SELECT a.event_id AS l_id, b.event_id AS r_id, a.user_id,
+      |    epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+      |  FROM events a JOIN events b ON a.user_id = b.user_id
+      |    AND a.event_type = 'view' AND b.event_type = 'click'
+      |    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '720 minutes'),
+      |u AS (
+      |  SELECT a.event_id AS l_id, CAST(NULL AS BIGINT) AS r_id, a.user_id,
+      |    CAST(NULL AS BIGINT) AS gap_us
+      |  FROM events a
+      |  WHERE a.event_type = 'view'
+      |    AND a.ts + INTERVAL '720 minutes' <
+      |        (SELECT MAX(ts) - INTERVAL '10 minutes' FROM events)
+      |    AND NOT EXISTS (SELECT 1 FROM events b
+      |      WHERE b.user_id = a.user_id AND b.event_type = 'click'
+      |        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '720 minutes'))
+      |SELECT * FROM m UNION ALL SELECT * FROM u
+      |ORDER BY l_id, r_id""".stripMargin) { (spark, dir) =>
+    val staged = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_x94_stage").toString
+    Tables.load(spark, dir, "events")
+      .repartitionByRange(2, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(staged)
+    val q = graft.streaming.EventStream.runToMemory(
+      graft.streaming.EventStream.correlate(
+        graft.streaming.EventStream.readEvents(spark, staged, Some(1)),
+        graft.streaming.EventStream.readEvents(spark, staged, Some(1)),
+        "view", "click", maxGapMinutes = 720, joinType = "left_outer"),
+      "x94_sink", org.apache.spark.sql.streaming.OutputMode.Append)
+    q.stop()
+    spark.table("x94_sink").orderBy("l_id", "r_id")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -2761,5 +2806,5 @@ object Extensions {
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x56b, x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
-    x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93)
+    x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94)
 }

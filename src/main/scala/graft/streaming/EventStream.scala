@@ -199,8 +199,11 @@ object EventStream {
     * watermark-late anyway. */
   def correlate(left: DataFrame, right: DataFrame,
       leftType: String, rightType: String, maxGapMinutes: Int,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     require(maxGapMinutes >= 1, s"maxGapMinutes must be >= 1, got $maxGapMinutes")
+    require(Seq("inner", "left_outer").contains(joinType),
+      s"joinType must be inner or left_outer, got $joinType")
     def side(ev: DataFrame, tpe: String, p: String): DataFrame = ev
       .filter(col("event_type") === tpe &&
         col("ts").isNotNull && col("user_id").isNotNull)
@@ -209,10 +212,18 @@ object EventStream {
       .withWatermark(s"${p}_ts", watermarkDelay)
     val l = side(left, leftType, "l")
     val r = side(right, rightType, "r")
+    // left_outer adds the never-converted rows: an unmatched left row
+    // emits null-joined ONLY once the watermark passes `l_ts + gap`
+    // (no future right row could match it) — so with a bounded replay
+    // the sink holds matches plus exactly the unmatched lefts whose
+    // window the final watermark closed; lefts near the end of input
+    // stay in state and never emit, the same closed-subset contract as
+    // the x46 Append windows.
     l.join(r,
         col("l_user") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL '$maxGapMinutes' MINUTE"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL '$maxGapMinutes' MINUTE"),
+        joinType)
       .select(col("l_id"), col("r_id"), col("l_user").as("user_id"),
         (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("gap_us"))
   }
