@@ -87,4 +87,67 @@ class PipelinePropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // random words over a small alphabet so edits collide organically
+  private val wordGen: Gen[String] =
+    Gen.chooseNum(3, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("property: editDistancePairs equals brute-force Levenshtein on long-enough docs") {
+    // docs of 10-16 words from a 6-word vocabulary: > 3*maxEdits word
+    // trigrams, inside the operator's completeness regime, with heavy
+    // organic overlap so real pairs exist
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsi", "zeta")
+    val docGen: Gen[String] = Gen.chooseNum(10, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    samples(Gen.listOfN(12, docGen), 3).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val maxEdits = 2
+      val got = Dedup.editDistancePairs(docs.toDF("doc_id", "text"), maxEdits)
+        .as[(Long, Long, Int)].collect().toSet
+      val want = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        d = lev(ta, tb) if d <= maxEdits
+      } yield (ia, ib, d)).toSet
+      assert(got == want, s"blocking lost or invented pairs:\ngot  $got\nwant $want")
+    }
+  }
+
+  test("property: editDistanceJoin equals brute-force Levenshtein on short keys") {
+    samples(Gen.zip(Gen.listOfN(10, wordGen), Gen.listOfN(6, wordGen)), 3)
+      .foreach { case (ls, rs) =>
+        val left = ls.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        val right = rs.zipWithIndex.map { case (t, i) => (100L + i, t) }
+        val maxEdits = 1
+        val got = Dedup.editDistanceJoin(left.toDF("id", "name"),
+            right.toDF("id", "name"), "id", "name", maxEdits)
+          .as[(Long, Long, Int)].collect().toSet
+        // brute truth, restricted to the documented regime: keys with
+        // more than 3*maxEdits distinct char trigrams are guaranteed;
+        // SHORTER keys may legitimately miss, so exclude them from the
+        // equality (but anything reported must still be correct)
+        def grams(s: String) = (1 to math.max(s.length - 2, 1))
+          .map(i => s.slice(i - 1, i + 2)).toSet
+        val want = (for {
+          (ia, ta) <- left; (ib, tb) <- right
+          d = lev(ta, tb) if d <= maxEdits
+          if grams(ta).size > 3 * maxEdits && grams(tb).size > 3 * maxEdits
+        } yield (ia, ib, d)).toSet
+        assert(want.subsetOf(got), s"blocking LOST in-regime pairs:\ngot  $got\nwant $want")
+        got.foreach { case (ia, ib, d) =>
+          val t = (left.toMap.apply(ia), right.toMap.apply(ib))
+          assert(lev(t._1, t._2) == d && d <= maxEdits,
+            s"reported pair ($ia,$ib,$d) is wrong: $t")
+        }
+      }
+  }
 }
