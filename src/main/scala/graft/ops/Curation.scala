@@ -121,4 +121,57 @@ object Curation {
         col("avg_chars"), round(col("median_chars"), 9).as("median_chars"))
       .orderBy(col(groupCol))
   }
+
+  /**
+   * Attrition funnel — the "where did my data go" report behind any
+   * filter pipeline: `stages` is the ORDERED list of (name,
+   * keep-predicate) pairs, and every document is attributed to the
+   * FIRST stage whose predicate it fails (sequential-filter semantics:
+   * a row dropped at stage 2 is never tested by stage 3, so per-stage
+   * counts sum to exactly the dropped total and the funnel reconciles
+   * to the input count). A NULL predicate drops, exactly as a SQL
+   * `WHERE` would. Emits one row per stage in pipeline order:
+   * `(stage_idx, stage, n_in, n_dropped, n_out, drop_rate)` — the last
+   * row's `n_out` is the surviving corpus size.
+   *
+   * Scale: the corpus is scanned ONCE — the first-failing-stage index
+   * is a single codegen'd CaseWhen projection feeding a partial→final
+   * count aggregate over ≤ |stages|+1 keys; the cumulative n_in math
+   * runs on that |stages|-row frame (a single-partition window over a
+   * dozen rows, not corpus data). Compare the naive form: one filter +
+   * count ACTION per stage = |stages| full corpus scans.
+   */
+  def funnel(df: DataFrame, stages: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val firstFail = stages.zipWithIndex.reverse
+      .foldLeft(lit(stages.size): org.apache.spark.sql.Column) {
+        case (acc, ((_, keep), i)) =>
+          when(!coalesce(keep, lit(false)), lit(i)).otherwise(acc)
+      }
+    val counts = df.select(firstFail.as("stage_idx"))
+      .groupBy(col("stage_idx")).agg(count(lit(1)).as("n"))
+    val dim = stages.zipWithIndex
+      .map { case ((n, _), i) => (i, n) }.toDF("stage_idx", "stage")
+    val w = Window.orderBy(col("stage_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    dim.join(counts, Seq("stage_idx"), "left")
+      .withColumn("n_dropped", coalesce(col("n"), lit(0L)))
+      // survivors (stage_idx = |stages|) ride the join as absent rows;
+      // recover the input total from the full count frame instead
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("__fu_total"))))
+      .withColumn("n_in", col("__fu_total") - coalesce(sum(col("n_dropped")).over(w), lit(0L)))
+      .withColumn("n_out", col("n_in") - col("n_dropped"))
+      .withColumn("drop_rate", when(col("n_in") === 0, lit(null))
+        .otherwise(round(col("n_dropped").cast("double") / col("n_in"), 9)))
+      .select(col("stage_idx"), col("stage"), col("n_in"), col("n_dropped"),
+        col("n_out"), col("drop_rate"))
+      // the Window.orderBy above already single-partitioned and sorted
+      // this |stages|-row frame; sortWithinPartitions keeps that order
+      // WITHOUT a range exchange, whose boundary sampling would
+      // re-execute the corpus-count lineage (the r07 AQE sort lesson)
+      .sortWithinPartitions(col("stage_idx"))
+  }
 }

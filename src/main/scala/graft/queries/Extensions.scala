@@ -2799,6 +2799,44 @@ object Extensions {
     spark.table("x94_sink").orderBy("l_id", "r_id")
   }
 
+  // ---------------------------------------------------------------- x95
+  // Curation attrition funnel — "where did my data go": each doc is
+  // attributed to the FIRST filter stage it fails (sequential-filter
+  // semantics), in ONE corpus scan vs the naive filter+count action per
+  // stage. The oracle restates the same first-fail CASE and cumulative
+  // arithmetic; NULL predicates drop on both engines (COALESCE false).
+  val x95 = Q.df(
+    "x95_curation_funnel",
+    """WITH f AS (SELECT
+      |    CASE WHEN NOT COALESCE(text IS NOT NULL AND n_chars > 0, FALSE) THEN 0
+      |         WHEN NOT COALESCE(n_chars >= 100, FALSE) THEN 1
+      |         WHEN NOT COALESCE(n_chars <= 520, FALSE) THEN 2
+      |         WHEN NOT COALESCE(lang IN ('en', 'de', 'fr', 'es', 'zh'), FALSE) THEN 3
+      |         ELSE 4 END AS stage_idx
+      |  FROM documents),
+      |c AS (SELECT stage_idx, COUNT(*) AS n FROM f GROUP BY stage_idx),
+      |d AS (SELECT * FROM (VALUES (0, 'has_text'), (1, 'min_len'),
+      |        (2, 'max_len'), (3, 'lang_known')) AS t(stage_idx, stage)),
+      |tot AS (SELECT SUM(n) AS total FROM c),
+      |j AS (SELECT d.stage_idx, d.stage, COALESCE(c.n, 0) AS n_dropped
+      |  FROM d LEFT JOIN c USING (stage_idx)),
+      |k AS (SELECT stage_idx, stage, n_dropped,
+      |    tot.total - COALESCE(SUM(n_dropped) OVER (ORDER BY stage_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_in
+      |  FROM j, tot)
+      |SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
+      |  CAST(n_in AS BIGINT) AS n_in, CAST(n_dropped AS BIGINT) AS n_dropped,
+      |  CAST(n_in - n_dropped AS BIGINT) AS n_out,
+      |  CASE WHEN n_in = 0 THEN NULL
+      |       ELSE ROUND(CAST(n_dropped AS DOUBLE) / n_in, 9) END AS drop_rate
+      |FROM k ORDER BY stage_idx""".stripMargin) { (spark, dir) =>
+    graft.ops.Curation.funnel(Tables.load(spark, dir, "documents"), Seq(
+      "has_text" -> (col("text").isNotNull && col("n_chars") > 0),
+      "min_len" -> (col("n_chars") >= 100),
+      "max_len" -> (col("n_chars") <= 520),
+      "lang_known" -> col("lang").isin("en", "de", "fr", "es", "zh")))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -2806,5 +2844,6 @@ object Extensions {
     x47, x47b, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x56b, x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
-    x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94)
+    x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
+    x95)
 }
