@@ -28,12 +28,16 @@ import org.apache.spark.sql.types.DecimalType
  * user whose tokenize dominates persists `docs` (or the token frame)
  * upstream; the operator itself never caches behind the caller's back.
  *
- * Determinism contract (the x27 oracle hash-compares): every per-term
- * score is rounded to 9 digits and accumulated in DECIMAL(28,9), so the
- * doc score is independent of partitioning and summation order in both
- * engines; constants are spelled as the same IEEE ops on both sides
- * (`k1 + 1`, `1 - b` — a pre-folded 2.2 literal differs from 1.2+1 by
- * one ulp); ties in the rounded score break on doc_id.
+ * Determinism contract (the x27 oracle hash-compares): the idf LOG pins
+ * @7 at its source (the r07 transcendental contract — ln is the one op
+ * JVM and libm may round differently, and a @9 pin on the downstream
+ * product measurably straddled a boundary at sf0.1 scale in the
+ * surprisal family), every per-term score is then rounded to 9 digits
+ * and accumulated in DECIMAL(28,9), so the doc score is independent of
+ * partitioning and summation order in both engines; constants are
+ * spelled as the same IEEE ops on both sides (`k1 + 1`, `1 - b` — a
+ * pre-folded 2.2 literal differs from 1.2+1 by one ulp); ties in the
+ * rounded score break on doc_id.
  */
 object Relevance {
 
@@ -71,7 +75,10 @@ object Relevance {
     tf.join(broadcast(docFreq), "token")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
-        ((log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        // the idf LOG pins @7 (r07 transcendental contract): ln is the
+        // one op where JVM and libm may differ in the last ulp; with it
+        // pinned, the whole score chain is deterministic IEEE
+        ((round(log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 7) *
           (col("tf") * lit(k1 + 1.0))) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
           .as("s"))

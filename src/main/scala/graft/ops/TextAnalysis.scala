@@ -322,9 +322,12 @@ object TextAnalysis {
     * repo convention (persist the token frame upstream and use
     * [[unigramSurprisalTokens]] if the tokenize is the dominant cost).
     *
-    * Determinism: per-(doc,token) surprisal terms are rounded to 9 digits
-    * and accumulated in DECIMAL(28,9) — partition/summation-order
-    * independent in both engines (the x28 oracle hash-compares). */
+    * Determinism: the per-term LOG pins @7 before the tf multiply (the
+    * r07 transcendental contract — ln is the one non-IEEE-exact op and
+    * @9-rounding the product measurably straddled a boundary at sf0.1
+    * scale in the bigram sibling), then terms accumulate in
+    * DECIMAL(28,9) — partition/summation-order independent in both
+    * engines (the x28 oracle hash-compares). */
   def unigramSurprisal(docs: DataFrame): DataFrame =
     unigramSurprisalTokens(
       docs.select(col("doc_id"), Text.tokens(col("text")).as("w")))
@@ -338,7 +341,9 @@ object TextAnalysis {
     * (the mixture contract). Every group token is corpus vocabulary,
     * so `p_c > 0` always — no smoothing needed.
     *
-    * Determinism: per-token terms rounded @9 and accumulated in
+    * Determinism: the log pins @7 (the one non-IEEE-exact op — JVM vs
+    * libm last-ulp variance measured flipping a 9th digit at sf0.1
+    * scale before the pin); terms then accumulate in
     * DECIMAL(28,9) (the x28 contract — order-independent, ln's last
     * ulp absorbed); every division is written double/double in the
     * same order on both engines.
@@ -358,7 +363,7 @@ object TextAnalysis {
     val pc = col("c").cast("double") / col("t").cast("double")
     cs.join(ts, "g").join(c, "token").crossJoin(broadcast(t))
       .groupBy(col("g").as(groupCol), col("ts").as("n_tokens"))
-      .agg(round(sum(round(pg * log(pg / pc), 9)
+      .agg(round(sum(round(pg * round(log(pg / pc), 7), 9)
           .cast(DecimalType(28, 9))).cast("double"), 9).as("kl_unigram"))
       .orderBy(col(groupCol))
   }
@@ -378,10 +383,12 @@ object TextAnalysis {
     * to per-doc (a, b, tf) bigram-VOCABULARY rows before any join, the
     * bigram and unigram LM tables derive from those same frames with
     * map-side-combining aggregates, and the corpus total broadcasts as
-    * one row. Per-(doc,bigram) surprisal terms are rounded @9 and
-    * accumulated in DECIMAL(28,9) — partition/summation-order
-    * independent in both engines, with ln's last-ulp variance absorbed
-    * by the rounding. */
+    * one row. Per-(doc,bigram) surprisal logs pin @7 before the
+    * tf multiply, then accumulate in DECIMAL(28,9) —
+    * partition/summation-order independent in both engines, with ln's
+    * last-ulp variance removed at its source (the r07 transcendental
+    * contract: @9-rounding the PRODUCT still straddled one boundary in
+    * 250k terms at sf0.1). */
   def bigramSurprisal(docs: DataFrame, lambda: Double = 0.75): DataFrame =
     bigramSurprisalTokens(
       docs.select(col("doc_id"), Text.tokens(col("text")).as("w")), lambda)
@@ -411,8 +418,12 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(
         sum(col("tf")).as("n_bigrams"),
-        round(sum(round(col("tf") * log(lit(1.0) / p), 9)
-            .cast(DecimalType(28, 9))).cast("double") / sum(col("tf")), 9)
+        // log pinned @7 for the same reason as unigramSurprisalTokens:
+        // p is bit-identical cross-engine (pure IEEE arithmetic in a
+        // stated order), ln is not — sf0.1 measured one flipped 9th
+        // digit before this pin
+        round(sum(round(col("tf") * round(log(lit(1.0) / p), 7), 9)
+            .cast(DecimalType(28, 9))).cast("double") / sum(col("tf")), 6)
           .as("avg_nll"))
       .orderBy(col("doc_id"))
   }
@@ -567,13 +578,25 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val unigrams = docTf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
     val total = unigrams.agg(sum(col("cnt")).as("total"))
+    // the LOG itself rounds @7 (r07): ln is the only non-IEEE-exact op
+    // in the chain — JVM and libm differ in the last ulp — and rounding
+    // the downstream PRODUCT @9 left a measured ~2e-6/term chance of
+    // straddling a rounding boundary (one flipped 9th digit per ~250k
+    // terms at sf0.1). Pinning the transcendental at @7 makes every
+    // later op (int×double, DECIMAL cast, sum, divide) deterministic
+    // IEEE on both engines; the mean's precision loss is ≤5e-8.
     docTf.join(unigrams, "token")
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("tf")).as("n_toks"),
-        round(sum(round(col("tf") * log(col("total").cast("double") / col("cnt")), 9)
-            .cast(DecimalType(28, 9))).cast("double") / sum(col("tf")), 9)
+        // the final mean divides the (exact) decimal sum by the count,
+        // so its value sits anywhere relative to a rounding grid; @6
+        // keeps cross-engine round semantics (decimal-string vs binary)
+        // out of the disagreement window, where @9 measurably flipped
+        // a last digit at sf0.1 scale
+        round(sum(round(col("tf") * round(log(col("total").cast("double") / col("cnt")), 7), 9)
+            .cast(DecimalType(28, 9))).cast("double") / sum(col("tf")), 6)
           .as("avg_nll"))
       .orderBy(col("doc_id"))
   }

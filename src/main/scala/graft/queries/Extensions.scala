@@ -765,7 +765,7 @@ object Extensions {
       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
       |SELECT tf.doc_id,
       |  ROUND(CAST(SUM(CAST(ROUND(
-      |    (ln(1 + ((SELECT n FROM stats) - df.df + 0.5) / (df.df + 0.5)) *
+      |    (ROUND(ln(1 + ((SELECT n FROM stats) - df.df + 0.5) / (df.df + 0.5)), 7) *
       |      (tf.tf * (1.2 + 1))) /
       |      (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * tf.dl / (SELECT avgdl FROM stats)))
       |  , 9) AS DECIMAL(28,9))) AS DOUBLE), 9) AS bm25
@@ -790,8 +790,8 @@ object Extensions {
       |c AS (SELECT token, SUM(tf) AS cnt FROM dt GROUP BY 1),
       |tot AS (SELECT SUM(cnt) AS total FROM c)
       |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_toks,
-      |  ROUND(CAST(SUM(CAST(ROUND(tf * ln(CAST(total AS DOUBLE) / cnt), 9)
-      |    AS DECIMAL(28,9))) AS DOUBLE) / SUM(tf), 9) AS avg_nll
+      |  ROUND(CAST(SUM(CAST(ROUND(tf * ROUND(ln(CAST(total AS DOUBLE) / cnt), 7), 9)
+      |    AS DECIMAL(28,9))) AS DOUBLE) / SUM(tf), 6) AS avg_nll
       |FROM dt JOIN c USING (token) CROSS JOIN tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     TextAnalysis.unigramSurprisal(Tables.load(spark, dir, "documents"))
@@ -1816,8 +1816,9 @@ object Extensions {
   // Interpolated bigram-LM surprisal (x28 one level up: local fluency,
   // not just token rarity), full DuckDB oracle. The probability
   // arithmetic is written in the IDENTICAL left-associative order on
-  // both engines, terms are rounded @9 (absorbing ln's last ulp) and
-  // accumulated in DECIMAL(28,9) — order-independent hash compare.
+  // both engines, the LOG pins @7 (ln is the one non-IEEE-exact op —
+  // @9-rounding the product straddled a boundary once at sf0.1), and
+  // terms accumulate in DECIMAL(28,9) — order-independent hash compare.
   val x63 = Q.df(
     "x63_bigram_surprisal",
     """WITH w AS (SELECT doc_id,
@@ -1833,9 +1834,9 @@ object Extensions {
       |dbg AS (SELECT doc_id, a, b, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
       |n2 AS (SELECT a, b, SUM(tf) AS n2 FROM dbg GROUP BY 1, 2)
       |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-      |  ROUND(CAST(SUM(CAST(ROUND(tf * ln(1.0 /
-      |      (0.75 * n2 / ca.c1 + 0.25 * cb.c1 / CAST(total AS DOUBLE))), 9)
-      |    AS DECIMAL(28,9))) AS DOUBLE) / SUM(tf), 9) AS avg_nll
+      |  ROUND(CAST(SUM(CAST(ROUND(tf * ROUND(ln(1.0 /
+      |      (0.75 * n2 / ca.c1 + 0.25 * cb.c1 / CAST(total AS DOUBLE))), 7), 9)
+      |    AS DECIMAL(28,9))) AS DOUBLE) / SUM(tf), 6) AS avg_nll
       |FROM dbg JOIN n2 USING (a, b)
       |JOIN c1 ca ON ca.token = dbg.a
       |JOIN c1 cb ON cb.token = dbg.b
@@ -1884,8 +1885,8 @@ object Extensions {
       |SELECT g AS source, ts.ts AS n_tokens,
       |  ROUND(CAST(SUM(CAST(ROUND(
       |      (CAST(cs.cs AS DOUBLE) / CAST(ts.ts AS DOUBLE))
-      |      * ln((CAST(cs.cs AS DOUBLE) / CAST(ts.ts AS DOUBLE))
-      |           / (CAST(c.c AS DOUBLE) / CAST(tt.t AS DOUBLE))), 9)
+      |      * ROUND(ln((CAST(cs.cs AS DOUBLE) / CAST(ts.ts AS DOUBLE))
+      |           / (CAST(c.c AS DOUBLE) / CAST(tt.t AS DOUBLE))), 7), 9)
       |    AS DECIMAL(28,9))) AS DOUBLE), 9) AS kl_unigram
       |FROM cs JOIN ts USING (g) JOIN c USING (token) CROSS JOIN tt
       |GROUP BY g, ts.ts ORDER BY source""".stripMargin) { (spark, dir) =>

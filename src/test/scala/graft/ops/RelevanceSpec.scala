@@ -19,8 +19,9 @@ class RelevanceSpec extends AnyFunSuite {
     val got = Relevance.bm25(docs, terms = Seq("x"), k = 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     // hand-derived with N=4, avgdl=7/4, df=2 (same IEEE ops as the impl):
-    // idf = ln(1 + (4-2+0.5)/2.5) = ln(2)
-    val idf = math.log(1.0 + (4L - 2L + 0.5) / (2L + 0.5))
+    // idf = ln(1 + (4-2+0.5)/2.5) = ln(2), pinned @7 at source
+    val idf = BigDecimal(math.log(1.0 + (4L - 2L + 0.5) / (2L + 0.5)))
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
     def s(tf: Long, dl: Int): Double = {
       val raw = (idf * (tf * (1.2 + 1))) /
         (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / (7.0 / 4)))

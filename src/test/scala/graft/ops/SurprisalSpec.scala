@@ -13,15 +13,28 @@ class SurprisalSpec extends AnyFunSuite {
     (2L, "b c"),
     (3L, "")).toDF("doc_id", "text")
 
+  private def r7(d: Double) =
+    BigDecimal(d).setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r9(d: Double) =
+    BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r6(d: Double) =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  // mirror the engine: cast double -> DECIMAL(28,9) via the shortest
+  // decimal representation (Spark's Decimal(double) semantics)
+  private def dec9(d: Double) =
+    BigDecimal(java.math.BigDecimal.valueOf(d))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+
   test("avg_nll matches the hand-derived unigram LM; empty docs drop") {
-    // corpus: a:2 b:2 c:1, total 5
-    // doc1: (2*ln(5/2) + 1*ln(5/2)) / 3 = 0.916290732
-    // doc2: (ln(5/2) + ln(5)) / 2     = 1.262864322
+    // corpus: a:2 b:2 c:1, total 5; logs pin @7 (the r07 transcendental
+    // contract), terms accumulate as DECIMAL(28,9)
+    val la = r7(math.log(5.0 / 2)) // ln(5/2) for a and b
+    val lc = r7(math.log(5.0))     // ln(5)   for c
+    val d1 = r6((dec9(2 * la) + dec9(1 * la)).toDouble / 3)
+    val d2 = r6((dec9(1 * la) + dec9(1 * lc)).toDouble / 2)
     val got = TextAnalysis.unigramSurprisal(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(got.toSeq == Seq(
-      (1L, 3L, 0.916290732),
-      (2L, 2L, 1.262864322)))
+    assert(got.toSeq == Seq((1L, 3L, d1), (2L, 2L, d2)))
   }
 
   test("a uniform doc over the corpus's most common tokens scores lowest") {
@@ -40,15 +53,13 @@ class SurprisalSpec extends AnyFunSuite {
     // token COUNTS in the unigram interpolation mass)
     // bigram types: (a,b) n2=2, (b,a) n2=2
     // every p = 0.75*2/3 + 0.25*3/7
-    def r9(d: Double) =
-      BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val term = r9(math.log(1.0 / (0.75 * 2 / 3 + 0.25 * 3 / 7)))
+    val term = r7(math.log(1.0 / (0.75 * 2 / 3 + 0.25 * 3 / 7)))
     val bdocs = Seq((1L, "a b a b"), (2L, "b a"), (3L, "solo"))
       .toDF("doc_id", "text")
     val got = TextAnalysis.bigramSurprisal(bdocs)
       .as[(Long, Long, Double)].collect().toSeq
-    val d1 = r9((BigDecimal(r9(2 * term)) + BigDecimal(term)).toDouble / 3)
-    assert(got == Seq((1L, 3L, d1), (2L, 1L, r9(term))))
+    val d1 = r6((dec9(2 * term) + dec9(term)).toDouble / 3)
+    assert(got == Seq((1L, 3L, d1), (2L, 1L, r6(term))))
     // single-token doc 3 has no bigrams and drops, like empty docs in x28
   }
 
