@@ -229,14 +229,43 @@ object EventStream {
   }
 
   /** Drive a streaming frame to a named in-memory sink until input drains
-    * (the synchronous local test harness for streaming operators). */
+    * (the synchronous local test harness for streaming operators).
+    *
+    * State partitions cap at `statePartitions` FOR THE REPLAY ONLY
+    * (conf restored after the drain): a stateful query commits every
+    * state store on every micro-batch, so per-batch overhead scales
+    * with the shuffle-partition count — at local[32] the stream-stream
+    * join replay spends ~7 s in 128 store commits for ~2k state rows.
+    * Results are partitioning-independent; a production caller starts
+    * queries under its own conf and never passes through here. */
   def runToMemory(df: DataFrame, name: String,
-      mode: OutputMode = OutputMode.Append): StreamingQuery = {
+      mode: OutputMode = OutputMode.Append,
+      statePartitions: Int = 8): StreamingQuery = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val capped = math.min(prev.toInt, statePartitions).toString
+    spark.conf.set("spark.sql.shuffle.partitions", capped)
+    try runToMemoryStart(df, name, mode)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def runToMemoryStart(df: DataFrame, name: String,
+      mode: OutputMode): StreamingQuery = {
     val q = df.writeStream
       .outputMode(mode)
       .format("memory")
       .queryName(name)
-      .trigger(Trigger.ProcessingTime("1 second"))
+      // AvailableNow: drain everything then stop. A ProcessingTime tick
+      // is wrong in BOTH directions for a bounded replay — a 1 s tick
+      // quantizes drain time by whole ticks (the same query measured
+      // 2.1 s or 8.4 s run-to-run on tick alignment), and a fast tick
+      // floods stateful queries with empty micro-batches whose
+      // per-partition state-store commits dominate (50 ms tick: 3-4×
+      // slower on the join replays). AvailableNow still respects
+      // maxFilesPerTrigger (multi-batch state handoff exercises) and
+      // runs the final watermark-advancing batch before terminating,
+      // which the Append/outer-join rows depend on.
+      .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable()
     q
