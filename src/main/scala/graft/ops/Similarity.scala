@@ -77,6 +77,69 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** Upper-triangle covariance matrix of the first `dims` embedding
+    * dimensions — `(i, j, cov)` with `i <= j`, population covariance
+    * `E[x_i·x_j] − E[x_i]·E[x_j]`, ordered by (i, j). This is the
+    * whitening/PCA precompute [[dimensionStats]] cannot provide (it
+    * sees dimensions independently; decorrelation needs the cross
+    * terms) and the redundancy audit for embedding-truncation
+    * decisions: a large |cov(i,j)| off the diagonal means dimension j
+    * carries little beyond dimension i.
+    *
+    * One corpus pass: each row generates its `d(d+1)/2` upper-triangle
+    * product terms PLUS `d` mean terms (tagged `j = 0`) from a single
+    * Generate, and one partial→final hash aggregate keyed on (i, j)
+    * decimal-sums them — the shuffle carries `(d² /2 + d) × partitions`
+    * partial rows no matter the corpus size, and the means join back
+    * over the aggregated (tiny, broadcast) frame, so nothing
+    * corpus-sized moves twice. Per-term work is O(d²) per row — that is
+    * the mathematical content of a covariance matrix, not an
+    * implementation artifact; `dims` bounds it when only a leading
+    * block is needed (e.g. after an importance-ordered truncation).
+    *
+    * Determinism: inputs round @9 at source, products round @9 per
+    * term, sums accumulate in DECIMAL(28,9) (order-independent), and
+    * the final `s/n − mean·mean` is IEEE exactly-rounded double math on
+    * identical operands in both engines — the [[dimensionStats]]
+    * variance convention, verbatim. Rows with NULL or short embeddings
+    * are excluded up front (a covariance over ragged rows is
+    * ill-defined); per-pair `n` is therefore the same for every cell. */
+  def covariance(embeddings: DataFrame, dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    // the embedding array is a real parquet attribute, so element_at
+    // inside the (interpreted) HOF lambdas indexes a materialized row
+    // value — no re-eval hazard
+    val e = embeddings
+      .filter(col("embedding").isNotNull && size(col("embedding")) >= dims)
+      .select(transform(slice(col("embedding"), 1, dims), x =>
+        round(x.cast("double"), 9)).as("__cv_e"))
+    val pairTerms = flatten(transform(sequence(lit(1), lit(dims)), i =>
+      transform(sequence(i, lit(dims)), j =>
+        struct(i.cast("int").as("i"), j.cast("int").as("j"),
+          round(element_at(col("__cv_e"), i) *
+            element_at(col("__cv_e"), j), 9).as("p")))))
+    val meanTerms = transform(sequence(lit(1), lit(dims)), i =>
+      struct(i.cast("int").as("i"), lit(0).as("j"),
+        element_at(col("__cv_e"), i).as("p")))
+    val agg = e
+      .select(explode(concat(meanTerms, pairTerms)).as("t"))
+      .select(col("t.i"), col("t.j"), col("t.p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p").cast(DecimalType(28, 9))).as("s"),
+        count(lit(1)).as("n"))
+    val means = agg.filter(col("j") === 0)
+      .select(col("i").as("__cv_d"),
+        (col("s").cast("double") / col("n")).as("__cv_mu"))
+    agg.filter(col("j") > 0)
+      .join(broadcast(means), col("i") === col("__cv_d"))
+      .drop("__cv_d").withColumnRenamed("__cv_mu", "__cv_mi")
+      .join(broadcast(means), col("j") === col("__cv_d"))
+      .select(col("i"), col("j"),
+        round(col("s").cast("double") / col("n")
+          - col("__cv_mi") * col("__cv_mu"), 9).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
   /** Whitening APPLICATION — [[dimensionStats]]' acting counterpart:
     * standardizes every vector per-dimension to
     * `(x − mean) / √(variance + eps)`, returning `(vec_id,

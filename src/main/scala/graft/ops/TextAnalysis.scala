@@ -185,6 +185,87 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** WHERE the cross-document duplication sits — the span-surgery
+    * counterpart of [[duplicatedNgrams]] (which only counts): maximal
+    * token spans of each document whose word `n`-grams ALL appear in at
+    * least `minDocs` distinct documents of the corpus, emitted as
+    * `(doc_id, span_start, span_end, n_grams)` in 1-based token
+    * coordinates. This is the exact-substring dedup shape from the
+    * "train-data memorization" literature: instead of dropping a whole
+    * near-duplicate document, cut precisely the duplicated runs
+    * (license boilerplate, templated headers, quoted passages) and keep
+    * the rest. Overlapping gram windows merge into one span (hits at
+    * starts {5,6,9} with `n = 3` → spans [5,8] and [9,11] — merge
+    * requires window OVERLAP, same contract as
+    * `Decontamination.contaminatedSpans`). Duplication is CROSS-doc by
+    * contract (`minDocs` counts distinct documents): a gram repeated
+    * only within one document is `repetition`'s signal, not this one.
+    * Docs shorter than `n` tokens carry no gram and emit nothing.
+    * Returns an UNORDERED span set (the relational contract — a global
+    * sort above this tree re-executes the lineage for range sampling
+    * under AQE; sort the small result downstream for a listing).
+    *
+    * 100 TB shape: grams travel as positioned 8-byte xxhash64 rows; the
+    * document-frequency pass aggregates per-doc-DISTINCT gram
+    * vocabulary (map-side combine on the 8-byte key), and the join back
+    * is a plain equi-join on that key — AQE converts it to broadcast at
+    * runtime when the duplicated-gram set is small (the common case:
+    * volume proportional to actual duplication), and degrades to a
+    * shuffle join, never a cartesian, when a boilerplate-heavy corpus
+    * makes it large. Only MATCHING (doc, position) rows reach the
+    * span merge, whose two stacked windows share one (doc_id)
+    * exchange+sort. Two passes over the gram stream are inherent
+    * (corpus scored against its own statistics) — lineage-pure by repo
+    * convention; [[duplicatedSpansGrams]] takes a persisted positioned
+    * frame so the tokenize is paid once. */
+  def duplicatedSpans(docs: DataFrame, n: Int = 5,
+      minDocs: Int = 2): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    // token array materialized behind the Generate-inline barrier
+    // BEFORE the gram lambda indexes it (the lambda re-eval pitfall —
+    // HOFs run interpreted and would re-execute the regex split per
+    // element_at reference otherwise)
+    val toked = docs.select(col("doc_id"),
+      inline(array(struct(Text.tokens(col("text")).as("__dsp")))))
+    val gramArr = when(size(col("__dsp")) >= n,
+      transform(sequence(lit(1), size(col("__dsp")) - (n - 1)), i =>
+        xxhash64(concat_ws(" ",
+          (0 until n).map(o => element_at(col("__dsp"), i + o)): _*))))
+      .otherwise(array().cast("array<bigint>"))
+    duplicatedSpansGrams(
+      toked.select(col("doc_id"), posexplode(gramArr))
+        .select(col("doc_id"), (col("pos") + 1).as("start"),
+          col("col").as("gh")),
+      n, minDocs)
+  }
+
+  /** [[duplicatedSpans]] over a PRE-COMPUTED positioned gram frame —
+    * `(doc_id, start, gh)` rows, `start` 1-based and unique per doc,
+    * `gh` the hash of the `n` tokens at `start`. Both internal branches
+    * (the df aggregate and the join back) consume this one frame. */
+  def duplicatedSpansGrams(grams: DataFrame, n: Int,
+      minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val dup = grams.groupBy(col("gh"))
+      .agg(count_distinct(col("doc_id")).as("__ds_df"))
+      .filter(col("__ds_df") >= minDocs)
+      .select(col("gh"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    grams.join(dup, "gh")
+      .withColumn("__ds_new",
+        when(lag(col("start"), 1).over(w).isNull ||
+          col("start") > lag(col("start"), 1).over(w) + (n - 1), 1)
+          .otherwise(0))
+      .withColumn("__ds_isl", sum(col("__ds_new")).over(w))
+      .groupBy(col("doc_id"), col("__ds_isl"))
+      .agg(min(col("start")).cast("int").as("span_start"),
+        (max(col("start")) + (n - 1)).cast("int").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("__ds_isl")
+  }
+
   /** Top-`k` bigram collocations by lift — how much more often two
     * tokens appear ADJACENT than unigram frequencies predict
     * (`(n2/T2) / ((n1_a/T1)·(n1_b/T1))`, i.e. pointwise mutual

@@ -2838,6 +2838,76 @@ object Extensions {
       "lang_known" -> col("lang").isin("en", "de", "fr", "es", "zh")))
   }
 
+  // ---------------------------------------------------------------- x96
+  // Self-corpus duplicated-substring spans — the exact-substring dedup
+  // cut list (x32 counts duplicated grams; this says WHERE they sit,
+  // the surgical counterpart, like x92 is to x23). Word 5-grams shared
+  // by >= 2 distinct docs, overlapping windows merged into maximal
+  // spans. The oracle restates the pipeline over STRING grams (the
+  // Spark side travels as xxhash64 — a divergence needs a hash
+  // collision); the merge contract (+4 = n-1, overlap required) is
+  // mirrored verbatim. Both sides emit the unordered span set; the
+  // driver's comparator canonicalizes.
+  val x96 = Q.df(
+    "x96_duplicated_spans",
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM documents),
+      |g0 AS (SELECT doc_id, CASE WHEN len(w) >= 5
+      |    THEN [{'s': i, 'g': concat(w[i],' ',w[i+1],' ',w[i+2],' ',w[i+3],' ',w[i+4])}
+      |          for i in generate_series(1, len(w)-4)]
+      |    ELSE [] END AS gs FROM w),
+      |gr AS (SELECT doc_id, unnest(gs) AS u FROM g0),
+      |gp AS (SELECT doc_id, CAST(u.s AS INT) AS start, u.g AS g FROM gr),
+      |f AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df
+      |  FROM gp GROUP BY 1) WHERE df >= 2),
+      |h AS (SELECT gp.doc_id, gp.start FROM gp JOIN f USING (g)),
+      |i AS (SELECT doc_id, start,
+      |    CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start) IS NULL
+      |         OR start > lag(start) OVER (PARTITION BY doc_id ORDER BY start) + 4
+      |         THEN 1 ELSE 0 END AS nw FROM h),
+      |j AS (SELECT doc_id, start,
+      |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY start) AS isl FROM i)
+      |SELECT doc_id, CAST(MIN(start) AS INT) AS span_start,
+      |  CAST(MAX(start) + 4 AS INT) AS span_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_grams
+      |FROM j GROUP BY doc_id, isl
+      |ORDER BY doc_id, span_start""".stripMargin) { (spark, dir) =>
+    TextAnalysis.duplicatedSpans(
+      Tables.load(spark, dir, "documents"), n = 5, minDocs = 2)
+  }
+
+  // ---------------------------------------------------------------- x97
+  // Embedding covariance matrix (leading 16×16 block, upper triangle)
+  // — the whitening/PCA precompute and truncation-redundancy audit.
+  // One corpus pass on the Spark side (pair terms + j=0-tagged mean
+  // terms through a single Generate into one (i,j)-keyed aggregate);
+  // the oracle restates it as a positioned self-join, numerically
+  // identical under the x72 determinism convention (round@9 at source,
+  // round@9 per product, DECIMAL(28,9) sums, IEEE double finals).
+  val x97 = Q.df(
+    "x97_embedding_covariance",
+    """WITH v AS (SELECT vec_id,
+      |    CAST(unnest(generate_series(1, len(embedding))) AS INT) AS dim,
+      |    ROUND(CAST(unnest(embedding) AS DOUBLE), 9) AS x
+      |  FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(embedding) >= 16),
+      |f AS (SELECT vec_id, dim, x FROM v WHERE dim <= 16),
+      |p AS (SELECT a.dim AS i, b.dim AS j,
+      |    SUM(CAST(ROUND(a.x * b.x, 9) AS DECIMAL(28,9))) AS s,
+      |    COUNT(*) AS n
+      |  FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      |  GROUP BY 1, 2),
+      |m AS (SELECT dim,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS mu
+      |  FROM f GROUP BY 1)
+      |SELECT p.i, p.j,
+      |  ROUND(CAST(p.s AS DOUBLE) / p.n - mi.mu * mj.mu, 9) AS cov
+      |FROM p JOIN m mi ON p.i = mi.dim JOIN m mj ON p.j = mj.dim
+      |ORDER BY i, j""".stripMargin) { (spark, dir) =>
+    Similarity.covariance(Tables.load(spark, dir, "embeddings"), dims = 16)
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -2846,5 +2916,5 @@ object Extensions {
     x56b, x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95)
+    x95, x96, x97)
 }
