@@ -86,13 +86,17 @@ object Similarity {
     * decisions: a large |cov(i,j)| off the diagonal means dimension j
     * carries little beyond dimension i.
     *
-    * One corpus pass: each row generates its `d(d+1)/2` upper-triangle
-    * product terms PLUS `d` mean terms (tagged `j = 0`) from a single
+    * One corpus pass, STRUCTURALLY: each row generates its `d(d+1)/2`
+    * upper-triangle terms `(i, j, x_i·x_j, x_i, x_j)` from a single
     * Generate, and one partial→final hash aggregate keyed on (i, j)
-    * decimal-sums them — the shuffle carries `(d² /2 + d) × partitions`
-    * partial rows no matter the corpus size, and the means join back
-    * over the aggregated (tiny, broadcast) frame, so nothing
-    * corpus-sized moves twice. Per-term work is O(d²) per row — that is
+    * decimal-sums all three measures — the mean sums ride INSIDE each
+    * pair's aggregate state instead of joining back from a second
+    * corpus pass (a j-tagged mean branch canonicalizes differently
+    * once Catalyst pushes the tag filters below the aggregates, so AQE
+    * cannot reuse the stage and the corpus would scan 3×; carrying the
+    * sums costs d duplicate additions per row and removes the join
+    * entirely). The shuffle carries `d²/2 × partitions` partial rows no
+    * matter the corpus size. Per-term work is O(d²) per row — that is
     * the mathematical content of a covariance matrix, not an
     * implementation artifact; `dims` bounds it when only a leading
     * block is needed (e.g. after an importance-ordered truncation).
@@ -117,26 +121,20 @@ object Similarity {
       transform(sequence(i, lit(dims)), j =>
         struct(i.cast("int").as("i"), j.cast("int").as("j"),
           round(element_at(col("__cv_e"), i) *
-            element_at(col("__cv_e"), j), 9).as("p")))))
-    val meanTerms = transform(sequence(lit(1), lit(dims)), i =>
-      struct(i.cast("int").as("i"), lit(0).as("j"),
-        element_at(col("__cv_e"), i).as("p")))
-    val agg = e
-      .select(explode(concat(meanTerms, pairTerms)).as("t"))
-      .select(col("t.i"), col("t.j"), col("t.p"))
+            element_at(col("__cv_e"), j), 9).as("p"),
+          element_at(col("__cv_e"), i).as("xi"),
+          element_at(col("__cv_e"), j).as("xj")))))
+    val mi = col("si").cast("double") / col("n")
+    val mj = col("sj").cast("double") / col("n")
+    e.select(explode(pairTerms).as("t"))
+      .select(col("t.i"), col("t.j"), col("t.p"), col("t.xi"), col("t.xj"))
       .groupBy(col("i"), col("j"))
       .agg(sum(col("p").cast(DecimalType(28, 9))).as("s"),
+        sum(col("xi").cast(DecimalType(28, 9))).as("si"),
+        sum(col("xj").cast(DecimalType(28, 9))).as("sj"),
         count(lit(1)).as("n"))
-    val means = agg.filter(col("j") === 0)
-      .select(col("i").as("__cv_d"),
-        (col("s").cast("double") / col("n")).as("__cv_mu"))
-    agg.filter(col("j") > 0)
-      .join(broadcast(means), col("i") === col("__cv_d"))
-      .drop("__cv_d").withColumnRenamed("__cv_mu", "__cv_mi")
-      .join(broadcast(means), col("j") === col("__cv_d"))
       .select(col("i"), col("j"),
-        round(col("s").cast("double") / col("n")
-          - col("__cv_mi") * col("__cv_mu"), 9).as("cov"))
+        round(col("s").cast("double") / col("n") - mi * mj, 9).as("cov"))
       .orderBy(col("i"), col("j"))
   }
 

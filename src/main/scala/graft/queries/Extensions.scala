@@ -2880,11 +2880,12 @@ object Extensions {
   // ---------------------------------------------------------------- x97
   // Embedding covariance matrix (leading 16×16 block, upper triangle)
   // — the whitening/PCA precompute and truncation-redundancy audit.
-  // One corpus pass on the Spark side (pair terms + j=0-tagged mean
-  // terms through a single Generate into one (i,j)-keyed aggregate);
-  // the oracle restates it as a positioned self-join, numerically
-  // identical under the x72 determinism convention (round@9 at source,
-  // round@9 per product, DECIMAL(28,9) sums, IEEE double finals).
+  // ONE corpus pass on the Spark side: the per-pair mean sums ride
+  // inside the same (i,j)-keyed aggregate as the product sums (no
+  // mean-join back — CovarianceSpec pins the single scan). The oracle
+  // restates it as a positioned self-join, numerically identical under
+  // the x72 determinism convention (round@9 at source, round@9 per
+  // product, DECIMAL(28,9) sums, IEEE double finals).
   val x97 = Q.df(
     "x97_embedding_covariance",
     """WITH v AS (SELECT vec_id,
@@ -2895,16 +2896,15 @@ object Extensions {
       |f AS (SELECT vec_id, dim, x FROM v WHERE dim <= 16),
       |p AS (SELECT a.dim AS i, b.dim AS j,
       |    SUM(CAST(ROUND(a.x * b.x, 9) AS DECIMAL(28,9))) AS s,
+      |    SUM(CAST(a.x AS DECIMAL(28,9))) AS si,
+      |    SUM(CAST(b.x AS DECIMAL(28,9))) AS sj,
       |    COUNT(*) AS n
       |  FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.dim <= b.dim
-      |  GROUP BY 1, 2),
-      |m AS (SELECT dim,
-      |    CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS mu
-      |  FROM f GROUP BY 1)
-      |SELECT p.i, p.j,
-      |  ROUND(CAST(p.s AS DOUBLE) / p.n - mi.mu * mj.mu, 9) AS cov
-      |FROM p JOIN m mi ON p.i = mi.dim JOIN m mj ON p.j = mj.dim
-      |ORDER BY i, j""".stripMargin) { (spark, dir) =>
+      |  GROUP BY 1, 2)
+      |SELECT i, j,
+      |  ROUND(CAST(s AS DOUBLE) / n
+      |    - (CAST(si AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n), 9) AS cov
+      |FROM p ORDER BY i, j""".stripMargin) { (spark, dir) =>
     Similarity.covariance(Tables.load(spark, dir, "embeddings"), dims = 16)
   }
 

@@ -52,6 +52,19 @@ class CovarianceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Similarity.covariance(vecs, 0))
   }
 
+  test("one corpus scan, no join: the mean sums ride the pair aggregate") {
+    val df = Similarity.covariance(
+      graft.tables.Tables.load(spark, "/root/testdata/sf0.001", "embeddings"),
+      dims = 8)
+    df.collect()
+    // AdaptiveSparkPlan.toString appends "== Initial Plan ==" — count
+    // only the final executed section
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected exactly 1 scan, got $scans in:\n$p")
+    assert(!p.contains("Join"), s"expected no join in:\n$p")
+  }
+
   test("a dims prefix equals the leading block of the full matrix") {
     val emb = Seq(
       (1L, Array(1f, 2f, 5f)),
