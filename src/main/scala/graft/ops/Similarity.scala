@@ -26,6 +26,14 @@ import graft.functions.TextHashExprs
  *  - candidate dedup shuffles only (id, id) pairs — embedding vectors are
  *    re-joined AFTER the distinct exchange, never carried through it.
  */
+/** Driver-side PCA metadata (all `O(k·dims)` doubles):
+  * `components(j)(i)` = component `j`'s weight on dimension `i`,
+  * eigenvalues descending. See [[Similarity.pcaModel]]. */
+final case class PcaModel(
+    means: Array[Double],
+    eigenvalues: Array[Double],
+    components: Array[Array[Double]])
+
 object Similarity {
 
   /** Σ aᵢ·bᵢ as a left-to-right double fold — deterministic for a fixed
@@ -136,6 +144,126 @@ object Similarity {
       .select(col("i"), col("j"),
         round(col("s").cast("double") / col("n") - mi * mj, 9).as("cov"))
       .orderBy(col("i"), col("j"))
+  }
+
+  /** PCA model over the leading `dims` embedding dimensions: per-dim
+    * means, the top-`k` eigenvalues (descending) and eigenvectors of
+    * the [[covariance]] matrix. `components(j)(i)` is component `j`'s
+    * weight on dimension `i`.
+    *
+    * The eigendecomposition runs DRIVER-SIDE on the collected `dims ×
+    * dims` covariance (metadata-sized — the IVF-centroid /
+    * [[standardize]] precedent: only `d²` doubles ever reach the
+    * driver; the covariance itself is the one-pass distributed
+    * aggregate). Cyclic Jacobi with a fixed sweep order, fixed
+    * convergence threshold, and a fixed sign convention (the
+    * largest-|weight| entry of each component is positive, first index
+    * on ties) — every step is deterministic double arithmetic on the
+    * deterministic covariance, so the model is bit-for-bit reproducible
+    * run-to-run and partitioning-proof. */
+  def pcaModel(embeddings: DataFrame, dims: Int, k: Int): PcaModel = {
+    require(k >= 1 && k <= dims, s"k must be in [1, $dims], got $k")
+    val cells = covariance(embeddings, dims)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val cov = Array.tabulate(dims, dims)((i, j) =>
+      cells(((i min j) + 1, (i max j) + 1)))
+    val means = dimensionStats(
+        embeddings.filter(col("embedding").isNotNull &&
+          size(col("embedding")) >= dims)
+          .select(slice(col("embedding"), 1, dims).as("embedding")))
+      .select(col("dim"), col("mean")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+    val (vals, vecs) = jacobiEigen(cov)
+    val order = vals.zipWithIndex.sortBy { case (v, i) => (-v, i) }.take(k)
+    val comps = order.map { case (_, c) =>
+      val raw = Array.tabulate(dims)(i => vecs(i)(c))
+      val pivot = raw.zipWithIndex.maxBy { case (w, i) => (math.abs(w), -i) }
+      if (pivot._1 < 0) raw.map(-_) else raw
+    }
+    PcaModel(means, order.map(_._1), comps)
+  }
+
+  /** Project each embedding onto the top-`k` principal components —
+    * `(vec_id, components: array<double>)`, each component rounded @9.
+    * The model's means/eigenvectors embed as LITERALS, so the apply
+    * pass is a pure codegen'd per-row projection (`k·dims`
+    * multiply-adds, no join, no shuffle, nothing corpus-sized moves) —
+    * the dimensionality-reduction front half of an ANN/clustering
+    * pipeline at any corpus size. Rows with NULL or sub-`dims`
+    * embeddings are excluded, matching the model's fit set. */
+  def pcaProject(embeddings: DataFrame, dims: Int, k: Int): DataFrame = {
+    val m = pcaModel(embeddings, dims, k)
+    val comps = (0 until k).map { j =>
+      round((0 until dims).map { i =>
+        (round(element_at(col("embedding"), i + 1).cast("double"), 9)
+          - lit(m.means(i))) * lit(m.components(j)(i))
+      }.reduce(_ + _), 9)
+    }
+    embeddings
+      .filter(col("embedding").isNotNull && size(col("embedding")) >= dims)
+      .select(col("vec_id"), array(comps: _*).as("components"))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, V) with V's COLUMNS the eigenvectors. Fixed
+    * (p, q) sweep order and thresholds — fully deterministic. */
+  private[ops] def jacobiEigen(
+      a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var p = 0
+      while (p < n) {
+        var q = p + 1
+        while (q < n) { s += a(p)(q) * a(p)(q); q += 1 }
+        p += 1
+      }
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && off() > 1e-22) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-18) {
+            val theta = (a(q)(q) - a(p)(p)) / (2 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1))
+            val c = 1.0 / math.sqrt(t * t + 1)
+            val s = t * c
+            var i = 0
+            while (i < n) {
+              if (i != p && i != q) {
+                val aip = a(i)(p); val aiq = a(i)(q)
+                a(i)(p) = c * aip - s * aiq; a(p)(i) = a(i)(p)
+                a(i)(q) = s * aip + c * aiq; a(q)(i) = a(i)(q)
+              }
+              i += 1
+            }
+            val app = a(p)(p); val aqq = a(q)(q)
+            a(p)(p) = c * c * app - 2 * s * c * apq + s * s * aqq
+            a(q)(q) = s * s * app + 2 * s * c * apq + c * c * aqq
+            a(p)(q) = 0.0; a(q)(p) = 0.0
+            i = 0
+            while (i < n) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
   }
 
   /** Whitening APPLICATION — [[dimensionStats]]' acting counterpart:

@@ -2908,6 +2908,45 @@ object Extensions {
     Similarity.covariance(Tables.load(spark, dir, "embeddings"), dims = 16)
   }
 
+  // ---------------------------------------------------------------- x98
+  // PCA projection onto the top-4 principal components of the leading
+  // 16-dim block. The eigendecomposition is deterministic driver-side
+  // Jacobi over the x97-oracle-verified covariance (only d² doubles
+  // reach the driver — the IVF-centroid precedent), so no SQL engine
+  // can restate it: rows-only here, with the planted invariant below
+  // and PcaSpec's spectrum/orthonormality/trace rows carrying the
+  // math. The projection itself is a pure codegen'd per-row
+  // multiply-add chain — no join, no shuffle.
+  val x98 = Q.dfOnly("x98_pca_projection") { (spark, dir) =>
+    Similarity.pcaProject(Tables.load(spark, dir, "embeddings"),
+      dims = 16, k = 4)
+  }
+
+  // ---------------------------------------------------------------- x98b
+  // Planted PCA invariant (full oracle): identical embedding rows MUST
+  // project to identical component vectors — the projection is a fixed
+  // literal linear map, so twins planted under shifted ids compare
+  // exactly equal (array equality, no tolerance). The oracle states
+  // the invariant literally.
+  val x98b = Q.df(
+    "x98b_pca_twin_invariant",
+    """SELECT CAST(vec_id AS BIGINT) AS qid, CAST(1 AS INT) AS same
+      |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin) {
+    (spark, dir) =>
+      val e = Tables.load(spark, dir, "embeddings")
+      val twin = e.filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + lit(100000L))
+      val proj = Similarity.pcaProject(e.unionByName(twin), dims = 16, k = 4)
+      val orig = proj.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("components").as("co"))
+      val twinP = proj.filter(col("vec_id") >= 100000L)
+        .select((col("vec_id") - 100000L).as("qid"), col("components").as("ct"))
+      orig.join(twinP, "qid")
+        .select(col("qid"),
+          when(col("co") === col("ct"), 1).otherwise(0).cast("int").as("same"))
+        .orderBy(col("qid"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -2916,5 +2955,5 @@ object Extensions {
     x56b, x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95, x96, x97)
+    x95, x96, x97, x98, x98b)
 }
