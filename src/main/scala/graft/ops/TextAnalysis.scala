@@ -449,6 +449,50 @@ object TextAnalysis {
       .orderBy(col(groupCol))
   }
 
+  /** Mutual information between two categorical columns — the
+    * dependence audit for mixture design: `MI(lang; source)` near 0
+    * means language mix is homogeneous across sources; large MI means
+    * sources specialize, so source-level sampling reshapes the
+    * language mix too (and any per-source quality threshold doubles as
+    * a hidden language filter). Emits ONE row
+    * `(n, h_a, h_b, mi)` — entropies ride along so the caller can
+    * normalize (`mi / min(h_a, h_b)`). Rows with a NULL in either
+    * column drop (the mixture contract).
+    *
+    * Determinism: each `ln` pins @7 at source (the r07 transcendental
+    * contract), every term rounds @9 then accumulates in
+    * DECIMAL(28,9); sum-only finals re-round @9.
+    *
+    * 100 TB shape: ONE corpus pass — the (a, b) cell-count aggregate —
+    * bounds every downstream frame at contingency-table size (|A|·|B|
+    * cells); the marginals, totals, and entropy sums all derive from
+    * it, and AQE's stage reuse collapses the repeated cell subtree at
+    * runtime (the x40 mechanism, spec-pinned). Row instances never
+    * cross a second shuffle. */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("nab"))
+    val ca = cells.groupBy(col("a")).agg(sum(col("nab")).as("na"))
+    val cb = cells.groupBy(col("b")).agg(sum(col("nab")).as("nb"))
+    val tot = cells.agg(sum(col("nab")).as("n"))
+    val pab = col("nab").cast("double") / col("n").cast("double")
+    val pa = col("na").cast("double") / col("n").cast("double")
+    val pb = col("nb").cast("double") / col("n").cast("double")
+    val mi = cells.join(ca, "a").join(cb, "b").crossJoin(broadcast(tot))
+      .agg(round(sum(round(pab * round(log(pab / (pa * pb)), 7), 9)
+        .cast(DecimalType(28, 9))).cast("double"), 9).as("mi"))
+    val ha = ca.crossJoin(broadcast(tot))
+      .agg(round(sum(round(-pa * round(log(pa), 7), 9)
+        .cast(DecimalType(28, 9))).cast("double"), 9).as("h_a"))
+    val hb = cb.crossJoin(broadcast(tot))
+      .agg(round(sum(round(-pb * round(log(pb), 7), 9)
+        .cast(DecimalType(28, 9))).cast("double"), 9).as("h_b"))
+    tot.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .crossJoin(broadcast(mi))
+      .select(col("n"), col("h_a"), col("h_b"), col("mi"))
+  }
+
   /** Bigram-LM surprisal with interpolation smoothing: per-doc mean
     * negative log-likelihood of each token given its predecessor under
     * the corpus's own interpolated bigram model

@@ -2947,6 +2947,44 @@ object Extensions {
         .orderBy(col("qid"))
   }
 
+  // ---------------------------------------------------------------- x99
+  // Mutual information lang × source — the mixture-design dependence
+  // audit (does sampling by source reshape the language mix?). Oracle
+  // restates the contingency pipeline under the r07 transcendental
+  // contract: ln pinned @7, terms @9 into DECIMAL(28,9), sum-only
+  // finals re-round @9.
+  val x99 = Q.df(
+    "x99_mutual_information",
+    """WITH cells AS (SELECT lang AS a, source AS b,
+      |    CAST(count(*) AS BIGINT) AS nab FROM documents
+      |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+      |ca AS (SELECT a, CAST(SUM(nab) AS BIGINT) AS na FROM cells GROUP BY 1),
+      |cb AS (SELECT b, CAST(SUM(nab) AS BIGINT) AS nb FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(nab) AS BIGINT) AS n FROM cells),
+      |mi AS (SELECT ROUND(CAST(SUM(CAST(ROUND(
+      |      (CAST(nab AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * ROUND(ln((CAST(nab AS DOUBLE) / CAST(n AS DOUBLE))
+      |          / ((CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+      |             * (CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)))), 7), 9)
+      |    AS DECIMAL(28,9))) AS DOUBLE), 9) AS mi
+      |  FROM cells JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tot),
+      |ha AS (SELECT ROUND(CAST(SUM(CAST(ROUND(
+      |      -(CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * ROUND(ln(CAST(na AS DOUBLE) / CAST(n AS DOUBLE)), 7), 9)
+      |    AS DECIMAL(28,9))) AS DOUBLE), 9) AS h_a
+      |  FROM ca CROSS JOIN tot),
+      |hb AS (SELECT ROUND(CAST(SUM(CAST(ROUND(
+      |      -(CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * ROUND(ln(CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)), 7), 9)
+      |    AS DECIMAL(28,9))) AS DOUBLE), 9) AS h_b
+      |  FROM cb CROSS JOIN tot)
+      |SELECT n, h_a, h_b, mi
+      |FROM tot CROSS JOIN ha CROSS JOIN hb CROSS JOIN mi""".stripMargin) {
+    (spark, dir) =>
+      TextAnalysis.mutualInformation(
+        Tables.load(spark, dir, "documents"), "lang", "source")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -2955,5 +2993,5 @@ object Extensions {
     x56b, x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95, x96, x97, x98, x98b)
+    x95, x96, x97, x98, x98b, x99)
 }
