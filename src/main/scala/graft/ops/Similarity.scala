@@ -117,6 +117,43 @@ object Similarity {
     * are excluded up front (a covariance over ragged rows is
     * ill-defined); per-pair `n` is therefore the same for every cell. */
   def covariance(embeddings: DataFrame, dims: Int): DataFrame = {
+    val mi = col("si").cast("double") / col("n")
+    val mj = col("sj").cast("double") / col("n")
+    pairMoments(embeddings, dims)
+      .select(col("i"), col("j"),
+        round(col("s").cast("double") / col("n") - mi * mj, 9).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Pearson correlation matrix of the first `dims` embedding
+    * dimensions — `(i, j, corr)` upper triangle, the scale-free
+    * counterpart of [[covariance]] (redundancy reads directly as
+    * |corr| without consulting the variances). Same ONE-pass
+    * [[pairMoments]] aggregate — the per-pair second moments ride
+    * along, so the variances come from the SAME aggregate row and no
+    * diagonal join (which would break AQE stage reuse and re-scan the
+    * corpus) exists. `corr = (E[xy] − E[x]E[y]) / √(var_x·var_y)`,
+    * every op IEEE exactly-rounded on identical operands (√ included —
+    * correctly rounded per IEEE 754), rounded @9 once at the end; a
+    * zero-variance dimension yields NULL (both engines, guarded). */
+  def correlation(embeddings: DataFrame, dims: Int): DataFrame = {
+    val mi = col("si").cast("double") / col("n")
+    val mj = col("sj").cast("double") / col("n")
+    val vi = col("sii").cast("double") / col("n") - mi * mi
+    val vj = col("sjj").cast("double") / col("n") - mj * mj
+    val num = col("s").cast("double") / col("n") - mi * mj
+    pairMoments(embeddings, dims)
+      .select(col("i"), col("j"),
+        when(vi <= 0 || vj <= 0, lit(null).cast("double"))
+          .otherwise(round(num / sqrt(vi * vj), 9)).as("corr"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Shared one-pass pair-moment aggregate for
+    * [[covariance]]/[[correlation]]: per upper-triangle (i, j), the
+    * decimal sums of `x_i·x_j`, `x_i`, `x_j`, `x_i²`, `x_j²` and the
+    * row count, from a single Generate + (i, j)-keyed aggregate. */
+  private def pairMoments(embeddings: DataFrame, dims: Int): DataFrame = {
     require(dims >= 1, s"dims must be >= 1, got $dims")
     // the embedding array is a real parquet attribute, so element_at
     // inside the (interpreted) HOF lambdas indexes a materialized row
@@ -132,18 +169,17 @@ object Similarity {
             element_at(col("__cv_e"), j), 9).as("p"),
           element_at(col("__cv_e"), i).as("xi"),
           element_at(col("__cv_e"), j).as("xj")))))
-    val mi = col("si").cast("double") / col("n")
-    val mj = col("sj").cast("double") / col("n")
     e.select(explode(pairTerms).as("t"))
       .select(col("t.i"), col("t.j"), col("t.p"), col("t.xi"), col("t.xj"))
       .groupBy(col("i"), col("j"))
       .agg(sum(col("p").cast(DecimalType(28, 9))).as("s"),
         sum(col("xi").cast(DecimalType(28, 9))).as("si"),
         sum(col("xj").cast(DecimalType(28, 9))).as("sj"),
+        sum(round(col("xi") * col("xi"), 9)
+          .cast(DecimalType(28, 9))).as("sii"),
+        sum(round(col("xj") * col("xj"), 9)
+          .cast(DecimalType(28, 9))).as("sjj"),
         count(lit(1)).as("n"))
-      .select(col("i"), col("j"),
-        round(col("s").cast("double") / col("n") - mi * mj, 9).as("cov"))
-      .orderBy(col("i"), col("j"))
   }
 
   /** PCA model over the leading `dims` embedding dimensions: per-dim

@@ -2985,6 +2985,47 @@ object Extensions {
         Tables.load(spark, dir, "documents"), "lang", "source")
   }
 
+  // ---------------------------------------------------------------- x100
+  // Pearson correlation matrix (leading 16×16 block) — x97's scale-free
+  // counterpart, same single pair-moment aggregate (second moments ride
+  // along; no diagonal join). √ is IEEE correctly-rounded, so the whole
+  // final expression is deterministic double math on identical
+  // operands; round @9 once at the end, zero-variance dims → NULL in
+  // both engines.
+  val x100 = Q.df(
+    "x100_embedding_correlation",
+    """WITH v AS (SELECT vec_id,
+      |    CAST(unnest(generate_series(1, len(embedding))) AS INT) AS dim,
+      |    ROUND(CAST(unnest(embedding) AS DOUBLE), 9) AS x
+      |  FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(embedding) >= 16),
+      |f AS (SELECT vec_id, dim, x FROM v WHERE dim <= 16),
+      |p AS (SELECT a.dim AS i, b.dim AS j,
+      |    SUM(CAST(ROUND(a.x * b.x, 9) AS DECIMAL(28,9))) AS s,
+      |    SUM(CAST(a.x AS DECIMAL(28,9))) AS si,
+      |    SUM(CAST(b.x AS DECIMAL(28,9))) AS sj,
+      |    SUM(CAST(ROUND(a.x * a.x, 9) AS DECIMAL(28,9))) AS sii,
+      |    SUM(CAST(ROUND(b.x * b.x, 9) AS DECIMAL(28,9))) AS sjj,
+      |    COUNT(*) AS n
+      |  FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      |  GROUP BY 1, 2)
+      |SELECT i, j,
+      |  CASE WHEN (CAST(sii AS DOUBLE) / n
+      |        - (CAST(si AS DOUBLE) / n) * (CAST(si AS DOUBLE) / n)) <= 0
+      |      OR (CAST(sjj AS DOUBLE) / n
+      |        - (CAST(sj AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n)) <= 0
+      |    THEN NULL
+      |    ELSE ROUND((CAST(s AS DOUBLE) / n
+      |        - (CAST(si AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n))
+      |      / sqrt((CAST(sii AS DOUBLE) / n
+      |          - (CAST(si AS DOUBLE) / n) * (CAST(si AS DOUBLE) / n))
+      |        * (CAST(sjj AS DOUBLE) / n
+      |          - (CAST(sj AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n))), 9)
+      |  END AS corr
+      |FROM p ORDER BY i, j""".stripMargin) { (spark, dir) =>
+    Similarity.correlation(Tables.load(spark, dir, "embeddings"), dims = 16)
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -2993,5 +3034,5 @@ object Extensions {
     x56b, x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95, x96, x97, x98, x98b, x99)
+    x95, x96, x97, x98, x98b, x99, x100)
 }

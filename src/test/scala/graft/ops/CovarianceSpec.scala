@@ -65,6 +65,29 @@ class CovarianceSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"expected no join in:\n$p")
   }
 
+  test("correlation: exact-linear pair reads 1.0, diagonal reads 1.0") {
+    val got = Similarity.correlation(vecs, 2)
+      .as[(Int, Int, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(got((1, 1)) == 1.0 && got((2, 2)) == 1.0)
+    assert(got((1, 2)) == 1.0) // x2 = 2*x1 exactly
+    val anti = Seq(
+      (1L, Array(1f, -2f)), (2L, Array(2f, -4f)), (3L, Array(3f, -6f)))
+      .toDF("vec_id", "embedding")
+    val g2 = Similarity.correlation(anti, 2)
+      .as[(Int, Int, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(g2((1, 2)) == -1.0)
+  }
+
+  test("correlation: a zero-variance dimension yields NULL, not NaN") {
+    val const = Seq(
+      (1L, Array(5f, 1f)), (2L, Array(5f, 2f)), (3L, Array(5f, 3f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.correlation(const, 2).collect()
+    val cell = rows.find(r => r.getInt(0) == 1 && r.getInt(1) == 2).get
+    assert(cell.isNullAt(2))
+    assert(rows.find(r => r.getInt(0) == 1 && r.getInt(1) == 1).get.isNullAt(2))
+  }
+
   test("a dims prefix equals the leading block of the full matrix") {
     val emb = Seq(
       (1L, Array(1f, 2f, 5f)),
