@@ -553,6 +553,107 @@ object TextHashExprs {
     * order-insensitive (max, Σ of exact small integers in doubles), so the
     * result is bit-identical across partitionings AND engines — that is
     * what makes the x29 oracle a hard hash compare. */
+  /** Upper-triangle pair-moment terms for the covariance/correlation
+    * aggregate: per row, `dims·(dims+1)/2` structs
+    * `(i, j, p = round9(x_i·x_j), x_i, x_j)` with each `x` read from the
+    * leading `dims` elements and rounded @9 at source — one imperative
+    * loop per row replacing a nested `transform` whose lambdas run
+    * interpreted per pair (measured ~3× the whole query's runtime at
+    * sf0.1). Rounding is BigDecimal HALF_UP, bit-identical to Spark's
+    * `round(_, 9)` and DuckDB's `ROUND(_, 9)` (the x72 convention).
+    * Null or shorter-than-`dims` input → null row (the op layer filters
+    * those up front). */
+  case class PairTerms(child: Expression, dims: Int)
+      extends UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("i", IntegerType, nullable = false),
+      StructField("j", IntegerType, nullable = false),
+      StructField("p", DoubleType, nullable = false),
+      StructField("xi", DoubleType, nullable = false),
+      StructField("xj", DoubleType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = true
+    override def checkInputDataTypes() =
+      checkPrimitiveVectorInput("pair_terms", child)
+    @transient private lazy val rd = elemReader(child.dataType)
+
+    private def round9(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      if (a.numElements() < dims) return null
+      val x = new Array[Double](dims)
+      var i = 0
+      while (i < dims) {
+        if (a.isNullAt(i)) return null
+        x(i) = round9(rd(a, i))
+        i += 1
+      }
+      val out = new Array[AnyRef](dims * (dims + 1) / 2)
+      var idx = 0
+      i = 0
+      while (i < dims) {
+        var j = i
+        while (j < dims) {
+          out(idx) = new GenericInternalRow(Array[Any](
+            i + 1, j + 1, round9(x(i) * x(j)), x(i), x(j)))
+          idx += 1
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val fn = ctx.freshName("round9Pt")
+      val r9 = ctx.addNewFunction(fn,
+        s"""
+           |private double $fn(double x) {
+           |  if (Double.isNaN(x) || Double.isInfinite(x)) return x;
+           |  return java.math.BigDecimal.valueOf(x)
+           |    .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue();
+           |}
+         """.stripMargin)
+      nullSafeCodeGen(ctx, ev, a => {
+        val bad = ctx.freshName("bad"); val x = ctx.freshName("x")
+        val out = ctx.freshName("out"); val idx = ctx.freshName("idx")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        s"""
+           |boolean $bad = ($a.numElements() < $dims);
+           |double[] $x = $bad ? null : new double[$dims];
+           |for (int $i = 0; !$bad && $i < $dims; $i++) {
+           |  if ($a.isNullAt($i)) { $bad = true; break; }
+           |  $x[$i] = $r9(${elemJava(child.dataType, a, i)});
+           |}
+           |Object[] $out = $bad ? null
+           |  : new Object[${dims * (dims + 1) / 2}];
+           |if (!$bad) {
+           |  int $idx = 0;
+           |  for (int $i = 0; $i < $dims; $i++) {
+           |    for (int $j = $i; $j < $dims; $j++) {
+           |      $out[$idx++] =
+           |        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+           |          new Object[]{ $i + 1, $j + 1, $r9($x[$i] * $x[$j]),
+           |            $x[$i], $x[$j] });
+           |    }
+           |  }
+           |}
+           |${ev.isNull} = $bad;
+           |${ev.value} = $bad ? null
+           |  : new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+    }
+    override def prettyName: String = "pair_terms"
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   case class QuantStats(child: Expression, levels: Int)
       extends UnaryExpression {
     import org.apache.spark.sql.catalyst.InternalRow
@@ -1027,6 +1128,8 @@ object TextHashExprs {
       { case Seq(x) => RepetitionMetrics(x) }, "built-in")
     reg.createOrReplaceTempFunction("quant_stats",
       { case Seq(x, Literal(l: Int, IntegerType)) => QuantStats(x, l) }, "built-in")
+    reg.createOrReplaceTempFunction("pair_terms",
+      { case Seq(x, Literal(d: Int, IntegerType)) => PairTerms(x, d) }, "built-in")
   }
 
   def tokenTrigramHashes(spark: SparkSession, text: Column): Column = {
@@ -1096,6 +1199,12 @@ object TextHashExprs {
     ensureRegistered(spark)
     call_function("quant_stats", v,
       org.apache.spark.sql.functions.lit(levels))
+  }
+
+  def pairTerms(spark: SparkSession, v: Column, dims: Int): Column = {
+    ensureRegistered(spark)
+    call_function("pair_terms", v,
+      org.apache.spark.sql.functions.lit(dims))
   }
 
   def nearestCentroids(spark: SparkSession, vec: Column,

@@ -152,24 +152,19 @@ object Similarity {
   /** Shared one-pass pair-moment aggregate for
     * [[covariance]]/[[correlation]]: per upper-triangle (i, j), the
     * decimal sums of `x_i·x_j`, `x_i`, `x_j`, `x_i²`, `x_j²` and the
-    * row count, from a single Generate + (i, j)-keyed aggregate. */
+    * row count, from a single Generate + (i, j)-keyed aggregate. The
+    * pair terms come from one imperative `PairTerms` kernel eval per
+    * row (real doGenCode — the nested-`transform` HOF formulation ran
+    * interpreted per pair and measured ~3× the whole query's runtime);
+    * the squared moments derive from the struct's source-rounded
+    * `x` fields by the same `round@9(x·x)` step as x72. */
   private def pairMoments(embeddings: DataFrame, dims: Int): DataFrame = {
     require(dims >= 1, s"dims must be >= 1, got $dims")
-    // the embedding array is a real parquet attribute, so element_at
-    // inside the (interpreted) HOF lambdas indexes a materialized row
-    // value — no re-eval hazard
-    val e = embeddings
+    val spark = embeddings.sparkSession
+    embeddings
       .filter(col("embedding").isNotNull && size(col("embedding")) >= dims)
-      .select(transform(slice(col("embedding"), 1, dims), x =>
-        round(x.cast("double"), 9)).as("__cv_e"))
-    val pairTerms = flatten(transform(sequence(lit(1), lit(dims)), i =>
-      transform(sequence(i, lit(dims)), j =>
-        struct(i.cast("int").as("i"), j.cast("int").as("j"),
-          round(element_at(col("__cv_e"), i) *
-            element_at(col("__cv_e"), j), 9).as("p"),
-          element_at(col("__cv_e"), i).as("xi"),
-          element_at(col("__cv_e"), j).as("xj")))))
-    e.select(explode(pairTerms).as("t"))
+      .select(explode(
+        TextHashExprs.pairTerms(spark, col("embedding"), dims)).as("t"))
       .select(col("t.i"), col("t.j"), col("t.p"), col("t.xi"), col("t.xj"))
       .groupBy(col("i"), col("j"))
       .agg(sum(col("p").cast(DecimalType(28, 9))).as("s"),
