@@ -266,6 +266,50 @@ object TextAnalysis {
       .drop("__ds_isl")
   }
 
+  /** APPLY a span cut list — [[duplicatedSpans]]' (or
+    * `Decontamination.contaminatedSpans`'s) acting counterpart, the
+    * surgical alternative to dropping whole documents: remove the
+    * tokens covered by each doc's spans and emit
+    * `(doc_id, clean_text, n_cut)`, every input document retained
+    * (no spans → unchanged text, fully-covered → empty string).
+    * `clean_text` is TOKEN-NORMALIZED (lowercased `\W+` tokens
+    * rejoined with single spaces — the span coordinates live in that
+    * token space, so the rebuild must too); `n_cut` counts removed
+    * tokens. NULL/empty text yields an empty clean_text with 0 cut.
+    *
+    * 100 TB shape: one (doc_id)-keyed shuffle joins the (tiny,
+    * contamination-proportional) span list onto the corpus; the
+    * rebuild is a pure per-row projection over the materialized token
+    * array (the Generate-inline barrier — the lambda re-eval pitfall),
+    * order-independent in the collected span list (membership only),
+    * so `collect_list`'s nondeterministic ordering cannot leak into
+    * results. */
+  def cutSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__cs_sp"))
+    val toked = docs.select(col("doc_id"),
+      inline(array(struct(Text.tokens(col("text")).as("__cs_w")))))
+    toked.join(sp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__cs_w"),
+        coalesce(col("__cs_sp"),
+          array().cast("array<struct<s:int,e:int>>")).as("__cs_s"))
+      .select(col("doc_id"),
+        coalesce(size(col("__cs_w")), lit(0)).as("__cs_n"),
+        when(coalesce(size(col("__cs_w")), lit(0)) >= 1,
+          filter(
+            transform(sequence(lit(1), size(col("__cs_w"))), i =>
+              struct(i.as("i"), element_at(col("__cs_w"), i).as("t"))),
+            st => !exists(col("__cs_s"),
+              s => st("i") >= s("s") && st("i") <= s("e"))))
+          .otherwise(array().cast("array<struct<i:int,t:string>>"))
+          .as("__cs_k"))
+      .select(col("doc_id"),
+        array_join(transform(col("__cs_k"), st => st("t")), " ")
+          .as("clean_text"),
+        (col("__cs_n") - size(col("__cs_k"))).cast("bigint").as("n_cut"))
+  }
+
   /** Top-`k` bigram collocations by lift — how much more often two
     * tokens appear ADJACENT than unigram frequencies predict
     * (`(n2/T2) / ((n1_a/T1)·(n1_b/T1))`, i.e. pointwise mutual

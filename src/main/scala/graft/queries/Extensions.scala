@@ -3026,6 +3026,55 @@ object Extensions {
     Similarity.correlation(Tables.load(spark, dir, "embeddings"), dims = 16)
   }
 
+  // ---------------------------------------------------------------- x101
+  // Span-cut APPLICATION: remove x96's duplicated runs from every doc
+  // and keep the rest — the full surgical loop (locate → cut) as one
+  // composition. Oracle restates both stages: the x96 span chain, then
+  // a positioned anti-join rebuild (clean_text is token-normalized by
+  // contract; every doc retained, fully-cut docs go empty).
+  val x101 = Q.df(
+    "x101_cut_spans",
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM documents),
+      |g0 AS (SELECT doc_id, CASE WHEN len(w) >= 5
+      |    THEN [{'s': i, 'g': concat(w[i],' ',w[i+1],' ',w[i+2],' ',w[i+3],' ',w[i+4])}
+      |          for i in generate_series(1, len(w)-4)]
+      |    ELSE [] END AS gs FROM w),
+      |gr AS (SELECT doc_id, unnest(gs) AS u FROM g0),
+      |gp AS (SELECT doc_id, CAST(u.s AS INT) AS start, u.g AS g FROM gr),
+      |f AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df
+      |  FROM gp GROUP BY 1) WHERE df >= 2),
+      |h AS (SELECT gp.doc_id, gp.start FROM gp JOIN f USING (g)),
+      |i AS (SELECT doc_id, start,
+      |    CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start) IS NULL
+      |         OR start > lag(start) OVER (PARTITION BY doc_id ORDER BY start) + 4
+      |         THEN 1 ELSE 0 END AS nw FROM h),
+      |j AS (SELECT doc_id, start,
+      |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY start) AS isl FROM i),
+      |sp AS (SELECT doc_id, CAST(MIN(start) AS INT) AS s,
+      |    CAST(MAX(start) + 4 AS INT) AS e
+      |  FROM j GROUP BY doc_id, isl),
+      |pos AS (SELECT doc_id,
+      |    unnest([{'i': i, 't': w[i]} for i in generate_series(1, len(w))]) AS u
+      |  FROM w),
+      |p2 AS (SELECT doc_id, CAST(u.i AS INT) AS i, u.t AS t FROM pos),
+      |kept AS (SELECT p.doc_id, p.i, p.t FROM p2 p WHERE NOT EXISTS
+      |  (SELECT 1 FROM sp WHERE sp.doc_id = p.doc_id
+      |     AND p.i BETWEEN sp.s AND sp.e)),
+      |ag AS (SELECT doc_id, array_to_string(list(t ORDER BY i), ' ') AS ct,
+      |    CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id),
+      |nn AS (SELECT doc_id, COALESCE(len(w), 0) AS n_tok FROM w)
+      |SELECT nn.doc_id, COALESCE(ag.ct, '') AS clean_text,
+      |  CAST(nn.n_tok - COALESCE(ag.n_kept, 0) AS BIGINT) AS n_cut
+      |FROM nn LEFT JOIN ag USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    TextAnalysis.cutSpans(docs,
+        TextAnalysis.duplicatedSpans(docs, n = 5, minDocs = 2))
+      .orderBy(col("doc_id"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -3034,5 +3083,5 @@ object Extensions {
     x56b, x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95, x96, x97, x98, x98b, x99, x100)
+    x95, x96, x97, x98, x98b, x99, x100, x101)
 }

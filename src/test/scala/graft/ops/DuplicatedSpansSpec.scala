@@ -59,6 +59,31 @@ class DuplicatedSpansSpec extends AnyFunSuite {
     assert(spans(twins) == Seq((1L, 1, 7, 5L), (2L, 1, 7, 5L)))
   }
 
+  test("cutSpans removes exactly the flagged tokens and keeps the rest") {
+    val d = Seq(
+      (1L, "intro alpha beta gamma outro one"),
+      (2L, "alpha beta gamma tail words here")).toDF("doc_id", "text")
+    // n=3, minDocs=2: shared run "alpha beta gamma" -> doc1 [2,4], doc2 [1,3]
+    val got = TextAnalysis.cutSpans(d, TextAnalysis.duplicatedSpans(d, 3))
+      .orderBy(col("doc_id")).as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "intro outro one", 3L),
+      (2L, "tail words here", 3L)))
+  }
+
+  test("cutSpans: no spans leaves token-normalized text; full coverage empties") {
+    val d = Seq((1L, "Unique! Words only."), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val noSpans = TextAnalysis.duplicatedSpans(d, 3)
+    val got = TextAnalysis.cutSpans(d, noSpans)
+      .orderBy(col("doc_id")).as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "unique words only", 0L), (2L, "", 0L)))
+    val twins = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val cut = TextAnalysis.cutSpans(twins, TextAnalysis.duplicatedSpans(twins, 3))
+      .orderBy(col("doc_id")).as[(Long, String, Long)].collect().toSeq
+    assert(cut == Seq((1L, "", 3L), (2L, "", 3L)))
+  }
+
   test("grams overload equals the string form") {
     val n = 3
     val toked = docs.select(col("doc_id"),
