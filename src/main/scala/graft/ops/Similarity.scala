@@ -196,6 +196,8 @@ object Similarity {
     require(k >= 1 && k <= dims, s"k must be in [1, $dims], got $k")
     val cells = covariance(embeddings, dims)
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    require(cells.nonEmpty,
+      s"pcaModel: no embedding rows with >= $dims non-null dimensions to fit on")
     val cov = Array.tabulate(dims, dims)((i, j) =>
       cells(((i min j) + 1, (i max j) + 1)))
     val means = dimensionStats(
