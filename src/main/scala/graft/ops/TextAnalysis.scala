@@ -284,12 +284,21 @@ object TextAnalysis {
     * order-independent in the collected span list (membership only),
     * so `collect_list`'s nondeterministic ordering cannot leak into
     * results. */
-  def cutSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+  def cutSpans(docs: DataFrame, spans: DataFrame): DataFrame =
+    cutSpansTokens(
+      docs.select(col("doc_id"),
+        inline(array(struct(Text.tokens(col("text")).as("__cs_w"))))),
+      spans)
+
+  /** [[cutSpans]] over a PRE-TOKENIZED frame — `(doc_id, __cs_w:
+    * array<string>)` rows. A caller who persists the token table pays
+    * the tokenize once across span LOCATION (via
+    * [[duplicatedSpansGrams]]) and the cut — x101 pays it per stage
+    * (lineage-pure by repo convention). */
+  def cutSpansTokens(toked: DataFrame, spans: DataFrame): DataFrame = {
     val sp = spans.groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("__cs_sp"))
-    val toked = docs.select(col("doc_id"),
-      inline(array(struct(Text.tokens(col("text")).as("__cs_w")))))
     toked.join(sp, Seq("doc_id"), "left")
       .select(col("doc_id"), col("__cs_w"),
         coalesce(col("__cs_sp"),

@@ -84,6 +84,20 @@ class DuplicatedSpansSpec extends AnyFunSuite {
     assert(cut == Seq((1L, "", 3L), (2L, "", 3L)))
   }
 
+  test("cutSpansTokens overload equals the string form") {
+    val d = Seq(
+      (1L, "intro alpha beta gamma outro one"),
+      (2L, "alpha beta gamma tail words here")).toDF("doc_id", "text")
+    val spansDf = TextAnalysis.duplicatedSpans(d, 3)
+    val toked = d.select(col("doc_id"),
+      inline(array(struct(Text.tokens(col("text")).as("__cs_w")))))
+    val viaTokens = TextAnalysis.cutSpansTokens(toked, spansDf)
+      .orderBy(col("doc_id")).as[(Long, String, Long)].collect().toSeq
+    val viaString = TextAnalysis.cutSpans(d, spansDf)
+      .orderBy(col("doc_id")).as[(Long, String, Long)].collect().toSeq
+    assert(viaTokens == viaString)
+  }
+
   test("grams overload equals the string form") {
     val n = 3
     val toked = docs.select(col("doc_id"),
