@@ -71,42 +71,16 @@ object Decontamination {
     * exchange+sort — volume proportional to actual contamination. */
   def contaminatedSpans(train: DataFrame, eval: DataFrame, idCol: Column,
       textCol: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // the token array materializes behind a Generate-inline barrier
-    // BEFORE the gram lambda references it: HOFs run interpreted and a
-    // raw `Text.tokens(text)` column would re-execute the regex split
-    // at every element_at reference inside the lambda (3 per position —
-    // the lambda re-eval pitfall; measured 12 s → ~1 s at sf0.1).
-    // CollapseProject cannot inline through a Generate, so `__dsw` is a
-    // per-row attribute by the time the trigram transform indexes it.
-    def tokenized(df: DataFrame, id: Column): DataFrame = df
-      .select(id.as("doc_id"),
-        inline(array(struct(Text.tokens(textCol).as("__dsw")))))
-    def gramArr(toks: Column): Column =
-      when(size(toks) >= 3,
-        transform(sequence(lit(1), size(toks) - 2), i =>
-          xxhash64(concat_ws(" ", element_at(toks, i),
-            element_at(toks, i + 1), element_at(toks, i + 2)))))
-        .otherwise(array().cast("array<bigint>"))
-    val evalGrams = tokenized(eval, idCol)
-      .select(explode(gramArr(col("__dsw"))).as("t")).distinct()
-    val hits = tokenized(train, idCol)
-      .select(col("doc_id"), posexplode(gramArr(col("__dsw"))))
-      .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("t"))
-      .join(broadcast(evalGrams), "t")
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
-    // UNORDERED span set (the relational contract — a global sort above
-    // this tree re-executes the lineage for range sampling under AQE);
-    // sort the small result downstream if a listing is needed.
-    hits
-      .withColumn("__ds_new",
-        when(lag(col("start"), 1).over(w).isNull ||
-          col("start") > lag(col("start"), 1).over(w) + 2, 1).otherwise(0))
-      .withColumn("__ds_isl", sum(col("__ds_new")).over(w))
-      .groupBy(col("doc_id"), col("__ds_isl"))
-      .agg(min(col("start")).cast("int").as("span_start"),
-        (max(col("start")) + 2).cast("int").as("span_end"),
-        count(lit(1)).as("n_grams"))
-      .drop("__ds_isl")
+    // positioned-gram front half and span-merge back half are the
+    // shared `Text.positionedGramHashes` / `Text.mergeSpans` helpers
+    // (one definition of the span-semantics contract — r07 review
+    // finding: this merge and TextAnalysis.duplicatedSpans' were
+    // hand-synchronized copies). UNORDERED span set out (see
+    // Text.mergeSpans).
+    val evalGrams = Text.positionedGramHashes(eval, idCol, textCol, 3)
+      .select(col("gh")).distinct()
+    val hits = Text.positionedGramHashes(train, idCol, textCol, 3)
+      .join(broadcast(evalGrams), "gh")
+    Text.mergeSpans(hits, 3)
   }
 }

@@ -113,9 +113,11 @@ object Similarity {
     * term, sums accumulate in DECIMAL(28,9) (order-independent), and
     * the final `s/n − mean·mean` is IEEE exactly-rounded double math on
     * identical operands in both engines — the [[dimensionStats]]
-    * variance convention, verbatim. Rows with NULL or short embeddings
-    * are excluded up front (a covariance over ragged rows is
-    * ill-defined); per-pair `n` is therefore the same for every cell. */
+    * variance convention, verbatim. Rows with a NULL/short embedding
+    * OR any NULL element in the leading `dims` block are excluded up
+    * front (a covariance over ragged rows is ill-defined; the oracles
+    * state the same predicate); per-pair `n` is therefore the same for
+    * every cell. */
   def covariance(embeddings: DataFrame, dims: Int): DataFrame = {
     val mi = col("si").cast("double") / col("n")
     val mj = col("sj").cast("double") / col("n")
@@ -162,7 +164,7 @@ object Similarity {
     require(dims >= 1, s"dims must be >= 1, got $dims")
     val spark = embeddings.sparkSession
     embeddings
-      .filter(col("embedding").isNotNull && size(col("embedding")) >= dims)
+      .filter(fitRowFilter(dims))
       .select(explode(
         TextHashExprs.pairTerms(spark, col("embedding"), dims)).as("t"))
       .select(col("t.i"), col("t.j"), col("t.p"), col("t.xi"), col("t.xj"))
@@ -176,6 +178,18 @@ object Similarity {
           .cast(DecimalType(28, 9))).as("sjj"),
         count(lit(1)).as("n"))
   }
+
+  /** The covariance/correlation/PCA fit-set contract, defined once:
+    * a row participates iff its embedding is non-null, has at least
+    * `dims` elements, AND the leading `dims` block has no NULL
+    * elements (r07 review: without the element clause Spark silently
+    * dropped such rows — `PairTerms` nulls them — while the SQL
+    * oracles counted them, a latent cross-engine divergence; the
+    * fixture is dense, so it never fired). `pcaProject` reuses the
+    * same predicate so projections exist exactly for fit rows. */
+  private def fitRowFilter(dims: Int): Column =
+    col("embedding").isNotNull && size(col("embedding")) >= dims &&
+      !exists(slice(col("embedding"), 1, dims), x => x.isNull)
 
   /** PCA model over the leading `dims` embedding dimensions: per-dim
     * means, the top-`k` eigenvalues (descending) and eigenvectors of
@@ -194,18 +208,25 @@ object Similarity {
     * run-to-run and partitioning-proof. */
   def pcaModel(embeddings: DataFrame, dims: Int, k: Int): PcaModel = {
     require(k >= 1 && k <= dims, s"k must be in [1, $dims], got $k")
-    val cells = covariance(embeddings, dims)
-      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
-    require(cells.nonEmpty,
+    // ONE corpus pass at fit time (r07 review: the covariance +
+    // dimensionStats pair scanned twice; the diagonal cells of the
+    // same pair-moment aggregate already carry the mean sums)
+    val rows = pairMoments(embeddings, dims).collect()
+    require(rows.nonEmpty,
       s"pcaModel: no embedding rows with >= $dims non-null dimensions to fit on")
+    def round9(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val cells = rows.map { r =>
+      val n = r.getLong(7).toDouble
+      val mi = r.getDecimal(3).doubleValue() / n
+      val mj = r.getDecimal(4).doubleValue() / n
+      ((r.getInt(0), r.getInt(1)),
+        (round9(r.getDecimal(2).doubleValue() / n - mi * mj), mi))
+    }.toMap
     val cov = Array.tabulate(dims, dims)((i, j) =>
-      cells(((i min j) + 1, (i max j) + 1)))
-    val means = dimensionStats(
-        embeddings.filter(col("embedding").isNotNull &&
-          size(col("embedding")) >= dims)
-          .select(slice(col("embedding"), 1, dims).as("embedding")))
-      .select(col("dim"), col("mean")).collect()
-      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+      cells(((i min j) + 1, (i max j) + 1))._1)
+    val means = Array.tabulate(dims)(i => cells((i + 1, i + 1))._2)
     val (vals, vecs) = jacobiEigen(cov)
     val order = vals.zipWithIndex.sortBy { case (v, i) => (-v, i) }.take(k)
     val comps = order.map { case (_, c) =>
@@ -222,8 +243,9 @@ object Similarity {
     * pass is a pure codegen'd per-row projection (`k·dims`
     * multiply-adds, no join, no shuffle, nothing corpus-sized moves) —
     * the dimensionality-reduction front half of an ANN/clustering
-    * pipeline at any corpus size. Rows with NULL or sub-`dims`
-    * embeddings are excluded, matching the model's fit set. */
+    * pipeline at any corpus size. Rows outside the fit-set
+    * contract (NULL/short embedding or a NULL element in the leading
+    * block — see `fitRowFilter`) are excluded, matching the model. */
   def pcaProject(embeddings: DataFrame, dims: Int, k: Int): DataFrame = {
     val m = pcaModel(embeddings, dims, k)
     val comps = (0 until k).map { j =>
@@ -233,7 +255,7 @@ object Similarity {
       }.reduce(_ + _), 9)
     }
     embeddings
-      .filter(col("embedding").isNotNull && size(col("embedding")) >= dims)
+      .filter(fitRowFilter(dims))
       .select(col("vec_id"), array(comps: _*).as("components"))
   }
 

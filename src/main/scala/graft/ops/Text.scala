@@ -20,6 +20,55 @@ object Text {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\W+"), t => t =!= lit(""))
 
+  /** Positioned word `n`-gram hashes — `(doc_id, start, gh)` rows,
+    * `start` 1-based in token coordinates, `gh` the xxhash64 of the
+    * `n` space-joined tokens at `start`; docs shorter than `n` emit
+    * nothing. The shared front half of every span locator
+    * (`Decontamination.contaminatedSpans`,
+    * `TextAnalysis.duplicatedSpans`). The token array materializes
+    * behind the Generate-inline barrier BEFORE the gram lambda indexes
+    * it (the lambda re-eval pitfall — HOFs run interpreted and would
+    * re-execute the regex split per element_at reference otherwise;
+    * CollapseProject cannot inline through a Generate). */
+  def positionedGramHashes(df: DataFrame, idCol: Column, textCol: Column,
+      n: Int): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val toked = df.select(idCol.as("doc_id"),
+      inline(array(struct(tokens(textCol).as("__pg_w")))))
+    val gramArr = when(size(col("__pg_w")) >= n,
+      transform(sequence(lit(1), size(col("__pg_w")) - (n - 1)), i =>
+        xxhash64(concat_ws(" ",
+          (0 until n).map(o => element_at(col("__pg_w"), i + o)): _*))))
+      .otherwise(array().cast("array<bigint>"))
+    toked.select(col("doc_id"), posexplode(gramArr))
+      .select(col("doc_id"), (col("pos") + 1).as("start"),
+        col("col").as("gh"))
+  }
+
+  /** Merge per-doc gram-hit positions into maximal spans —
+    * `(doc_id, start)` hit rows in, `(doc_id, span_start, span_end,
+    * n_grams)` out. Windows of width `n` merge when they OVERLAP
+    * (`start <= prev + n - 1`); the span-semantics contract shared by
+    * every locator, defined ONCE here. Both stacked windows share one
+    * (doc_id) exchange+sort; the output is an UNORDERED span set (a
+    * global sort above a locator tree re-executes lineage for range
+    * sampling under AQE — sort the small result downstream). */
+  def mergeSpans(hits: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    hits
+      .withColumn("__ms_new",
+        when(lag(col("start"), 1).over(w).isNull ||
+          col("start") > lag(col("start"), 1).over(w) + (n - 1), 1)
+          .otherwise(0))
+      .withColumn("__ms_isl", sum(col("__ms_new")).over(w))
+      .groupBy(col("doc_id"), col("__ms_isl"))
+      .agg(min(col("start")).cast("int").as("span_start"),
+        (max(col("start")) + (n - 1)).cast("int").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("__ms_isl")
+  }
+
   /** Distinct word-trigram shingles; docs shorter than 3 tokens collapse to
     * a single whole-text shingle. Per-row, no shuffle. */
   def shingles3(toks: Column): Column = array_distinct(

@@ -219,25 +219,10 @@ object TextAnalysis {
     * convention; [[duplicatedSpansGrams]] takes a persisted positioned
     * frame so the tokenize is paid once. */
   def duplicatedSpans(docs: DataFrame, n: Int = 5,
-      minDocs: Int = 2): DataFrame = {
-    require(n >= 2, s"n must be >= 2, got $n")
-    // token array materialized behind the Generate-inline barrier
-    // BEFORE the gram lambda indexes it (the lambda re-eval pitfall —
-    // HOFs run interpreted and would re-execute the regex split per
-    // element_at reference otherwise)
-    val toked = docs.select(col("doc_id"),
-      inline(array(struct(Text.tokens(col("text")).as("__dsp")))))
-    val gramArr = when(size(col("__dsp")) >= n,
-      transform(sequence(lit(1), size(col("__dsp")) - (n - 1)), i =>
-        xxhash64(concat_ws(" ",
-          (0 until n).map(o => element_at(col("__dsp"), i + o)): _*))))
-      .otherwise(array().cast("array<bigint>"))
+      minDocs: Int = 2): DataFrame =
     duplicatedSpansGrams(
-      toked.select(col("doc_id"), posexplode(gramArr))
-        .select(col("doc_id"), (col("pos") + 1).as("start"),
-          col("col").as("gh")),
+      Text.positionedGramHashes(docs, col("doc_id"), col("text"), n),
       n, minDocs)
-  }
 
   /** [[duplicatedSpans]] over a PRE-COMPUTED positioned gram frame —
     * `(doc_id, start, gh)` rows, `start` 1-based and unique per doc,
@@ -245,25 +230,13 @@ object TextAnalysis {
     * (the df aggregate and the join back) consume this one frame. */
   def duplicatedSpansGrams(grams: DataFrame, n: Int,
       minDocs: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(n >= 2, s"n must be >= 2, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val dup = grams.groupBy(col("gh"))
       .agg(count_distinct(col("doc_id")).as("__ds_df"))
       .filter(col("__ds_df") >= minDocs)
       .select(col("gh"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
-    grams.join(dup, "gh")
-      .withColumn("__ds_new",
-        when(lag(col("start"), 1).over(w).isNull ||
-          col("start") > lag(col("start"), 1).over(w) + (n - 1), 1)
-          .otherwise(0))
-      .withColumn("__ds_isl", sum(col("__ds_new")).over(w))
-      .groupBy(col("doc_id"), col("__ds_isl"))
-      .agg(min(col("start")).cast("int").as("span_start"),
-        (max(col("start")) + (n - 1)).cast("int").as("span_end"),
-        count(lit(1)).as("n_grams"))
-      .drop("__ds_isl")
+    Text.mergeSpans(grams.join(dup, "gh"), n)
   }
 
   /** APPLY a span cut list — [[duplicatedSpans]]' (or

@@ -2892,7 +2892,8 @@ object Extensions {
       |    CAST(unnest(generate_series(1, len(embedding))) AS INT) AS dim,
       |    ROUND(CAST(unnest(embedding) AS DOUBLE), 9) AS x
       |  FROM embeddings
-      |  WHERE embedding IS NOT NULL AND len(embedding) >= 16),
+      |  WHERE embedding IS NOT NULL AND len(embedding) >= 16
+      |    AND len(list_filter(embedding[1:16], x -> x IS NULL)) = 0),
       |f AS (SELECT vec_id, dim, x FROM v WHERE dim <= 16),
       |p AS (SELECT a.dim AS i, b.dim AS j,
       |    SUM(CAST(ROUND(a.x * b.x, 9) AS DECIMAL(28,9))) AS s,
@@ -2998,7 +2999,8 @@ object Extensions {
       |    CAST(unnest(generate_series(1, len(embedding))) AS INT) AS dim,
       |    ROUND(CAST(unnest(embedding) AS DOUBLE), 9) AS x
       |  FROM embeddings
-      |  WHERE embedding IS NOT NULL AND len(embedding) >= 16),
+      |  WHERE embedding IS NOT NULL AND len(embedding) >= 16
+      |    AND len(list_filter(embedding[1:16], x -> x IS NULL)) = 0),
       |f AS (SELECT vec_id, dim, x FROM v WHERE dim <= 16),
       |p AS (SELECT a.dim AS i, b.dim AS j,
       |    SUM(CAST(ROUND(a.x * b.x, 9) AS DECIMAL(28,9))) AS s,
