@@ -118,6 +118,43 @@ object Sampling {
       .drop("__smp_rn")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-Res): keep exactly `k` rows with inclusion probability
+    * proportional to `weight` — quality-weighted corpus subsampling
+    * where [[sampleExactK]]'s uniform draw is the wrong contract
+    * ("sample 1M docs, favoring high quality scores" rather than "1M
+    * docs uniformly"). Each row draws the deterministic hash-uniform
+    * `u = (bucket+1)/2³²` in (0, 1] from [[bucketHex]] and scores
+    * `samp_key = −ln(u)/w` (the exponential arrival-time view); the k
+    * SMALLEST keys win, ties broken by `key`. Selection is a pure
+    * function of (key values, weights, seed) — stable across re-runs,
+    * partitionings, and engines. Rows with NULL or non-positive weight
+    * are excluded (they cannot be drawn under ∝ w). Appends are not
+    * stable (the exact-k trade, as [[sampleExactK]]).
+    *
+    * Determinism: the hex bucket converts to an exact double (< 2³² ≪
+    * 2⁵³), `ln` pins @7 (the r07 transcendental contract), the divide
+    * is IEEE-exact, and the emitted key rounds @9 then normalizes
+    * `−0.0 → 0.0` (`+ 0.0`) so the u = 1 edge stringifies identically
+    * in both engines. The ORDER uses the same emitted key, so the
+    * selected set and its order restate in one SQL sort.
+    *
+    * 100 TB shape: a pure per-row projection, then
+    * `TakeOrderedAndProject` — per-partition top-k heaps, no global
+    * sort, nothing corpus-sized shuffles. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
+      seed: Int = 42): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = weight.cast("double")
+    val b = conv(bucketHex(key, seed), 16, 10).cast("double")
+    val u = (b + lit(1.0)) / lit(4294967296.0)
+    df.filter(w.isNotNull && w > lit(0.0))
+      .withColumn("samp_key",
+        round(-round(log(u), 7) / w, 9) + lit(0.0))
+      .orderBy(col("samp_key"), key)
+      .limit(k)
+  }
+
   /** Split-LEAKAGE audit — the measurement that motivates [[groupSplit]]:
     * given a duplicate/near-duplicate pair set and a frame carrying a
     * `split` assignment, counts pairs per (split_a, split_b) with the

@@ -3077,6 +3077,33 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- x102
+  // Weighted sampling without replacement (A-Res) by n_chars — the
+  // quality-weighted subsample contract. The oracle recomputes the
+  // hash-uniform numerically (hex digits → exact double < 2^53), pins
+  // ln @7, and restates the same emitted-key sort; the -0.0
+  // normalization (+ 0.0) keeps the u = 1 edge stringify-identical.
+  val x102 = Q.df(
+    "x102_weighted_sample",
+    """WITH h AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+      |    substring(md5('k' || CAST(doc_id AS VARCHAR) || ':42'), 1, 8) AS hx
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      |u AS (SELECT doc_id, w,
+      |    (list_sum([ (strpos('0123456789abcdef', hx[i]) - 1)
+      |                * power(16.0, 8 - i)
+      |                for i in generate_series(1, 8) ]) + 1.0)
+      |      / 4294967296.0 AS u
+      |  FROM h)
+      |SELECT doc_id, w AS weight,
+      |  ROUND(-ROUND(ln(u), 7) / w, 9) + 0.0 AS samp_key
+      |FROM u ORDER BY samp_key, doc_id LIMIT 100""".stripMargin) {
+    (spark, dir) =>
+      Sampling.weightedSample(Tables.load(spark, dir, "documents"),
+          col("doc_id"), col("n_chars"), k = 100)
+        .select(col("doc_id"), col("n_chars").cast("double").as("weight"),
+          col("samp_key"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -3085,5 +3112,5 @@ object Extensions {
     x56b, x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95, x96, x97, x98, x98b, x99, x100, x101)
+    x95, x96, x97, x98, x98b, x99, x100, x101, x102)
 }

@@ -1,0 +1,67 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSessions
+
+class WeightedSampleSpec extends AnyFunSuite {
+  private lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  // independent reimplementation of the A-Res key for cross-checking
+  private def sampKey(id: Long, w: Double, seed: Int = 42): Double = {
+    val md = MessageDigest.getInstance("MD5")
+      .digest(s"k$id:$seed".getBytes("UTF-8"))
+    val hex = md.map(b => f"$b%02x").mkString.take(8)
+    val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / 4294967296.0
+    val ln7 = BigDecimal(math.log(u))
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    BigDecimal(-ln7 / w).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble + 0.0
+  }
+
+  private val rows = (1L to 50L).map(i => (i, (i % 7 + 1).toDouble))
+  private val df = rows.toDF("doc_id", "w")
+
+  test("selection and keys match an independent reimplementation") {
+    val got = Sampling.weightedSample(df, col("doc_id"), col("w"), k = 10)
+      .select(col("doc_id"), col("samp_key"))
+      .as[(Long, Double)].collect().toSeq
+    val want = rows.map { case (id, w) => (id, sampKey(id, w)) }
+      .sortBy { case (id, k) => (k, id) }.take(10)
+    assert(got == want)
+  }
+
+  test("null and non-positive weights are excluded; k > n keeps the rest") {
+    val noisy = df.union(Seq(
+      (100L, 0.0), (101L, -2.0),
+      (102L, null.asInstanceOf[java.lang.Double].asInstanceOf[Double]))
+      .toDF("doc_id", "w"))
+      .withColumn("w", when(col("doc_id") === 102L, lit(null)).otherwise(col("w")))
+    val got = Sampling.weightedSample(noisy, col("doc_id"), col("w"), k = 1000)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(got == (1L to 50L).toSet)
+  }
+
+  test("selection is partitioning-proof") {
+    val a = Sampling.weightedSample(df, col("doc_id"), col("w"), k = 10)
+      .select(col("doc_id")).as[Long].collect().toSeq
+    val b = Sampling.weightedSample(df.repartition(13), col("doc_id"),
+        col("w"), k = 10)
+      .select(col("doc_id")).as[Long].collect().toSeq
+    assert(a == b)
+  }
+
+  test("an overwhelming weight is always drawn") {
+    val skew = df.withColumn("w",
+      when(col("doc_id") === 7L, lit(1e9)).otherwise(col("w")))
+    val got = Sampling.weightedSample(skew, col("doc_id"), col("w"), k = 5)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(got.contains(7L))
+    intercept[IllegalArgumentException](
+      Sampling.weightedSample(df, col("doc_id"), col("w"), 0))
+  }
+}
