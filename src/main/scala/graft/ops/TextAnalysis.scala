@@ -347,6 +347,62 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Top-`k` windowed co-occurrence pairs by lift — the skip-gram /
+    * embedding-training precompute [[collocations]] (adjacent-only,
+    * directional) cannot express: UNORDERED token pairs within a
+    * ±`window` token distance, scored by the same log-free PMI ratio
+    * (`(n2/T2) / ((n1_a/T1)·(n1_b/T1))` — IEEE multiply/divide are
+    * exactly rounded, so the ratio is bit-for-bit cross-engine and
+    * orders identically; `(lift desc, a, b)` totals the order). Pairs
+    * canonicalize `(least, greatest)` at generation, so (a,b) and
+    * (b,a) occurrences pool; same-token pairs ("the … the") are real
+    * co-occurrences and kept. `minCount` prunes candidates without
+    * biasing `T2` (summed over UNfiltered pair counts, the x40
+    * contract).
+    *
+    * Scale: pair fan-out is `window` structs per token position from
+    * one Generate per row — bounded, no self-join; both count
+    * aggregates are VOCAB-sized past their scans, totals are 1-row
+    * broadcasts, top-k plans as TakeOrderedAndProject. The unigram and
+    * pair subtrees scan the tokens twice (lineage-pure by repo
+    * convention — [[cooccurrenceTokens]] takes a persisted frame). */
+  def cooccurrence(docs: DataFrame, window: Int = 4, minCount: Long = 5,
+      k: Int = 50): DataFrame =
+    cooccurrenceTokens(docs.select(Text.tokens(col("text")).as("w")),
+      window, minCount, k)
+
+  /** [[cooccurrence]] over a pre-tokenized `(w: array<string>)` frame. */
+  def cooccurrenceTokens(toks: DataFrame, window: Int, minCount: Long = 5,
+      k: Int = 50): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minCount >= 1 && k >= 1, s"minCount/k must be >= 1")
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n1"))
+    val t1 = uni.agg(sum(col("n1")).as("t1"))
+    val pairArr = flatten(transform(sequence(lit(1), size(col("w"))), i =>
+      transform(
+        filter(sequence(lit(1), lit(window)), o => i + o <= size(col("w"))),
+        o => struct(
+          least(element_at(col("w"), i), element_at(col("w"), i + o)).as("a"),
+          greatest(element_at(col("w"), i), element_at(col("w"), i + o))
+            .as("b")))))
+    val pairs = toks.select(explode(when(size(col("w")) >= 2, pairArr)
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n2"))
+    val t2 = pairs.agg(sum(col("n2")).as("t2"))
+    pairs.filter(col("n2") >= minCount)
+      .join(uni.select(col("t").as("a"), col("n1").as("__n1a")), "a")
+      .join(uni.select(col("t").as("b"), col("n1").as("__n1b")), "b")
+      .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      .select(col("a"), col("b"), col("n2"),
+        ((col("n2") / col("t2")) /
+          ((col("__n1a") / col("t1")) * (col("__n1b") / col("t1"))))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Top-`k` tokens of every group by document frequency — the
     * per-domain vocabulary profile ([[documentFrequency]] partitioned
     * by a group column; "what does each source talk about"). The

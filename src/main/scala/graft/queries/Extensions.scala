@@ -3104,6 +3104,40 @@ object Extensions {
           col("samp_key"))
   }
 
+  // ---------------------------------------------------------------- x103
+  // Windowed co-occurrence by lift (±4 tokens, canonical unordered
+  // pairs) — the skip-gram precompute; x40's adjacent bigram is the
+  // window=1 directional special case. The oracle restates pair
+  // generation as a positioned self-join (0 < b.i − a.i ≤ 4) with the
+  // identical least/greatest canonicalization and the x40 lift shape.
+  val x103 = Q.df(
+    "x103_cooccurrence",
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM documents),
+      |u AS (SELECT unnest(w) AS t FROM w),
+      |uc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n1 FROM u GROUP BY t),
+      |tot1 AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1 FROM uc),
+      |pos AS (SELECT doc_id,
+      |    unnest([{'i': i, 't': w[i]} for i in generate_series(1, len(w))]) AS u
+      |  FROM w),
+      |p2 AS (SELECT doc_id, CAST(u.i AS INT) AS i, u.t AS t FROM pos),
+      |pr AS (SELECT least(x.t, y.t) AS a, greatest(x.t, y.t) AS b
+      |  FROM p2 x JOIN p2 y ON x.doc_id = y.doc_id
+      |    AND y.i > x.i AND y.i <= x.i + 4),
+      |pc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n2 FROM pr GROUP BY 1, 2),
+      |tot2 AS (SELECT CAST(SUM(n2) AS BIGINT) AS t2 FROM pc)
+      |SELECT a, b, n2,
+      |  (n2 / t2) / ((ua.n1 / t1) * (ub.n1 / t1)) AS lift
+      |FROM pc, tot1, tot2
+      |JOIN uc ua ON ua.t = a
+      |JOIN uc ub ON ub.t = b
+      |WHERE n2 >= 5
+      |ORDER BY lift DESC, a, b LIMIT 50""".stripMargin) { (spark, dir) =>
+    TextAnalysis.cooccurrence(Tables.load(spark, dir, "documents"),
+      window = 4, minCount = 5, k = 50)
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -3112,5 +3146,5 @@ object Extensions {
     x56b, x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95, x96, x97, x98, x98b, x99, x100, x101, x102)
+    x95, x96, x97, x98, x98b, x99, x100, x101, x102, x103)
 }
