@@ -379,12 +379,14 @@ object TextAnalysis {
     val uni = toks.select(explode(col("w")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("n1"))
     val t1 = uni.agg(sum(col("n1")).as("t1"))
-    val pairArr = flatten(transform(sequence(lit(1), size(col("w"))), i =>
+    // inner sequence is always ascending: outer i stops at n-1 (the
+    // size>=2 guard makes n-1 >= 1), so i+1 <= least(i+window, n)
+    val pairArr = flatten(transform(sequence(lit(1), size(col("w")) - 1), i =>
       transform(
-        filter(sequence(lit(1), lit(window)), o => i + o <= size(col("w"))),
-        o => struct(
-          least(element_at(col("w"), i), element_at(col("w"), i + o)).as("a"),
-          greatest(element_at(col("w"), i), element_at(col("w"), i + o))
+        sequence(i + 1, least(i + lit(window), size(col("w")))),
+        j => struct(
+          least(element_at(col("w"), i), element_at(col("w"), j)).as("a"),
+          greatest(element_at(col("w"), i), element_at(col("w"), j))
             .as("b")))))
     val pairs = toks.select(explode(when(size(col("w")) >= 2, pairArr)
         .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
