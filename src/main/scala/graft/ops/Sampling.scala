@@ -148,7 +148,9 @@ object Sampling {
     val w = weight.cast("double")
     val b = conv(bucketHex(key, seed), 16, 10).cast("double")
     val u = (b + lit(1.0)) / lit(4294967296.0)
-    df.filter(w.isNotNull && w > lit(0.0))
+    // !isnan is load-bearing: NaN orders above every double in Spark,
+    // so `w > 0` alone would ADMIT NaN weights and their NaN keys
+    df.filter(w.isNotNull && !isnan(w) && w > lit(0.0))
       .withColumn("samp_key",
         round(-round(log(u), 7) / w, 9) + lit(0.0))
       .orderBy(col("samp_key"), key)

@@ -324,22 +324,32 @@ object TextAnalysis {
     * across every corpus-stats operator (VERDICT r06 next #4). */
   def collocationsTokens(toks: DataFrame, minCount: Long = 5, k: Int = 50): DataFrame = {
     require(minCount >= 1 && k >= 1, s"minCount/k must be >= 1")
-    val uni = toks.select(explode(col("w")).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("n1"))
-    val t1 = uni.agg(sum(col("n1")).as("t1"))
-    val pairs = toks.select(explode(when(size(col("w")) >= 2,
+    val pairRows = toks.select(explode(when(size(col("w")) >= 2,
         transform(sequence(lit(1), size(col("w")) - 1), i =>
           struct(element_at(col("w"), i).as("a"),
             element_at(col("w"), i + 1).as("b"))))
         .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n2"))
+    liftRank(toks, pairRows, minCount, k)
+  }
+
+  /** Shared lift pipeline for [[collocationsTokens]] /
+    * [[cooccurrenceTokens]]: unigram counts + totals from `toks`, pair
+    * counts + total from the `(a, b)` instance rows, then
+    * `(n2/T2)/((n1_a/T1)·(n1_b/T1))` — mirroring the oracles' shape
+    * exactly (one definition of the lift contract). `minCount` filters
+    * AFTER `T2` sums the unfiltered counts. */
+  private def liftRank(toks: DataFrame, pairRows: DataFrame,
+      minCount: Long, k: Int): DataFrame = {
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n1"))
+    val t1 = uni.agg(sum(col("n1")).as("t1"))
+    val pairs = pairRows.groupBy("a", "b").agg(count(lit(1)).as("n2"))
     val t2 = pairs.agg(sum(col("n2")).as("t2"))
     pairs.filter(col("n2") >= minCount)
       .join(uni.select(col("t").as("a"), col("n1").as("__n1a")), "a")
       .join(uni.select(col("t").as("b"), col("n1").as("__n1b")), "b")
       .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
-      // mirrors the oracle's `(n2/t2)/((n1a/t1)*(n1b/t1))` shape exactly
       .select(col("a"), col("b"), col("n2"),
         ((col("n2") / col("t2")) /
           ((col("__n1a") / col("t1")) * (col("__n1b") / col("t1")))).as("lift"))
@@ -376,33 +386,25 @@ object TextAnalysis {
       k: Int = 50): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(minCount >= 1 && k >= 1, s"minCount/k must be >= 1")
-    val uni = toks.select(explode(col("w")).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("n1"))
-    val t1 = uni.agg(sum(col("n1")).as("t1"))
     // inner sequence is always ascending: outer i stops at n-1 (the
-    // size>=2 guard makes n-1 >= 1), so i+1 <= least(i+window, n)
+    // size>=2 guard makes n-1 >= 1), so i+1 <= least(i+window, n).
+    // The lambda emits RAW (w[i], w[j]) structs — canonicalization and
+    // the null guard run once per pair in the codegen'd post-explode
+    // projection, not 4 element_at walks inside the interpreted HOF.
     val pairArr = flatten(transform(sequence(lit(1), size(col("w")) - 1), i =>
       transform(
         sequence(i + 1, least(i + lit(window), size(col("w")))),
-        j => struct(
-          least(element_at(col("w"), i), element_at(col("w"), j)).as("a"),
-          greatest(element_at(col("w"), i), element_at(col("w"), j))
-            .as("b")))))
-    val pairs = toks.select(explode(when(size(col("w")) >= 2, pairArr)
+        j => struct(element_at(col("w"), i).as("a"),
+          element_at(col("w"), j).as("b")))))
+    val pairRows = toks.select(explode(when(size(col("w")) >= 2, pairArr)
         .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n2"))
-    val t2 = pairs.agg(sum(col("n2")).as("t2"))
-    pairs.filter(col("n2") >= minCount)
-      .join(uni.select(col("t").as("a"), col("n1").as("__n1a")), "a")
-      .join(uni.select(col("t").as("b"), col("n1").as("__n1b")), "b")
-      .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
-      .select(col("a"), col("b"), col("n2"),
-        ((col("n2") / col("t2")) /
-          ((col("__n1a") / col("t1")) * (col("__n1b") / col("t1"))))
-          .as("lift"))
-      .orderBy(col("lift").desc, col("a"), col("b"))
-      .limit(k)
+      // a NULL token element pairs with NOTHING: Spark's least/greatest
+      // SKIP nulls (the Sampling.decaySample footgun), which would
+      // fabricate a same-token pair from (null, t) — drop first
+      .filter(col("p.a").isNotNull && col("p.b").isNotNull)
+      .select(least(col("p.a"), col("p.b")).as("a"),
+        greatest(col("p.a"), col("p.b")).as("b"))
+    liftRank(toks, pairRows, minCount, k)
   }
 
   /** Top-`k` tokens of every group by document frequency — the
