@@ -46,6 +46,16 @@ class CooccurrenceSpec extends AnyFunSuite {
     assert(pruned.head == pq) // identical n2 AND lift (T2 unfiltered)
   }
 
+  test("null token elements pair with nothing") {
+    val toks = Seq(Seq("foo", null, "bar")).toDF("w")
+    val got = TextAnalysis.cooccurrenceTokens(toks, window = 2, minCount = 1,
+        k = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // only (bar, foo) at distance 2 survives; the (null, t) pairs drop
+    // instead of collapsing to fabricated same-token pairs
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq(("bar", "foo", 1L)))
+  }
+
   test("parameter validation and short docs") {
     val solo = Seq((1L, "one")).toDF("doc_id", "text")
     assert(TextAnalysis.cooccurrence(solo, 4, 1, 10).collect().isEmpty)

@@ -46,6 +46,14 @@ class WeightedSampleSpec extends AnyFunSuite {
     assert(got == (1L to 50L).toSet)
   }
 
+  test("NaN weights are excluded (NaN orders above every double)") {
+    val nan = df.withColumn("w",
+      when(col("doc_id") === 5L, lit(Double.NaN)).otherwise(col("w")))
+    val got = Sampling.weightedSample(nan, col("doc_id"), col("w"), k = 1000)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(!got.contains(5L) && got.size == 49)
+  }
+
   test("selection is partitioning-proof") {
     val a = Sampling.weightedSample(df, col("doc_id"), col("w"), k = 10)
       .select(col("doc_id")).as[Long].collect().toSeq
