@@ -290,4 +290,27 @@ class PlanSpec extends AnyFunSuite {
     // exchange on the clamp side of the join
     assert(!p.contains("SortMergeJoin"), s"corpus re-shuffled for the clamp:\n$p")
   }
+
+  test("x96: duplicated spans — no cartesian, both merge windows share one exchange") {
+    val p = plan(graft.queries.Extensions.x96)
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+    // lag-island + running sum ride ONE (doc_id) hash exchange
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length <= 1,
+      s"span merge re-shuffled:\n$p")
+  }
+
+  test("x102: weighted sample plans as distributed top-k, not a global sort") {
+    val p = plan(graft.queries.Extensions.x102)
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"plan:\n$p")
+  }
+
+  test("x103: co-occurrence pairs come from a Generate, never a positional self-join") {
+    val p = plan(graft.queries.Extensions.x103)
+    assert(p.contains("Generate"), s"plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized self-join appeared:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+  }
 }
