@@ -40,11 +40,17 @@ object Curation {
       minHits: Int = 1): DataFrame = {
     require(minChars <= maxChars,
       s"empty length window: minChars $minChars > maxChars $maxChars")
-    val keepIds = docs
+    // NULL-text docs are never duplicates (the exactPairs contract —
+    // hashing NULL would collapse them all onto the seed hash and keep
+    // only one); they pass the dedup stage untouched
+    val keepIds = docs.filter(col("text").isNotNull)
       .groupBy(xxhash64(col("text")).as("__cu_h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val deduped = docs.join(keepIds, Seq("doc_id"), "left_semi")
+      .agg(min(col("doc_id")).as("__cu_keep"))
+      .select(col("__cu_keep"))
+    val deduped = docs
+      .join(keepIds, col("doc_id") === col("__cu_keep"), "left")
+      .filter(col("text").isNull || col("__cu_keep").isNotNull)
+      .drop("__cu_keep")
     val contaminated = Decontamination
       .overlapHits(deduped, evalDocs, col("doc_id"), col("text"), minHits)
       .select("doc_id")
@@ -161,7 +167,10 @@ object Curation {
       .withColumn("n_dropped", coalesce(col("n"), lit(0L)))
       // survivors (stage_idx = |stages|) ride the join as absent rows;
       // recover the input total from the full count frame instead
-      .crossJoin(broadcast(counts.agg(sum(col("n")).as("__fu_total"))))
+      // coalesce: sum() over the empty counts frame is NULL — an empty
+      // input must read as an all-zero funnel, not NULL n_in/n_out
+      .crossJoin(broadcast(counts.agg(
+        coalesce(sum(col("n")), lit(0L)).as("__fu_total"))))
       .withColumn("n_in", col("__fu_total") - coalesce(sum(col("n_dropped")).over(w), lit(0L)))
       .withColumn("n_out", col("n_in") - col("n_dropped"))
       .withColumn("drop_rate", when(col("n_in") === 0, lit(null))

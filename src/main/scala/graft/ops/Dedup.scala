@@ -42,26 +42,39 @@ object Dedup {
       .select(col("keep_id"), col("dup_count"))
       .orderBy(col("keep_id"))
 
-  /** Canonical text for [[exactNormalized]]: lowercase, every
-    * non-alphanumeric run (punctuation AND whitespace) collapsed to one
-    * space, trimmed. Engine-portable: two regexp_replace passes any
-    * regex engine agrees on (character classes only, no lookaround). */
+  /** Canonical text for [[exactNormalized]]: lowercase, every ASCII
+    * punctuation run collapsed to one space, whitespace runs collapsed,
+    * trimmed. The class is spelled as explicit ASCII ranges
+    * (`!-/ :-@ [-\u0060 {-~`) so any regex engine reads it identically,
+    * and it deliberately touches ONLY punctuation: the earlier
+    * `[^a-z0-9\s]` complement erased every non-Latin character, so all
+    * distinct CJK/Cyrillic documents normalized to "" and dedup'd to
+    * one survivor (r07 review — silent mass data loss on the corpora
+    * this operator exists for). Letters of every script pass through. */
   def normalized(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
+    trim(regexp_replace(regexp_replace(lower(text), "[!-/:-@\\[-`{-~]", " "),
       "\\s+", " "))
 
   /** Exact dedup AFTER canonical normalization — the "exact match on
     * normalized text" recipe public curation pipelines run between
     * byte-exact and near-dup passes: casing, punctuation, and
     * whitespace variants of one document collapse to a single survivor
-    * (smallest doc_id), byte-exact semantics otherwise unchanged. Same
+    * (smallest doc_id), byte-exact semantics otherwise unchanged.
+    * Documents whose normalized form is EMPTY (pure punctuation) or
+    * NULL carry no text signal to match on and are never merged — each
+    * stays its own group ("!!!" and "???" are not duplicates). Same
     * scale shape as [[exactByHash]]: the shuffle carries the 8-byte
     * hash of the NORMALIZED text, never the text. */
-  def exactNormalized(docs: DataFrame): DataFrame =
-    docs.groupBy(xxhash64(normalized(col("text"))).as("text_hash"))
+  def exactNormalized(docs: DataFrame): DataFrame = {
+    val nt = normalized(col("text"))
+    docs.groupBy(
+        when(nt.isNotNull && length(nt) > 0, xxhash64(nt))
+          .otherwise(xxhash64(lit("__en_empty"), col("doc_id")))
+          .as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
       .select(col("keep_id"), col("dup_count"))
       .orderBy(col("keep_id"))
+  }
 
   /** MinHash signature of a shingle array: `numPerm` permutations
     * simulated as seeded xxhash64 min-hashes. Pure per-row expression —
@@ -286,13 +299,25 @@ object Dedup {
     // covers exactly the pair members, so it doubles as the membership
     // set for the anti-join
     val reps = labels.filter(col("doc_id") === col("label")).select(col("doc_id"))
-    val nonMembers = docs.select(col("doc_id"))
-      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    val survivors = reps.union(nonMembers)
-      .select(col("doc_id").as("keep_id"))
+    val survivors = survivorSet(docs.select(col("doc_id")), labels, reps)
       .localCheckpoint()
     pairs.unpersist(blocking = false)
     survivors.orderBy(col("keep_id"))
+  }
+
+  /** Shared survivor-set assembly over a [[connectedComponents]]
+    * labeling: the chosen representative of every cluster plus every id
+    * in no pair (`labels` covers exactly the pair members, so it
+    * doubles as the membership set for the anti-join). Returns an
+    * UNORDERED (keep_id) frame — one definition of the survivor
+    * contract for [[dedupCorpus]], [[dedupCorpusBy]], and
+    * `Similarity.semanticDedup` (r07 review: three hand-synchronized
+    * copies). */
+  private[ops] def survivorSet(allIds: DataFrame, labels: DataFrame,
+      reps: DataFrame): DataFrame = {
+    val nonMembers = allIds
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    reps.union(nonMembers).select(col("doc_id").as("keep_id"))
   }
 
   /**
@@ -441,23 +466,27 @@ object Dedup {
     * single-character vandalism, re-encoded punctuation. Candidates
     * are pairs sharing ≥1 hashed word-trigram AND within `maxEdits`
     * characters in length; survivors verify with exact Levenshtein.
-    * COMPLETE for documents longer than `3·maxEdits` word-trigrams: one
-    * character edit can damage at most 3 trigrams, so `maxEdits` edits
-    * leave a shared trigram whenever the doc has more than `3·maxEdits`
-    * of them — within that regime the operator is exact, not
-    * approximate (and the x82 oracle restates it directly). Shorter
-    * docs can miss; both engines share the miss (same trigram
+    * COMPLETE for documents longer than `4·maxEdits` word-trigrams: a
+    * character edit inside one word damages at most 3 trigrams per
+    * side, and an edit that ADDS or REMOVES a token boundary (a space
+    * typo) touches at most 4 on the side where the word splits — so
+    * `maxEdits` edits leave a shared trigram whenever the doc has more
+    * than `4·maxEdits` of them; within that regime the operator is
+    * exact, not approximate (and the x82 oracle restates it directly).
+    * Shorter docs can miss; both engines share the miss (same trigram
     * definition). NULL texts never pair.
     *
-    * Scale: each doc contributes only its `k = 6·maxEdits + 1`
+    * Scale: each doc contributes only its `k = 7·maxEdits + 1`
     * SMALLEST distinct trigram hashes to the candidate join (a pure
     * `array_sort`+`slice` projection — no shuffle to select). This
-    * min-k selection is still COMPLETE: if A and B are within
-    * `maxEdits` edits, each side's gram set differs from the other's by
-    * at most `3·maxEdits` hashes, so among the k smallest hashes of
-    * `A ∪ B` at most `3·maxEdits` are A-only and at most `3·maxEdits`
-    * are B-only — at least one is shared, and a shared hash in the
-    * union's bottom-k is necessarily in BOTH docs' bottom-k. The
+    * min-k selection is still COMPLETE: one edit contributes at most
+    * 3 side-only grams to one doc and at most 4 to the other (the
+    * boundary case — r07 review: the earlier `6·maxEdits+1` assumed 3/3
+    * and a space typo in a long doc could evict every shared gram from
+    * the bottom-k), so A-only + B-only ≤ `7·maxEdits` across the union:
+    * among the k smallest hashes of `A ∪ B` at least one is shared, and
+    * a shared hash in the union's bottom-k is necessarily in BOTH docs'
+    * bottom-k. The
     * argument holds for ANY hash function, so the string-gram oracle
     * needs no restatement: spurious candidates the full join would add
     * are killed by the same Levenshtein verify. The candidate join is
@@ -482,7 +511,7 @@ object Dedup {
   def editDistancePairs(docs: DataFrame, maxEdits: Int): DataFrame = {
     require(maxEdits >= 1, s"maxEdits must be >= 1, got $maxEdits")
     val spark = docs.sparkSession
-    val k = 6 * maxEdits + 1
+    val k = 7 * maxEdits + 1
     val grams = docs.select(col("doc_id"), length(col("text")).as("__ed_len"),
       explode(slice(array_sort(array_distinct(
         graft.functions.TextHashExprs.tokenTrigramHashes(spark,
@@ -594,10 +623,15 @@ object Dedup {
     * (partition, group). Text never moves. Same hash-collision
     * equivalence note as the rest of the exact-dedup family. */
   def dupRate(docs: DataFrame, groupCol: String): DataFrame = {
-    val keep = docs.groupBy(xxhash64(col("text")).as("__dr_h"))
+    // NULL texts are never duplicates (the exactPairs contract —
+    // xxhash64(NULL) = the seed, which would spuriously cluster them):
+    // they count in n_docs but can never count in n_dups
+    val keep = docs.filter(col("text").isNotNull)
+      .groupBy(xxhash64(col("text")).as("__dr_h"))
       .agg(min(col("doc_id")).as("__dr_keep"))
-    docs.select(col("doc_id"), col(groupCol), xxhash64(col("text")).as("__dr_h"))
-      .join(keep, "__dr_h")
+    docs.select(col("doc_id"), col(groupCol),
+        when(col("text").isNotNull, xxhash64(col("text"))).as("__dr_h"))
+      .join(keep, Seq("__dr_h"), "left")
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("doc_id") =!= col("__dr_keep"), 1L).otherwise(0L))
@@ -638,10 +672,7 @@ object Dedup {
       .agg(max_by(col("doc_id"),
         struct(col("__db_s"), -col("doc_id"))).as("doc_id"))
       .select(col("doc_id"))
-    val nonMembers = docs.select(col("doc_id"))
-      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    reps.union(nonMembers)
-      .select(col("doc_id").as("keep_id"))
+    survivorSet(docs.select(col("doc_id")), labels, reps)
       .orderBy(col("keep_id"))
   }
 

@@ -394,9 +394,12 @@ object Similarity {
       .select(explode(fan).as("x"))
       .select(col("x.dim").as("dim"), col("x.delta").as("delta"))
       .groupBy(col("dim"))
-      .agg(count(lit(1)).as("n_pairs"),
+      // count(delta), not count(*): a pair whose cosine is NULL (null
+      // or zero-norm embedding) is unmeasurable — counting it while
+      // sum() skips it would bias mean_abs_delta low (r07 review)
+      .agg(count(col("delta")).as("n_pairs"),
         round(sum(col("delta").cast(DecimalType(28, 9))).cast("double")
-          / count(lit(1)), 9).as("mean_abs_delta"),
+          / count(col("delta")), 9).as("mean_abs_delta"),
         round(max(col("delta")), 9).as("max_abs_delta"))
       .orderBy(col("dim"))
   }
@@ -775,11 +778,16 @@ object Similarity {
    * Contrastive training triplets — the assembled (anchor, positive,
    * negative) rows a metric-learning / embedding-finetune run consumes:
    * every vector with a near-duplicate (cosine ≥ `minPositive`, mined
-   * by [[cosineNearDups]]' banded path) becomes an anchor, keeps its
-   * BEST positive (sim desc, id tiebreak), and gains the top-`k`
-   * hardest DIFFERENT-label negatives ([[hardNegatives]]' brute
-   * ranking). Returns (anchor, positive, pos_sim, negative, neg_sim,
-   * rank), one row per (anchor, negative rank).
+   * by [[cosineNearDups]]' banded path) AND a non-null label becomes an
+   * anchor, keeps its BEST positive (sim desc, id tiebreak), and gains
+   * the top-`k` hardest DIFFERENT-label negatives ([[hardNegatives]]'
+   * brute ranking). Returns (anchor, positive, pos_sim, negative,
+   * neg_sim, rank), one row per (anchor, negative rank). The label
+   * requirement is structural, not incidental: "hardest different-label
+   * negative" is undefined for an unlabeled anchor, so null-label
+   * anchors drop from the output entirely (with their positives) —
+   * spec-pinned; label your corpus slice before mining triplets from
+   * it.
    *
    * Scale: positives come from the banded candidate join (Σ bucket²,
    * never O(n²)); the anchor set is bounded by actual near-dup counts,
@@ -876,10 +884,8 @@ object Similarity {
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val labels = Dedup.connectedComponents(pairs, maxIter)
     val reps = labels.filter(col("doc_id") === col("label")).select(col("doc_id"))
-    val nonMembers = embeddings.select(col("vec_id").as("doc_id"))
-      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    reps.union(nonMembers)
-      .select(col("doc_id").as("keep_id"))
+    Dedup.survivorSet(embeddings.select(col("vec_id").as("doc_id")),
+        labels, reps)
       .orderBy(col("keep_id"))
   }
 

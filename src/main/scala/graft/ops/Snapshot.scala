@@ -52,12 +52,16 @@ object Snapshot {
     * never move — and a 3-row aggregate. */
   def coverage(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String): DataFrame = {
-    val l = left.select(col(leftKey).as("__cv_l"))
-    val r = right.select(col(rightKey).as("__cv_r"))
+    // presence MARKERS, not the key values, drive the classification: a
+    // NULL key never joins, so testing the key column would misread a
+    // null-keyed right row as left_only (r07 review finding)
+    val l = left.select(col(leftKey).as("__cv_l"), lit(true).as("__cv_lm"))
+    val r = right.select(col(rightKey).as("__cv_r"), lit(true).as("__cv_rm"))
     l.join(r, col("__cv_l") === col("__cv_r"), "full_outer")
       .select(
-        when(col("__cv_l").isNotNull && col("__cv_r").isNotNull, lit("matched"))
-          .when(col("__cv_r").isNull, lit("left_only"))
+        when(col("__cv_lm").isNotNull && col("__cv_rm").isNotNull,
+          lit("matched"))
+          .when(col("__cv_rm").isNull, lit("left_only"))
           .otherwise(lit("right_only")).as("status"))
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
       .orderBy(col("status"))

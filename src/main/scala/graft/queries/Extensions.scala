@@ -1443,8 +1443,10 @@ object Extensions {
   // and the (split, source) totals must hash-match.
   val x51 = Q.df(
     "x51_curation_pipeline",
-    """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
-      |d AS (SELECT doc.* FROM documents doc JOIN keep USING (doc_id)),
+    """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents
+      |  WHERE text IS NOT NULL GROUP BY text),
+      |d AS (SELECT doc.* FROM documents doc
+      |  WHERE doc.text IS NULL OR doc.doc_id IN (SELECT doc_id FROM keep)),
       |w AS (SELECT doc_id,
       |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
       |  FROM d),
@@ -1648,12 +1650,14 @@ object Extensions {
       |  SELECT doc_id + 100000,
       |    upper(text) || '  !!' FROM documents WHERE doc_id % 10 = 0),
       |n AS (SELECT doc_id,
-      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+      |    trim(regexp_replace(regexp_replace(lower(text), '[!-/:-@\[-`{-~]', ' ', 'g'),
       |      '\s+', ' ', 'g')) AS nt
-      |  FROM u)
+      |  FROM u),
+      |k AS (SELECT doc_id, CASE WHEN nt IS NOT NULL AND nt <> ''
+      |    THEN nt ELSE 'e:' || CAST(doc_id AS VARCHAR) END AS nk FROM n)
       |SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
       |  CAST(COUNT(*) AS BIGINT) AS dup_count
-      |FROM n GROUP BY nt ORDER BY keep_id""".stripMargin) { (spark, dir) =>
+      |FROM k GROUP BY nk ORDER BY keep_id""".stripMargin) { (spark, dir) =>
     val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
     val planted = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 100000L).as("doc_id"),
@@ -2201,8 +2205,8 @@ object Extensions {
       |  SELECT doc_id + 10000, text, source FROM documents WHERE doc_id % 50 = 0
       |  UNION ALL
       |  SELECT doc_id + 20000, text, source FROM documents WHERE doc_id % 100 = 0),
-      |k AS (SELECT doc_id, source,
-      |    MIN(doc_id) OVER (PARTITION BY text) AS keep FROM corpus)
+      |k AS (SELECT doc_id, source, CASE WHEN text IS NOT NULL
+      |    THEN MIN(doc_id) OVER (PARTITION BY text) END AS keep FROM corpus)
       |SELECT source, COUNT(*) AS n_docs,
       |  CAST(COUNT(CASE WHEN doc_id <> keep THEN 1 END) AS BIGINT) AS n_dups,
       |  ROUND(CAST(COUNT(CASE WHEN doc_id <> keep THEN 1 END) AS DOUBLE)
@@ -2427,9 +2431,11 @@ object Extensions {
     "x84_coverage_audit",
     """WITH l AS (SELECT doc_id AS k FROM documents WHERE doc_id >= 50),
       |r AS (SELECT vec_id AS k FROM embeddings WHERE vec_id < 400),
-      |j AS (SELECT l.k AS lk, r.k AS rk FROM l FULL OUTER JOIN r ON l.k = r.k)
-      |SELECT CASE WHEN lk IS NOT NULL AND rk IS NOT NULL THEN 'matched'
-      |            WHEN rk IS NULL THEN 'left_only'
+      |j AS (SELECT l.m AS lm, r.m AS rm
+      |  FROM (SELECT k, TRUE AS m FROM l) l
+      |  FULL OUTER JOIN (SELECT k, TRUE AS m FROM r) r ON l.k = r.k)
+      |SELECT CASE WHEN lm IS NOT NULL AND rm IS NOT NULL THEN 'matched'
+      |            WHEN rm IS NULL THEN 'left_only'
       |            ELSE 'right_only' END AS status, COUNT(*) AS n
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
     Snapshot.coverage(
@@ -2747,8 +2753,8 @@ object Extensions {
       |        / (sqrt(list_sum(list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))))
       |           * sqrt(list_sum(list_transform(generate_series(1, len(eb)), i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))))), 9)), 9) AS delta
       |  FROM d)
-      |SELECT CAST(dim AS INT) AS dim, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-      |  ROUND(CAST(SUM(CAST(delta AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 9) AS mean_abs_delta,
+      |SELECT CAST(dim AS INT) AS dim, CAST(COUNT(delta) AS BIGINT) AS n_pairs,
+      |  ROUND(CAST(SUM(CAST(delta AS DECIMAL(28,9))) AS DOUBLE) / COUNT(delta), 9) AS mean_abs_delta,
       |  ROUND(MAX(delta), 9) AS max_abs_delta
       |FROM c GROUP BY dim ORDER BY dim""".stripMargin) { (spark, dir) =>
     Similarity.truncationAudit(Tables.load(spark, dir, "embeddings"),
@@ -2818,7 +2824,7 @@ object Extensions {
       |c AS (SELECT stage_idx, COUNT(*) AS n FROM f GROUP BY stage_idx),
       |d AS (SELECT * FROM (VALUES (0, 'has_text'), (1, 'min_len'),
       |        (2, 'max_len'), (3, 'lang_known')) AS t(stage_idx, stage)),
-      |tot AS (SELECT SUM(n) AS total FROM c),
+      |tot AS (SELECT COALESCE(SUM(n), 0) AS total FROM c),
       |j AS (SELECT d.stage_idx, d.stage, COALESCE(c.n, 0) AS n_dropped
       |  FROM d LEFT JOIN c USING (stage_idx)),
       |k AS (SELECT stage_idx, stage, n_dropped,

@@ -118,6 +118,22 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Seq(1L -> 2L, 3L -> 1L))
   }
 
+  test("exactNormalized preserves non-Latin scripts; contentless docs never merge") {
+    val docs = Seq(
+      (1L, "你好世界"), (2L, "完全不同的文本"), // distinct CJK docs
+      (3L, "Привет!"), (4L, "привет"),          // Cyrillic punct variant
+      (5L, "!!!"), (6L, "???"),                 // pure punctuation
+      (7L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Dedup.exactNormalized(docs)
+      .as[(Long, Long)].collect().toSeq
+    // the old [^a-z0-9\s] complement normalized EVERY row here to "":
+    // one survivor, six docs silently deleted. Now: CJK docs stay
+    // distinct, the Cyrillic variants merge, punctuation-only and null
+    // docs each stay their own group.
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 2L, 5L -> 1L,
+      6L -> 1L, 7L -> 1L))
+  }
+
   test("datasheet: the corpus is scanned exactly once") {
     val df = (0 until 60).map(i => (s"g${i % 6}", i.toLong * 3 % 97))
       .toDF("source", "n_chars")

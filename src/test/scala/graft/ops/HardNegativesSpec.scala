@@ -114,6 +114,18 @@ class HardNegativesSpec extends AnyFunSuite {
       (2L, 1L, 3L, 1), (2L, 1L, 4L, 2)))
   }
 
+  test("trainingTriplets: a null-label anchor drops entirely (contract)") {
+    val corpus = vecs(
+      (1L, Array(1f, 0f), null), (2L, Array(1f, 0f), null), // twins, unlabeled
+      (3L, Array(1f, 0f), 1), (4L, Array(1f, 0f), 1),       // twins, labeled
+      (5L, Array(0f, 1f), 2))
+    val got = Similarity.trainingTriplets(corpus, minPositive = 0.95, k = 1)
+      .select("anchor").as[Long].collect().toSet
+    // "hardest different-label negative" is undefined without a label:
+    // anchors 1 and 2 vanish with their positives, labeled twins remain
+    assert(got == Set(3L, 4L))
+  }
+
   test("hardNegativesIvf rejects non-positive k and oversample") {
     intercept[IllegalArgumentException](
       Similarity.hardNegativesIvf(vecs(), vecs(), 0))
