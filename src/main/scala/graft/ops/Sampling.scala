@@ -157,6 +157,35 @@ object Sampling {
       .limit(k)
   }
 
+  /** Duplicate-aware "soft dedup" sampling: [[weightedSample]] with
+    * weight `1 / cluster_size` over exact-text clusters, so each UNIQUE
+    * text carries total inclusion mass 1 no matter how many copies the
+    * crawl delivered — the middle ground between keeping duplicates
+    * (frequency bias toward boilerplate) and hard dedup (losing the
+    * natural-distribution signal entirely). Emits the input columns
+    * plus `(cluster_size, samp_key)`; NULL-text docs are their own
+    * cluster of 1 (the exactPairs contract — they are never
+    * duplicates).
+    *
+    * Scale: the cluster-size aggregate is [[Dedup.exactByHash]]'s
+    * 8-byte-key shuffle; the join back is hash-keyed; then the
+    * [[weightedSample]] projection + TakeOrderedAndProject. Weights
+    * derive in-plan — nothing collects. */
+  def dedupWeightedSample(docs: DataFrame, k: Int,
+      seed: Int = 42): DataFrame = {
+    val sizes = docs.filter(col("text").isNotNull)
+      .groupBy(xxhash64(col("text")).as("__dw_h"))
+      .agg(count(lit(1)).as("__dw_n"))
+    val weighted = docs
+      .withColumn("__dw_h",
+        when(col("text").isNotNull, xxhash64(col("text"))))
+      .join(sizes, Seq("__dw_h"), "left")
+      .withColumn("cluster_size", coalesce(col("__dw_n"), lit(1L)))
+      .withColumn("__dw_w", lit(1.0) / col("cluster_size"))
+    weightedSample(weighted, col("doc_id"), col("__dw_w"), k, seed)
+      .drop("__dw_h", "__dw_n", "__dw_w")
+  }
+
   /** Split-LEAKAGE audit — the measurement that motivates [[groupSplit]]:
     * given a duplicate/near-duplicate pair set and a frame carrying a
     * `split` assignment, counts pairs per (split_a, split_b) with the

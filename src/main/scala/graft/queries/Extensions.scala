@@ -3144,6 +3144,46 @@ object Extensions {
       window = 4, minCount = 5, k = 50)
   }
 
+  // ---------------------------------------------------------------- x104
+  // Duplicate-aware soft-dedup sampling — weight 1/cluster_size over
+  // exact-text clusters feeds the A-Res draw, so each unique text
+  // carries total mass 1 (planted duplicate triples stress it: the
+  // oracle computes cluster sizes as a COUNT window over text, the
+  // engine as the exactByHash hash aggregate — identical values). Op
+  // order mirrored exactly: w = 1.0/cnt FIRST, then -ln7(u)/w.
+  val x104 = Q.df(
+    "x104_dedup_weighted_sample",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 30000, text FROM documents WHERE doc_id % 25 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 60000, text FROM documents WHERE doc_id % 25 = 0),
+      |h AS (SELECT doc_id, text,
+      |    substring(md5('k' || CAST(doc_id AS VARCHAR) || ':42'), 1, 8) AS hx
+      |  FROM corpus),
+      |c AS (SELECT doc_id, hx, CASE WHEN text IS NULL THEN CAST(1 AS BIGINT)
+      |    ELSE COUNT(*) OVER (PARTITION BY text) END AS cnt FROM h),
+      |u AS (SELECT doc_id, cnt,
+      |    (list_sum([ (strpos('0123456789abcdef', hx[i]) - 1)
+      |                * power(16.0, 8 - i)
+      |                for i in generate_series(1, 8) ]) + 1.0)
+      |      / 4294967296.0 AS u
+      |  FROM c)
+      |SELECT doc_id, CAST(cnt AS BIGINT) AS cluster_size,
+      |  ROUND(-ROUND(ln(u), 7) / (1.0 / cnt), 9) + 0.0 AS samp_key
+      |FROM u ORDER BY samp_key, doc_id LIMIT 100""".stripMargin) {
+    (spark, dir) =>
+      val d = Tables.load(spark, dir, "documents").select("doc_id", "text")
+      val corpus = d
+        .unionByName(d.filter(col("doc_id") % 25 === 0)
+          .withColumn("doc_id", col("doc_id") + 30000L))
+        .unionByName(d.filter(col("doc_id") % 25 === 0)
+          .withColumn("doc_id", col("doc_id") + 60000L))
+      Sampling.dedupWeightedSample(corpus, k = 100)
+        .select(col("doc_id"), col("cluster_size"), col("samp_key"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -3152,5 +3192,5 @@ object Extensions {
     x56b, x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95, x96, x97, x98, x98b, x99, x100, x101, x102, x103)
+    x95, x96, x97, x98, x98b, x99, x100, x101, x102, x103, x104)
 }

@@ -63,6 +63,26 @@ class WeightedSampleSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("dedupWeightedSample: cluster sizes are exact; dup-free equals unit weights") {
+    val docs = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "same text"),
+      (4L, "unique a"), (5L, null.asInstanceOf[String]),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Sampling.dedupWeightedSample(docs, k = 100)
+      .select(col("doc_id"), col("cluster_size"))
+      .as[(Long, Long)].collect().toMap
+    // null-text docs are clusters of 1 (never duplicates of each other)
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 1L,
+      5L -> 1L, 6L -> 1L))
+    val unique = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val soft = Sampling.dedupWeightedSample(unique, k = 3)
+      .select(col("doc_id"), col("samp_key")).as[(Long, Double)].collect().toSeq
+    val hard = Sampling.weightedSample(unique.withColumn("w", lit(1.0)),
+        col("doc_id"), col("w"), k = 3)
+      .select(col("doc_id"), col("samp_key")).as[(Long, Double)].collect().toSeq
+    assert(soft == hard)
+  }
+
   test("an overwhelming weight is always drawn") {
     val skew = df.withColumn("w",
       when(col("doc_id") === 7L, lit(1e9)).otherwise(col("w")))
