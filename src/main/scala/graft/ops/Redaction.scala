@@ -24,6 +24,30 @@ object Redaction {
     * would extend the pattern set, not the mechanism. */
   val PhonePattern = "\\+?\\d{1,3}-\\d{3}-\\d{4}"
 
+  /** k-anonymity audit over quasi-identifier columns — the
+    * re-identification risk check run before releasing (or training on)
+    * structured/metadata columns: any combination of quasi-identifier
+    * values shared by FEWER than `k` rows singles its members out.
+    * Emits one row per at-risk group — the quasi-id values plus its
+    * size `n` (< k) — ordered by the quasi-ids (NULLS FIRST on every
+    * key, pinned cross-engine; NULL quasi-id values group together, the
+    * SQL GROUP BY convention both engines share). An empty result IS
+    * the pass condition.
+    *
+    * 100 TB shape: one partial→final hash aggregate on the
+    * quasi-identifier key — the shuffle carries distinct value
+    * combinations, not rows; the `n < k` filter prunes before the
+    * (tiny) result sorts. */
+  def kAnonymityAudit(df: DataFrame, quasiIds: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "kAnonymityAudit needs at least one column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+      .orderBy(quasiIds.map(c => col(c).asc_nulls_first): _*)
+  }
+
   /** Per-document redaction: `(doc_id, n_emails, n_phones, clean)` where
     * `clean` is `text` with e-mails replaced by `<EMAIL>` (first, so a
     * digit-bearing local part can never half-match the phone pattern

@@ -3184,6 +3184,20 @@ object Extensions {
         .select(col("doc_id"), col("cluster_size"), col("samp_key"))
   }
 
+  // ---------------------------------------------------------------- x105
+  // k-anonymity audit on (lang, source): metadata value combinations
+  // with fewer than k rows single out their members. NULLS FIRST pinned
+  // on both engines' sort.
+  val x105 = Q.df(
+    "x105_k_anonymity",
+    """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM documents GROUP BY lang, source HAVING COUNT(*) < 8
+      |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin) {
+    (spark, dir) =>
+      Redaction.kAnonymityAudit(Tables.load(spark, dir, "documents"),
+        Seq("lang", "source"), k = 8)
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -3192,5 +3206,5 @@ object Extensions {
     x56b, x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95, x96, x97, x98, x98b, x99, x100, x101, x102, x103, x104)
+    x95, x96, x97, x98, x98b, x99, x100, x101, x102, x103, x104, x105)
 }
