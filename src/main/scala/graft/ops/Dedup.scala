@@ -76,13 +76,6 @@ object Dedup {
       .orderBy(col("keep_id"))
   }
 
-  /** MinHash signature of a shingle array: `numPerm` permutations
-    * simulated as seeded xxhash64 min-hashes. Pure per-row expression —
-    * evaluate it exactly once (persist!) before fanning out to bands. */
-  def minhashSignature(shingles: Column, numPerm: Int): Column =
-    transform(sequence(lit(0), lit(numPerm - 1)), i =>
-      array_min(transform(shingles, s => xxhash64(i, s))))
-
   /** LSH band keys over a *materialized* signature column: hash `bands`
     * contiguous slices of length numPerm/bands. Pair-collision
     * probability for true Jaccard j is 1-(1-j^r)^b — with (64, 16, r=4)

@@ -82,13 +82,6 @@ object Text {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
-  /** Fraction of tokens that appear in `words` (stopword-hit ratio). */
-  def hitRatio(toks: Column, words: Seq[String]): Column = {
-    val set = array(words.map(lit): _*)
-    size(filter(toks, t => array_contains(set, t))).cast("double") /
-      greatest(size(toks), lit(1)).cast("double")
-  }
-
   /** Number of context-window chunks [[chunkWindows]] yields for `text`:
     * `1 + ceil(max(n_tokens - chunkTokens, 0) / stride)`. Computed
     * arithmetically (no array build) so callers can project it beside the
