@@ -145,16 +145,47 @@ object Sampling {
   def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
       seed: Int = 42): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    withAresKey(df, key, weight, seed)
+      .orderBy(col("samp_key"), key)
+      .limit(k)
+  }
+
+  /** Per-STRATUM weighted sampling without replacement: the
+    * [[weightedSample]] A-Res draw ranked WITHIN each stratum — exactly
+    * `min(k, stratum positive-weight size)` rows per group, inclusion
+    * ∝ weight inside its group ("10k docs per language, favoring
+    * quality"). Same determinism and NaN/non-positive-weight exclusion
+    * contract as [[weightedSample]].
+    *
+    * 100 TB shape: a per-stratum row_number filter over the projected
+    * key, which Spark plans as WindowGroupLimit — per-partition top-k
+    * heaps BEFORE the window shuffle, the [[sampleExactK]] shape
+    * (plan-pinned there). */
+  def weightedSamplePerGroup(df: DataFrame, strata: Column, key: Column,
+      weight: Column, k: Int, seed: Int = 42): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata).orderBy(col("samp_key"), key)
+    withAresKey(df, key, weight, seed)
+      .withColumn("__ws_rn", row_number().over(win))
+      .filter(col("__ws_rn") <= k)
+      .drop("__ws_rn")
+  }
+
+  /** Shared A-Res scoring projection: filters NULL/NaN/non-positive
+    * weights (NaN orders above every double in Spark, so `w > 0` alone
+    * would admit it) and adds `samp_key = −ln@7(u)/w` rounded @9 with
+    * `−0.0` normalized — one definition of the draw for
+    * [[weightedSample]] / [[weightedSamplePerGroup]] /
+    * [[dedupWeightedSample]]. */
+  private def withAresKey(df: DataFrame, key: Column, weight: Column,
+      seed: Int): DataFrame = {
     val w = weight.cast("double")
     val b = conv(bucketHex(key, seed), 16, 10).cast("double")
     val u = (b + lit(1.0)) / lit(4294967296.0)
-    // !isnan is load-bearing: NaN orders above every double in Spark,
-    // so `w > 0` alone would ADMIT NaN weights and their NaN keys
     df.filter(w.isNotNull && !isnan(w) && w > lit(0.0))
       .withColumn("samp_key",
         round(-round(log(u), 7) / w, 9) + lit(0.0))
-      .orderBy(col("samp_key"), key)
-      .limit(k)
   }
 
   /** Duplicate-aware "soft dedup" sampling: [[weightedSample]] with

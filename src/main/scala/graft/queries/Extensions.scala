@@ -3198,6 +3198,35 @@ object Extensions {
         Seq("lang", "source"), k = 8)
   }
 
+  // ---------------------------------------------------------------- x106
+  // Per-language quality-weighted sampling: the A-Res draw ranked
+  // WITHIN each lang — the "k docs per language, favoring length"
+  // contract. Oracle restates the identical key then a per-group
+  // ROW_NUMBER <= k.
+  val x106 = Q.df(
+    "x106_weighted_sample_per_group",
+    """WITH h AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS w,
+      |    substring(md5('k' || CAST(doc_id AS VARCHAR) || ':42'), 1, 8) AS hx
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      |u AS (SELECT doc_id, lang, w,
+      |    (list_sum([ (strpos('0123456789abcdef', hx[i]) - 1)
+      |                * power(16.0, 8 - i)
+      |                for i in generate_series(1, 8) ]) + 1.0)
+      |      / 4294967296.0 AS u
+      |  FROM h),
+      |s AS (SELECT doc_id, lang,
+      |    ROUND(-ROUND(ln(u), 7) / w, 9) + 0.0 AS samp_key FROM u),
+      |r AS (SELECT doc_id, lang, samp_key,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY samp_key, doc_id) AS rn FROM s)
+      |SELECT doc_id, lang, samp_key FROM r WHERE rn <= 10
+      |ORDER BY lang, samp_key, doc_id""".stripMargin) { (spark, dir) =>
+    Sampling.weightedSamplePerGroup(Tables.load(spark, dir, "documents"),
+        col("lang"), col("doc_id"), col("n_chars"), k = 10)
+      .select(col("doc_id"), col("lang"), col("samp_key"))
+      .orderBy(col("lang"), col("samp_key"), col("doc_id"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -3206,5 +3235,5 @@ object Extensions {
     x56b, x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95, x96, x97, x98, x98b, x99, x100, x101, x102, x103, x104, x105)
+    x95, x96, x97, x98, x98b, x99, x100, x101, x102, x103, x104, x105, x106)
 }

@@ -83,6 +83,28 @@ class WeightedSampleSpec extends AnyFunSuite {
     assert(soft == hard)
   }
 
+  test("weightedSamplePerGroup: exactly min(k, group size) per stratum, " +
+      "keys equal the global draw") {
+    val grouped = rows.map { case (id, w) => (id, w, if (id <= 25) "a" else "b") }
+      .toDF("doc_id", "w", "g")
+    val got = Sampling.weightedSamplePerGroup(grouped, col("g"),
+        col("doc_id"), col("w"), k = 7)
+      .select(col("g"), col("doc_id"), col("samp_key"))
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got.count(_._1 == "a") == 7 && got.count(_._1 == "b") == 7)
+    // within each group the winners are the k smallest A-Res keys
+    val want = rows.map { case (id, w) => (id, sampKey(id, w)) }
+    Seq("a" -> (1L to 25L), "b" -> (26L to 50L)).foreach { case (g, ids) =>
+      val top = want.filter(t => ids.contains(t._1))
+        .sortBy { case (id, k) => (k, id) }.take(7).map(_._1).toSet
+      assert(got.filter(_._1 == g).map(_._2).toSet == top)
+    }
+    // a group smaller than k returns whole
+    val tiny = Seq((1L, 2.0, "solo")).toDF("doc_id", "w", "g")
+    assert(Sampling.weightedSamplePerGroup(tiny, col("g"), col("doc_id"),
+      col("w"), k = 5).count() == 1)
+  }
+
   test("an overwhelming weight is always drawn") {
     val skew = df.withColumn("w",
       when(col("doc_id") === 7L, lit(1e9)).otherwise(col("w")))
