@@ -1130,6 +1130,17 @@ object TextHashExprs {
       { case Seq(x, Literal(l: Int, IntegerType)) => QuantStats(x, l) }, "built-in")
     reg.createOrReplaceTempFunction("pair_terms",
       { case Seq(x, Literal(d: Int, IntegerType)) => PairTerms(x, d) }, "built-in")
+    // Spark's own runtime-filter bloom machinery, surfaced as callable
+    // functions (both carry real doGenCode; the aggregate OR-merges
+    // partial filters, so the build is fully distributed).
+    reg.createOrReplaceTempFunction("bloom_agg",
+      { case Seq(x, Literal(n: Long, LongType)) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(x, n).toAggregateExpression() }, "built-in")
+    reg.createOrReplaceTempFunction("bloom_might_contain",
+      { case Seq(bf, v) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(bf, v) }, "built-in")
   }
 
   def tokenTrigramHashes(spark: SparkSession, text: Column): Column = {
@@ -1205,6 +1216,24 @@ object TextHashExprs {
     ensureRegistered(spark)
     call_function("pair_terms", v,
       org.apache.spark.sql.functions.lit(dims))
+  }
+
+  /** Distributed bloom-filter build over a LONG column (partial filters
+    * OR-merge map-side). Returns one BINARY blob; size is fixed by
+    * `expectedItems` at Spark's default ~3% fpp sizing, independent of
+    * the actual row count. */
+  def bloomAgg(spark: SparkSession, v: Column, expectedItems: Long): Column = {
+    ensureRegistered(spark)
+    call_function("bloom_agg", v,
+      org.apache.spark.sql.functions.lit(expectedItems))
+  }
+
+  /** Codegen'd membership probe against a serialized bloom filter (a
+    * foldable BINARY column — a literal of [[bloomAgg]]'s output). No
+    * false negatives; false-positive rate set at build time. */
+  def bloomMightContain(spark: SparkSession, bf: Column, v: Column): Column = {
+    ensureRegistered(spark)
+    call_function("bloom_might_contain", bf, v)
   }
 
   def nearestCentroids(spark: SparkSession, vec: Column,

@@ -53,6 +53,51 @@ object Decontamination {
       .orderBy(col("doc_id"))
   }
 
+  /** [[overlapHits]] behind a bloom-filter pre-probe — identical output
+    * (the filter has NO false negatives, and the exact join removes its
+    * false positives), different scale regime: the corpus gram stream is
+    * pruned by a codegen'd bloom probe BEFORE any join, so the exact
+    * verify join's probe side shrinks from |corpus grams| to
+    * `hits + fpp x |corpus grams|`. That is what makes decontamination
+    * against eval-gram sets TOO BIG TO BROADCAST feasible: with
+    * `broadcastVerify = false` the survivors (contamination-proportional)
+    * shuffle to a partitioned eval-gram table instead of every executor
+    * holding the full set — the bloom blob (~1.2 bytes/gram at the
+    * default sizing) is the only thing that ships everywhere. The blob
+    * is built DISTRIBUTED (partial filters OR-merge) and only the one
+    * binary value reaches the driver — the IVF-centroid metadata
+    * precedent, not a corpus collect. */
+  def overlapHitsBloom(train: DataFrame, eval: DataFrame, idCol: Column,
+      textCol: Column, minHits: Int = 1,
+      expectedEvalGrams: Long = 1L << 20,
+      broadcastVerify: Boolean = true): DataFrame = {
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    require(expectedEvalGrams > 0,
+      s"expectedEvalGrams must be > 0, got $expectedEvalGrams")
+    val spark = train.sparkSession
+    val evalGrams = eval
+      .select(explode(TextHashExprs.tokenTrigramHashes(spark, textCol)).as("t"))
+      .distinct()
+    val bfBytes = evalGrams
+      .agg(TextHashExprs.bloomAgg(spark, col("t"), expectedEvalGrams).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val trainGrams = train.select(idCol.as("doc_id"),
+      explode(TextHashExprs.tokenTrigramHashes(spark, textCol)).as("t"))
+    if (bfBytes == null) {
+      // empty eval set: no gram can overlap
+      trainGrams.select(col("doc_id"), lit(0L).as("n_hit")).limit(0)
+    } else {
+      val verify = if (broadcastVerify) broadcast(evalGrams) else evalGrams
+      trainGrams
+        .filter(TextHashExprs.bloomMightContain(spark, lit(bfBytes), col("t")))
+        .join(verify, "t")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .filter(col("n_hit") >= minHits)
+        .orderBy(col("doc_id"))
+    }
+  }
+
   /** WHERE the contamination sits: maximal token spans of each training
     * document whose word-trigrams all appear in the eval corpus —
     * `(doc_id, span_start, span_end, n_grams)` in 1-based token

@@ -3227,6 +3227,37 @@ object Extensions {
       .orderBy(col("lang"), col("samp_key"), col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- x107
+  // Bloom-prefiltered decontamination: identical semantics to x23 (the
+  // bloom probe has no false negatives and the exact verify join removes
+  // its false positives) under a DIFFERENT eval carve and minHits=2, so
+  // the row proves the bloom path end-to-end rather than re-running x23.
+  // The scale point under test: the corpus gram stream is pruned by a
+  // codegen'd probe BEFORE any join — the regime where the eval-gram set
+  // is too big to broadcast.
+  val x107 = Q.df(
+    "x107_decontamination_bloom",
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM documents),
+      |g AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(w) >= 3
+      |         THEN [concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in generate_series(1, len(w)-2)]
+      |         ELSE [array_to_string(w, ' ')] END) AS g
+      |  FROM w),
+      |e AS (SELECT list_distinct(flatten(list(g))) AS eg FROM g WHERE doc_id % 40 = 0)
+      |SELECT doc_id,
+      |  CAST(len(list_intersect(g, eg)) AS BIGINT) AS n_hit
+      |FROM g, e
+      |WHERE doc_id % 40 <> 0 AND len(list_intersect(g, eg)) >= 2
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    Decontamination.overlapHitsBloom(
+      docs.filter(col("doc_id") % 40 =!= 0),
+      docs.filter(col("doc_id") % 40 === 0),
+      col("doc_id"), col("text"), minHits = 2)
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -3235,5 +3266,6 @@ object Extensions {
     x56b, x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95, x96, x97, x98, x98b, x99, x100, x101, x102, x103, x104, x105, x106)
+    x95, x96, x97, x98, x98b, x99, x100, x101, x102, x103, x104, x105, x106,
+    x107)
 }

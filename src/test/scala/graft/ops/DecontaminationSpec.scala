@@ -43,6 +43,46 @@ class DecontaminationSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L))
   }
 
+  test("overlapHitsBloom equals overlapHits on every minHits/verify mode") {
+    val eval = docs(
+      900L -> "the quick brown fox jumps over the lazy dog",
+      901L -> "pack my box with five dozen liquor jugs")
+    val train = docs(
+      1L -> "see the quick brown fox run past the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "alpha beta gamma delta epsilon",
+      4L -> "pack my box with five dozen liquor jugs and more")
+    for (minHits <- Seq(1, 2, 4); bcast <- Seq(true, false)) {
+      val exact = Decontamination.overlapHits(train, eval,
+        col("doc_id"), col("text"), minHits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bloom = Decontamination.overlapHitsBloom(train, eval,
+        col("doc_id"), col("text"), minHits, broadcastVerify = bcast)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bloom == exact, s"minHits=$minHits broadcastVerify=$bcast")
+    }
+  }
+
+  test("overlapHitsBloom: empty eval set yields an empty, well-typed frame") {
+    val eval = docs().filter(lit(false))
+    val train = docs(1L -> "anything at all here")
+    val out = Decontamination.overlapHitsBloom(train, eval,
+      col("doc_id"), col("text"))
+    assert(out.columns.toSeq == Seq("doc_id", "n_hit"))
+    assert(out.count() == 0)
+  }
+
+  test("overlapHitsBloom plan: bloom probe filters the corpus grams before the join") {
+    val eval = docs(900L -> "the quick brown fox jumps over it")
+    val train = docs(1L -> "the quick brown fox runs", 2L -> "unrelated words only")
+    val df = Decontamination.overlapHitsBloom(train, eval,
+      col("doc_id"), col("text"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected the bloom probe in the corpus-side filter:\n$plan")
+  }
+
   test("plan: eval side broadcasts; no sort-merge join of the corpus") {
     val eval = docs(900L -> "the quick brown fox jumps over it")
     val train = docs(1L -> "the quick brown fox runs")
