@@ -852,4 +852,46 @@ object TextAnalysis {
         round(col("oov_tokens").cast("double") / col("n_tokens"), 9))
       .orderBy(col("doc_id"))
   }
+
+  /** Apply an externally-trained hashed-feature linear text classifier
+    * (the fastText / CCNet-quality-filter shape) at corpus scale:
+    * `score = round(bias + mean_t weights[h(t) mod |weights|], 6)` over
+    * the word tokens of each document — `(doc_id, n_toks, score)`,
+    * zero-token documents absent by contract (a mean over no features
+    * is undefined; the [[oovRate]] precedent). The feature hash is the
+    * portable md5 bucket ([[Sampling.bucketHex]]), so any engine with
+    * md5 scores identically — training happens offline; this operator
+    * is the APPLY pass.
+    *
+    * Determinism: each term rounds @9 then accumulates in
+    * DECIMAL(28,9) (order-independent); the divided final reports @6
+    * (the x28 contract). Weight lookup and the mean are IEEE-exact.
+    *
+    * 100 TB shape: pure projection → explode → one partial→final
+    * aggregate keyed on doc_id; the weight table is a LITERAL array
+    * (model parameters are metadata, the IVF-centroid precedent) so
+    * there is no join and nothing broadcasts but the plan itself.
+    * [[linearScoreTokens]] takes a persisted token frame. */
+  def linearScore(docs: DataFrame, weights: Array[Double],
+      bias: Double = 0.0, seed: Int = 7): DataFrame =
+    linearScoreTokens(docs.select(col("doc_id"),
+      Text.tokens(col("text")).as("w")), weights, bias, seed)
+
+  /** [[linearScore]] over a pre-tokenized frame `(doc_id, w: array)`. */
+  def linearScoreTokens(toks: DataFrame, weights: Array[Double],
+      bias: Double = 0.0, seed: Int = 7): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val d = weights.length
+    val bucket = conv(Sampling.bucketHex(col("token"), seed), 16, 10)
+      .cast("long") % d
+    toks.select(col("doc_id"), explode(col("w")).as("token"))
+      .select(col("doc_id"),
+        round(element_at(typedLit(weights.toSeq), (bucket + 1).cast("int")), 9)
+          .as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        round(lit(bias) + sum(col("term").cast(DecimalType(28, 9)))
+          .cast("double") / count(lit(1)), 6).as("score"))
+      .orderBy(col("doc_id"))
+  }
 }

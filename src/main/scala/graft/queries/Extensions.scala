@@ -3258,6 +3258,32 @@ object Extensions {
       col("doc_id"), col("text"), minHits = 2)
   }
 
+  // ---------------------------------------------------------------- x108
+  // Hashed-feature linear classifier applied at corpus scale (the
+  // fastText quality-filter APPLY pass). The 64 weights derive from an
+  // exact-arithmetic formula both engines can state literally
+  // (w[i] = (i*37 mod 64)/64 - 0.5 — power-of-two division, exact), the
+  // feature hash is the portable md5 bucket, and the mean rides the
+  // round@9 + DECIMAL(28,9) + divided-final-@6 contract.
+  val x108 = Q.df(
+    "x108_linear_score",
+    """WITH t AS (SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS token
+      |  FROM documents),
+      |h AS (SELECT doc_id, substring(md5('k' || token || ':7'), 1, 8) AS hx FROM t),
+      |b AS (SELECT doc_id,
+      |    CAST(list_sum([ (strpos('0123456789abcdef', hx[i]) - 1)
+      |                    * power(16.0, 8 - i) for i in generate_series(1, 8) ]) AS BIGINT) % 64 AS bkt
+      |  FROM h)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |  ROUND(0.25 + CAST(SUM(CAST(ROUND((bkt * 37) % 64 / 64.0 - 0.5, 9)
+      |    AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6) AS score
+      |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    TextAnalysis.linearScore(Tables.load(spark, dir, "documents"),
+      weights = Array.tabulate(64)(i => (i * 37 % 64) / 64.0 - 0.5),
+      bias = 0.25)
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -3267,5 +3293,5 @@ object Extensions {
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
     x95, x96, x97, x98, x98b, x99, x100, x101, x102, x103, x104, x105, x106,
-    x107)
+    x107, x108)
 }
