@@ -428,6 +428,32 @@ object Sampling {
       .orderBy(col("domain"))
   }
 
+  /** Materialize a repetition plan: each row emits `(row, epoch)` copies
+    * for epochs `1..⌈rate⌉` — full epochs `1..⌊rate⌋` unconditionally,
+    * plus the fractional epoch `⌊rate⌋+1` kept with probability
+    * `rate − ⌊rate⌋` by the portable md5 bucket keyed on `(key, epoch)`
+    * — the data-constrained multi-epoch layout ([[mixturePlan]] computes
+    * `epochs = ⌈rate⌉`; this operator ACTS on it; rate < 1 degenerates
+    * to plain mixture sampling). Rows with NULL or non-positive rate
+    * drop (the mixture contract). The epoch rides in the draw key so
+    * fractional-epoch selection is independent of any same-seed
+    * row-level sampler; NULL keys share one draw per epoch
+    * ([[bucketHex]]'s null contract). `epoch` is BIGINT.
+    *
+    * 100 TB shape: a pure projection + one bounded `sequence` Generate —
+    * no shuffle, no join (rates are expected to already ride the rows,
+    * via the broadcast join that attached them); output size is exactly
+    * Σ⌈rate⌉, the training-set size the plan promised. */
+  def epochRepeat(df: DataFrame, key: Column, rate: Column,
+      seed: Int = 42): DataFrame = {
+    val r = rate.cast("double")
+    df.filter(r.isNotNull && r > 0.0)
+      .withColumn("epoch", explode(sequence(lit(1L), ceil(r))))
+      .filter(col("epoch") <= floor(r) ||
+        bucketHex(concat(key.cast("string"), lit("#"),
+          col("epoch").cast("string")), seed) < hexThresholdCol(r - floor(r)))
+  }
+
   /**
    * Time-decay (recency-weighted) sampling: each row keeps with
    * probability `2^(−age / halflife)` where `age = refTs − ts` — the

@@ -3284,6 +3284,56 @@ object Extensions {
       bias = 0.25)
   }
 
+  // ---------------------------------------------------------------- x109
+  // Epoch-repetition materializer: per-domain rates derive in-plan
+  // (target share x budget / domain mass, UNclamped — rates above 1 mean
+  // the domain repeats), then every doc emits one row per epoch: full
+  // epochs unconditionally, the fractional epoch by the (key, epoch)-
+  // keyed md5 draw. budget=36000 pushes several sources past rate 1, so
+  // the row pins both the repeat arm and the fractional arm.
+  val x109 = Q.df(
+    "x109_epoch_repeat",
+    """WITH tot AS (SELECT source, SUM(n_chars) AS total FROM documents GROUP BY 1),
+      |r AS (SELECT source,
+      |    CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+      |                WHEN 'src1' THEN CAST(0.25 AS DOUBLE)
+      |                WHEN 'src2' THEN CAST(0.15 AS DOUBLE)
+      |                WHEN 'src3' THEN CAST(0.1 AS DOUBLE)
+      |                WHEN 'src4' THEN CAST(0.8 AS DOUBLE) END
+      |      * CAST(36000 AS DOUBLE) / CAST(total AS DOUBLE) AS rate
+      |  FROM tot WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+      |e0 AS (SELECT d.doc_id, d.source, r.rate,
+      |    generate_series(1, CAST(CEIL(r.rate) AS BIGINT)) AS eps
+      |  FROM documents d JOIN r USING (source)),
+      |e AS (SELECT doc_id, source, rate, unnest(eps) AS epoch FROM e0)
+      |SELECT doc_id, source, ROUND(rate, 9) AS keep_rate,
+      |  CAST(epoch AS BIGINT) AS epoch
+      |FROM e
+      |WHERE epoch <= floor(rate)
+      |   OR substring(md5('k' || CAST(doc_id AS VARCHAR) || '#'
+      |        || CAST(epoch AS VARCHAR) || ':42'), 1, 8)
+      |      < printf('%08x', CAST(LEAST(floor((rate - floor(rate))
+      |          * 4294967296.0 + 0.5), CAST(4294967295.0 AS DOUBLE)) AS BIGINT))
+      |ORDER BY doc_id, epoch""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    val targets = when(col("source") === "src0", 0.5)
+      .when(col("source") === "src1", 0.25)
+      .when(col("source") === "src2", 0.15)
+      .when(col("source") === "src3", 0.1)
+      .when(col("source") === "src4", 0.8)
+    val rates = docs.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("total"))
+      .select(col("source"),
+        (targets * lit(36000.0) / col("total").cast("double")).as("rate"))
+      .filter(col("rate").isNotNull)
+    Sampling.epochRepeat(
+        docs.select("doc_id", "source").join(broadcast(rates), "source"),
+        col("doc_id"), col("rate"))
+      .select(col("doc_id"), col("source"),
+        round(col("rate"), 9).as("keep_rate"), col("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -3293,5 +3343,5 @@ object Extensions {
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
     x95, x96, x97, x98, x98b, x99, x100, x101, x102, x103, x104, x105, x106,
-    x107, x108)
+    x107, x108, x109)
 }
