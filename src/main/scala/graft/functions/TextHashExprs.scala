@@ -456,6 +456,34 @@ object TextHashExprs {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** Unicode NFC canonicalization (java.text.Normalizer — the JDK's
+    * ICU-derived tables): composed and decomposed spellings of the same
+    * text ("café" as U+00E9 vs "e"+U+0301) map to one canonical byte
+    * form. The missing layer UNDER [[graft.ops.Dedup.normalized]]'s
+    * ASCII-punctuation pass — byte-exact dedup treats canonically-equal
+    * strings as distinct without it. Already-NFC text (ASCII in
+    * particular) round-trips unchanged; the JDK checks `isNormalized`
+    * internally, so the common case is a scan, not a rebuild. */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def checkInputDataTypes() = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("nfc_normalize needs a string")
+    }
+    override def nullSafeEval(s: Any): Any =
+      UTF8String.fromString(java.text.Normalizer.normalize(
+        s.asInstanceOf[UTF8String].toString,
+        java.text.Normalizer.Form.NFC))
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, s =>
+        s"UTF8String.fromString(java.text.Normalizer.normalize(" +
+          s"$s.toString(), java.text.Normalizer.Form.NFC))")
+    override def prettyName: String = "nfc_normalize"
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   /** Per-dimension standardization `(round9(x) − μᵢ) / σᵢ` rounded @9 —
     * the codegen form of `Similarity.standardize`'s per-element
     * arithmetic, bit-identical to the HOF formulation (the same
@@ -1130,6 +1158,8 @@ object TextHashExprs {
       { case Seq(x, Literal(l: Int, IntegerType)) => QuantStats(x, l) }, "built-in")
     reg.createOrReplaceTempFunction("pair_terms",
       { case Seq(x, Literal(d: Int, IntegerType)) => PairTerms(x, d) }, "built-in")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      { case Seq(x) => NfcNormalize(x) }, "built-in")
     // Spark's own runtime-filter bloom machinery, surfaced as callable
     // functions (both carry real doGenCode; the aggregate OR-merges
     // partial filters, so the build is fully distributed).
@@ -1216,6 +1246,12 @@ object TextHashExprs {
     ensureRegistered(spark)
     call_function("pair_terms", v,
       org.apache.spark.sql.functions.lit(dims))
+  }
+
+  /** Unicode NFC canonical form of a string column (null-safe). */
+  def nfcNormalize(spark: SparkSession, text: Column): Column = {
+    ensureRegistered(spark)
+    call_function("nfc_normalize", text)
   }
 
   /** Distributed bloom-filter build over a LONG column (partial filters

@@ -76,6 +76,28 @@ object Dedup {
       .orderBy(col("keep_id"))
   }
 
+  /** Exact dedup after Unicode NFC canonicalization: composed and
+    * decomposed spellings of one text ("café" spelled U+00E9 vs
+    * "e"+U+0301) merge to one survivor — the canonical-equivalence
+    * layer byte-exact dedup misses on real multilingual crawls, and the
+    * complement of [[exactNormalized]] (which folds case/punctuation
+    * but reads bytes as-is). NFC destroys no content (ASCII and
+    * already-composed text round-trip unchanged), so empty strings are
+    * real values that merge byte-exact; NULL text never merges (the
+    * null-collapse contract). Same scale shape as [[exactByHash]]: the
+    * shuffle carries the 8-byte hash of the NFC form, never text. */
+  def exactNfc(docs: DataFrame): DataFrame = {
+    val nt = graft.functions.TextHashExprs.nfcNormalize(
+      docs.sparkSession, col("text"))
+    docs.groupBy(
+        when(col("text").isNotNull, xxhash64(nt))
+          .otherwise(xxhash64(lit("__nfc_null"), col("doc_id")))
+          .as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      .select(col("keep_id"), col("dup_count"))
+      .orderBy(col("keep_id"))
+  }
+
   /** LSH band keys over a *materialized* signature column: hash `bands`
     * contiguous slices of length numPerm/bands. Pair-collision
     * probability for true Jaccard j is 1-(1-j^r)^b — with (64, 16, r=4)

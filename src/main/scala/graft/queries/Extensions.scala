@@ -3334,6 +3334,41 @@ object Extensions {
       .orderBy(col("doc_id"), col("epoch"))
   }
 
+  // ---------------------------------------------------------------- x110
+  // NFC canonical-equivalence dedup: the fixture is ASCII (NFC is the
+  // identity on it), so canonically-equal variants are PLANTED — every
+  // 15th doc gains a composed twin (+200000, ... café with U+00E9) and a
+  // decomposed twin (+400000, ... cafe + combining U+0301). The twins
+  // must merge WITH EACH OTHER (keep_id = +200000, dup_count 2) and not
+  // with the original; all other rows stay singletons. The oracle groups
+  // by DuckDB's own nfc_normalize with the out-of-band null key.
+  val x110 = Q.df(
+    "x110_dedup_nfc",
+    """WITH u AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' caf' || chr(233)
+      |  FROM documents WHERE doc_id % 15 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 400000, text || ' cafe' || chr(769)
+      |  FROM documents WHERE doc_id % 15 = 0)
+      |SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+      |  CAST(COUNT(*) AS BIGINT) AS dup_count
+      |FROM u
+      |GROUP BY CASE WHEN text IS NOT NULL THEN 't:' || nfc_normalize(text)
+      |              ELSE 'n:' || CAST(doc_id AS VARCHAR) END
+      |ORDER BY keep_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val sel = docs.filter(col("doc_id") % 15 === 0)
+    val planted = sel
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(col("text"), lit(" caf\u00e9")).as("text"))
+      .unionByName(sel
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          concat(col("text"), lit(" cafe\u0301")).as("text")))
+    Dedup.exactNfc(docs.unionByName(planted))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -3343,5 +3378,5 @@ object Extensions {
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
     x95, x96, x97, x98, x98b, x99, x100, x101, x102, x103, x104, x105, x106,
-    x107, x108, x109)
+    x107, x108, x109, x110)
 }
