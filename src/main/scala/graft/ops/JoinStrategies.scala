@@ -77,6 +77,46 @@ object JoinStrategies {
     * ride a broadcast one-row aggregate of the COUNTS table (not the
     * corpus), and the ordered limit plans as TakeOrderedAndProject —
     * per-partition top-k heaps, never a global sort. */
+  /** Point-in-interval range join — `points ⋈ intervals ON start <= p
+    * AND p < end` — via COARSE TIME BINS: each point equi-joins on its
+    * one bin, each interval explodes to the bins it touches, and the
+    * exact predicate verifies survivors. OSS Spark plans a raw
+    * inequality join as BroadcastNestedLoopJoin (every point × every
+    * interval — the 100 TB killer); this shape is a plain shuffled
+    * equi-join whose candidate volume is |points| + Σ(len/binWidth + 2)
+    * interval copies. A (point, interval) pair can match at most once
+    * (the point lives in exactly one bin). Pick `binWidth` near the
+    * TYPICAL interval length: too small explodes interval copies, too
+    * large pools unrelated candidates into one bin.
+    *
+    * Contract: `point`/`start`/`end` are NUMERIC expressions (for
+    * timestamps pass `unix_micros(ts)`) with |value| < 2^53 so the
+    * double bin division is exact-monotone — rounding at a bin edge
+    * can only ADD a candidate (floor(x/W) is monotone in x, so a
+    * contained point's bin always lies within the interval's bin
+    * span), never lose a pair; the exact predicate kills extras.
+    * NULL endpoints and empty intervals (end <= start) drop; column
+    * names of the two frames must be disjoint (the join re-evaluates
+    * the caller's expressions on both sides).
+    *
+    * Skew note: a bin holding a hot hour is one shuffle key — AQE
+    * skew-join splits it; for pathological density salt the bin key
+    * (the [[saltedJoin]] pattern). */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, point: Column,
+      start: Column, end: Column, binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    val p = points.filter(point.isNotNull)
+      .withColumn("__rj_bin", floor(point / binWidth).cast("long"))
+    val i = intervals
+      .filter(start.isNotNull && end.isNotNull && start < end)
+      .withColumn("__rj_bin", explode(sequence(
+        floor(start / binWidth).cast("long"),
+        floor(end / binWidth).cast("long"))))
+    p.join(i, "__rj_bin")
+      .where(start <= point && point < end)
+      .drop("__rj_bin")
+  }
+
   def skewAudit(df: DataFrame, key: Column, k: Int = 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))

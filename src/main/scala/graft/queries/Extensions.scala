@@ -3369,6 +3369,41 @@ object Extensions {
     Dedup.exactNfc(docs.unionByName(planted))
   }
 
+  // ---------------------------------------------------------------- x111
+  // Time-binned range join: per-type "busy" 90-minute activity windows
+  // (hourly anchors holding >= 6 events), then EVERY event joins into
+  // every overlapping window on a pure time-range predicate — no equi
+  // key exists, the shape OSS Spark would plan as a nested-loop. The
+  // engine runs the 30-min-bin equi-join + exact verify; the oracle is
+  // DuckDB's raw inequality join. Windows overlap (90 min on 60-min
+  // anchors), so the pair multiplicity itself is under test.
+  val x111 = Q.df(
+    "x111_range_join",
+    """WITH w AS (SELECT event_type AS wtype, date_trunc('hour', ts) AS ws,
+      |    date_trunc('hour', ts) + INTERVAL 90 MINUTE AS we
+      |  FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 6)
+      |SELECT wtype, ws, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+      |FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val ev = Tables.load(spark, dir, "events")
+    val windows = ev
+      .groupBy(col("event_type").as("wtype"),
+        date_trunc("hour", col("ts")).as("ws"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 6)
+      .select(col("wtype"), col("ws"),
+        (col("ws") + expr("INTERVAL '90' MINUTE")).as("we"))
+    graft.ops.JoinStrategies.rangeJoin(
+        ev.select("event_id", "user_id", "ts"), windows,
+        unix_micros(col("ts")), unix_micros(col("ws")),
+        unix_micros(col("we")), binWidth = 30L * 60 * 1000000)
+      .groupBy(col("wtype"), col("ws"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("wtype"), col("ws"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -3378,5 +3413,5 @@ object Extensions {
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
     x95, x96, x97, x98, x98b, x99, x100, x101, x102, x103, x104, x105, x106,
-    x107, x108, x109, x110)
+    x107, x108, x109, x110, x111)
 }
