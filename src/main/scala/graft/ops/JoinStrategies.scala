@@ -117,6 +117,32 @@ object JoinStrategies {
       .drop("__rj_bin")
   }
 
+  /** Interval-overlap join — `left ⋈ right ON ls < re AND rs < le`
+    * (strict half-open overlap) — the interval×interval generalization
+    * of [[rangeJoin]], same coarse-bin equi-join shape. Both sides
+    * explode to the bins they touch, candidates equi-join per bin, and
+    * each surviving pair is emitted EXACTLY ONCE without any distinct
+    * shuffle: a pair sharing several bins keeps only the FIRST shared
+    * bin, `max(floor(ls/W), floor(rs/W))` — a pure predicate on columns
+    * already in the row (the standard dedup-free trick for binned
+    * overlap joins). Same numeric/2^53, NULL-drop, empty-interval, and
+    * skew contracts as [[rangeJoin]]; the monotone-floor argument again
+    * makes bin-edge rounding add-only. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      lStart: Column, lEnd: Column, rStart: Column, rEnd: Column,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    def binned(df: DataFrame, s: Column, e: Column) = df
+      .filter(s.isNotNull && e.isNotNull && s < e)
+      .withColumn("__io_bin", explode(sequence(
+        floor(s / binWidth).cast("long"), floor(e / binWidth).cast("long"))))
+    binned(left, lStart, lEnd).join(binned(right, rStart, rEnd), "__io_bin")
+      .where(lStart < rEnd && rStart < lEnd &&
+        col("__io_bin") === greatest(floor(lStart / binWidth).cast("long"),
+          floor(rStart / binWidth).cast("long")))
+      .drop("__io_bin")
+  }
+
   def skewAudit(df: DataFrame, key: Column, k: Int = 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))

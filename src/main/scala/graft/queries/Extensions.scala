@@ -3404,6 +3404,45 @@ object Extensions {
       .orderBy(col("wtype"), col("ws"))
   }
 
+  // ---------------------------------------------------------------- x112
+  // Interval-overlap join: click-activity spans of one user sample vs
+  // view-activity spans of another, joined on STRICT interval overlap
+  // with no equi key — the interval×interval case. Spans run weeks while
+  // the bin is one day, so pairs share MANY bins: the first-shared-bin
+  // emission (no distinct) is exactly what the hash compare pins.
+  // overlap_us is an exact integer difference of microsecond instants.
+  val x112 = Q.df(
+    "x112_interval_overlap",
+    """WITH a AS (SELECT user_id AS a_user,
+      |    CAST(MIN(epoch_us(ts)) AS BIGINT) AS a_s,
+      |    CAST(MAX(epoch_us(ts)) AS BIGINT) AS a_e
+      |  FROM events WHERE user_id % 3 = 0 AND event_type = 'click'
+      |  GROUP BY 1 HAVING MIN(epoch_us(ts)) < MAX(epoch_us(ts))),
+      |b AS (SELECT user_id AS b_user,
+      |    CAST(MIN(epoch_us(ts)) AS BIGINT) AS b_s,
+      |    CAST(MAX(epoch_us(ts)) AS BIGINT) AS b_e
+      |  FROM events WHERE user_id % 5 = 0 AND event_type = 'view'
+      |  GROUP BY 1 HAVING MIN(epoch_us(ts)) < MAX(epoch_us(ts)))
+      |SELECT a_user, b_user,
+      |  LEAST(a_e, b_e) - GREATEST(a_s, b_s) AS overlap_us
+      |FROM a JOIN b ON a_s < b_e AND b_s < a_e
+      |ORDER BY a_user, b_user""".stripMargin) { (spark, dir) =>
+    val ev = Tables.load(spark, dir, "events")
+    def spans(m: Int, t: String, p: String) = ev
+      .filter(col("user_id") % m === 0 && col("event_type") === t)
+      .groupBy(col("user_id").as(s"${p}_user"))
+      .agg(min(unix_micros(col("ts"))).as(s"${p}_s"),
+        max(unix_micros(col("ts"))).as(s"${p}_e"))
+    graft.ops.JoinStrategies.intervalOverlapJoin(
+        spans(3, "click", "a"), spans(5, "view", "b"),
+        col("a_s"), col("a_e"), col("b_s"), col("b_e"),
+        binWidth = 24L * 3600 * 1000000)
+      .select(col("a_user"), col("b_user"),
+        (least(col("a_e"), col("b_e"))
+          - greatest(col("a_s"), col("b_s"))).as("overlap_us"))
+      .orderBy(col("a_user"), col("b_user"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -3413,5 +3452,5 @@ object Extensions {
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
     x95, x96, x97, x98, x98b, x99, x100, x101, x102, x103, x104, x105, x106,
-    x107, x108, x109, x110, x111)
+    x107, x108, x109, x110, x111, x112)
 }

@@ -44,6 +44,33 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(run(ps, is, 4L) == Set((0L, 0L)))
   }
 
+  test("intervalOverlapJoin matches brute force; pairs emit exactly once") {
+    val ls = (0L until 80L).map(i => (i, i * 11 % 300, i * 11 % 300 + 5 + i % 60))
+      .toDF("lid", "ls", "le")
+    val rs = (0L until 70L).map(i => (i, i * 17 % 280, i * 17 % 280 + 3 + i % 90))
+      .toDF("rid", "rs", "re")
+    val brute = ls.crossJoin(rs)
+      .where(col("ls") < col("re") && col("rs") < col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect()
+    for (w <- Seq(1L, 7L, 64L, 500L)) {
+      val got = JoinStrategies.intervalOverlapJoin(ls, rs,
+          col("ls"), col("le"), col("rs"), col("re"), w)
+        .select("lid", "rid").as[(Long, Long)].collect()
+      // exact multiset equality: no lost pairs AND no duplicate emission
+      assert(got.sorted.toSeq == brute.sorted.toSeq, s"binWidth=$w")
+    }
+  }
+
+  test("intervalOverlapJoin: strict overlap — touching intervals do not match") {
+    val ls = Seq((0L, 0L, 10L)).toDF("lid", "ls", "le")
+    val rs = Seq((0L, 10L, 20L), (1L, 9L, 20L), (2L, 10L, 10L))
+      .toDF("rid", "rs", "re")
+    val got = JoinStrategies.intervalOverlapJoin(ls, rs,
+        col("ls"), col("le"), col("rs"), col("re"), 4L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L))) // [0,10) vs [10,20) touch only; empty drops
+  }
+
   test("plan: a shuffled equi-join on the bin key, never a nested loop") {
     val ps = points((0L until 100L): _*)
     val is = intervals((0L, 50L), (40L, 90L))
