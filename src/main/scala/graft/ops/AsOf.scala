@@ -27,9 +27,18 @@ object AsOf {
     * `key` and `ts` name columns present in BOTH frames. If `right` can
     * hold duplicate (key, ts) pairs, pass `rightTiebreak` (a right
     * column name) to make the match deterministic — the LARGEST
-    * tiebreak value among the tied rows wins. */
+    * tiebreak value among the tied rows wins.
+    *
+    * `tolerance` (the pandas `merge_asof` contract): a match only
+    * stands when `left.ts − right.ts <= tolerance` — in MICROSECONDS
+    * for timestamp `ts` columns, in the column's own unit for numeric
+    * ones. A pure post-filter on the carried row: the as-of match
+    * MINIMIZES the lag, so if the nearest right row is out of
+    * tolerance no other could be in — semantics stay exact and the
+    * plan shape (one exchange, one window) is unchanged. */
   def joinAsOf(left: DataFrame, right: DataFrame, key: String, ts: String,
-      rightTiebreak: Option[String] = None): DataFrame = {
+      rightTiebreak: Option[String] = None,
+      tolerance: Option[Long] = None): DataFrame = {
     val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
     val rightStruct = struct(right.columns.map(col).toIndexedSeq: _*)
     val rightType = org.apache.spark.sql.types.StructType(right.schema.fields)
@@ -49,6 +58,18 @@ object AsOf {
     val joined = l2.unionByName(r2)
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-    joined.select(col("__l.*"), col("__asof").as("asof"))
+    val asofOut = tolerance match {
+      case None => col("__asof")
+      case Some(t) =>
+        require(t >= 0, s"tolerance must be >= 0, got $t")
+        val lag = left.schema(ts).dataType match {
+          case org.apache.spark.sql.types.TimestampType =>
+            unix_micros(col("__t")) - unix_micros(col("__asof").getField(ts))
+          case _ =>
+            col("__t").cast("long") - col("__asof").getField(ts).cast("long")
+        }
+        when(col("__asof").isNotNull && lag <= t, col("__asof"))
+    }
+    joined.select(col("__l.*"), asofOut.as("asof"))
   }
 }

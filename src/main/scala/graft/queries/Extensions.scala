@@ -3443,6 +3443,41 @@ object Extensions {
       .orderBy(col("a_user"), col("b_user"))
   }
 
+  // ---------------------------------------------------------------- x113
+  // As-of join under a 6-hour tolerance (the pandas merge_asof
+  // contract): a click's attributed purchase only stands when it
+  // happened within the window. The oracle wraps DuckDB's native ASOF
+  // join in the equivalent post-filter — sound because the as-of match
+  // minimizes the lag, so an out-of-tolerance nearest match means no
+  // match at all.
+  val x113 = Q.df(
+    "x113_asof_tolerance",
+    """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |m AS (SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+      |    p.event_id AS pid, p.ts AS pts,
+      |    epoch_us(c.ts) - epoch_us(p.ts) AS lag
+      |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts)
+      |SELECT click_id, user_id, click_ts,
+      |  CASE WHEN lag <= 21600000000 THEN pid END AS purchase_id,
+      |  CASE WHEN lag <= 21600000000 THEN pts END AS purchase_ts,
+      |  CASE WHEN lag <= 21600000000 THEN lag END AS lag_us
+      |FROM m ORDER BY click_id""".stripMargin) { (spark, dir) =>
+    val events = Tables.load(spark, dir, "events")
+    val clicks = events.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    AsOf.joinAsOf(clicks, purchases, key = "user_id", ts = "ts",
+        tolerance = Some(21600000000L))
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"),
+        col("asof.event_id").as("purchase_id"),
+        col("asof.ts").as("purchase_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("asof.ts"))).as("lag_us"))
+      .orderBy("click_id")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -3452,5 +3487,5 @@ object Extensions {
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
     x95, x96, x97, x98, x98b, x99, x100, x101, x102, x103, x104, x105, x106,
-    x107, x108, x109, x110, x111, x112)
+    x107, x108, x109, x110, x111, x112, x113)
 }

@@ -34,6 +34,31 @@ class AsOfSpec extends AnyFunSuite {
     assert(out == Map(10L -> Some(100L), 11L -> Some(101L), 20L -> None))
   }
 
+  test("tolerance blanks matches farther back than the window") {
+    // lid 10's match is 30 min back, lid 11's is 0 back
+    val out = AsOf.joinAsOf(left, right, key = "user_id", ts = "ts",
+        tolerance = Some(15L * 60 * 1000000)) // 15 min in micros
+      .select(col("lid"), col("asof.rid").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(10L -> None, 11L -> Some(101L), 20L -> None))
+    // a window wide enough keeps everything the base join matched
+    val wide = AsOf.joinAsOf(left, right, key = "user_id", ts = "ts",
+        tolerance = Some(3600L * 1000000))
+      .select(col("lid"), col("asof.rid").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(wide == Map(10L -> Some(100L), 11L -> Some(101L), 20L -> None))
+  }
+
+  test("tolerance on a numeric ts column uses the column's own unit") {
+    val l = Seq((1L, 10L, 100L), (1L, 11L, 200L)).toDF("k", "lid", "t")
+    val r = Seq((1L, 5L, 95L), (1L, 6L, 185L)).toDF("k", "rid", "t")
+    val out = AsOf.joinAsOf(l, r, key = "k", ts = "t", tolerance = Some(10L))
+      .select(col("lid"), col("asof.rid").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    // lid 10: lag 5 <= 10 keeps; lid 11: nearest is 185, lag 15 > 10 blanks
+    assert(out == Map(10L -> Some(5L), 11L -> None))
+  }
+
   test("duplicate right (key, ts) resolves to the largest tiebreak") {
     val dup = Seq(
       (1L, 100L, "2024-01-01 09:00:00"),
