@@ -853,6 +853,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document character-SCRIPT histogram + dominant-script label —
+    * the audit [[languageId]]'s token heuristics sit on top of: counts
+    * of Latin letters, CJK ideographs (U+4E00–U+9FFF), Cyrillic
+    * (U+0400–U+04FF), digits, and whitespace, plus a deterministic
+    * dominant-script CASE (`cjk`/`latin`/`cyrillic`/`other`, ties
+    * resolved in that order). Mixed-script rows are the classic spam /
+    * encoding-damage signal a multilingual curation pass filters on.
+    * NULL text drops. Counts are exact integers over explicit
+    * codepoint-range classes (engine-portable — no \\p{script}
+    * properties, whose tables differ across regex engines; whitespace
+    * is the explicit `[ \\t\\n\\r]` class because Java's \\s and RE2's
+    * \\s disagree on vertical tab).
+    *
+    * 100 TB shape: a pure shuffle-free projection (five counting
+    * regex passes per row — string-length work, no join, no
+    * aggregate); streams at any corpus size. */
+  def scriptProfile(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    def cnt(pattern: String) =
+      (length(t) - length(regexp_replace(t, pattern, ""))).cast("long")
+    docs.filter(t.isNotNull)
+      .select(col("doc_id"),
+        length(t).cast("long").as("n_chars"),
+        cnt("[A-Za-z]").as("n_latin"),
+        cnt("[\\u4E00-\\u9FFF]").as("n_cjk"),
+        cnt("[\\u0400-\\u04FF]").as("n_cyrillic"),
+        cnt("[0-9]").as("n_digit"),
+        cnt("[ \\t\\n\\r]").as("n_space"))
+      .withColumn("script",
+        when(col("n_cjk") >= col("n_latin")
+          && col("n_cjk") >= col("n_cyrillic") && col("n_cjk") > 0, "cjk")
+        .when(col("n_latin") >= col("n_cyrillic") && col("n_latin") > 0, "latin")
+        .when(col("n_cyrillic") > 0, "cyrillic")
+        .otherwise("other"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Apply an externally-trained hashed-feature linear text classifier
     * (the fastText / CCNet-quality-filter shape) at corpus scale:
     * `score = round(bias + mean_t weights[h(t) mod |weights|], 6)` over

@@ -3478,6 +3478,39 @@ object Extensions {
       .orderBy("click_id")
   }
 
+  // ---------------------------------------------------------------- x114
+  // Character-script profile: exact per-doc counts over explicit
+  // codepoint-range classes (identical ranges spelled in each engine's
+  // escape syntax — Java \uXXXX vs RE2 \x{XXXX}) + the deterministic
+  // dominant-script CASE. The fixture's zh docs give the CJK arm real
+  // rows; everything is integer-exact.
+  val x114 = Q.df(
+    "x114_script_profile",
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+      |  CAST(length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
+      |  CAST(length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+      |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+      |  CAST(length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS BIGINT) AS n_space,
+      |  CASE WHEN length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g'))
+      |         >= length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+      |        AND length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g'))
+      |         >= length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g'))
+      |        AND length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) > 0
+      |       THEN 'cjk'
+      |       WHEN length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+      |         >= length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g'))
+      |        AND length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) > 0
+      |       THEN 'latin'
+      |       WHEN length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) > 0
+      |       THEN 'cyrillic'
+      |       ELSE 'other' END AS script
+      |FROM documents WHERE text IS NOT NULL
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    TextAnalysis.scriptProfile(Tables.load(spark, dir, "documents"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -3487,5 +3520,5 @@ object Extensions {
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
     x95, x96, x97, x98, x98b, x99, x100, x101, x102, x103, x104, x105, x106,
-    x107, x108, x109, x110, x111, x112, x113)
+    x107, x108, x109, x110, x111, x112, x113, x114)
 }
