@@ -153,6 +153,39 @@ object Selection {
       .drop("__wz_lo", "__wz_hi")
   }
 
+  /** Per-group TRIMMED mean — the mean of values strictly inside the
+    * exact `[percentile(pLo), percentile(pHi)]` fences, rows outside
+    * EXCLUDED (where [[winsorize]] clamps them) — the robust datasheet
+    * location estimate. Emits `(group, n_kept, trimmed_mean)`; NULL
+    * values never pass the fence predicate, so they are excluded like
+    * outliers. Fences round @9 (the winsorize contract); the kept-set
+    * mean accumulates round@9 terms in DECIMAL(28,9) and the divided
+    * final reports @6 (the x28 contract).
+    *
+    * Scale: the fences ride ONE melted rank-selection pass
+    * ([[Percentiles.exactAdaptive]]); the filter+mean is a broadcast
+    * join-back plus one partial→final aggregate — the corpus shuffles
+    * only its group keys. Scoring the corpus against its own
+    * statistics is two lineage passes by repo convention. */
+  def trimmedMean(df: DataFrame, group: String, value: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(0 <= pLo && pLo <= pHi && pHi <= 1,
+      s"need 0 <= pLo <= pHi <= 1, got ($pLo, $pHi)")
+    val bounds = Percentiles.exactAdaptive(df, Seq(group),
+        Seq(Percentiles.Spec(value, pLo, "__tm_lo"),
+          Percentiles.Spec(value, pHi, "__tm_hi")))
+      .select(col(group), round(col("__tm_lo"), 9).as("__tm_lo"),
+        round(col("__tm_hi"), 9).as("__tm_hi"))
+    df.join(broadcast(bounds), group)
+      .filter(col(value).cast("double").between(col("__tm_lo"), col("__tm_hi")))
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_kept"),
+        round(sum(round(col(value).cast("double"), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+          .cast("double") / count(lit(1)), 6).as("trimmed_mean"))
+      .orderBy(col(group))
+  }
+
   /**
    * Global quantile-bucket assignment — "which quarter/decile of the
    * corpus does this row's value sit in": curriculum phase by quality

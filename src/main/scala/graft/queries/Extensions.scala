@@ -3511,6 +3511,27 @@ object Extensions {
     TextAnalysis.scriptProfile(Tables.load(spark, dir, "documents"))
   }
 
+  // ---------------------------------------------------------------- x115
+  // Per-source 5–95% trimmed mean of document length: exact
+  // percentile_cont fences (bit-for-bit vs the rank-selection
+  // machinery, the x39/x88 precedent), rows outside EXCLUDED, and the
+  // kept-set mean under the round@9 + DECIMAL + @6-final contract.
+  val x115 = Q.df(
+    "x115_trimmed_mean",
+    """WITH f AS (SELECT source,
+      |    ROUND(percentile_cont(0.05) WITHIN GROUP (ORDER BY n_chars), 9) AS lo,
+      |    ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY n_chars), 9) AS hi
+      |  FROM documents GROUP BY 1)
+      |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  ROUND(CAST(SUM(CAST(ROUND(CAST(n_chars AS DOUBLE), 9)
+      |    AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6) AS trimmed_mean
+      |FROM documents d JOIN f USING (source)
+      |WHERE CAST(n_chars AS DOUBLE) BETWEEN lo AND hi
+      |GROUP BY d.source ORDER BY d.source""".stripMargin) { (spark, dir) =>
+    Selection.trimmedMean(Tables.load(spark, dir, "documents"),
+      group = "source", value = "n_chars")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -3520,5 +3541,5 @@ object Extensions {
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
     x95, x96, x97, x98, x98b, x99, x100, x101, x102, x103, x104, x105, x106,
-    x107, x108, x109, x110, x111, x112, x113, x114)
+    x107, x108, x109, x110, x111, x112, x113, x114, x115)
 }
