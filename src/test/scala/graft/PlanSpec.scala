@@ -313,4 +313,74 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus-sized self-join appeared:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
   }
+
+  test("x107: the bloom probe prunes corpus grams BELOW the verify join") {
+    val p = plan(graft.queries.Extensions.x107)
+    // the codegen'd probe must sit on the corpus gram stream (a child of
+    // the verify join — textually below the join header), so only
+    // hits + fpp·|grams| rows ever reach the join
+    val join = p.indexOf("BroadcastHashJoin")
+    val probe = p.indexOf("might_contain") // BloomFilterMightContain's plan name
+    assert(join >= 0 && probe > join, s"probe not below the verify join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the verify:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("x108: linear scoring is explode → one doc-keyed aggregate, weights stay literal") {
+    val p = plan(graft.queries.Extensions.x108)
+    // model parameters are a literal array — no join anywhere; the only
+    // hash exchange is the per-doc aggregate's
+    assert(!p.contains("Join"), s"weight lookup became a join:\n$p")
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length == 1,
+      s"extra corpus exchange:\n$p")
+    assert(p.contains("HashAggregate"), s"plan:\n$p")
+  }
+
+  test("x109: epoch repetition is a broadcast rates join + one bounded Generate") {
+    val p = plan(graft.queries.Extensions.x109)
+    assert(p.contains("Generate"), s"plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"rates not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the rates:\n$p")
+    // the corpus never hash-shuffles on its own key — only the
+    // |domains|-row rates aggregate exchanges
+    assert(!"Exchange hashpartitioning\\(doc_id".r.findAllIn(p).hasNext,
+      s"corpus-keyed exchange appeared:\n$p")
+  }
+
+  test("x110: NFC dedup shuffles 8-byte hashes of the canonical form, never text") {
+    val p = plan(graft.queries.Extensions.x110)
+    // partial→final aggregate keyed on xxhash64(nfc(text)) — rendered as
+    // _groupingexpression: the exchange carries (hash, partial keep/count),
+    // not document bodies
+    assert(p.contains("HashAggregate"), s"plan:\n$p")
+    assert("Exchange hashpartitioning\\(_groupingexpression".r.findAllIn(p).length == 1,
+      s"expected exactly the hash-keyed exchange:\n$p")
+    assert(!p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .exists(_.contains("text#")), s"text column crossed a shuffle:\n$p")
+  }
+
+  test("x113: tolerance as-of join keeps the one-window shape (no range join)") {
+    val p = plan(graft.queries.Extensions.x113)
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"range join appeared:\n$p")
+    assert(!p.contains("CartesianProduct"), s"range join appeared:\n$p")
+    assert("Exchange hashpartitioning\\(__k".r.findAllIn(p).length <= 1,
+      s"as-of union re-shuffled:\n$p")
+  }
+
+  test("x114: script profile is a shuffle-free projection") {
+    val p = plan(graft.queries.Extensions.x114)
+    assert(!p.contains("Exchange hashpartitioning"), s"plan:\n$p")
+    assert(!p.contains("Join"), s"plan:\n$p")
+    assert(!p.contains("HashAggregate"), s"plan:\n$p")
+  }
+
+  test("x115: trimmed-mean fences use the rank selection and broadcast back") {
+    val p = plan(graft.queries.Extensions.x115)
+    assert(!p.toLowerCase.contains("percentile"), s"buffered percentile in plan:\n$p")
+    assert(!p.contains("Median"), s"buffered median in plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"fences not broadcast at this scale:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus re-shuffled for the trim:\n$p")
+  }
 }
