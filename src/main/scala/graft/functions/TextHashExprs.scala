@@ -484,6 +484,70 @@ object TextHashExprs {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /**
+   * Per-document Shannon entropy of the CHARACTER (codepoint)
+   * distribution — the classic gibberish / low-diversity quality signal
+   * (encoding damage, keyboard-mash and single-char padding sit near 0;
+   * natural single-script text sits in a narrow band). One local pass
+   * per row: no shuffle, no aggregate, no state.
+   *
+   * Cross-engine determinism: H = ln(n) − (Σ c·ln c)/n over codepoint
+   * counts c. Each ln rounds @7 (the pinned-ln contract), each term
+   * `c · round(ln c, 7)` is one IEEE double multiply rounded @9 and
+   * accumulated EXACTLY in BigDecimal (order-independent, so the local
+   * hash-map iteration order cannot leak); the final expression reports
+   * @6 with −0.0 normalized (`+ 0.0`). The oracle restates the same
+   * arithmetic over DuckDB's per-char unnest.
+   *
+   * Emits `struct(n_cp, n_distinct_cp, entropy)`; null input → null row
+   * (UnaryExpression contract); callers filter empty text (ln 0 is
+   * undefined — a zero-length doc has no distribution to score).
+   */
+  case class CharEntropy(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    import org.apache.spark.sql.catalyst.InternalRow
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_cp", LongType, nullable = false),
+      StructField("n_distinct_cp", LongType, nullable = false),
+      StructField("entropy", DoubleType, nullable = false)))
+
+    override def checkInputDataTypes() = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("char_entropy needs a string")
+    }
+
+    private def r(x: Double, s: Int): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val counts = mutable.HashMap.empty[Int, Long]
+      var i = 0; var n = 0L
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        counts.update(cp, counts.getOrElse(cp, 0L) + 1L)
+        n += 1
+        i += Character.charCount(cp)
+      }
+      if (n == 0L) InternalRow(0L, 0L, 0.0)
+      else {
+        var sm = java.math.BigDecimal.ZERO
+        val it = counts.valuesIterator
+        while (it.hasNext) {
+          val c = it.next().toDouble
+          sm = sm.add(java.math.BigDecimal.valueOf(r(c * r(Math.log(c), 7), 9)))
+        }
+        val h = r(r(Math.log(n.toDouble), 7) - sm.doubleValue() / n.toDouble, 6) + 0.0
+        InternalRow(n, counts.size.toLong, h)
+      }
+    }
+    override def prettyName: String = "char_entropy"
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   /** Per-dimension standardization `(round9(x) − μᵢ) / σᵢ` rounded @9 —
     * the codegen form of `Similarity.standardize`'s per-element
     * arithmetic, bit-identical to the HOF formulation (the same
@@ -1160,6 +1224,8 @@ object TextHashExprs {
       { case Seq(x, Literal(d: Int, IntegerType)) => PairTerms(x, d) }, "built-in")
     reg.createOrReplaceTempFunction("nfc_normalize",
       { case Seq(x) => NfcNormalize(x) }, "built-in")
+    reg.createOrReplaceTempFunction("char_entropy",
+      { case Seq(x) => CharEntropy(x) }, "built-in")
     // Spark's own runtime-filter bloom machinery, surfaced as callable
     // functions (both carry real doGenCode; the aggregate OR-merges
     // partial filters, so the build is fully distributed).
@@ -1252,6 +1318,12 @@ object TextHashExprs {
   def nfcNormalize(spark: SparkSession, text: Column): Column = {
     ensureRegistered(spark)
     call_function("nfc_normalize", text)
+  }
+
+  /** struct(n_cp, n_distinct_cp, entropy) — see [[CharEntropy]]. */
+  def charEntropy(spark: SparkSession, text: Column): Column = {
+    ensureRegistered(spark)
+    call_function("char_entropy", text)
   }
 
   /** Distributed bloom-filter build over a LONG column (partial filters

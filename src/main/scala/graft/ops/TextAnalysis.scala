@@ -890,6 +890,33 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document Shannon entropy of the character distribution —
+    * `(doc_id, n_cp, n_distinct_cp, entropy)` with
+    * `H = ln(n) − (Σ c·ln c)/n` over codepoint counts. The gibberish /
+    * low-diversity quality gate: encoding damage, single-char padding
+    * and keyboard-mash score near 0 while natural text sits in a
+    * narrow per-script band — the complement of [[quality]]'s
+    * token-level ratios at the finest granularity there is. Empty and
+    * NULL texts drop (a zero-length doc has no distribution to score).
+    *
+    * Determinism contract lives in
+    * [[graft.functions.TextHashExprs.CharEntropy]] (ln@7, term@9 with
+    * exact BigDecimal accumulation, final @6, −0.0 normalized).
+    *
+    * 100 TB shape: ONE local [[graft.functions.TextHashExprs.CharEntropy]]
+    * eval per row behind the same `inline` one-eval barrier as the
+    * other text ops — a pure shuffle-free projection; the per-doc
+    * character hash-map lives for one row and never leaves the
+    * executor. The naive SQL form (explode chars → two aggregates)
+    * would shuffle every CHARACTER INSTANCE in the corpus — at 100 TB
+    * that is the corpus itself as shuffle traffic, and it is exactly
+    * what this expression avoids. */
+  def charEntropy(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"),
+        inline(array(TextHashExprs.charEntropy(docs.sparkSession, col("text")))))
+      .orderBy(col("doc_id"))
+
   /** Apply an externally-trained hashed-feature linear text classifier
     * (the fastText / CCNet-quality-filter shape) at corpus scale:
     * `score = round(bias + mean_t weights[h(t) mod |weights|], 6)` over

@@ -3532,6 +3532,31 @@ object Extensions {
       group = "source", value = "n_chars")
   }
 
+  // ---------------------------------------------------------------- x116
+  // Character-distribution Shannon entropy per doc: the oracle restates
+  // H = ln(n) − (Σ c·ln c)/n over DuckDB's per-char unnest under the
+  // ln@7 / term@9-DECIMAL / final@6 contract; the engine computes the
+  // same arithmetic in ONE local pass per row (no per-character shuffle
+  // — at corpus scale the exploded-chars SQL form ships the corpus
+  // itself through the exchange). The zh docs exercise non-ASCII
+  // codepoint counting on both sides.
+  val x116 = Q.df(
+    "x116_char_entropy",
+    """WITH c AS (SELECT doc_id,
+      |    unnest([substring(text, i, 1) for i in generate_series(1, length(text))]) AS ch
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      |cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM c GROUP BY 1, 2),
+      |s AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS d,
+      |    SUM(CAST(ROUND(CAST(c AS DOUBLE) * ROUND(ln(CAST(c AS DOUBLE)), 7), 9)
+      |      AS DECIMAL(28,9))) AS sm
+      |  FROM cnt GROUP BY 1)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_cp, CAST(d AS BIGINT) AS n_distinct_cp,
+      |  ROUND(ROUND(ln(CAST(n AS DOUBLE)), 7)
+      |    - CAST(sm AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS entropy
+      |FROM s ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    TextAnalysis.charEntropy(Tables.load(spark, dir, "documents"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -3541,5 +3566,5 @@ object Extensions {
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
     x95, x96, x97, x98, x98b, x99, x100, x101, x102, x103, x104, x105, x106,
-    x107, x108, x109, x110, x111, x112, x113, x114, x115)
+    x107, x108, x109, x110, x111, x112, x113, x114, x115, x116)
 }

@@ -375,6 +375,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate"), s"plan:\n$p")
   }
 
+  test("x116: char entropy is one local eval per row — no per-character shuffle") {
+    val p = plan(graft.queries.Extensions.x116)
+    // the exploded-chars SQL form would ship every character instance
+    // through an exchange — the expression form must stay a projection
+    assert(!p.contains("Exchange hashpartitioning"), s"plan:\n$p")
+    assert(!p.contains("HashAggregate"), s"plan:\n$p")
+    assert("char_entropy".r.findAllIn(p).length == 1,
+      s"kernel evaluated more than once:\n$p")
+  }
+
   test("x115: trimmed-mean fences use the rank selection and broadcast back") {
     val p = plan(graft.queries.Extensions.x115)
     assert(!p.toLowerCase.contains("percentile"), s"buffered percentile in plan:\n$p")
