@@ -535,6 +535,47 @@ object TextAnalysis {
       .orderBy(col(groupCol))
   }
 
+  /** Per-group token-distribution Shannon entropy — the vocabulary-
+    * diversity datasheet stat: `H = ln(n) − (Σ c·ln c)/n` over the
+    * group's token counts, with the type count and type/token ratio
+    * riding along. Complements [[sourceDivergence]]: KL answers "how
+    * far from the corpus mix", this answers "how diverse is the group
+    * on its own" — a boilerplate-heavy source shows low H even when
+    * its KL is small. NULL groups drop (the mixture contract).
+    *
+    * Determinism: the r07 transcendental contract — ln@7 at source,
+    * term@9 into DECIMAL(28,9) (exact, order-independent), final @6
+    * with −0.0 normalized; ttr (exact integer ratio) reports @9.
+    *
+    * 100 TB shape: map-side combine condenses token INSTANCES to
+    * per-partition (group, token) partials, so the first exchange
+    * carries Σ partition vocabularies, never the token stream; the
+    * per-group reduce is vocabulary-sized. [[tokenEntropyTokens]]
+    * takes a persisted token frame (the pay-tokenize-once convention). */
+  def tokenEntropy(docs: DataFrame, groupCol: String): DataFrame =
+    tokenEntropyTokens(docs.select(col(groupCol),
+      Text.tokens(col("text")).as("w")), groupCol)
+
+  /** [[tokenEntropy]] over a pre-tokenized frame `(groupCol, w: array)`. */
+  def tokenEntropyTokens(toks: DataFrame, groupCol: String): DataFrame = {
+    val cnt = toks.filter(col(groupCol).isNotNull)
+      .select(col(groupCol), explode(col("w")).as("token"))
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("c"))
+    val cd = col("c").cast("double")
+    cnt.groupBy(col(groupCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(round(cd * round(log(cd), 7), 9)
+          .cast(DecimalType(28, 9))).as("__te_sm"))
+      .select(col(groupCol), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 9)
+          .as("ttr"),
+        (round(round(log(col("n_tokens").cast("double")), 7)
+            - col("__te_sm").cast("double") / col("n_tokens").cast("double"), 6)
+          + lit(0.0)).as("entropy"))
+      .orderBy(col(groupCol))
+  }
+
   /** Mutual information between two categorical columns — the
     * dependence audit for mixture design: `MI(lang; source)` near 0
     * means language mix is homogeneous across sources; large MI means

@@ -3557,6 +3557,30 @@ object Extensions {
     TextAnalysis.charEntropy(Tables.load(spark, dir, "documents"))
   }
 
+  // ---------------------------------------------------------------- x117
+  // Per-source token-distribution entropy + type/token ratio: the
+  // vocabulary-diversity datasheet row (x65's KL measures distance from
+  // the corpus mix; this measures within-group diversity). Same ln@7 /
+  // term@9-DECIMAL / final@6 contract as x116, over the shared
+  // tokenization both engines already agree on (x65's spelling).
+  val x117 = Q.df(
+    "x117_token_entropy",
+    """WITH t0 AS (SELECT source,
+      |    unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS token
+      |  FROM documents WHERE source IS NOT NULL),
+      |cnt AS (SELECT source, token, COUNT(*) AS c FROM t0 GROUP BY 1, 2),
+      |s AS (SELECT source, SUM(c) AS n, COUNT(*) AS d,
+      |    SUM(CAST(ROUND(CAST(c AS DOUBLE) * ROUND(ln(CAST(c AS DOUBLE)), 7), 9)
+      |      AS DECIMAL(28,9))) AS sm
+      |  FROM cnt GROUP BY 1)
+      |SELECT source, CAST(n AS BIGINT) AS n_tokens, CAST(d AS BIGINT) AS n_types,
+      |  ROUND(CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 9) AS ttr,
+      |  ROUND(ROUND(ln(CAST(n AS DOUBLE)), 7)
+      |    - CAST(sm AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS entropy
+      |FROM s ORDER BY source""".stripMargin) { (spark, dir) =>
+    TextAnalysis.tokenEntropy(Tables.load(spark, dir, "documents"), "source")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -3566,5 +3590,5 @@ object Extensions {
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
     x95, x96, x97, x98, x98b, x99, x100, x101, x102, x103, x104, x105, x106,
-    x107, x108, x109, x110, x111, x112, x113, x114, x115, x116)
+    x107, x108, x109, x110, x111, x112, x113, x114, x115, x116, x117)
 }

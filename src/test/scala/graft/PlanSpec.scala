@@ -385,6 +385,17 @@ class PlanSpec extends AnyFunSuite {
       s"kernel evaluated more than once:\n$p")
   }
 
+  test("x117: token entropy condenses instances map-side; exchanges are vocab-sized") {
+    val p = plan(graft.queries.Extensions.x117)
+    // partial aggregate BEFORE the first exchange: the shuffle carries
+    // Σ partition vocabularies, never the token instance stream
+    assert(p.contains("partial_count") || p.contains("Partial"), s"plan:\n$p")
+    // exactly two hash exchanges: (group, token) counts, then the
+    // per-group reduce — nothing corpus-sized crosses either
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, s"plan:\n$p")
+    assert(!p.contains("Join"), s"plan:\n$p")
+  }
+
   test("x115: trimmed-mean fences use the rank selection and broadcast back") {
     val p = plan(graft.queries.Extensions.x115)
     assert(!p.toLowerCase.contains("percentile"), s"buffered percentile in plan:\n$p")
