@@ -720,4 +720,58 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /**
+   * Asymmetric containment pairs — "doc A sits (mostly) INSIDE doc B":
+   * `containment = |gA ∩ gB| / min(|gA|, |gB|)` over the distinct
+   * word-trigram sets, emitted when ≥ `minContainment`. Catches what
+   * Jaccard dedup structurally cannot: a short document quoted whole
+   * inside a long one has Jaccard |gA|/|gB| (arbitrarily small, below
+   * any LSH operating point) but containment 1 — the quote-inclusion /
+   * subset-document shape crawl corpora are full of.
+   *
+   * The candidate step is an EXACT stated contract, not an approximate
+   * recall: pairs qualify by sharing at least one RARE gram — document
+   * frequency in [2, maxDf] — and that blocking predicate is part of
+   * the semantics, so a full SQL oracle restates it verbatim (no LSH
+   * recall caveat). Rationale: a pair whose every shared gram appears
+   * in more than `maxDf` documents shares only corpus-common
+   * boilerplate, not inclusion of A specifically.
+   *
+   * 100 TB shape: the rare-postings self-join fans out
+   * Σ_rare df² ≤ maxDf · |rare postings| (df-capped by construction —
+   * the classic rare-token blocking bound); candidates dedupe at
+   * pair-set size; the two gram-array join-backs are candidate-sized
+   * and AQE-elective. The gram table materializes ONCE behind a lazy
+   * localCheckpoint barrier (three consumers — postings and both
+   * join-backs — would each re-tokenize the corpus otherwise; the
+   * [[minhashLsh]] precedent, including its lineage-truncation
+   * durability trade).
+   */
+  def containmentPairs(docs: DataFrame, minContainment: Double = 0.9,
+      maxDf: Int = 5): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0, 1], got $minContainment")
+    require(maxDf >= 2, s"maxDf must be >= 2 (df 1 cannot pair), got $maxDf")
+    val grams = shingled(docs).localCheckpoint(eager = false)
+    val postings = grams.select(col("doc_id"), explode(col("sh")).as("gram"))
+    val rareGrams = postings.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df").between(2, maxDf))
+      .select(col("gram"))
+    val rare = postings.join(rareGrams, "gram")
+    val cand = rare.as("a").join(rare.as("b"),
+        col("a.gram") === col("b.gram") && col("b.doc_id") > col("a.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(grams.select(col("doc_id").as("doc_a"), col("sh").as("__ga")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("sh").as("__gb")), "doc_b")
+      .withColumn("containment",
+        round(size(array_intersect(col("__ga"), col("__gb"))).cast("double")
+          / least(size(col("__ga")), size(col("__gb"))).cast("double"), 9))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -3581,6 +3581,52 @@ object Extensions {
     TextAnalysis.tokenEntropy(Tables.load(spark, dir, "documents"), "source")
   }
 
+  // ---------------------------------------------------------------- x118
+  // Asymmetric containment pairs: every 10th doc gains a +700000
+  // super-doc with a fixed 30-word tail appended — trigram Jaccard
+  // drops to ~0.5–0.65 (invisible to the x02 dedup operating point)
+  // while containment(A in B) is EXACTLY 1.0, the quote-inclusion shape
+  // under test. The candidate contract (pairs must share a gram with
+  // df in [2, maxDf]) is part of the semantics, so the oracle restates
+  // it verbatim over the string trigrams (the x02b hashed≡string
+  // equivalence) — a FULL oracle, no LSH recall caveat.
+  val x118 = Q.df(
+    "x118_containment_pairs",
+    """WITH u AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 700000,
+      |    text || ' qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk ll zz xx cc vv bb nn mm q1 w2 e3 r4'
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |w AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM u),
+      |g AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(w) >= 3
+      |         THEN [concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in generate_series(1, len(w)-2)]
+      |         ELSE [array_to_string(w, ' ')] END) AS g
+      |  FROM w),
+      |p AS (SELECT doc_id, unnest(g) AS gram FROM g),
+      |df AS (SELECT gram FROM p GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 5),
+      |r AS (SELECT p.doc_id, p.gram FROM p JOIN df USING (gram)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM r a JOIN r b ON a.gram = b.gram AND b.doc_id > a.doc_id)
+      |SELECT doc_a, doc_b,
+      |  ROUND(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+      |    / LEAST(len(ga.g), len(gb.g)), 9) AS containment
+      |FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b
+      |WHERE containment >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val tail = " qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk ll" +
+      " zz xx cc vv bb nn mm q1 w2 e3 r4"
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 700000L).as("doc_id"),
+        concat(col("text"), lit(tail)).as("text"))
+    Dedup.containmentPairs(docs.unionByName(planted),
+      minContainment = 0.9, maxDf = 5)
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -3590,5 +3636,5 @@ object Extensions {
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
     x95, x96, x97, x98, x98b, x99, x100, x101, x102, x103, x104, x105, x106,
-    x107, x108, x109, x110, x111, x112, x113, x114, x115, x116, x117)
+    x107, x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118)
 }

@@ -396,6 +396,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"plan:\n$p")
   }
 
+  test("x118: containment candidates come from a gram equi-join, never a cartesian") {
+    val p = plan(graft.queries.Extensions.x118)
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+    // the rare-grams df filter must sit below the postings self-join
+    // (df-capped fan-out is the whole scale bound)
+    assert(p.contains("HashAggregate"), s"df aggregate missing:\n$p")
+  }
+
   test("x115: trimmed-mean fences use the rank selection and broadcast back") {
     val p = plan(graft.queries.Extensions.x115)
     assert(!p.toLowerCase.contains("percentile"), s"buffered percentile in plan:\n$p")
