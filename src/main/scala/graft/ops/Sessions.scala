@@ -78,4 +78,81 @@ object Sessions {
       .select(col("grp"), col("win"), col("cnt"), col("z_robust"))
       .orderBy(col("grp"), col("win"))
   }
+
+  /** ORDERED-stage session funnel: how many sessions reach stage k of
+    * `stages` IN TIME ORDER — stage k counts only when an instance of
+    * it occurs at-or-after the first qualified instance of stage k−1
+    * within the same session (a purchase BEFORE any view never counts,
+    * unlike a bag-of-types funnel). Emits ONE row:
+    * `(n_sessions, n_stage1, …, n_stageK)`, each a session count, each
+    * ≤ its predecessor by construction. Sessionization is the
+    * [[sessionize]] gap cut; ties at equal `ts` resolve by `tiebreak`
+    * (the (key, ts, tiebreak) total order both engines share).
+    *
+    * Scale: ONE hash exchange on `key` serves every window — the
+    * session-boundary window partitions by `key`, and the per-session
+    * cascade windows partition by (key, session), which
+    * hash-on-`key` already clusters (only a sort is added, no second
+    * exchange; the x35 mechanism). The session-flag aggregate is
+    * partial→final — one partial row per session — and the final
+    * reduce is K integers. */
+  def funnel(events: DataFrame, key: String, ts: String, tiebreak: String,
+      gapSeconds: Long, stages: Seq[String],
+      typeCol: String = "event_type"): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    require(stages.nonEmpty, "stages must be non-empty")
+    val w = Window.partitionBy(key).orderBy(col(ts), col(tiebreak))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val newSession =
+      when(unix_micros(col(ts)) - unix_micros(lag(col(ts), 1).over(w)) >
+        gapSeconds * 1000000L, 1L).otherwise(0L)
+    val sw = Window.partitionBy(col(key), col("__fn_sess"))
+      .orderBy(col(ts), col(tiebreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var df = events.withColumn("__fn_nb", newSession)
+      .withColumn("__fn_sess", sum(col("__fn_nb")).over(run))
+    stages.zipWithIndex.foreach { case (st, i) =>
+      val qual =
+        if (i == 0) col(typeCol) === st
+        else col(typeCol) === st && col(s"__fn_cum${i - 1}").isNotNull
+      df = df.withColumn(s"__fn_q$i", qual)
+      if (i < stages.length - 1)
+        df = df.withColumn(s"__fn_cum$i",
+          min(when(col(s"__fn_q$i"), col(ts))).over(sw))
+    }
+    val sessAggs = stages.indices.map(i =>
+      max(when(col(s"__fn_q$i"), 1L).otherwise(0L)).as(s"__fn_s$i"))
+    val sess = df.groupBy(col(key), col("__fn_sess"))
+      .agg(sessAggs.head, sessAggs.tail: _*)
+    val finals = stages.indices.map(i =>
+      sum(col(s"__fn_s$i")).cast("long").as(s"n_stage${i + 1}"))
+    sess.agg(count(lit(1)).as("n_sessions"), finals: _*)
+  }
+
+  /** Cohort retention: users bucketed by the DAY of their first event,
+    * counted distinct per (cohort_day, day offset) — "of the users who
+    * arrived on day X, how many were active k days later". The classic
+    * activity-retention matrix, in exact integers (day truncation and
+    * day differences only — no transcendentals, no rounding contract
+    * needed). Rows with a NULL key or ts drop.
+    *
+    * Scale: the first-seen aggregate is partial→final on `key` (one
+    * exchange, one row per user); the join back to the event stream is
+    * a user-keyed equi-join (AQE picks broadcast when the user table
+    * fits); the final aggregate's distinct-count shuffle carries
+    * (cohort_day, offset, user) triples — bounded by active
+    * user-days, never raw events. */
+  def cohortRetention(events: DataFrame, key: String, ts: String): DataFrame = {
+    val first = events
+      .filter(col(key).isNotNull && col(ts).isNotNull)
+      .groupBy(col(key))
+      .agg(to_date(min(col(ts))).as("__cr_cohort"))
+    events
+      .filter(col(key).isNotNull && col(ts).isNotNull)
+      .join(first, key)
+      .groupBy(col("__cr_cohort").as("cohort_day"),
+        datediff(to_date(col(ts)), col("__cr_cohort")).as("day_offset"))
+      .agg(countDistinct(col(key)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
 }

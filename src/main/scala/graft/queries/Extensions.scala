@@ -3627,6 +3627,66 @@ object Extensions {
       minContainment = 0.9, maxDf = 5)
   }
 
+  // ---------------------------------------------------------------- x119
+  // Ordered-stage session funnel view→click→purchase under the x35 gap
+  // cut: a stage counts only at-or-after the first QUALIFIED instance
+  // of its predecessor inside the session (a purchase before any view
+  // never counts — the cascade both engines state as stacked running
+  // windows over the same (user, ts, event_id) total order).
+  val x119 = Q.df(
+    "x119_session_funnel",
+    """WITH f AS (SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL '6' HOUR THEN 1 ELSE 0 END AS nb
+      |  FROM events),
+      |s AS (SELECT user_id, event_id, ts, event_type,
+      |    SUM(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+      |  FROM f),
+      |w1 AS (SELECT *,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) OVER
+      |      (PARTITION BY user_id, sess_no ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum0
+      |  FROM s),
+      |w2 AS (SELECT *,
+      |    MIN(CASE WHEN event_type = 'click' AND cum0 IS NOT NULL THEN ts END) OVER
+      |      (PARTITION BY user_id, sess_no ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1
+      |  FROM w1),
+      |g AS (SELECT user_id, sess_no,
+      |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s0,
+      |    MAX(CASE WHEN event_type = 'click' AND cum0 IS NOT NULL THEN 1 ELSE 0 END) AS s1,
+      |    MAX(CASE WHEN event_type = 'purchase' AND cum1 IS NOT NULL THEN 1 ELSE 0 END) AS s2
+      |  FROM w2 GROUP BY 1, 2)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(s0) AS BIGINT) AS n_stage1,
+      |  CAST(SUM(s1) AS BIGINT) AS n_stage2,
+      |  CAST(SUM(s2) AS BIGINT) AS n_stage3
+      |FROM g""".stripMargin) { (spark, dir) =>
+    Sessions.funnel(Tables.load(spark, dir, "events"),
+      key = "user_id", ts = "ts", tiebreak = "event_id",
+      gapSeconds = 6 * 3600L, stages = Seq("view", "click", "purchase"))
+  }
+
+  // ---------------------------------------------------------------- x120
+  // Cohort retention matrix: users bucketed by first-event day,
+  // distinct-counted per day offset — integer-exact end to end (UTC
+  // day truncation + day difference, no rounding contract needed).
+  val x120 = Q.df(
+    "x120_cohort_retention",
+    """WITH f AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+      |  FROM events GROUP BY 1)
+      |SELECT cohort_day,
+      |  CAST(date_diff('day', cohort_day, CAST(e.ts AS DATE)) AS INT) AS day_offset,
+      |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+      |FROM events e JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    Sessions.cohortRetention(Tables.load(spark, dir, "events"),
+        key = "user_id", ts = "ts")
+      .select(col("cohort_day"), col("day_offset").cast("int").as("day_offset"),
+        col("n_users"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -3636,5 +3696,6 @@ object Extensions {
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
     x95, x96, x97, x98, x98b, x99, x100, x101, x102, x103, x104, x105, x106,
-    x107, x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118)
+    x107, x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
+    x119, x120)
 }
