@@ -52,21 +52,53 @@ object Bench {
       fn(spark, sfDir)
       (System.nanoTime() - t0) / 1e9
     }
+    // Per-query sampling state (VERDICT r07 #2: BENCH_r07's x60-x74 band
+    // recorded 1.5-21x the judge's isolated values; the history gate below
+    // is blind to FIRST-ROUND queries, exactly the rows most likely to be
+    // misjudged). Two additions close the hole:
+    //  (a) the load average is recorded around each query's own window and
+    //      any query whose window exceeded the quiet bar is retried, and
+    //  (b) a query whose two smallest steady-state samples STILL disagree
+    //      by >1.5x after all retries is flagged "suspect" in the output
+    //      JSON so the judge/driver can discount the row — the min-of-N's
+    //      own spread is the contamination signal history can't provide.
+    final class Rec(val name: String,
+        val run: (SparkSession, String) => Unit) {
+      val samples = scala.collection.mutable.ArrayBuffer[Double]()
+      var failed = false
+      var windowLoad = 0.0
+      def sample(): Unit =
+        if (!failed) try samples += once(run)
+        catch { case _: Throwable => failed = true }
+      // ratio of the two smallest samples: ~1.0 when the min is reproduced
+      def spread: Double = {
+        val s = samples.sorted.take(2)
+        if (s.length < 2 || s.head <= 0.05) 1.0 else s(1) / s.head
+      }
+      def sec: Double = if (failed || samples.isEmpty) -1.0 else samples.min
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val run = (s: SparkSession, dir: String) =>
-        fn(s, dir).write.format("noop").mode("overwrite").save()
+      val rec = new Rec(name, (s: SparkSession, dir: String) =>
+        fn(s, dir).write.format("noop").mode("overwrite").save())
+      val loadBefore = loadAvg
       // min of two steady-state runs; when the two disagree by >1.5x a
       // transient was likely mid-flight, so spend ONE more sample — the
       // min over three discards a single contaminated run entirely.
-      val sec =
-        try {
-          once(run)
-          val (a, b) = (once(run), once(run))
-          val m = math.min(a, b)
-          if (math.max(a, b) > 1.5 * m && m > 0.05) math.min(m, once(run)) else m
-        }
-        catch { case _: Throwable => -1.0 } // failures never report as fast
-      name -> sec
+      try once(rec.run) catch { case _: Throwable => rec.failed = true } // warmup
+      rec.sample(); rec.sample()
+      if (rec.spread > 1.5) rec.sample()
+      rec.windowLoad = math.max(loadBefore, loadAvg)
+      rec
+    }
+    // Load gate (fix (a)): a query timed while the host load exceeded the
+    // quiet bar gets one clean-window sample appended — min-of-N absorbs it.
+    results.foreach { rec =>
+      if (!rec.failed && rec.sec > 0.05 && rec.windowLoad > quietBar) {
+        var w = 0
+        while (loadAvg > quietBar && w < 30) { Thread.sleep(5000); w += 5 }
+        rec.sample()
+        rec.windowLoad = math.min(rec.windowLoad, loadAvg)
+      }
     }
     // Self-gate against history (VERDICT r06 #2): a query that recorded
     // >3x its own best-ever value for the same scale factor almost
@@ -117,24 +149,28 @@ object Bench {
       }
       entries.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
     }
-    val gated = results.map { case (name, sec) =>
-      val hist = histMins.getOrElse(name, Double.MaxValue)
-      if (sec > 0.05 && hist != Double.MaxValue && sec > 3.0 * hist) {
-        val run = (s: SparkSession, dir: String) =>
-          SparkEntry.queries(name)(s, dir)
-            .write.format("noop").mode("overwrite").save()
-        val retry = try once(run) catch { case _: Throwable => sec }
-        name -> math.min(sec, retry)
-      } else name -> sec
+    results.foreach { rec =>
+      val hist = histMins.getOrElse(rec.name, Double.MaxValue)
+      if (rec.sec > 0.05 && hist != Double.MaxValue && rec.sec > 3.0 * hist)
+        rec.sample()
     }
-    val qs = gated.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Fix (b): after every retry avenue is exhausted, a min that was never
+    // reproduced within 1.5x is suspect — true for history-less first-round
+    // queries and historied ones alike. The driver format keeps "queries"
+    // as plain numbers (the history regex above depends on it); suspects
+    // ride in a separate array.
+    val suspects = results.collect {
+      case r if !r.failed && r.sec > 0.05 && r.spread > 1.5 => r.name
+    }
+    val qs = results.map { r => s"\"" + r.name + "\":" + r.sec }
       .mkString("{", ",", "}")
-    val total = gated.collect { case (_, v) if v >= 0 => v }.sum
+    val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case r if r.sec >= 0 => r.sec }.sum
     // host-contamination telemetry (VERDICT r02 #1/#5): a concurrent
     // local[32] JVM inflates late-alphabet x-queries 4-30x; publishing
     // cores + load average makes a polluted run self-evident.
     val load = loadAvg
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","procs":$procs,"load_avg":$load,"load_avg_start":$loadStart,"waited_s":$waitedS}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","procs":$procs,"load_avg":$load,"load_avg_start":$loadStart,"waited_s":$waitedS,"suspect":$suspectJson}""")
     spark.stop()
   }
 }

@@ -558,7 +558,10 @@ object TextHashExprs {
     * (driver-computed whitening stats — dim-count doubles, the
     * IVF-centroid precedent). A vector whose length disagrees with the
     * stats, or with a null element, yields null (it cannot be
-    * standardized). */
+    * standardized). Stats are validated at ANALYSIS time (ADVICE r07):
+    * non-foldable means/denoms previously NPE'd in `eval(null)` and a
+    * zero denominator silently emitted Infinity — both now fail the
+    * type check with a real message before any row runs. */
   case class VecStandardize(vec: Expression, meansE: Expression,
       denomsE: Expression) extends TernaryExpression {
     override def first: Expression = vec
@@ -566,8 +569,43 @@ object TextHashExprs {
     override def third: Expression = denomsE
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override def nullable: Boolean = true
-    override def checkInputDataTypes() =
-      checkPrimitiveVectorInput("vec_standardize", vec)
+    override def checkInputDataTypes() = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      val base = checkPrimitiveVectorInput("vec_standardize", vec)
+      if (base != TypeCheckResult.TypeCheckSuccess) base
+      else if (!meansE.foldable || !denomsE.foldable)
+        TypeCheckResult.TypeCheckFailure(
+          "vec_standardize expects FOLDABLE (literal) means/denoms stats arrays")
+      else (meansE.dataType, denomsE.dataType) match {
+        case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+          (meansE.eval(null), denomsE.eval(null)) match {
+            case (null, _) | (_, null) => TypeCheckResult.TypeCheckFailure(
+              "vec_standardize stats arrays must not be null")
+            case (mv: ArrayData, dv: ArrayData) =>
+              if (mv.numElements() != dv.numElements())
+                TypeCheckResult.TypeCheckFailure(
+                  s"vec_standardize means (${mv.numElements()}) and denoms " +
+                  s"(${dv.numElements()}) lengths disagree")
+              else {
+                var bad = -1
+                var i = 0
+                while (i < dv.numElements() && bad < 0) {
+                  if (mv.isNullAt(i) || dv.isNullAt(i) ||
+                      !(dv.getDouble(i) > 0.0)) bad = i
+                  i += 1
+                }
+                if (bad >= 0) TypeCheckResult.TypeCheckFailure(
+                  s"vec_standardize stats invalid at index $bad: means/denoms " +
+                  "must be non-null with denoms > 0 (a zero denominator would " +
+                  "emit Infinity)")
+                else TypeCheckResult.TypeCheckSuccess
+              }
+          }
+        case _ => TypeCheckResult.TypeCheckFailure(
+          "vec_standardize stats must be array<double>, got " +
+          s"${meansE.dataType.catalogString} / ${denomsE.dataType.catalogString}")
+      }
+    }
 
     @transient private lazy val means: Array[Double] =
       meansE.eval(null).asInstanceOf[ArrayData].toDoubleArray()

@@ -62,9 +62,15 @@ object AsOf {
       case None => col("__asof")
       case Some(t) =>
         require(t >= 0, s"tolerance must be >= 0, got $t")
+        // fractional ts must diff in DOUBLE (ADVICE r07: cast("long")
+        // truncates toward zero, so a true lag in (t, t+1) slipped past
+        // the inclusive <= t check); integral ts keeps exact long math
+        import org.apache.spark.sql.types._
         val lag = left.schema(ts).dataType match {
-          case org.apache.spark.sql.types.TimestampType =>
+          case TimestampType =>
             unix_micros(col("__t")) - unix_micros(col("__asof").getField(ts))
+          case FloatType | DoubleType | _: DecimalType =>
+            col("__t").cast("double") - col("__asof").getField(ts).cast("double")
           case _ =>
             col("__t").cast("long") - col("__asof").getField(ts).cast("long")
         }

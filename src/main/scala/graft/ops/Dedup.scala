@@ -695,7 +695,11 @@ object Dedup {
    * SimHash near-dup mining: signature per doc (one cached pass), 4×16-bit
    * band bucketing (any pair within Hamming distance 3 shares ≥1 identical
    * band by pigeonhole), candidate equi-join, exact Hamming verification.
-   * Returns (doc_a, doc_b, hamming) with hamming ≤ maxHamming.
+   * Returns (doc_a, doc_b, hamming) with hamming ≤ maxHamming, as an
+   * UNORDERED pair set (the x82/x92/x96 contract): a trailing global
+   * orderBy above a CPU-dense verify join would make AQE's range-boundary
+   * sampling re-execute the candidate lineage (the repo's own AQE lesson,
+   * r07). Callers that need an order sort the (small) result themselves.
    */
   def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     // lazy localCheckpoint: one SimHash64 pass (barrier for the self-join)
@@ -718,7 +722,6 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /**
@@ -746,7 +749,8 @@ object Dedup {
    * localCheckpoint barrier (three consumers — postings and both
    * join-backs — would each re-tokenize the corpus otherwise; the
    * [[minhashLsh]] precedent, including its lineage-truncation
-   * durability trade).
+   * durability trade). Output is an UNORDERED pair set (x82/x92/x96
+   * contract — no global Sort above the verify join; see [[simhash]]).
    */
   def containmentPairs(docs: DataFrame, minContainment: Double = 0.9,
       maxDf: Int = 5): DataFrame = {
@@ -772,6 +776,5 @@ object Dedup {
           / least(size(col("__ga")), size(col("__gb"))).cast("double"), 9))
       .filter(col("containment") >= minContainment)
       .select(col("doc_a"), col("doc_b"), col("containment"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 }

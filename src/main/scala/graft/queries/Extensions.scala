@@ -2923,10 +2923,14 @@ object Extensions {
   // can restate it: rows-only here, with the planted invariant below
   // and PcaSpec's spectrum/orthonormality/trace rows carrying the
   // math. The projection itself is a pure codegen'd per-row
-  // multiply-add chain — no join, no shuffle.
+  // multiply-add chain — no join, no shuffle. Output is exploded to
+  // (vec_id, pc, value) scalar rows — the x75/q70 no-raw-array lesson:
+  // an array<double> column crashes the harness's pandas sort
+  // (CORRECTNESS_r07 x98 err), so even rows-only checks need scalars.
   val x98 = Q.dfOnly("x98_pca_projection") { (spark, dir) =>
     Similarity.pcaProject(Tables.load(spark, dir, "embeddings"),
-      dims = 16, k = 4)
+        dims = 16, k = 4)
+      .select(col("vec_id"), posexplode(col("components")).as(Seq("pc", "value")))
   }
 
   // ---------------------------------------------------------------- x98b

@@ -237,10 +237,20 @@ object EventStream {
     * with the shuffle-partition count — at local[32] the stream-stream
     * join replay spends ~7 s in 128 store commits for ~2k state rows.
     * Results are partitioning-independent; a production caller starts
-    * queries under its own conf and never passes through here. */
+    * queries under its own conf and never passes through here.
+    *
+    * Concurrency contract (ADVICE r07): the cap temporarily mutates the
+    * SESSION-global `spark.sql.shuffle.partitions` (a streaming frame is
+    * bound to its session — the conf cannot be scoped per-query, and the
+    * stateful operators pin the value in the checkpoint at first batch).
+    * Concurrent `runToMemory` calls serialize on a lock so they cannot
+    * race each other's restore; OTHER work started on the same session
+    * mid-replay may still observe the cap — this is a single-threaded
+    * test harness, not a production entry point. */
+  private val replayLock = new Object
   def runToMemory(df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Append,
-      statePartitions: Int = 8): StreamingQuery = {
+      statePartitions: Int = 8): StreamingQuery = replayLock.synchronized {
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val capped = math.min(prev.toInt, statePartitions).toString

@@ -282,6 +282,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate inline"), s"barrier gone:\n$p")
   }
 
+  test("x03/x118: pair-set miners end with no global Sort above the verify join") {
+    // VERDICT r07 #4: simhash/containmentPairs returned ORDERED pairs while
+    // x82/x92/x96 deliberately dropped trailing sorts — under AQE a global
+    // orderBy above a CPU-dense verify pipeline re-executes the candidate
+    // lineage for range-boundary sampling. Pair sets are UNORDERED now.
+    val p03 = plan(graft.queries.Extensions.x03)
+    assert(!p03.contains("rangepartitioning"), s"global sort reappeared:\n$p03")
+    val p118 = plan(graft.queries.Extensions.x118)
+    assert(!p118.contains("rangepartitioning"), s"global sort reappeared:\n$p118")
+  }
+
   test("x88: winsorize fences join broadcasts and the clamp is a projection") {
     val p = plan(graft.queries.Extensions.x88)
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),

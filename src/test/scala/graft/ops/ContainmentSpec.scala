@@ -34,7 +34,7 @@ class ContainmentSpec extends AnyFunSuite {
     assert(got.count() == 0L)
   }
 
-  test("threshold and ordering contracts hold; invalid params raise") {
+  test("threshold contract holds (pair set is unordered); invalid params raise") {
     val df = Seq(
       1L -> "p q r s t u v",
       2L -> "p q r s t u v w x y z aa bb cc") // contains doc 1

@@ -34,6 +34,25 @@ def cmp_cell(a, b) -> bool:
             return list(a) == list(b)
     except Exception:
         pass
+    # dtype normalization (VERDICT r07 nit): DuckDB CAST AS DATE reaches
+    # pandas as datetime64/Timestamp, Spark as datetime.date — same value,
+    # different str(). Compare date-like cells on the ISO date alone so
+    # this gate agrees with the driver's comparator (the x120 artifact).
+    import datetime
+    def _datestr(v):
+        try:
+            if isinstance(v, datetime.datetime):
+                if v.time() == datetime.time(0, 0):
+                    return v.date().isoformat()
+                return v.isoformat()
+            if isinstance(v, datetime.date):
+                return v.isoformat()
+        except (ValueError, TypeError):  # pandas NaT subclasses datetime
+            return None
+        return None
+    da, db = _datestr(a), _datestr(b)
+    if da is not None and db is not None:
+        return da == db
     if str(a) == str(b):
         return True
     try:
