@@ -64,13 +64,19 @@ object AsOf {
         require(t >= 0, s"tolerance must be >= 0, got $t")
         // fractional ts must diff in DOUBLE (ADVICE r07: cast("long")
         // truncates toward zero, so a true lag in (t, t+1) slipped past
-        // the inclusive <= t check); integral ts keeps exact long math
+        // the inclusive <= t check); integral ts keeps exact long math;
+        // DECIMAL ts diffs in native decimal arithmetic (ADVICE r08: a
+        // double round-trip loses precision past 2^53 ulps — e.g.
+        // decimal(38,18) — and can flip the inclusive <= t comparison
+        // exactly at the tolerance boundary)
         import org.apache.spark.sql.types._
         val lag = left.schema(ts).dataType match {
           case TimestampType =>
             unix_micros(col("__t")) - unix_micros(col("__asof").getField(ts))
-          case FloatType | DoubleType | _: DecimalType =>
+          case FloatType | DoubleType =>
             col("__t").cast("double") - col("__asof").getField(ts).cast("double")
+          case _: DecimalType =>
+            col("__t") - col("__asof").getField(ts)
           case _ =>
             col("__t").cast("long") - col("__asof").getField(ts).cast("long")
         }

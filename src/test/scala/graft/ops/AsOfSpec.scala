@@ -59,6 +59,29 @@ class AsOfSpec extends AnyFunSuite {
     assert(out == Map(10L -> Some(5L), 11L -> None))
   }
 
+  test("tolerance on a high-precision decimal ts stays exact at the boundary") {
+    // decimal(30,15) values whose lag straddles the tolerance by ONE
+    // unit in the 15th decimal place — a double ulp at magnitude 200 is
+    // ~2.8e-14, so the old double round-trip collapses the 1e-15 excess
+    // and keeps a match that is genuinely out of tolerance (ADVICE r08).
+    // (30,15) keeps the subtraction exact too: result precision 31 fits
+    // without Spark's precision-loss scale reduction, unlike (38,18).
+    val l = Seq((1L, 10L, "100.000000000000001"),
+        (1L, 11L, "200.000000000000001"))
+      .toDF("k", "lid", "t")
+      .withColumn("t", col("t").cast("decimal(30,15)"))
+    // lid 10: lag exactly 10 (kept, inclusive); lid 11: right at 190
+    // even gives lag 10.000000000000001 (blanked)
+    val r = Seq((1L, 5L, "90.000000000000001"),
+        (1L, 6L, "190.000000000000000"))
+      .toDF("k", "rid", "t")
+      .withColumn("t", col("t").cast("decimal(30,15)"))
+    val out = AsOf.joinAsOf(l, r, key = "k", ts = "t", tolerance = Some(10L))
+      .select(col("lid"), col("asof.rid").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(10L -> Some(5L), 11L -> None))
+  }
+
   test("duplicate right (key, ts) resolves to the largest tiebreak") {
     val dup = Seq(
       (1L, 100L, "2024-01-01 09:00:00"),
