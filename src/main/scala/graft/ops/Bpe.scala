@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.typedLit
+
+import graft.functions.BpeExprs
+
+/**
+ * BPE token budgeting surface for the training-data pipeline (VERDICT
+ * r07 #3 / r08 #1). The counting algorithm is the public word-level BPE
+ * encode of Sennrich, Haddow & Birch 2016 — see [[graft.functions
+ * .BpeExprs]] for the pinned semantics. The merge table is ALWAYS
+ * user-supplied and MUST come from a public source (an open-source
+ * tokenizer's published `merges.txt` / vocabulary file); the only table
+ * defined here is a tiny hand-written demo vocabulary for tests and the
+ * x121 planted oracle.
+ *
+ * Wiring into the budget operators (all take the count as a COLUMN, so
+ * the BPE count drops in without touching their plans):
+ *  - `Selection.budgetSelect(df, score, key, weight = Bpe.tokenCount(...))`
+ *    fills a selection to N REAL tokens instead of N whitespace tokens;
+ *  - `Packing.packSequences(df, key, tokens = Bpe.tokenCount(...), budget)`
+ *    packs sequences by real context-window occupancy;
+ *  - `Bpe.chunkByTokenBudget` replaces `Text.chunkWindows` when chunk
+ *    size must be measured in tokenizer tokens (cuts only at word
+ *    boundaries, never mid-word).
+ *
+ * Scale: the merge table rides as one foldable literal into a per-row
+ * imperative expression — no shuffle, no join, no driver round-trip; a
+ * real ~50k-merge table is a few MB of task closure, the same transport
+ * class as the IVF centroid matrix.
+ */
+object Bpe {
+
+  /** Hand-written DEMO merge table (priority order) over common English
+    * letter pairs/suffixes — for tests and planted oracles only; real
+    * budgets must load a real public tokenizer's merge list. */
+  val demoMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("the", "</w>"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("and", "</w>"), ("e", "r"), ("er", "</w>"), ("in", "g"),
+    ("ing", "</w>"), ("o", "r"), ("r", "e"), ("a", "t"), ("e", "n"),
+    ("e", "s"), ("es", "</w>"), ("o", "u"), ("s", "</w>"), ("e", "</w>"),
+    ("d", "</w>"), ("t", "</w>"))
+
+  /** Merge table as the single foldable literal the expressions expect. */
+  def mergesLit(merges: Seq[(String, String)]): Column =
+    typedLit(merges.map(p => Seq(p._1, p._2)))
+
+  /** BPE token count of `text` under `merges` (INT column). */
+  def tokenCount(spark: SparkSession, text: Column,
+      merges: Seq[(String, String)]): Column =
+    BpeExprs.bpeTokenCount(spark, text, mergesLit(merges))
+
+  /** The token strings themselves (audit/debug surface). */
+  def tokens(spark: SparkSession, text: Column,
+      merges: Seq[(String, String)]): Column =
+    BpeExprs.bpeTokens(spark, text, mergesLit(merges))
+
+  /** Word-boundary chunks under a BPE token budget: array of
+    * `(chunk_idx, chunk, chunk_tokens)` structs with
+    * sum(chunk_tokens) == tokenCount(text). Explode with `inline`. */
+  def chunkByTokenBudget(spark: SparkSession, text: Column,
+      merges: Seq[(String, String)], budget: Int): Column =
+    BpeExprs.bpeChunksByBudget(spark, text, mergesLit(merges), budget)
+}

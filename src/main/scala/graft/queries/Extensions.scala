@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
-import graft.ops.{AsOf, Decontamination, Dedup, JoinStrategies, Multimodal, Packing, Quantization, Redaction, Relevance, Sampling, Selection, Sessions, Similarity, Snapshot, TextAnalysis, Text}
+import graft.ops.{AsOf, Bpe, Decontamination, Dedup, JoinStrategies, Multimodal, Packing, Quantization, Redaction, Relevance, Sampling, Selection, Sessions, Similarity, Snapshot, TextAnalysis, Text}
 import graft.tables.Tables
 
 /**
@@ -3691,6 +3691,107 @@ object Extensions {
         col("n_users"))
   }
 
+  // ---------------------------------------------------------------- x121
+  // BPE token counting (VERDICT r07 #3 / r08 #1): the planted hard
+  // oracle for graft.ops.Bpe. Eight fixed strings with counts verified
+  // against an independent reference implementation of the public
+  // Sennrich et al. 2016 greedy encode, under the hand-written demo
+  // merge table: n_bpe = count with merges, n_sym = count with an EMPTY
+  // table (= code points + 1 per word, the symbol floor), n_concat =
+  // count of the string concatenated with itself through one space —
+  // exactly 2·n_bpe because per-word encoding is additive across
+  // whitespace. DuckDB restates the literals; any drift in
+  // pre-tokenization, merge priority, or the merge loop fails the hash.
+  val x121 = Q.df(
+    "x121_bpe_token_count",
+    """SELECT CAST(sid AS BIGINT) AS sid, CAST(n_bpe AS INT) AS n_bpe,
+      |  CAST(n_sym AS INT) AS n_sym, CAST(n_concat AS INT) AS n_concat
+      |FROM (VALUES (0, 1, 4, 2), (1, 7, 18, 14), (2, 9, 19, 18),
+      |  (3, 10, 19, 20), (4, 11, 16, 22), (5, 10, 11, 20), (6, 4, 4, 8),
+      |  (7, 0, 0, 0)) AS t(sid, n_bpe, n_sym, n_concat)
+      |ORDER BY sid""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val planted = Seq(
+      (0L, "the"), (1L, "the theater theme"), (2L, "and standing under"),
+      (3L, "ingrained ordering"), (4L, "sort merge join"), (5L, "naïve café"),
+      (6L, "a  b"), (7L, ""))
+    planted.toDF("sid", "s").select(col("sid"),
+        Bpe.tokenCount(spark, col("s"), Bpe.demoMerges).as("n_bpe"),
+        Bpe.tokenCount(spark, col("s"), Seq.empty).as("n_sym"),
+        Bpe.tokenCount(spark, concat_ws(" ", col("s"), col("s")),
+          Bpe.demoMerges).as("n_concat"))
+      .orderBy("sid")
+  }
+
+  // --------------------------------------------------------------- x121b
+  // Corpus-wide full oracle for the symbol floor: with an EMPTY merge
+  // table the BPE count per document is exactly (non-whitespace code
+  // points) + (number of whitespace-run-separated words) — both
+  // DuckDB-expressible, so pre-tokenization + symbol initialization are
+  // hash-checked over the whole documents table, not just plants.
+  val x121b = Q.df(
+    "x121b_bpe_symbol_floor",
+    """SELECT doc_id,
+      |  CAST(length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g'))
+      |     + len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+      |           x -> x <> '')) AS INT) AS n_sym
+      |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        Bpe.tokenCount(spark, col("text"), Seq.empty).as("n_sym"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- x121c
+  // Word-boundary chunking under a REAL (demo-table) BPE token budget —
+  // per-doc chunk stats. xxhash-free but merge-loop-dependent, so no SQL
+  // oracle (rows-only); the load-bearing invariant rides in the output:
+  // total_chunk_tokens == doc_tokens for every row (chunks PARTITION the
+  // word stream and encoding is per-word), and BpeSpec asserts it plus
+  // the budget bound corpus-wide at sf0.001.
+  val x121c = Q.dfOnly("x121c_bpe_chunk_budget") { (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        Bpe.tokenCount(spark, col("text"), Bpe.demoMerges).as("doc_tokens"),
+        inline_outer(Bpe.chunkByTokenBudget(spark, col("text"),
+          Bpe.demoMerges, budget = 16)))
+      .groupBy("doc_id")
+      .agg(first(col("doc_tokens")).as("doc_tokens"),
+        count(col("chunk_idx")).as("n_chunks"),
+        coalesce(sum(col("chunk_tokens")), lit(0L)).as("total_chunk_tokens"),
+        coalesce(max(col("chunk_tokens")), lit(0)).as("max_chunk_tokens"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- x121d
+  // BPE-weighted budget selection, full oracle: budgetSelect's `weight`
+  // column takes the BPE count directly (the wiring the whole family
+  // exists for). The empty merge table keeps the weight itself
+  // DuckDB-expressible (x121b's floor formula), so the ENTIRE fill-to-
+  // N-tokens selection — bucketed rank selection, cumulative weights,
+  // budget cut — is hash-checked end to end; real-merge weights ride
+  // the identical code path (x121/x121c pin the counting itself).
+  val x121d = Q.df(
+    "x121d_bpe_budget_select",
+    """WITH w AS (SELECT doc_id, n_chars,
+      |    length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g'))
+      |  + len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+      |        x -> x <> '')) AS wt
+      |  FROM documents),
+      |c AS (SELECT doc_id,
+      |    SUM(wt) OVER (ORDER BY n_chars DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_weight
+      |  FROM w)
+      |SELECT doc_id, CAST(cum_weight AS BIGINT) AS cum_weight
+      |FROM c WHERE cum_weight <= 20000 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Selection.budgetSelect(Tables.load(spark, dir, "documents"),
+        score = col("n_chars"), key = col("doc_id"),
+        weight = Bpe.tokenCount(spark, col("text"), Seq.empty),
+        budget = 20000L)
+      .select(col("doc_id"), col("cum_weight").cast("long").as("cum_weight"))
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -3701,5 +3802,5 @@ object Extensions {
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
     x95, x96, x97, x98, x98b, x99, x100, x101, x102, x103, x104, x105, x106,
     x107, x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
-    x119, x120)
+    x119, x120, x121, x121b, x121c, x121d)
 }

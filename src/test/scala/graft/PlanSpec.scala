@@ -416,6 +416,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"df aggregate missing:\n$p")
   }
 
+  test("x121b: BPE counting is a pure pruned-scan projection (no shuffle before the sort)") {
+    val p = plan(graft.queries.Extensions.x121b)
+    // only doc_id + text may reach the scan; the count is one expression
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("lang") && !read.contains("source")
+      && !read.contains("n_chars"), s"scan not pruned:\n$read")
+    // exactly one exchange: the presentation sort — no hash shuffle, no
+    // join, no aggregation anywhere in the counting path
+    assert(!p.contains("Exchange hashpartitioning"), s"plan:\n$p")
+    assert(!p.contains("HashAggregate"), s"plan:\n$p")
+  }
+
+  test("x121d: BPE weights ride budgetSelect without adding exchanges") {
+    val p = plan(graft.queries.Extensions.x121d)
+    // the tiny per-bucket offsets table must broadcast back, never
+    // shuffle the corpus a second time
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"offsets not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus re-shuffled for offsets:\n$p")
+  }
+
   test("x115: trimmed-mean fences use the rank selection and broadcast back") {
     val p = plan(graft.queries.Extensions.x115)
     assert(!p.toLowerCase.contains("percentile"), s"buffered percentile in plan:\n$p")

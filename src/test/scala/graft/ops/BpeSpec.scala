@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSessions
+import graft.functions.BpeExprs
+
+/** Pins the public Sennrich-et-al-2016 greedy BPE encode semantics
+  * (graft.functions.BpeExprs) against values computed with an
+  * independent reference implementation, plus the operator wiring into
+  * the token-budget family (budgetSelect / packSequences / chunking). */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  private def countOf(s: String, merges: Seq[(String, String)] = Bpe.demoMerges): Int =
+    Seq(s).toDF("s").select(Bpe.tokenCount(spark, col("s"), merges))
+      .as[Int].head()
+
+  private def toksOf(s: String, merges: Seq[(String, String)] = Bpe.demoMerges): Seq[String] =
+    Seq(s).toDF("s").select(Bpe.tokens(spark, col("s"), merges))
+      .as[Seq[String]].head()
+
+  test("token sequences match the independent reference implementation") {
+    assert(toksOf("the") == Seq("the</w>"))
+    assert(toksOf("the theater theme")
+      == Seq("the</w>", "the", "at", "er</w>", "the", "m", "e</w>"))
+    assert(toksOf("and standing under")
+      == Seq("and</w>", "s", "t", "and", "ing</w>", "u", "n", "d", "er</w>"))
+    assert(toksOf("ordering") == Seq("or", "d", "er", "ing</w>"))
+    assert(countOf("supercalifragilistic") == 20)
+  }
+
+  test("merge PRIORITY decides, not scan order: 'ther' merges (t,h) before (e,r)") {
+    // rank 0 (t,h) then rank 1 (th,e) win over rank 7 (e,r); a
+    // lowest-rank-first loop yields [the, r, </w>]; a leftmost-pair or
+    // wrong-priority loop would yield [th, er</w>] (2 tokens)
+    assert(toksOf("ther") == Seq("the", "r", "</w>"))
+    assert(countOf("ther") == 3)
+  }
+
+  test("empty merge table yields the symbol floor: code points + 1 per word") {
+    assert(countOf("the", Seq.empty) == 4)
+    assert(countOf("naïve café", Seq.empty) == 11) // ï/é count once each
+    assert(countOf("", Seq.empty) == 0)
+    assert(countOf(" \t\n ", Seq.empty) == 0)
+  }
+
+  test("counts are exactly additive across whitespace") {
+    for ((a, b) <- Seq(("the", "and"), ("sort merge join", "ingrained ordering"),
+        ("a  b", "the"))) {
+      assert(countOf(a + " " + b) == countOf(a) + countOf(b))
+      assert(countOf(a + "\n\t " + b) == countOf(a) + countOf(b))
+    }
+  }
+
+  test("null text yields null count") {
+    val out = Seq((1, Option.empty[String]), (2, Some("the"))).toDF("id", "s")
+      .select(Bpe.tokenCount(spark, col("s"), Bpe.demoMerges).as("n"))
+      .as[Option[Int]].collect().toSet
+    assert(out == Set(None, Some(1)))
+  }
+
+  test("word repetition hits the per-thread cache without changing results") {
+    val text = Seq.fill(5000)("the ordering and").mkString(" ")
+    assert(countOf(text) == 5000 * (1 + 4 + 1))
+  }
+
+  test("chunkByTokenBudget partitions the word stream within the budget") {
+    val docs = Seq.tabulate(50)(i =>
+      (i.toLong, Seq.fill(i)("the ordering and").mkString(" "))).toDF("id", "s")
+    val out = docs.select(col("id"),
+        Bpe.tokenCount(spark, col("s"), Bpe.demoMerges).as("total"),
+        inline_outer(Bpe.chunkByTokenBudget(spark, col("s"), Bpe.demoMerges, 16)))
+      .groupBy("id").agg(
+        first("total").as("total"),
+        coalesce(sum("chunk_tokens"), lit(0L)).as("sum_chunks"),
+        coalesce(max("chunk_tokens"), lit(0)).as("max_chunk"),
+        count(col("chunk_idx")).as("n_chunks"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("sum_chunks") == r.getAs[Int]("total").toLong,
+        s"chunks must partition the tokens: $r")
+      assert(r.getAs[Int]("max_chunk") <= 16, s"budget exceeded: $r")
+    }
+    // empty text -> zero chunks, not one empty chunk
+    assert(out.find(_.getAs[Long]("id") == 0L).get.getAs[Long]("n_chunks") == 0L)
+  }
+
+  test("a single word over the budget gets its own oversized chunk (no text dropped)") {
+    val rows = Seq("aaaaaaaaaaaaaaaaaaaaaaaa the").toDF("s") // 24 chars + </w> = 25 > 16
+      .select(inline(Bpe.chunkByTokenBudget(spark, col("s"), Bpe.demoMerges, 16)))
+      .collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Int]("chunk_tokens") == 25)
+    assert(rows(0).getAs[String]("chunk") == "aaaaaaaaaaaaaaaaaaaaaaaa")
+    assert(rows(1).getAs[String]("chunk") == "the")
+  }
+
+  test("chunk text collapses whitespace runs to single spaces at word boundaries") {
+    val rows = Seq("a \t b\n\nc").toDF("s")
+      .select(inline(Bpe.chunkByTokenBudget(spark, col("s"), Seq.empty, 100)))
+      .collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("chunk") == "a b c")
+    assert(rows(0).getAs[Int]("chunk_tokens") == 6)
+  }
+
+  test("packSequences takes BPE counts as its tokens column unchanged") {
+    val docs = Seq((1L, "the"), (2L, "ordering the"), (3L, "and and and"))
+      .toDF("doc_id", "text")
+    val packed = Packing.packSequences(docs, key = col("doc_id"),
+      tokens = Bpe.tokenCount(spark, col("text"), Bpe.demoMerges).cast("long"),
+      budget = 4L)
+    // total tokens 1 + 5 + 3 = 9 over budget-4 sequences -> offsets stay
+    // inside [0, 4) and every doc appears exactly once
+    val rows = packed.select("doc_id", "seq_id", "seq_offset").collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    rows.foreach(r => assert(r.getAs[Long]("seq_offset") >= 0
+      && r.getAs[Long]("seq_offset") < 4))
+  }
+
+  test("analysis-time validation rejects malformed merge tables") {
+    val df = Seq("x").toDF("s")
+    def bad(merges: org.apache.spark.sql.Column): Unit = {
+      val e = intercept[Exception] {
+        df.select(BpeExprs.bpeTokenCount(spark, col("s"), merges)).collect()
+      }
+      assert(e.isInstanceOf[AnalysisException]
+        || e.getMessage.contains("bpe_token_count"), s"got: $e")
+    }
+    bad(typedLit(Seq(Seq("a"))))                       // 1-symbol pair
+    bad(typedLit(Seq(Seq("a", "b", "c"))))             // 3-symbol pair
+    bad(typedLit(Seq(Seq("a", ""))))                   // empty symbol
+    bad(typedLit(Seq(Seq("a", "b"), Seq("a", "b"))))   // duplicate rank
+    bad(col("s"))                                      // non-foldable
+  }
+}
