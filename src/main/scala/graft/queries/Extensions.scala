@@ -3792,6 +3792,47 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- x122
+  // Incremental IVF maintenance: index the even-vec_id half of the
+  // embeddings, append the odd half as an ingest batch, and report
+  // per-cell drift (count delta + decimal-exact mean-shift norm). The
+  // learned centroids depend on Lloyd float averages → no SQL oracle
+  // (rows-only, like its ANN peers); x122b states the hash-checkable
+  // invariants as literals.
+  val x122 = Q.dfOnly("x122_ivf_append_drift") { (spark, dir) =>
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val idx = Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+      nlist = 8, iters = 2)
+    Similarity.ivfAppend(idx, emb.filter(col("vec_id") % 2 === 1))._2
+  }
+
+  // --------------------------------------------------------------- x122b
+  // Planted hard oracle for x122, true for ANY learned centroids:
+  // appending the index's own corpus must report zero drift everywhere
+  // (assignment is deterministic given the centroid literal, and
+  // cellStats accumulates in decimal, so the means match EXACTLY), and
+  // a vector appended twice must land in one cell — so the batch of two
+  // copies registers exactly one receiving cell with new_count 2.
+  val x122b = Q.df(
+    "x122b_ivf_append_planted",
+    """SELECT CAST(0 AS BIGINT) AS total_count_delta,
+      |  CAST(0.0 AS DOUBLE) AS max_mean_shift,
+      |  CAST(1 AS BIGINT) AS twin_cells, CAST(2 AS BIGINT) AS twin_count""".stripMargin) { (spark, dir) =>
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val idx = Similarity.buildIvfIndex(emb, nlist = 8, iters = 2)
+    val selfDrift = Similarity.ivfAppend(idx, emb)._2
+      .agg(sum(abs(col("count_delta"))).as("total_count_delta"),
+        max(col("mean_shift")).as("max_mean_shift"))
+    val twins = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .unionByName(emb.filter(col("vec_id") === 0)
+        .withColumn("vec_id", col("vec_id") + 2000000L))
+    val twinDrift = Similarity.ivfAppend(idx, twins)._2
+      .filter(col("new_count") > 0)
+      .agg(count(lit(1)).as("twin_cells"), sum(col("new_count")).as("twin_count"))
+    selfDrift.crossJoin(twinDrift) // two 1-row aggregates
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -3802,5 +3843,5 @@ object Extensions {
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
     x95, x96, x97, x98, x98b, x99, x100, x101, x102, x103, x104, x105, x106,
     x107, x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
-    x119, x120, x121, x121b, x121c, x121d)
+    x119, x120, x121, x121b, x121c, x121d, x122, x122b)
 }
