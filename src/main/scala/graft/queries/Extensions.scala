@@ -2958,6 +2958,39 @@ object Extensions {
         .orderBy(col("qid"))
   }
 
+  // ---------------------------------------------------------------- x98c
+  // Full-rank PCA magnitude oracle (VERDICT r08 #7): with k = dims the
+  // component basis is a complete orthonormal rotation, so each
+  // vector's projection NORM equals its centered norm — a quantity
+  // DuckDB can restate directly (per-dim decimal means, then
+  // √Σ(x−μ)²) without running Jacobi. Rounded @4: the rotation is
+  // norm-preserving to ~1e-12 and the @9 component rounding perturbs
+  // the norm by ≤ ~8e-9, both far inside the 5e-5 grid margin. This
+  // upgrades x98's rows-only status: the magnitude half of the
+  // projection is now hash-checked row-by-row; the rotation half stays
+  // pinned by the x98b twin invariant.
+  val x98c = Q.df(
+    "x98c_pca_projection_norm",
+    """WITH v AS (SELECT vec_id,
+      |    CAST(unnest(generate_series(1, len(embedding))) AS INT) AS dim,
+      |    ROUND(CAST(unnest(embedding) AS DOUBLE), 9) AS x
+      |  FROM embeddings),
+      |f AS (SELECT * FROM v WHERE dim <= 16),
+      |m AS (SELECT dim,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS mu
+      |  FROM f GROUP BY dim)
+      |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |  ROUND(sqrt(SUM((x - mu) * (x - mu))), 4) AS proj_norm
+      |FROM f JOIN m USING (dim)
+      |GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    Similarity.pcaProject(Tables.load(spark, dir, "embeddings"),
+        dims = 16, k = 16)
+      .select(col("vec_id"),
+        round(sqrt(aggregate(col("components"), lit(0.0),
+          (acc, c) => acc + c * c)), 4).as("proj_norm"))
+      .orderBy("vec_id")
+  }
+
   // ---------------------------------------------------------------- x99
   // Mutual information lang × source — the mixture-design dependence
   // audit (does sampling by source reshape the language mix?). Oracle
@@ -3841,7 +3874,7 @@ object Extensions {
     x56b, x60, x61, x62, x63, x64, x65, x66, x66b, x67, x67b, x68,
     x69, x70, x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82,
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95, x96, x97, x98, x98b, x99, x100, x101, x102, x103, x104, x105, x106,
+    x95, x96, x97, x98, x98b, x98c, x99, x100, x101, x102, x103, x104, x105, x106,
     x107, x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
     x119, x120, x121, x121b, x121c, x121d, x122, x122b)
 }

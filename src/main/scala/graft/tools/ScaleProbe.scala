@@ -1,0 +1,101 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity}
+import graft.tables.Tables
+
+/**
+ * Scaling evidence for the candidate-bounded dedup/ANN operators
+ * (VERDICT r07 #7 / r08 #3): the "Σ bucket²" (minhashLsh), "Σ df²
+ * df-capped" (containmentPairs), pigeonhole-blocked (editDistancePairs)
+ * and "Σ cell²" (semanticDedup) candidate bounds are plan-asserted, but
+ * sub-quadratic growth should be MEASURED, not argued. This probe
+ * synthesizes a 10× corpus from the sf0.1 fixtures (each extra copy
+ * word-salted / dimension-shifted so near-dup DENSITY stays constant —
+ * 10 exact copies would inflate the true pair count 100×, which is the
+ * data's property, not the algorithm's), times each operator at 1× and
+ * 10×, and prints a markdown table for NOTES.md.
+ *
+ * Scale knob honesty: semanticDedup's Σ cell² bound is per-cell
+ * quadratic, so its documented 100 TB shape scales nlist ∝ n (cell
+ * depth constant); the probe does the same (16 → 160). The other three
+ * have constant per-bucket caps (bands/maxDf/pigeonhole) and keep their
+ * x-query parameters unchanged.
+ *
+ * Run: sbt "runMain graft.tools.ScaleProbe [sfDir] [factor]"
+ */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val out = "/tmp/graft_scaleprobe"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- prep: materialize 1x and Nx corpora so salting isn't timed
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    def salted(k: Int): DataFrame =
+      if (k == 0) docs
+      // per-copy word salt: every token differs across copies, so copies
+      // share no shingles (no cross-copy near-dups) while each copy keeps
+      // the base corpus's internal duplicate structure -> density constant
+      else docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), "([a-z]+)", s"c$k$$1").as("text"))
+    def shifted(k: Int): DataFrame =
+      if (k == 0) emb
+      else emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        transform(col("embedding"), x => (x + lit((k * 0.37).toFloat))
+          .cast("float")).as("embedding"))
+    (0 until factor).map(salted).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/docs_xN")
+    docs.write.mode("overwrite").parquet(s"$out/docs_x1")
+    (0 until factor).map(shifted).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/emb_xN")
+    emb.write.mode("overwrite").parquet(s"$out/emb_x1")
+
+    def t(fn: => DataFrame): Double = {
+      def once: Double = {
+        val t0 = System.nanoTime()
+        fn.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once, once)
+    }
+
+    val d1 = spark.read.parquet(s"$out/docs_x1")
+    val dN = spark.read.parquet(s"$out/docs_xN")
+    val e1 = spark.read.parquet(s"$out/emb_x1")
+    val eN = spark.read.parquet(s"$out/emb_xN")
+    val n1 = d1.count(); val nN = dN.count()
+    val m1 = e1.count(); val mN = eN.count()
+
+    val rows = Seq(
+      ("minhashLsh(64,16,0.7)", s"$n1 docs", t(Dedup.minhashLsh(d1, 64, 16, 0.7)),
+        s"$nN docs", t(Dedup.minhashLsh(dN, 64, 16, 0.7)), "Σ bucket² (16 bands)"),
+      ("containmentPairs(0.9,df≤5)", s"$n1 docs", t(Dedup.containmentPairs(d1, 0.9, 5)),
+        s"$nN docs", t(Dedup.containmentPairs(dN, 0.9, 5)), "Σ df², df-capped"),
+      ("editDistancePairs(≤2)", s"$n1 docs", t(Dedup.editDistancePairs(d1, 2)),
+        s"$nN docs", t(Dedup.editDistancePairs(dN, 2)), "pigeonhole min-k grams"),
+      ("semanticDedup(0.95)", s"$m1 vecs, nlist 16",
+        t(Similarity.semanticDedup(e1, 0.95, nlist = 16, iters = 2)),
+        s"$mN vecs, nlist ${16 * factor}",
+        t(Similarity.semanticDedup(eN, 0.95, nlist = 16 * factor, iters = 2)),
+        "Σ cell², nlist ∝ n"))
+
+    println("| operator | 1x size | 1x sec | 10x size | 10x sec | ratio | bound |")
+    println("|---|---|---|---|---|---|---|")
+    rows.foreach { case (op, s1, t1, s10, t10, bound) =>
+      println(f"| $op | $s1 | $t1%.2f | $s10 | $t10%.2f | ${t10 / t1}%.1fx | $bound |")
+    }
+    spark.stop()
+  }
+}
