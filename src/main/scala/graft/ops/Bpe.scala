@@ -1,7 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.typedLit
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.functions.BpeExprs
 
@@ -62,4 +62,33 @@ object Bpe {
   def chunkByTokenBudget(spark: SparkSession, text: Column,
       merges: Seq[(String, String)], budget: Int): Column =
     BpeExprs.bpeChunksByBudget(spark, text, mergesLit(merges), budget)
+
+  /** Per-group tokenizer fertility audit — tokens-per-word and
+    * tokens-per-non-whitespace-char under `merges`, the number that
+    * tells a curator how unevenly a tokenizer taxes each language
+    * (a high-fertility language burns context window faster and is
+    * under-weighted by char-budgeted selection). One row per group:
+    * `(group, docs, tokens, words, fertility, tokens_per_char)`.
+    *
+    * Scale: a codegen'd per-row projection (the merge-table literal,
+    * no join) into a partial→final aggregate keyed on the group —
+    * shuffle carries groups × partitions rows, never tokens. */
+  def fertility(spark: SparkSession, docs: DataFrame, groupCol: String,
+      merges: Seq[(String, String)], textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(groupCol),
+        tokenCount(spark, t, merges).cast("long").as("__f_tok"),
+        size(filter(split(t, "[ \\t\\n\\u000B\\f\\r]+"), w => w =!= ""))
+          .cast("long").as("__f_w"),
+        length(regexp_replace(t, "[ \\t\\n\\u000B\\f\\r]", ""))
+          .cast("long").as("__f_c"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("docs"), sum(col("__f_tok")).as("tokens"),
+        sum(col("__f_w")).as("words"), sum(col("__f_c")).as("__chars"))
+      .select(col(groupCol), col("docs"), col("tokens"), col("words"),
+        round(col("tokens").cast("double") / col("words").cast("double"), 9)
+          .as("fertility"),
+        round(col("tokens").cast("double") / col("__chars").cast("double"), 9)
+          .as("tokens_per_char"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -183,4 +183,48 @@ object Curation {
       // re-execute the corpus-count lineage (the r07 AQE sort lesson)
       .sortWithinPartitions(col("stage_idx"))
   }
+
+  /** Deterministic shard assignment for training-corpus output: pick
+    * the shard COUNT from the data (`ceil(Σ bytes / targetBytes)` —
+    * the "~N GB per output file" contract a dataloader wants) and
+    * assign each row a stable `shard_id` from a portable md5 bucket of
+    * its key. The assignment is a pure function of (key, total bytes,
+    * target): re-running the pipeline reproduces the same sharding
+    * bit-for-bit on any engine — unlike `repartition(n)`, whose
+    * round-robin depends on input split boundaries and task order.
+    *
+    * Adds `num_shards` and `shard_id` to every row. md5 buckets are
+    * uniform, so realized shard sizes concentrate around the target
+    * (±a few document sizes per shard); [[shardManifest]] is the
+    * audit. Feed `shard_id` to `.write.partitionBy("shard_id")` (or
+    * `repartition($"shard_id")` first for one file per shard).
+    *
+    * Scale: the byte total is a 1-row broadcast stats table onto a
+    * codegen'd projection — the [[Sampling.deterministicSplit]] md5
+    * bucket, the same no-corpus-shuffle shape. */
+  def shardAssign(df: DataFrame, key: Column, bytes: Column,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be positive, got $targetBytes")
+    val total = df.agg(sum(bytes.cast("long")).as("__sh_total"))
+    df.crossJoin(broadcast(total))
+      .withColumn("num_shards", greatest(lit(1L),
+        ceil(col("__sh_total").cast("double") / targetBytes).cast("long")))
+      .withColumn("shard_id", pmod(
+        conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+        col("num_shards")))
+      .drop("__sh_total")
+  }
+
+  /** Per-shard audit of a [[shardAssign]] output: row and byte counts
+    * plus each shard's deviation from the byte target — the table a
+    * curator reads before trusting the shard layout (and the spec
+    * gate for bucket uniformity). One partial→final aggregate keyed
+    * on `shard_id`; the shuffle carries shards × partitions rows. */
+  def shardManifest(sharded: DataFrame, bytes: Column,
+      targetBytes: Long): DataFrame =
+    sharded.groupBy(col("shard_id"), col("num_shards"))
+      .agg(count(lit(1)).as("docs"), sum(bytes.cast("long")).as("bytes"))
+      .select(col("shard_id"), col("num_shards"), col("docs"), col("bytes"),
+        round(col("bytes").cast("double") / targetBytes, 9).as("fill_ratio"))
+      .orderBy(col("shard_id"))
 }

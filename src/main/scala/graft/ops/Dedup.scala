@@ -777,4 +777,60 @@ object Dedup {
       .filter(col("containment") >= minContainment)
       .select(col("doc_a"), col("doc_b"), col("containment"))
   }
+
+  /** Corpus-wide line-level dedup — the C4 recipe (Raffel et al. 2020
+    * §2.2: "discard all but one of any three-sentence span occurring
+    * more than once in the data set", applied here at line
+    * granularity, the unit Dolma's paragraph dedup uses): every
+    * distinct line keeps exactly its FIRST occurrence in
+    * `(doc_id, position)` order; every other occurrence anywhere in
+    * the corpus is cut, and each document is re-assembled from its
+    * surviving lines in original order.
+    *
+    * Output: one row per input document —
+    * `(doc_id, clean_text, n_lines, lines_kept)` with `clean_text`
+    * the newline-joined survivors (`""` when every line lost).
+    *
+    * 100 TB shape: the keeper table is a `groupBy(xxhash64(line))`
+    * with `min` over `(doc_id, pos)` packed into one DECIMAL(38,0)
+    * (`doc_id·2³¹ + pos` — order-isomorphic to the lexicographic pair
+    * since posexplode's INT pos sits in [0, 2³¹), and a fixed-width
+    * type keeps the aggregate in HashAggregate where `min(struct)`
+    * would force a per-partition SortAggregate) — map-side partial
+    * aggregation collapses a billion-occurrence boilerplate line to
+    * one row per input partition BEFORE the shuffle, so line-frequency
+    * skew never concentrates on a reducer (a window `row_number() OVER
+    * (PARTITION BY line)` — the naive spelling — would put all
+    * occurrences of the hottest line in one task). The join back is
+    * hash-equi on the 8-byte line hash against a distinct-lines-sized
+    * keeper table (AQE splits the residual hot-hash join side), and
+    * the re-assembly groups by `doc_id` — the corpus's natural key.
+    * Occurrences shuffle the line hash, not the line text. Lines ride
+    * ONE materialization behind a lazy localCheckpoint (two consumers
+    * — keeper agg and join-back — would otherwise re-split the corpus;
+    * the [[minhashLsh]] signature-table precedent). xxhash64(line)
+    * collision odds are the [[exactByHash]] canary argument: ~2^-64
+    * per distinct-line pair, and the x123 oracle (which groups by the
+    * line TEXT) fails loudly if one ever lands. */
+  def lineDedup(docs: DataFrame): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("__lh", xxhash64(col("line")))
+      .withColumn("__ord", col("doc_id").cast("decimal(38,0)")
+        * lit(2147483648L) + col("pos"))
+      .localCheckpoint(eager = false)
+    val keepers = lines.groupBy(col("__lh"))
+      .agg(min(col("__ord")).as("__keep"))
+    lines.join(keepers, "__lh")
+      .withColumn("__kept", col("__ord") === col("__keep"))
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(col("__kept"),
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line"))).as("clean_text"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("lines_kept"))
+      .select(col("doc_id"), col("clean_text"), col("n_lines"), col("lines_kept"))
+  }
 }

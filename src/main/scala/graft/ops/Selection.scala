@@ -326,4 +326,58 @@ object Selection {
         col("n"))
       .orderBy(col("bin"))
   }
+
+  /** Per-group retention-calibrated score cutoffs — the CCNet/FineWeb
+    * calibration step: instead of one global threshold (which lets a
+    * verbose language crowd out a terse one), each group keeps its own
+    * top `targetRetention` fraction by score. The cutoff is the exact
+    * interpolated `1 − targetRetention` percentile of `scoreCol`
+    * within the group ([[Percentiles]] — percentile_cont semantics,
+    * bit-identical to the SQL restatement), and the report counts how
+    * many rows actually clear it: `observed_retention` differs from
+    * the target exactly when scores tie at the cutoff, which is the
+    * number a curator needs to see before trusting the knob.
+    *
+    * Returns one row per group:
+    * `(group, cutoff, total, kept, observed_retention)`. Apply with
+    * [[retentionFilter]].
+    *
+    * Scale: one adaptive rank-selection pass for the percentiles (no
+    * per-group sort or buffering — the [[Percentiles.exactAdaptive]]
+    * machinery), then one partial→final count aggregate for `kept`
+    * with the group-count-sized cutoff table broadcast onto the scan.
+    * Nothing corpus-sized shuffles besides the percentile's own melt. */
+  def retentionThreshold(df: DataFrame, groupCol: String, scoreCol: String,
+      targetRetention: Double): DataFrame = {
+    require(targetRetention > 0.0 && targetRetention < 1.0,
+      s"targetRetention must be in (0, 1), got $targetRetention")
+    // group-count-sized; materialized once behind a lazy localCheckpoint —
+    // it feeds BOTH the kept-count branch and the final report join, and
+    // the two subtrees don't canonicalize equal, so without the barrier
+    // the whole percentile pass (probe included) would execute twice
+    val cut = Percentiles.exactAdaptive(df, Seq(groupCol),
+      Seq(Percentiles.Spec(scoreCol, 1.0 - targetRetention, "cutoff")),
+      rowCountCol = Some("total"))
+      .localCheckpoint(eager = false)
+    val kept = df.join(broadcast(cut.select(col(groupCol), col("cutoff"))), groupCol)
+      .filter(col(scoreCol).cast("double") >= col("cutoff"))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("kept"))
+    cut.join(kept, Seq(groupCol), "left")
+      .select(col(groupCol), round(col("cutoff"), 9).as("cutoff"), col("total"),
+        coalesce(col("kept"), lit(0L)).as("kept"),
+        round(coalesce(col("kept"), lit(0L)).cast("double")
+          / col("total").cast("double"), 9).as("observed_retention"))
+  }
+
+  /** Rows of `df` that clear their group's [[retentionThreshold]]
+    * cutoff (score ≥ cutoff; null scores never clear). A broadcast
+    * join on the group-count-sized cutoff table — the filter runs as a
+    * codegen'd projection over the scan, no corpus shuffle. */
+  def retentionFilter(df: DataFrame, groupCol: String, scoreCol: String,
+      targetRetention: Double): DataFrame = {
+    val cut = retentionThreshold(df, groupCol, scoreCol, targetRetention)
+    df.join(broadcast(cut.select(col(groupCol), col("cutoff"))), groupCol)
+      .filter(col(scoreCol).cast("double") >= col("cutoff"))
+      .drop("cutoff")
+  }
 }

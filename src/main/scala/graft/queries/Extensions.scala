@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
-import graft.ops.{AsOf, Bpe, Decontamination, Dedup, JoinStrategies, Multimodal, Packing, Quantization, Redaction, Relevance, Sampling, Selection, Sessions, Similarity, Snapshot, TextAnalysis, Text}
+import graft.ops.{AsOf, Bpe, Curation, Decontamination, Dedup, JoinStrategies, Multimodal, Packing, Quantization, Redaction, Relevance, Sampling, Selection, Sessions, Similarity, Snapshot, TextAnalysis, Text}
 import graft.tables.Tables
 
 /**
@@ -3866,6 +3866,112 @@ object Extensions {
     selfDrift.crossJoin(twinDrift) // two 1-row aggregates
   }
 
+  // ---------------------------------------------------------------- x123
+  // Corpus-wide line-level dedup (the C4 span-dedup recipe at line
+  // granularity): every distinct line keeps its first (doc_id, pos)
+  // occurrence; documents are re-assembled from survivors. The fixture
+  // text is single-line, so lines are synthesized by breaking every
+  // third word — 3-word lines over the fixture's small vocabulary
+  // collide corpus-wide by construction, exercising the keep-first
+  // semantics heavily. Full oracle: DuckDB restates the split, the
+  // first-occurrence window, and the string_agg re-assembly; it groups
+  // by line TEXT while the engine groups by xxhash64(line), so the row
+  // doubles as the hash-collision canary (the x01 argument).
+  val x123 = Q.df(
+    "x123_line_dedup",
+    """WITH d AS (SELECT doc_id,
+      |    regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g') AS t
+      |  FROM documents),
+      |p AS (SELECT doc_id, string_split(t, chr(10)) AS parts FROM d),
+      |l AS (SELECT doc_id,
+      |    CAST(unnest(generate_series(1, len(parts))) AS INT) AS pos,
+      |    unnest(parts) AS line
+      |  FROM p),
+      |k AS (SELECT doc_id, pos, line,
+      |    ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      |  FROM l)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+      |    ORDER BY pos), '') AS clean_text,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS lines_kept
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Dedup.lineDedup(Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), regexp_replace(col("text"),
+          "(\\S+ \\S+ \\S+) ", "$1\n").as("text")))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- x124
+  // Per-language retention calibration (the CCNet/FineWeb knob): each
+  // lang keeps its own top-30% n_chars cutoff — exact interpolated
+  // percentile (the q41 percentile_cont parity) plus the observed
+  // retention the curator actually gets after ties. Full oracle.
+  val x124 = Q.df(
+    "x124_retention_threshold",
+    """WITH c AS (SELECT lang,
+      |    percentile_cont(0.7) WITHIN GROUP (ORDER BY n_chars) AS cutoff,
+      |    COUNT(*) AS total
+      |  FROM documents GROUP BY lang),
+      |k AS (SELECT d.lang, COUNT(*) AS kept
+      |  FROM documents d JOIN c USING (lang)
+      |  WHERE CAST(d.n_chars AS DOUBLE) >= c.cutoff GROUP BY d.lang)
+      |SELECT lang, round(cutoff, 9) AS cutoff, CAST(total AS BIGINT) AS total,
+      |  CAST(kept AS BIGINT) AS kept,
+      |  round(kept * 1.0 / total, 9) AS observed_retention
+      |FROM c JOIN k USING (lang) ORDER BY lang""".stripMargin) { (spark, dir) =>
+    Selection.retentionThreshold(Tables.load(spark, dir, "documents"),
+        groupCol = "lang", scoreCol = "n_chars", targetRetention = 0.3)
+      .orderBy("lang")
+  }
+
+  // ---------------------------------------------------------------- x125
+  // Deterministic byte-targeted sharding + manifest: shard count from
+  // ceil(Σ n_chars / 12000), assignment from a portable md5 bucket of
+  // doc_id — DuckDB reproduces the exact shard ids (both engines hash
+  // the decimal string rendering of doc_id), so the whole manifest is
+  // hash-checked, uniformity included.
+  val x125 = Q.df(
+    "x125_shard_manifest",
+    """WITH t AS (SELECT greatest(1,
+      |    CAST(ceil(SUM(n_chars) / 12000.0) AS BIGINT)) AS n FROM documents)
+      |SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |    AS BIGINT) % n AS BIGINT) AS shard_id,
+      |  CAST(n AS BIGINT) AS num_shards,
+      |  CAST(COUNT(*) AS BIGINT) AS docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS bytes,
+      |  round(SUM(n_chars) / 12000.0, 9) AS fill_ratio
+      |FROM documents, t GROUP BY 1, 2 ORDER BY shard_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    Curation.shardManifest(
+      Curation.shardAssign(docs, col("doc_id"), col("n_chars"), 12000L),
+      col("n_chars"), 12000L)
+  }
+
+  // ---------------------------------------------------------------- x126
+  // Tokenizer fertility audit per language. The EMPTY merge table makes
+  // the token count the symbol floor (x121b's DuckDB-expressible
+  // formula), so the whole groupwise audit — counts, ratios, rounding —
+  // is hash-checked; real-merge fertility rides the identical path
+  // (x121 pins the merge loop) and BpeSpec bounds it by this floor.
+  val x126 = Q.df(
+    "x126_bpe_fertility",
+    """WITH w AS (SELECT lang,
+      |    length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS nc,
+      |    len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+      |      x -> x <> '')) AS nw
+      |  FROM documents)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+      |  CAST(SUM(nc + nw) AS BIGINT) AS tokens,
+      |  CAST(SUM(nw) AS BIGINT) AS words,
+      |  round(SUM(nc + nw) * 1.0 / SUM(nw), 9) AS fertility,
+      |  round(SUM(nc + nw) * 1.0 / SUM(nc), 9) AS tokens_per_char
+      |FROM w GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    Bpe.fertility(spark, Tables.load(spark, dir, "documents"),
+        groupCol = "lang", merges = Seq.empty)
+      .orderBy("lang")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -3876,5 +3982,6 @@ object Extensions {
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
     x95, x96, x97, x98, x98b, x98c, x99, x100, x101, x102, x103, x104, x105, x106,
     x107, x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
-    x119, x120, x121, x121b, x121c, x121d, x122, x122b)
+    x119, x120, x121, x121b, x121c, x121d, x122, x122b, x123, x124, x125,
+    x126)
 }

@@ -445,4 +445,34 @@ class PlanSpec extends AnyFunSuite {
       s"fences not broadcast at this scale:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus re-shuffled for the trim:\n$p")
   }
+
+  test("x123: line-dedup keeper is a skew-immune hash aggregate, no line window") {
+    val p = plan(graft.queries.Extensions.x123)
+    // the keep-first choice must come from a partial→final HashAggregate
+    // on the packed (doc_id, pos) decimal — a min(struct) would plan a
+    // per-partition SortAggregate, and a row_number window over the line
+    // hash would pile every occurrence of the hottest line on one task
+    assert(!p.contains("Window"), s"line window in plan:\n$p")
+    assert(!p.contains("SortAggregate"), s"keeper fell to SortAggregate:\n$p")
+    assert(p.contains("HashAggregate"), s"plan:\n$p")
+  }
+
+  test("x125: shard manifest broadcasts the 1-row byte total onto the scan") {
+    val p = plan(graft.queries.Extensions.x125)
+    // the cross join against the total must be a broadcast of ONE row,
+    // and the only hash shuffle is the manifest's own shard_id aggregate
+    assert(p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BroadcastExchange"), s"total not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the total:\n$p")
+    assert(!p.contains("CartesianProduct"), s"non-broadcast cartesian:\n$p")
+  }
+
+  test("x126: fertility is a projection into one group-keyed aggregate") {
+    val p = plan(graft.queries.Extensions.x126)
+    // no join, no window — the merge table is a literal in the projection
+    assert(!p.contains("Join"), s"join in fertility plan:\n$p")
+    assert(!p.contains("Window"), s"window in fertility plan:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"plan:\n$p")
+  }
 }

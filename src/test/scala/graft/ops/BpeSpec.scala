@@ -137,4 +137,35 @@ class BpeSpec extends AnyFunSuite {
     bad(typedLit(Seq(Seq("a", "b"), Seq("a", "b"))))   // duplicate rank
     bad(col("s"))                                      // non-foldable
   }
+
+  test("fertility: empty-table audit matches hand counts per group") {
+    val df = Seq(
+      ("en", "the cat"), // 6 cp + 2 words = 8 sym, 2 words, 6 chars
+      ("en", "a"),       // 1 + 1 = 2 sym
+      ("de", "übung"))   // 5 + 1 = 6 sym
+      .toDF("lang", "text")
+    val got = Bpe.fertility(spark, df, "lang", Seq.empty)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("en") == (("en", 2L, 10L, 3L,
+      math.rint(10.0 / 3.0 * 1e9) / 1e9, math.rint(10.0 / 7.0 * 1e9) / 1e9)))
+    assert(got("de") == (("de", 1L, 6L, 1L, 6.0, 1.2)))
+  }
+
+  test("fertility under real merges is bounded by the symbol floor") {
+    val df = Seq(("en", "the theater theme and standing under"),
+      ("en", "ingrained ordering"), ("de", "sort merge join"))
+      .toDF("lang", "text")
+    val floor = Bpe.fertility(spark, df, "lang", Seq.empty)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    val real = Bpe.fertility(spark, df, "lang", Bpe.demoMerges)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(real.keySet == floor.keySet)
+    // merges only ever reduce the token count, and at least one demo
+    // merge fires in every group here
+    real.foreach { case (g, f) => assert(f < floor(g), s"group $g") }
+    real.values.foreach(f => assert(f >= 1.0)) // ≥ one token per word
+  }
 }

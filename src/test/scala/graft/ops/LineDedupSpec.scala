@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSessions
+
+class LineDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String)]): Map[Long, (String, Long, Long)] =
+    Dedup.lineDedup(rows.toDF("doc_id", "text"))
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("first occurrence survives, every later occurrence is cut") {
+    val got = run(Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "beta\ndelta"),
+      (3L, "gamma\nalpha\nepsilon")))
+    assert(got(1L) == (("alpha\nbeta\ngamma", 3L, 3L)))
+    assert(got(2L) == (("delta", 2L, 1L))) // beta lost to doc 1
+    assert(got(3L) == (("epsilon", 3L, 1L))) // gamma + alpha lost to doc 1
+  }
+
+  test("within-document repeats keep only the earliest position") {
+    val got = run(Seq((7L, "x\ny\nx\nx")))
+    assert(got(7L) == (("x\ny", 4L, 2L)))
+  }
+
+  test("a document losing every line re-assembles to the empty string") {
+    val got = run(Seq((1L, "a\nb"), (2L, "a\nb"), (3L, "b\na")))
+    assert(got(1L) == (("a\nb", 2L, 2L)))
+    assert(got(2L) == (("", 2L, 0L)))
+    assert(got(3L) == (("", 2L, 0L)))
+  }
+
+  test("keep-first order is (doc_id, pos), not input order") {
+    // "z" appears at pos 1 of doc 5 and pos 0 of doc 9: doc 5 wins
+    val got = run(Seq((9L, "z\nq"), (5L, "w\nz")))
+    assert(got(5L) == (("w\nz", 2L, 2L)))
+    assert(got(9L) == (("q", 2L, 1L)))
+  }
+
+  test("single-line docs degrade to exact line dedup; counts reconcile") {
+    val rows = (1L to 40L).map(i => (i, s"line${i % 10}"))
+    val got = run(rows)
+    assert(got.size == 40)
+    // exactly the first ten docs keep their (unique-so-far) line
+    assert(got.count { case (_, (_, _, kept)) => kept == 1L } == 10)
+    assert(got.values.map(_._2).sum == 40L) // n_lines totals the corpus
+  }
+}
