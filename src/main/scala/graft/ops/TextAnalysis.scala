@@ -999,4 +999,62 @@ object TextAnalysis {
           .cast("double") / count(lit(1)), 6).as("score"))
       .orderBy(col("doc_id"))
   }
+
+  /** EXACT corpus heavy hitters — every token whose count strictly
+    * exceeds n/k (n = total token count) with its exact count,
+    * `(token, cnt)` ordered (cnt desc, token) — without the full-
+    * vocabulary shuffle [[documentFrequency]] pays. Two passes:
+    *
+    *  1. a per-partition Misra-Gries summary with k counters
+    *     (`mapPartitions` — genuinely imperative per-partition state)
+    *     emits each partition's candidate set. Pigeonhole guarantee:
+    *     f(x) > n/k forces f_p(x) > n_p/k in at least one partition p,
+    *     and MG with k counters retains every item above n_p/k — so
+    *     the union of partition candidates is a SUPERSET of the true
+    *     heavy hitters (≤ k·partitions rows, shuffled once through a
+    *     distinct);
+    *  2. the exploded token stream joins the BROADCAST candidate set
+    *     and only candidate tokens enter the exact partial→final
+    *     count aggregate — the shuffle carries ≤ k·partitions² rows,
+    *     never the vocabulary.
+    *
+    * The threshold test is exact integer arithmetic (`cnt · k > n`,
+    * no division), and the final row set is a pure function of the
+    * data: the MG candidate SET varies with partitioning, but any
+    * superset filtered by the exact threshold yields identical rows.
+    * The token stream materializes once behind a lazy localCheckpoint
+    * (three consumers: MG pass, total count, scoring join — the
+    * [[Dedup.minhashLsh]] signature-table precedent). */
+  def heavyHitters(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2 && k <= 100000, s"k $k outside [2, 100000]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(Text.tokens(col("text"))).as("token"))
+      .localCheckpoint(eager = false)
+    val cand = toks.as[String].mapPartitions { it =>
+      // Misra-Gries with k counters: decrement-all fires ≤ n_p/k times
+      // and each firing is O(k), so the pass is O(n_p) amortized
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counters.get(t) match {
+          case Some(c) => counters.update(t, c + 1)
+          case None if counters.size < k => counters.update(t, 1L)
+          case None =>
+            val dead = List.newBuilder[String]
+            counters.foreach { case (key, c) =>
+              if (c == 1L) dead += key else counters.update(key, c - 1)
+            }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("token").distinct()
+    val total = toks.agg(count(lit(1)).as("n_tokens"))
+    toks.join(broadcast(cand), "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * k > col("n_tokens"))
+      .select(col("token"), col("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
 }

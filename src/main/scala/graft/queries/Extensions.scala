@@ -3972,6 +3972,76 @@ object Extensions {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------------------- x127
+  // DSIR importance weights (Xie et al. 2023): raw = the whole corpus,
+  // target = the src1 slice. Hashed unigram+bigram buckets use the
+  // portable md5 bucket, so DuckDB reproduces the exact bucket ids; the
+  // single-ln-per-bucket @7 pin + @9-rounded decimal accumulation is
+  // the x63 transcendental contract, so the weights hash-match.
+  val x127 = Q.df(
+    "x127_dsir_weights",
+    """WITH w AS (SELECT doc_id, source,
+      |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM documents),
+      |g AS (SELECT doc_id, source, unnest(w) AS g FROM w
+      |  UNION ALL
+      |  SELECT doc_id, source, unnest(CASE WHEN len(w) >= 2
+      |    THEN [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)]
+      |    ELSE [] END) AS g FROM w),
+      |b AS (SELECT doc_id, source,
+      |    CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 512 AS bucket FROM g),
+      |fr AS (SELECT doc_id, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      |cr AS (SELECT bucket, SUM(c) AS cr FROM fr GROUP BY 1),
+      |ct AS (SELECT bucket, COUNT(*) AS ct FROM b WHERE source = 'src1'
+      |  GROUP BY 1),
+      |tot AS (SELECT (SELECT SUM(cr) FROM cr) AS r,
+      |               (SELECT SUM(ct) FROM ct) AS t),
+      |ratio AS (SELECT cr.bucket,
+      |    round(ln(((coalesce(ct.ct, 0) + 1) * CAST(r + 512 AS DOUBLE))
+      |           / ((cr.cr + 1) * CAST(t + 512 AS DOUBLE))), 7) AS lr
+      |  FROM cr LEFT JOIN ct USING (bucket), tot)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+      |  round(CAST(SUM(CAST(round(c * lr, 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
+      |    AS log_weight
+      |FROM fr JOIN ratio USING (bucket)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    graft.ops.Dsir.importanceWeights(docs,
+        docs.filter(col("source") === "src1"), buckets = 512)
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- x128
+  // Exact heavy hitters without a vocabulary shuffle: per-partition
+  // Misra-Gries candidate summaries (provable superset of every token
+  // with count > n/k), then an exact candidate-only count. The fixture
+  // vocabulary is near-uniform (31 words, all just under n/25), so two
+  // skewed tokens are PLANTED — every doc gains a twin of 40 repeats of
+  // hh0/hh1 — and k=25 admits exactly those two. The output is a pure
+  // function of the data (any candidate superset filtered by the exact
+  // integer threshold cnt·k > n yields identical rows), so the MG
+  // pass's partition dependence never reaches the result; DuckDB
+  // restates the full group-by as the oracle.
+  val x128 = Q.df(
+    "x128_heavy_hitters",
+    """WITH u AS (SELECT unnest(list_filter(
+      |    string_split_regex(lower(text), '\W+'), x -> x <> '')) AS token
+      |  FROM (SELECT text FROM documents
+      |        UNION ALL
+      |        SELECT repeat('hh' || CAST(doc_id % 2 AS VARCHAR) || ' ', 40)
+      |        FROM documents)),
+      |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM u GROUP BY 1),
+      |t AS (SELECT SUM(cnt) AS n FROM c)
+      |SELECT token, cnt FROM c, t WHERE cnt * 25 > n
+      |ORDER BY cnt DESC, token""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    val planted = docs.select((col("doc_id") + 900000L).as("doc_id"),
+      repeat(concat(lit("hh"), (col("doc_id") % 2).cast("string"), lit(" ")),
+        40).as("text"))
+    TextAnalysis.heavyHitters(
+      docs.select("doc_id", "text").unionByName(planted), k = 25)
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -3983,5 +4053,5 @@ object Extensions {
     x95, x96, x97, x98, x98b, x98c, x99, x100, x101, x102, x103, x104, x105, x106,
     x107, x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
     x119, x120, x121, x121b, x121c, x121d, x122, x122b, x123, x124, x125,
-    x126)
+    x126, x127, x128)
 }

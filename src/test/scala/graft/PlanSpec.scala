@@ -467,6 +467,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"non-broadcast cartesian:\n$p")
   }
 
+  test("x127: DSIR log-ratio table broadcasts onto the scoring join") {
+    val p = plan(graft.queries.Extensions.x127)
+    // the ≤ buckets-row ratio table must broadcast; the raw corpus's
+    // hashed-gram table must never re-shuffle to meet it
+    assert(p.contains("BroadcastHashJoin"), s"ratio not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the ratio:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
   test("x126: fertility is a projection into one group-keyed aggregate") {
     val p = plan(graft.queries.Extensions.x126)
     // no join, no window — the merge table is a literal in the projection
