@@ -823,7 +823,49 @@ object Dedup {
       .agg(min(col("__ord")).as("__keep"))
     lines.join(keepers, "__lh")
       .withColumn("__kept", col("__ord") === col("__keep"))
-      .groupBy(col("doc_id"))
+      .transform(reassemble)
+  }
+
+  /** Steady-state ingest form of [[lineDedup]] — the shape a 100 TB
+    * pipeline actually runs day to day: the already-ingested `corpus`
+    * is fixed (only line MEMBERSHIP matters, so it reduces to a
+    * distinct 8-byte line-hash index, built once and reusable), and a
+    * `batch` line survives iff it appears nowhere in the corpus AND
+    * this occurrence is the batch's own first in `(doc_id, pos)`
+    * order. Output schema matches [[lineDedup]]; re-running the whole
+    * corpus through [[lineDedup]] from scratch and diffing is the
+    * batch-free equivalent this avoids.
+    *
+    * Scale: batch lines shuffle by line hash exactly as in
+    * [[lineDedup]]; the corpus contributes ONE distinct-aggregate over
+    * its line hashes (at steady state: a maintained parquet artifact,
+    * not a recompute) joined in as a left-side membership probe —
+    * batch-sized work against a corpus-hash-sized index, never a
+    * corpus re-shuffle per batch. */
+  def lineDedupAgainst(batch: DataFrame, corpus: DataFrame): DataFrame = {
+    val bLines = batch
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("__lh", xxhash64(col("line")))
+      .withColumn("__ord", col("doc_id").cast("decimal(38,0)")
+        * lit(2147483648L) + col("pos"))
+      .localCheckpoint(eager = false)
+    val idx = corpus
+      .select(explode(split(col("text"), "\n")).as("line"))
+      .select(xxhash64(col("line")).as("__lh")).distinct()
+      .withColumn("__hit", lit(true))
+    val keepers = bLines.groupBy(col("__lh"))
+      .agg(min(col("__ord")).as("__keep"))
+    bLines.join(keepers, "__lh")
+      .join(idx, Seq("__lh"), "left")
+      .withColumn("__kept", col("__ord") === col("__keep")
+        && col("__hit").isNull)
+      .transform(reassemble)
+  }
+
+  /** Shared tail of the line-dedup family: per-doc re-assembly of the
+    * `__kept` lines in position order. */
+  private def reassemble(flagged: DataFrame): DataFrame =
+    flagged.groupBy(col("doc_id"))
       .agg(
         concat_ws("\n", transform(
           array_sort(collect_list(when(col("__kept"),
@@ -832,5 +874,4 @@ object Dedup {
         count(lit(1)).as("n_lines"),
         sum(when(col("__kept"), 1L).otherwise(0L)).as("lines_kept"))
       .select(col("doc_id"), col("clean_text"), col("n_lines"), col("lines_kept"))
-  }
 }

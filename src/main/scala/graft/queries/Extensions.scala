@@ -4042,6 +4042,100 @@ object Extensions {
       docs.select("doc_id", "text").unionByName(planted), k = 25)
   }
 
+  // ---------------------------------------------------------------- x129
+  // Composition row for the round-9 stages (the x51 pattern — verify
+  // the PIPELINE, not just its parts): per-lang retention filter at
+  // 50% → corpus-wide line dedup over synthesized 3-word lines → byte-
+  // targeted sharding of the cleaned corpus, manifest out. One DuckDB
+  // restatement covers the stage interactions: the cutoff decides which
+  // docs contribute lines, line survival decides clean_text bytes,
+  // bytes decide the shard count.
+  val x129 = Q.df(
+    "x129_curation_compose_v2",
+    """WITH c AS (SELECT lang,
+      |    percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars) AS cutoff
+      |  FROM documents GROUP BY lang),
+      |kept AS (SELECT d.doc_id, d.text FROM documents d JOIN c USING (lang)
+      |  WHERE CAST(d.n_chars AS DOUBLE) >= c.cutoff),
+      |d2 AS (SELECT doc_id,
+      |    regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g') AS t
+      |  FROM kept),
+      |p AS (SELECT doc_id, string_split(t, chr(10)) AS parts FROM d2),
+      |l AS (SELECT doc_id,
+      |    CAST(unnest(generate_series(1, len(parts))) AS INT) AS pos,
+      |    unnest(parts) AS line
+      |  FROM p),
+      |k AS (SELECT doc_id, pos, line,
+      |    ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      |  FROM l),
+      |clean AS (SELECT doc_id,
+      |    coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+      |      ORDER BY pos), '') AS ct
+      |  FROM k GROUP BY doc_id),
+      |t AS (SELECT greatest(1,
+      |    CAST(ceil(SUM(length(ct)) / 6000.0) AS BIGINT)) AS n FROM clean)
+      |SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |    AS BIGINT) % n AS BIGINT) AS shard_id,
+      |  CAST(n AS BIGINT) AS num_shards,
+      |  CAST(COUNT(*) AS BIGINT) AS docs,
+      |  CAST(SUM(length(ct)) AS BIGINT) AS bytes,
+      |  round(SUM(length(ct)) / 6000.0, 9) AS fill_ratio
+      |FROM clean, t GROUP BY 1, 2 ORDER BY shard_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    val kept = Selection.retentionFilter(docs, "lang", "n_chars", 0.5)
+      .select(col("doc_id"), regexp_replace(col("text"),
+        "(\\S+ \\S+ \\S+) ", "$1\n").as("text"))
+    val clean = Dedup.lineDedup(kept)
+    val sharded = Curation.shardAssign(clean, col("doc_id"),
+      length(col("clean_text")), 6000L)
+    Curation.shardManifest(sharded, length(col("clean_text")), 6000L)
+  }
+
+  // ---------------------------------------------------------------- x130
+  // Steady-state line-dedup ingest: corpus = the documents table (as a
+  // line-membership index), batch = every 5th doc re-ingested with a
+  // novel per-doc tail ("novel<id> tokens here"). Re-ingested body
+  // lines must ALL be cut (they exist in the corpus); only the novel
+  // tail lines and batch-internal first occurrences survive. Full
+  // oracle: DuckDB restates membership with NOT IN over the distinct
+  // corpus line set plus the batch-internal keep-first window.
+  val x130 = Q.df(
+    "x130_line_dedup_ingest",
+    """WITH corp AS (SELECT DISTINCT unnest(string_split(
+      |    regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g'),
+      |    chr(10))) AS line
+      |  FROM documents),
+      |bat AS (SELECT doc_id + 500000 AS doc_id,
+      |    regexp_replace(text || ' novel' || CAST(doc_id AS VARCHAR)
+      |      || ' tokens here', '(\S+ \S+ \S+) ', '\1' || chr(10), 'g') AS t
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |p AS (SELECT doc_id, string_split(t, chr(10)) AS parts FROM bat),
+      |l AS (SELECT doc_id,
+      |    CAST(unnest(generate_series(1, len(parts))) AS INT) AS pos,
+      |    unnest(parts) AS line
+      |  FROM p),
+      |k AS (SELECT doc_id, pos, line,
+      |    ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn,
+      |    line IN (SELECT line FROM corp) AS hit
+      |  FROM l)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  coalesce(string_agg(CASE WHEN rn = 1 AND NOT hit THEN line END,
+      |    chr(10) ORDER BY pos), '') AS clean_text,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CASE WHEN rn = 1 AND NOT hit THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS lines_kept
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    val lined = (c: org.apache.spark.sql.Column) =>
+      regexp_replace(c, "(\\S+ \\S+ \\S+) ", "$1\n")
+    val corpus = docs.select(col("doc_id"), lined(col("text")).as("text"))
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        lined(concat(col("text"), lit(" novel"),
+          col("doc_id").cast("string"), lit(" tokens here"))).as("text"))
+    Dedup.lineDedupAgainst(batch, corpus).orderBy("doc_id")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -4053,5 +4147,5 @@ object Extensions {
     x95, x96, x97, x98, x98b, x98c, x99, x100, x101, x102, x103, x104, x105, x106,
     x107, x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
     x119, x120, x121, x121b, x121c, x121d, x122, x122b, x123, x124, x125,
-    x126, x127, x128)
+    x126, x127, x128, x129, x130)
 }

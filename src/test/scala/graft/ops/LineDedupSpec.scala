@@ -50,4 +50,38 @@ class LineDedupSpec extends AnyFunSuite {
     assert(got.count { case (_, (_, _, kept)) => kept == 1L } == 10)
     assert(got.values.map(_._2).sum == 40L) // n_lines totals the corpus
   }
+
+  private def runAgainst(batch: Seq[(Long, String)],
+      corpus: Seq[(Long, String)]): Map[Long, (String, Long, Long)] =
+    Dedup.lineDedupAgainst(batch.toDF("doc_id", "text"),
+        corpus.toDF("doc_id", "text"))
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("ingest: corpus lines are cut, novel lines survive, batch-internal dups once") {
+    val corpus = Seq((1L, "old1\nold2"), (2L, "old3"))
+    val got = runAgainst(Seq(
+      (10L, "old2\nnew1\nnew2"),
+      (11L, "new1\nold3\nnew3")), corpus)
+    assert(got(10L) == (("new1\nnew2", 3L, 2L)))
+    assert(got(11L) == (("new3", 3L, 1L))) // new1 lost to doc 10, old3 to corpus
+  }
+
+  test("ingest: re-ingesting the corpus itself cuts everything") {
+    val corpus = Seq((1L, "a\nb\nc"), (2L, "d\ne"))
+    val got = runAgainst(corpus.map { case (id, t) => (id + 100, t) }, corpus)
+    got.values.foreach { case (text, _, kept) =>
+      assert(text == "" && kept == 0L)
+    }
+  }
+
+  test("ingest agrees with from-scratch lineDedup on the union (novel rows)") {
+    val corpus = Seq((1L, "p\nq"), (2L, "r"))
+    val batch = Seq((50L, "q\ns\nt"), (51L, "s\nu"))
+    val viaIngest = runAgainst(batch, corpus)
+    val scratch = run(corpus ++ batch)
+    batch.map(_._1).foreach { id =>
+      assert(viaIngest(id) == scratch(id), s"doc $id")
+    }
+  }
 }
