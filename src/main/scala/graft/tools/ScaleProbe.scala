@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, Dsir, Similarity, TextAnalysis}
 import graft.tables.Tables
 
 /**
@@ -73,6 +73,8 @@ object ScaleProbe {
 
     val d1 = spark.read.parquet(s"$out/docs_x1")
     val dN = spark.read.parquet(s"$out/docs_xN")
+    def lined(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n").as("text"))
     val e1 = spark.read.parquet(s"$out/emb_x1")
     val eN = spark.read.parquet(s"$out/emb_xN")
     val n1 = d1.count(); val nN = dN.count()
@@ -89,7 +91,19 @@ object ScaleProbe {
         t(Similarity.semanticDedup(e1, 0.95, nlist = 16, iters = 2)),
         s"$mN vecs, nlist ${16 * factor}",
         t(Similarity.semanticDedup(eN, 0.95, nlist = 16 * factor, iters = 2)),
-        "Σ cell², nlist ∝ n"))
+        "Σ cell², nlist ∝ n"),
+      // r09 additions — linear ops; salted copies share no lines/grams,
+      // so the duplicate/feature densities stay constant across scales
+      ("lineDedup(3-word lines)", s"$n1 docs", t(Dedup.lineDedup(lined(d1))),
+        s"$nN docs", t(Dedup.lineDedup(lined(dN))), "hash agg + hash join, linear"),
+      ("dsirWeights(512)", s"$n1 docs",
+        t(Dsir.importanceWeights(d1, d1.filter(col("doc_id") % 10 === 0), 512)),
+        s"$nN docs",
+        t(Dsir.importanceWeights(dN, dN.filter(col("doc_id") % 10 === 0), 512)),
+        "broadcast ratio join, linear"),
+      ("heavyHitters(25)", s"$n1 docs", t(TextAnalysis.heavyHitters(d1, 25)),
+        s"$nN docs", t(TextAnalysis.heavyHitters(dN, 25)),
+        "MG candidates ≤ k·parts, linear"))
 
     println("| operator | 1x size | 1x sec | 10x size | 10x sec | ratio | bound |")
     println("|---|---|---|---|---|---|---|")
