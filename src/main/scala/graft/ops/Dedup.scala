@@ -862,6 +862,59 @@ object Dedup {
       .transform(reassemble)
   }
 
+  /** [[lineDedupAgainst]] behind a bloom pre-probe — IDENTICAL output
+    * (the [[Decontamination.overlapHitsBloom]] contract: the bloom
+    * only short-circuits definite non-members; positives still verify
+    * against the exact index, so false positives cannot cut a line).
+    * At steady state the corpus line-hash index is large while a
+    * typical ingest batch overlaps it on a small fraction of lines —
+    * the bloom keeps the exact-index join's probe side to (true hits +
+    * fp·batch) lines instead of every batch line, and batch lines that
+    * miss the bloom never shuffle toward the index at all. The filter
+    * bytes (~1.2 bytes/line at 1% fp) ship as one literal, the
+    * [[graft.functions.TextHashExprs.bloomAgg]] transport. */
+  def lineDedupAgainstBloom(batch: DataFrame, corpus: DataFrame,
+      expectedCorpusLines: Long = 1L << 20): DataFrame = {
+    require(expectedCorpusLines > 0,
+      s"expectedCorpusLines must be > 0, got $expectedCorpusLines")
+    val spark = batch.sparkSession
+    val idx = corpus
+      .select(explode(split(col("text"), "\n")).as("line"))
+      .select(xxhash64(col("line")).as("__lh")).distinct()
+    val bfBytes = idx
+      .agg(graft.functions.TextHashExprs.bloomAgg(spark, col("__lh"),
+        expectedCorpusLines).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val bLines = batch
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("__lh", xxhash64(col("line")))
+      .withColumn("__ord", col("doc_id").cast("decimal(38,0)")
+        * lit(2147483648L) + col("pos"))
+      .localCheckpoint(eager = false)
+    val keepers = bLines.groupBy(col("__lh"))
+      .agg(min(col("__ord")).as("__keep"))
+    val withKeep = bLines.join(keepers, "__lh")
+    if (bfBytes == null) {
+      // empty corpus: pure within-batch lineDedup semantics
+      withKeep.withColumn("__kept", col("__ord") === col("__keep"))
+        .transform(reassemble)
+    } else {
+      def maybeHit = graft.functions.TextHashExprs
+        .bloomMightContain(spark, lit(bfBytes), col("__lh"))
+      // both branches share the bLines checkpoint and the keepers
+      // exchange (identical subtrees → ReusedExchange); only
+      // bloom-positive occurrences probe the exact index
+      val probable = withKeep.filter(maybeHit)
+        .join(idx.withColumn("__hit", lit(true)), Seq("__lh"), "left")
+      val definiteNew = withKeep.filter(!maybeHit)
+        .withColumn("__hit", lit(null).cast("boolean"))
+      probable.unionByName(definiteNew)
+        .withColumn("__kept", col("__ord") === col("__keep")
+          && col("__hit").isNull)
+        .transform(reassemble)
+    }
+  }
+
   /** Shared tail of the line-dedup family: per-doc re-assembly of the
     * `__kept` lines in position order. */
   private def reassemble(flagged: DataFrame): DataFrame =

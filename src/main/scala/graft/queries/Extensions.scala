@@ -4099,8 +4099,7 @@ object Extensions {
   // tail lines and batch-internal first occurrences survive. Full
   // oracle: DuckDB restates membership with NOT IN over the distinct
   // corpus line set plus the batch-internal keep-first window.
-  val x130 = Q.df(
-    "x130_line_dedup_ingest",
+  private val x130OracleSql =
     """WITH corp AS (SELECT DISTINCT unnest(string_split(
       |    regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g'),
       |    chr(10))) AS line
@@ -4124,7 +4123,9 @@ object Extensions {
       |  CAST(COUNT(*) AS BIGINT) AS n_lines,
       |  CAST(SUM(CASE WHEN rn = 1 AND NOT hit THEN 1 ELSE 0 END) AS BIGINT)
       |    AS lines_kept
-      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val x130 = Q.df("x130_line_dedup_ingest", x130OracleSql) { (spark, dir) =>
     val docs = Tables.load(spark, dir, "documents")
     val lined = (c: org.apache.spark.sql.Column) =>
       regexp_replace(c, "(\\S+ \\S+ \\S+) ", "$1\n")
@@ -4134,6 +4135,25 @@ object Extensions {
         lined(concat(col("text"), lit(" novel"),
           col("doc_id").cast("string"), lit(" tokens here"))).as("text"))
     Dedup.lineDedupAgainst(batch, corpus).orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- x131
+  // The x130 ingest through the bloom pre-probe — the oracle is
+  // LITERALLY x130's (identical-output contract: the bloom only
+  // short-circuits definite non-members; positives verify against the
+  // exact index). A bloom false positive that slipped the verify, or a
+  // hash-path divergence between the two variants, fails this row.
+  val x131 = Q.df("x131_line_dedup_ingest_bloom", x130OracleSql) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    val lined = (c: org.apache.spark.sql.Column) =>
+      regexp_replace(c, "(\\S+ \\S+ \\S+) ", "$1\n")
+    val corpus = docs.select(col("doc_id"), lined(col("text")).as("text"))
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        lined(concat(col("text"), lit(" novel"),
+          col("doc_id").cast("string"), lit(" tokens here"))).as("text"))
+    Dedup.lineDedupAgainstBloom(batch, corpus, expectedCorpusLines = 1L << 18)
+      .orderBy("doc_id")
   }
 
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
@@ -4147,5 +4167,5 @@ object Extensions {
     x95, x96, x97, x98, x98b, x98c, x99, x100, x101, x102, x103, x104, x105, x106,
     x107, x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
     x119, x120, x121, x121b, x121c, x121d, x122, x122b, x123, x124, x125,
-    x126, x127, x128, x129, x130)
+    x126, x127, x128, x129, x130, x131)
 }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSessions
@@ -73,6 +74,24 @@ class LineDedupSpec extends AnyFunSuite {
     got.values.foreach { case (text, _, kept) =>
       assert(text == "" && kept == 0L)
     }
+  }
+
+  test("bloom ingest variant returns identical output, incl. empty corpus") {
+    val corpus = Seq((1L, "old1\nold2"), (2L, "old3"))
+    val batch = Seq((10L, "old2\nnew1\nnew2"), (11L, "new1\nold3\nnew3"))
+    val exact = runAgainst(batch, corpus)
+    val bloom = Dedup.lineDedupAgainstBloom(batch.toDF("doc_id", "text"),
+        corpus.toDF("doc_id", "text"), expectedCorpusLines = 1024)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(bloom == exact)
+    val emptyCorpus = Dedup.lineDedupAgainstBloom(
+        batch.toDF("doc_id", "text"),
+        corpus.toDF("doc_id", "text").filter(col("doc_id") < 0))
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // no corpus → plain within-batch line dedup
+    assert(emptyCorpus == run(batch))
   }
 
   test("ingest agrees with from-scratch lineDedup on the union (novel rows)") {

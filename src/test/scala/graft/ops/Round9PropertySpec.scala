@@ -55,6 +55,12 @@ class Round9PropertySpec extends AnyFunSuite {
         .as[(Long, String, Long, Long)].collect()
         .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
       batch.map(_._1).foreach(id => assert(ingest(id) == scratch(id)))
+      // and the bloom-prefiltered variant is output-identical
+      val bloom = Dedup.lineDedupAgainstBloom(batch.toDF("doc_id", "text"),
+          corpus.toDF("doc_id", "text"), expectedCorpusLines = 4096)
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(bloom == ingest)
     }
   }
 
