@@ -69,12 +69,24 @@ object Dsir {
     * absent — they have no evidence either way; append them with
     * weight 0 upstream if the pipeline must keep them. */
   def importanceWeights(raw: DataFrame, target: DataFrame,
-      buckets: Int = 4096): DataFrame = {
+      buckets: Int = 4096): DataFrame =
+    importanceWeightsFeatures(docFeatures(raw, buckets),
+      docFeatures(target, buckets), buckets)
+
+  /** [[importanceWeights]] over pre-computed [[docFeatures]] frames —
+    * the persisted-feature-table form (the repo's `*Tokens` overload
+    * convention): at steady state the raw corpus's `(doc_id, bucket,
+    * c)` table is a maintained artifact, and re-weighting against a
+    * NEW target (the common loop: one crawl, many target domains)
+    * costs one tiny target pass + the scoring join, never a raw-corpus
+    * re-tokenize. */
+  def importanceWeightsFeatures(rawFeatures: DataFrame,
+      targetFeatures: DataFrame, buckets: Int): DataFrame = {
     // per-doc features feed BOTH the raw distribution and the scoring
     // join — one materialization (the x124 two-consumer lesson)
-    val fr = docFeatures(raw, buckets).localCheckpoint(eager = false)
+    val fr = rawFeatures.localCheckpoint(eager = false)
     val cr = fr.groupBy(col("bucket")).agg(sum(col("c")).as("cr"))
-    val ct = docFeatures(target, buckets)
+    val ct = targetFeatures
       .groupBy(col("bucket")).agg(sum(col("c")).as("ct"))
     val totals = cr.agg(sum(col("cr")).as("R"))
       .crossJoin(ct.agg(sum(col("ct")).as("T"))) // two 1-row aggregates

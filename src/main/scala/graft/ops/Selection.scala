@@ -347,18 +347,26 @@ object Selection {
     * machinery), then one partial→final count aggregate for `kept`
     * with the group-count-sized cutoff table broadcast onto the scan.
     * Nothing corpus-sized shuffles besides the percentile's own melt. */
-  def retentionThreshold(df: DataFrame, groupCol: String, scoreCol: String,
-      targetRetention: Double): DataFrame = {
+  /** The group-count-sized (group, cutoff[, total]) table both
+    * retention entry points share — one exact-percentile pass. */
+  private def retentionCutoffs(df: DataFrame, groupCol: String,
+      scoreCol: String, targetRetention: Double,
+      withTotal: Boolean): DataFrame = {
     require(targetRetention > 0.0 && targetRetention < 1.0,
       s"targetRetention must be in (0, 1), got $targetRetention")
+    Percentiles.exactAdaptive(df, Seq(groupCol),
+      Seq(Percentiles.Spec(scoreCol, 1.0 - targetRetention, "cutoff")),
+      rowCountCol = if (withTotal) Some("total") else None)
+  }
+
+  def retentionThreshold(df: DataFrame, groupCol: String, scoreCol: String,
+      targetRetention: Double): DataFrame = {
     // group-count-sized; materialized once behind a lazy localCheckpoint —
     // it feeds BOTH the kept-count branch and the final report join, and
     // the two subtrees don't canonicalize equal, so without the barrier
     // the whole percentile pass (probe included) would execute twice
-    val cut = Percentiles.exactAdaptive(df, Seq(groupCol),
-      Seq(Percentiles.Spec(scoreCol, 1.0 - targetRetention, "cutoff")),
-      rowCountCol = Some("total"))
-      .localCheckpoint(eager = false)
+    val cut = retentionCutoffs(df, groupCol, scoreCol, targetRetention,
+      withTotal = true).localCheckpoint(eager = false)
     val kept = df.join(broadcast(cut.select(col(groupCol), col("cutoff"))), groupCol)
       .filter(col(scoreCol).cast("double") >= col("cutoff"))
       .groupBy(col(groupCol)).agg(count(lit(1)).as("kept"))
@@ -372,10 +380,13 @@ object Selection {
   /** Rows of `df` that clear their group's [[retentionThreshold]]
     * cutoff (score ≥ cutoff; null scores never clear). A broadcast
     * join on the group-count-sized cutoff table — the filter runs as a
-    * codegen'd projection over the scan, no corpus shuffle. */
+    * codegen'd projection over the scan, no corpus shuffle. Skips the
+    * report's kept-count aggregate entirely: the filter needs only the
+    * cutoffs, so the corpus sees one percentile pass + one scan. */
   def retentionFilter(df: DataFrame, groupCol: String, scoreCol: String,
       targetRetention: Double): DataFrame = {
-    val cut = retentionThreshold(df, groupCol, scoreCol, targetRetention)
+    val cut = retentionCutoffs(df, groupCol, scoreCol, targetRetention,
+      withTotal = false)
     df.join(broadcast(cut.select(col(groupCol), col("cutoff"))), groupCol)
       .filter(col(scoreCol).cast("double") >= col("cutoff"))
       .drop("cutoff")

@@ -52,6 +52,18 @@ class DsirSpec extends AnyFunSuite {
     assert(picked == (1L to 5L).toSet)
   }
 
+  test("pre-computed-features overload matches the end-to-end path") {
+    val raw = Seq((1L, "spark shuffle join"), (2L, "zebra yak"),
+      (3L, "spark zebra")).toDF("doc_id", "text")
+    val target = Seq((9L, "spark shuffle")).toDF("doc_id", "text")
+    val direct = Dsir.importanceWeights(raw, target, buckets = 128)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val viaFeatures = Dsir.importanceWeightsFeatures(
+        Dsir.docFeatures(raw, 128), Dsir.docFeatures(target, 128), 128)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(direct == viaFeatures)
+  }
+
   test("bucketing is portable md5: stable across runs and bucket-bounded") {
     val docs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val a = Dsir.docFeatures(docs, 16).as[(Long, Long, Long)].collect()
