@@ -1000,6 +1000,57 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-corpus surprisal — the CCNet-style language-model filter
+    * shape: score every `raw` document by its average negative
+    * log-likelihood under the TARGET corpus's add-1-smoothed unigram
+    * LM (vocabulary = raw ∪ target, so unseen tokens carry defined
+    * Laplace mass). Low `avg_nll` = "reads like the target domain";
+    * CCNet keeps the low-perplexity head/middle. Complements
+    * [[Dsir.importanceWeights]]: DSIR scores p_target/p_raw odds,
+    * this scores absolute target fit. Emits
+    * `(doc_id, n_toks, avg_nll)`; zero-token docs are absent (the
+    * x28 convention — a mean over nothing is undefined).
+    *
+    * Numerics: the x63 transcendental contract — one `ln` per (doc,
+    * token) ratio pinned @7, products @9 into DECIMAL(28,9),
+    * final mean @6 — so the score is restatable cross-engine.
+    *
+    * 100 TB shape: per-doc tf condenses map-side before the join;
+    * the target LM table is vocab-sized and joins hash-equi on the
+    * token (AQE broadcasts it while it fits); the union-distinct
+    * vocabulary count shuffles vocabularies, never token streams. */
+  def crossSurprisal(raw: DataFrame, target: DataFrame): DataFrame =
+    crossSurprisalTokens(
+      raw.select(col("doc_id"), Text.tokens(col("text")).as("w")),
+      target.select(col("doc_id"), Text.tokens(col("text")).as("w")))
+
+  /** [[crossSurprisal]] over pre-tokenized `(doc_id, w)` frames. */
+  def crossSurprisalTokens(rawToks: DataFrame,
+      targetToks: DataFrame): DataFrame = {
+    val docTf = rawToks
+      .select(col("doc_id"), explode(col("w")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val tgt = targetToks
+      .select(explode(col("w")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("ct"))
+    val totals = tgt.agg(sum(col("ct")).as("__t"))
+      .crossJoin(docTf.select(col("token"))
+        .union(tgt.select(col("token"))).distinct()
+        .agg(count(lit(1)).as("__v"))) // two 1-row aggregates
+    docTf.join(tgt, Seq("token"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_toks"),
+        round(sum(round(col("tf") * round(log(
+            (col("__t") + col("__v")).cast("double")
+              / (col("ct") + 1).cast("double")), 7), 9)
+            .cast(DecimalType(28, 9))).cast("double") / sum(col("tf")), 6)
+          .as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** EXACT corpus heavy hitters — every token whose count strictly
     * exceeds n/k (n = total token count) with its exact count,
     * `(token, cnt)` ordered (cnt desc, token) — without the full-

@@ -2766,14 +2766,25 @@ object Extensions {
   // unmatched view emits null-joined ONLY after the watermark passes
   // `view.ts + gap` (no future click can match), so the drained sink is
   // matches ∪ {unmatched views whose window the FINAL watermark
-  // closed}. The oracle restates that exact subset in batch SQL (the
-  // x46 closed-subset pattern applied to outer-join emission); at
-  // sf0.01 that is 453 matches + 1546 closed non-conversions, with 33
-  // end-of-input views open on BOTH engines. This pins the subtlest
-  // Structured Streaming emission semantics the suite exercises.
+  // closed}. The final GLOBAL watermark is the MIN over both sides'
+  // watermark operators (multipleWatermarkPolicy=min): each side
+  // tracks its own post-filter max event time, so the cut is
+  // min(max view ts, max click ts) floored to MILLISECONDS (Spark's
+  // EventTimeWatermark does integer µs→ms division) minus the 10-min
+  // delay — NOT max(all events). The r09 sf0.001 probe caught the
+  // max(all) restatement admitting 2 rows the engine correctly holds
+  // open (the sides' maxima diverge by hours there; sf0.01 passed on
+  // data luck only — its min-cut happens to close the same 1546
+  // non-conversions as the max-of-all cut). 453 matches + 1546 closed
+  // non-conversions at sf0.01; 190 rows at sf0.001 under the true cut.
   val x94 = Q.df(
     "x94_stream_outer_join",
-    """WITH m AS (
+    """WITH wm AS (
+      |  SELECT date_trunc('milliseconds', least(
+      |      (SELECT MAX(ts) FROM events WHERE event_type = 'view'),
+      |      (SELECT MAX(ts) FROM events WHERE event_type = 'click')))
+      |    - INTERVAL '10 minutes' AS cut),
+      |m AS (
       |  SELECT a.event_id AS l_id, b.event_id AS r_id, a.user_id,
       |    epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
       |  FROM events a JOIN events b ON a.user_id = b.user_id
@@ -2782,10 +2793,9 @@ object Extensions {
       |u AS (
       |  SELECT a.event_id AS l_id, CAST(NULL AS BIGINT) AS r_id, a.user_id,
       |    CAST(NULL AS BIGINT) AS gap_us
-      |  FROM events a
+      |  FROM events a, wm
       |  WHERE a.event_type = 'view'
-      |    AND a.ts + INTERVAL '720 minutes' <
-      |        (SELECT MAX(ts) - INTERVAL '10 minutes' FROM events)
+      |    AND a.ts + INTERVAL '720 minutes' < wm.cut
       |    AND NOT EXISTS (SELECT 1 FROM events b
       |      WHERE b.user_id = a.user_id AND b.event_type = 'click'
       |        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '720 minutes'))
@@ -4156,6 +4166,35 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- x132
+  // Cross-corpus surprisal (CCNet LM-filter shape): every document
+  // scored under the src1 slice's add-1 unigram LM over the union
+  // vocabulary. x28 scores docs against the corpus's OWN statistics;
+  // this is the cross-domain form the actual filter runs. Same
+  // transcendental contract, full oracle.
+  val x132 = Q.df(
+    "x132_cross_surprisal",
+    """WITH w AS (SELECT doc_id, source,
+      |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(w) AS token FROM w) GROUP BY 1, 2),
+      |tg AS (SELECT token, COUNT(*) AS ct
+      |  FROM (SELECT unnest(w) AS token FROM w WHERE source = 'src1')
+      |  GROUP BY 1),
+      |tot AS (SELECT (SELECT SUM(ct) FROM tg) AS t,
+      |  (SELECT COUNT(*) FROM
+      |    (SELECT token FROM tf UNION SELECT token FROM tg)) AS v)
+      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_toks,
+      |  round(CAST(SUM(CAST(round(tf * round(ln(
+      |      CAST(t + v AS DOUBLE) / (coalesce(ct, 0) + 1)), 7), 9)
+      |    AS DECIMAL(28,9))) AS DOUBLE) / SUM(tf), 6) AS avg_nll
+      |FROM tf LEFT JOIN tg USING (token), tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    TextAnalysis.crossSurprisal(docs, docs.filter(col("source") === "src1"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -4167,5 +4206,5 @@ object Extensions {
     x95, x96, x97, x98, x98b, x98c, x99, x100, x101, x102, x103, x104, x105, x106,
     x107, x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
     x119, x120, x121, x121b, x121c, x121d, x122, x122b, x123, x124, x125,
-    x126, x127, x128, x129, x130, x131)
+    x126, x127, x128, x129, x130, x131, x132)
 }

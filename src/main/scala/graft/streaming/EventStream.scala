@@ -218,7 +218,11 @@ object EventStream {
     // the sink holds matches plus exactly the unmatched lefts whose
     // window the final watermark closed; lefts near the end of input
     // stay in state and never emit, the same closed-subset contract as
-    // the x46 Append windows.
+    // the x46 Append windows. The GLOBAL watermark is the MIN over the
+    // two sides' operators (each tracks its own post-filter max event
+    // time, floored to ms) — when one event type stops hours before
+    // the other, the earlier side's maximum gates every eviction
+    // (r09 x94 finding; the oracle restates min, not max-of-all).
     l.join(r,
         col("l_user") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
+// (cross-corpus tests live at the bottom of this suite)
 
 import graft.TestSessions
 
@@ -92,5 +93,40 @@ class SurprisalSpec extends AnyFunSuite {
       TextAnalysis.bigramSurprisal(docs, lambda = 0.0))
     intercept[IllegalArgumentException](
       TextAnalysis.bigramSurprisal(docs, lambda = 1.0))
+  }
+
+  test("crossSurprisal: hand-computed add-1 NLL over the union vocabulary") {
+    // target: "a a b" -> counts a=2 b=1, T=3; raw vocab adds c -> V=3
+    // p(a)=(2+1)/6, p(b)=(1+1)/6, p(c)=(0+1)/6
+    val raw = Seq((1L, "a c"), (2L, "b b")).toDF("doc_id", "text")
+    val target = Seq((9L, "a a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.crossSurprisal(raw, target)
+      .as[(Long, Long, Double)].collect().toSeq
+    def pin7(x: Double) = math.rint(math.log(x) * 1e7) / 1e7
+    def nll(ps: Seq[Double]) = {
+      val sum = ps.map(p => math.rint(pin7(1.0 / p) * 1e9) / 1e9).sum
+      math.rint(sum / ps.size * 1e6) / 1e6
+    }
+    assert(got == Seq(
+      (1L, 2L, nll(Seq(3.0 / 6, 1.0 / 6))),
+      (2L, 2L, nll(Seq(2.0 / 6, 2.0 / 6)))))
+  }
+
+  test("crossSurprisal: target-like docs score lower than disjoint docs") {
+    val raw = Seq((1L, "spark shuffle join"), (2L, "zebra yak wombat"))
+      .toDF("doc_id", "text")
+    val target = Seq((9L, "spark shuffle join spark shuffle"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.crossSurprisal(raw, target)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(1L) < got(2L))
+  }
+
+  test("crossSurprisal: zero-token raw docs are absent") {
+    val raw = Seq((1L, "a"), (2L, "   ")).toDF("doc_id", "text")
+    val target = Seq((9L, "a")).toDF("doc_id", "text")
+    val ids = TextAnalysis.crossSurprisal(raw, target)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L))
   }
 }
