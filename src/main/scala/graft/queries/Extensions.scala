@@ -4195,6 +4195,76 @@ object Extensions {
     TextAnalysis.crossSurprisal(docs, docs.filter(col("source") === "src1"))
   }
 
+  // ---------------------------------------------------------------- x133
+  // FORWARD as-of join (pandas direction='forward'): each click matched
+  // to the NEXT purchase of the same user within 6h. DuckDB's ASOF is
+  // backward-only, so the oracle restates the minimal-lead pick as a
+  // LATERAL ORDER BY/LIMIT 1 — tolerance inside the lateral equals the
+  // engine's post-filter because the pick minimizes the lead.
+  val x133 = Q.df(
+    "x133_asof_forward",
+    """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+      |  m.pid AS purchase_id, m.pts AS purchase_ts,
+      |  epoch_us(m.pts) - epoch_us(c.ts) AS lead_us
+      |FROM c LEFT JOIN LATERAL (
+      |  SELECT p.event_id AS pid, p.ts AS pts FROM p
+      |  WHERE p.user_id = c.user_id AND p.ts >= c.ts
+      |    AND epoch_us(p.ts) - epoch_us(c.ts) <= 21600000000
+      |  ORDER BY p.ts LIMIT 1) m ON true
+      |ORDER BY click_id""".stripMargin) { (spark, dir) =>
+    val events = Tables.load(spark, dir, "events")
+    val clicks = events.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    AsOf.joinAsOf(clicks, purchases, key = "user_id", ts = "ts",
+        tolerance = Some(21600000000L), direction = "forward")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"),
+        col("asof.event_id").as("purchase_id"),
+        col("asof.ts").as("purchase_ts"),
+        (unix_micros(col("asof.ts")) - unix_micros(col("ts"))).as("lead_us"))
+      .orderBy("click_id")
+  }
+
+  // ---------------------------------------------------------------- x134
+  // NEAREST as-of join (pandas direction='nearest'): each click matched
+  // to the closest purchase either side, an exact |lag| tie preferring
+  // the backward match (the pinned contract). The oracle's lateral
+  // orders by (abs lag, backward-first) — restating both the pick and
+  // the tie rule.
+  val x134 = Q.df(
+    "x134_asof_nearest",
+    """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+      |  m.pid AS purchase_id, m.pts AS purchase_ts,
+      |  epoch_us(c.ts) - epoch_us(m.pts) AS signed_lag_us
+      |FROM c LEFT JOIN LATERAL (
+      |  SELECT p.event_id AS pid, p.ts AS pts FROM p
+      |  WHERE p.user_id = c.user_id
+      |  ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)),
+      |           CASE WHEN p.ts <= c.ts THEN 0 ELSE 1 END
+      |  LIMIT 1) m ON true
+      |ORDER BY click_id""".stripMargin) { (spark, dir) =>
+    val events = Tables.load(spark, dir, "events")
+    val clicks = events.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    AsOf.joinAsOf(clicks, purchases, key = "user_id", ts = "ts",
+        direction = "nearest")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"),
+        col("asof.event_id").as("purchase_id"),
+        col("asof.ts").as("purchase_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("asof.ts")))
+          .as("signed_lag_us"))
+      .orderBy("click_id")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -4206,5 +4276,5 @@ object Extensions {
     x95, x96, x97, x98, x98b, x98c, x99, x100, x101, x102, x103, x104, x105, x106,
     x107, x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
     x119, x120, x121, x121b, x121c, x121d, x122, x122b, x123, x124, x125,
-    x126, x127, x128, x129, x130, x131, x132)
+    x126, x127, x128, x129, x130, x131, x132, x133, x134)
 }

@@ -476,6 +476,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
   }
 
+  test("x134: nearest as-of runs both windows over ONE key exchange, no join") {
+    val p = plan(graft.queries.Extensions.x134)
+    assert(!p.contains("Join"), s"as-of planned a join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 key exchange, got $exchanges:\n$p")
+  }
+
   test("x126: fertility is a projection into one group-keyed aggregate") {
     val p = plan(graft.queries.Extensions.x126)
     // no join, no window — the merge table is a literal in the projection

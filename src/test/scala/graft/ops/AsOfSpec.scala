@@ -109,4 +109,75 @@ class AsOfSpec extends AnyFunSuite {
       .select(col("lid"), col("asof.rid")).orderBy("lid").collect().toSeq
     assert(a == b)
   }
+
+  test("forward: earliest right at-or-after; equal ts visible; none -> null") {
+    val out = AsOf.joinAsOf(left, right, key = "user_id", ts = "ts",
+        direction = "forward")
+      .select(col("lid"), col("asof.rid").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    // lid 10 (10:00) -> next right is 101 (12:00); lid 11 (12:00) ->
+    // 101 at the same instant; user 2 (09:00) -> 200 (09:30)
+    assert(out == Map(10L -> Some(101L), 11L -> Some(101L), 20L -> Some(200L)))
+  }
+
+  test("forward tolerance blanks matches farther ahead than the window") {
+    val out = AsOf.joinAsOf(left, right, key = "user_id", ts = "ts",
+        direction = "forward", tolerance = Some(45L * 60 * 1000000))
+      .select(col("lid"), col("asof.rid").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    // lid 10's next right is 2h ahead (out); 11's is 0 ahead; 20's 30 min
+    assert(out == Map(10L -> None, 11L -> Some(101L), 20L -> Some(200L)))
+  }
+
+  test("nearest: smaller absolute lag wins; exact tie prefers backward") {
+    val l = Seq((1L, 1L, ts("2024-01-01 10:00:00")),
+      (1L, 2L, ts("2024-01-01 13:00:00"))).toDF("user_id", "lid", "ts")
+    val r = Seq((1L, 100L, ts("2024-01-01 09:00:00")),
+      (1L, 101L, ts("2024-01-01 10:30:00")),   // 30 min after lid 1
+      (1L, 102L, ts("2024-01-01 12:00:00")),   // 60 min before lid 2
+      (1L, 103L, ts("2024-01-01 14:00:00")))   // 60 min after lid 2: TIE
+      .toDF("user_id", "rid", "ts")
+    val out = AsOf.joinAsOf(l, r, key = "user_id", ts = "ts",
+        direction = "nearest")
+      .select(col("lid"), col("asof.rid").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(1L -> Some(101L), 2L -> Some(102L))) // tie -> backward
+  }
+
+  test("nearest tolerance: an out-of-window nearer side falls back to the other") {
+    val l = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("user_id", "lid", "ts")
+    val r = Seq((1L, 100L, ts("2024-01-01 09:50:00")),  // 10 min back
+      (1L, 101L, ts("2024-01-01 10:05:00")))            // 5 min ahead (nearer)
+      .toDF("user_id", "rid", "ts")
+    val nearest = AsOf.joinAsOf(l, r, key = "user_id", ts = "ts",
+        direction = "nearest")
+      .select(col("asof.rid")).as[Option[Long]].head()
+    assert(nearest.contains(101L))
+    // 2-min window: both out -> null; 7-min window: only the forward fits
+    val none = AsOf.joinAsOf(l, r, key = "user_id", ts = "ts",
+        direction = "nearest", tolerance = Some(2L * 60 * 1000000))
+      .select(col("asof.rid")).as[Option[Long]].head()
+    assert(none.isEmpty)
+    val fwdOnly = AsOf.joinAsOf(l, r, key = "user_id", ts = "ts",
+        direction = "nearest", tolerance = Some(7L * 60 * 1000000))
+      .select(col("asof.rid")).as[Option[Long]].head()
+    assert(fwdOnly.contains(101L))
+  }
+
+  test("forward tiebreak: largest tiebreak wins among equal-ts rights") {
+    val l = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("user_id", "lid", "ts")
+    val r = Seq((1L, 100L, 5L, ts("2024-01-01 11:00:00")),
+      (1L, 101L, 9L, ts("2024-01-01 11:00:00")))
+      .toDF("user_id", "rid", "prio", "ts")
+    val out = AsOf.joinAsOf(l, r, key = "user_id", ts = "ts",
+        rightTiebreak = Some("prio"), direction = "forward")
+      .select(col("asof.rid")).as[Option[Long]].head()
+    assert(out.contains(101L))
+  }
+
+  test("unknown direction is rejected") {
+    intercept[IllegalArgumentException](
+      AsOf.joinAsOf(left, right, key = "user_id", ts = "ts",
+        direction = "sideways"))
+  }
 }
