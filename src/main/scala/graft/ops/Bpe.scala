@@ -86,9 +86,13 @@ object Bpe {
       .agg(count(lit(1)).as("docs"), sum(col("__f_tok")).as("tokens"),
         sum(col("__f_w")).as("words"), sum(col("__f_c")).as("__chars"))
       .select(col(groupCol), col("docs"), col("tokens"), col("words"),
-        round(col("tokens").cast("double") / col("words").cast("double"), 9)
+        // a group of only empty/whitespace docs has no words (or chars):
+        // its ratio is undefined, not Infinity — emit null
+        when(col("words") > 0,
+          round(col("tokens").cast("double") / col("words").cast("double"), 9))
           .as("fertility"),
-        round(col("tokens").cast("double") / col("__chars").cast("double"), 9)
+        when(col("__chars") > 0,
+          round(col("tokens").cast("double") / col("__chars").cast("double"), 9))
           .as("tokens_per_char"))
   }
 }

@@ -67,7 +67,10 @@ object Dsir {
     * `target` corpus: `(doc_id, n_grams, log_weight)`. Documents with
     * zero grams (empty/whitespace text) carry no features and are
     * absent — they have no evidence either way; append them with
-    * weight 0 upstream if the pipeline must keep them. */
+    * weight 0 upstream if the pipeline must keep them. An EMPTY target
+    * corpus has no distribution to compare against: every weight comes
+    * back null (the smoothing totals are null-propagating), which is
+    * the honest answer — not zero. */
   def importanceWeights(raw: DataFrame, target: DataFrame,
       buckets: Int = 4096): DataFrame =
     importanceWeightsFeatures(docFeatures(raw, buckets),

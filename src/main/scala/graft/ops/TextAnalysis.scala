@@ -1091,11 +1091,8 @@ object TextAnalysis {
           case Some(c) => counters.update(t, c + 1)
           case None if counters.size < k => counters.update(t, 1L)
           case None =>
-            val dead = List.newBuilder[String]
-            counters.foreach { case (key, c) =>
-              if (c == 1L) dead += key else counters.update(key, c - 1)
-            }
-            dead.result().foreach(counters.remove)
+            counters.mapValuesInPlace((_, c) => c - 1)
+            counters.filterInPlace((_, c) => c > 0)
         }
       }
       counters.keysIterator

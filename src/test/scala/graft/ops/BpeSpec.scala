@@ -152,6 +152,16 @@ class BpeSpec extends AnyFunSuite {
     assert(got("de") == (("de", 1L, 6L, 1L, 6.0, 1.2)))
   }
 
+  test("fertility: a group with no words reports null ratios, not Infinity") {
+    val df = Seq(("empty", "   "), ("empty", ""), ("en", "a b"))
+      .toDF("lang", "text")
+    val got = Bpe.fertility(spark, df, "lang", Seq.empty)
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("empty")._5.isEmpty && got("empty")._6.isEmpty)
+    assert(got("en")._5.contains(2.0)) // 2 cp + 2 words over 2 words
+  }
+
   test("fertility under real merges is bounded by the symbol floor") {
     val df = Seq(("en", "the theater theme and standing under"),
       ("en", "ingrained ordering"), ("de", "sort merge join"))
