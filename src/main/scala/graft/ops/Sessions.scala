@@ -45,6 +45,33 @@ object Sessions {
         sum(col(value).cast("decimal(18,2)")).cast("double").as("total_value"))
   }
 
+  /** Gap sessionization through Spark's NATIVE `session_window`
+    * aggregate — the built-in-first spelling of [[sessionize]] (the
+    * preference-ladder rule: when a built-in operator exists, use it
+    * before custom window plumbing). Break semantics MATCH
+    * [[sessionize]]'s `lag > gap` form: the built-in merges windows on
+    * INCLUSIVE overlap (`next.start <= prev.end`), so an exactly-gap-
+    * late event stays in-session — spec-measured, since the obvious
+    * half-open reading of `[ts, ts+gap)` windows says otherwise. The
+    * one visible contract difference: `session_end = last event + gap`
+    * (the built-in's window end), NOT the last event time.
+    *
+    * Scale: plans as a single partial→final SessionWindow aggregate
+    * over one hash exchange on the key with a per-partition sort —
+    * the same exchange count as the custom form, minus its second
+    * window pass. */
+  def sessionizeNative(df: DataFrame, key: String, ts: String,
+      gapSeconds: Long, value: String): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    df.filter(col(ts).isNotNull)
+      .groupBy(col(key), session_window(col(ts), s"$gapSeconds seconds").as("__sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(value).cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col(key), col("__sw.start").as("session_start"),
+        col("__sw.end").as("session_end"), col("n_events"), col("total_value"))
+  }
+
   /** Windowed ingest ANOMALY detection — pipeline monitoring over an
     * event/crawl stream: bucket events into fixed `windowSeconds`
     * windows per group, then flag windows whose count sits more than

@@ -4265,6 +4265,34 @@ object Extensions {
       .orderBy("click_id")
   }
 
+  // ---------------------------------------------------------------- x135
+  // Native session_window sessionization — the built-in-first spelling
+  // of x35. The oracle restates the BUILT-IN's exact contract: the
+  // break is `gap > 6h` — session windows merge on INCLUSIVE overlap,
+  // so an exactly-gap event stays in-session, same as x35's custom
+  // form (spec-measured; the half-open reading is wrong) — and
+  // session_end is last-event + gap, not the last event time.
+  val x135 = Q.df(
+    "x135_session_window_native",
+    """WITH f AS (SELECT user_id, event_id, ts, value,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL '6' HOUR THEN 1 ELSE 0 END AS nb
+      |  FROM events WHERE ts IS NOT NULL),
+      |s AS (SELECT user_id, ts, value,
+      |    SUM(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      |  FROM f)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL '6' HOUR AS session_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY user_id, g
+      |ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
+    Sessions.sessionizeNative(Tables.load(spark, dir, "events"),
+        key = "user_id", ts = "ts", gapSeconds = 6 * 3600L, value = "value")
+      .orderBy("user_id", "session_start")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -4276,5 +4304,5 @@ object Extensions {
     x95, x96, x97, x98, x98b, x98c, x99, x100, x101, x102, x103, x104, x105, x106,
     x107, x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
     x119, x120, x121, x121b, x121c, x121d, x122, x122b, x123, x124, x125,
-    x126, x127, x128, x129, x130, x131, x132, x133, x134)
+    x126, x127, x128, x129, x130, x131, x132, x133, x134, x135)
 }
