@@ -4293,6 +4293,49 @@ object Extensions {
       .orderBy("user_id", "session_start")
   }
 
+  // ---------------------------------------------------------------- x136
+  // STREAMING native session_window (Append) — the built-in counterpart
+  // of x53's custom-state sessions, with a DIFFERENT emission contract
+  // the oracle pins: sessions emit purely when the watermark passes
+  // their window end (last event + gap); a newer same-user event does
+  // NOT flush the prior session early (x53's state-timeout form does —
+  // its oracle has the sess_no < last_no clause, this one must not).
+  // Final watermark = ms-floored max event time − 10 min (single input
+  // side). Break is > 30 min (inclusive window merge, the measured
+  // x135 contract).
+  val x136 = Q.df(
+    "x136_stream_session_window",
+    """WITH s AS (SELECT user_id, ts, value, event_id,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS nb
+      |  FROM events),
+      |n AS (SELECT user_id, ts, value, SUM(nb) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS g
+      |  FROM s),
+      |agg AS (SELECT user_id,
+      |    max(ts) + INTERVAL '30 minutes' AS session_end_w,
+      |    CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  FROM n GROUP BY user_id, g),
+      |m AS (SELECT date_trunc('milliseconds', max(ts))
+      |    - INTERVAL '10 minutes' AS cut FROM events)
+      |SELECT user_id, session_end_w, n_events, total_value
+      |FROM agg, m WHERE session_end_w < cut
+      |ORDER BY user_id, session_end_w""".stripMargin) { (spark, dir) =>
+    val staged = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_x136_stage").toString
+    Tables.load(spark, dir, "events")
+      .repartitionByRange(2, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(staged)
+    val q = graft.streaming.EventStream.runToMemory(
+      graft.streaming.EventStream.sessionWindows(
+        graft.streaming.EventStream.readEvents(spark, staged, Some(1))),
+      "x136_sink", org.apache.spark.sql.streaming.OutputMode.Append)
+    q.stop()
+    spark.table("x136_sink")
+      .orderBy(col("user_id"), col("session_end_w"))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -4304,5 +4347,5 @@ object Extensions {
     x95, x96, x97, x98, x98b, x98c, x99, x100, x101, x102, x103, x104, x105, x106,
     x107, x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
     x119, x120, x121, x121b, x121c, x121d, x122, x122b, x123, x124, x125,
-    x126, x127, x128, x129, x130, x131, x132, x133, x134, x135)
+    x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136)
 }

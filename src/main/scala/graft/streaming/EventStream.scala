@@ -46,6 +46,32 @@ object EventStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Per-user gap sessions through the NATIVE `session_window`
+    * aggregate under a watermark — the built-in-first counterpart of
+    * [[sessionize]]'s custom flatMapGroupsWithState (the
+    * [[graft.ops.Sessions.sessionizeNative]] pairing, in streaming
+    * form). In Append mode a session emits exactly once, when the
+    * watermark passes its merged window end (= last event + gap);
+    * unlike the custom form, a NEWER same-user event does NOT flush
+    * the prior session early — emission is purely watermark-gated, so
+    * a bounded replay's sink holds exactly the sessions whose window
+    * end the FINAL watermark (max event time ms-floored − delay,
+    * single input side) passed. Session merge is on INCLUSIVE window
+    * overlap (the measured x135 contract). */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(gapMinutes >= 1, s"gapMinutes must be >= 1, got $gapMinutes")
+    events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("__sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("user_id"), col("__sw.end").as("session_end_w"),
+        col("n_events"), col("total_value"))
+  }
+
   /** Streaming dedup on event_id within the watermark horizon.
     * `dropDuplicatesWithinWatermark`, NOT plain `dropDuplicates`: with
     * only `event_id` as the key (no event-time column in the subset)

@@ -180,4 +180,35 @@ class EventStreamSpec extends AnyFunSuite {
         s"expected exactly the within-gap cross-batch pair, got $got")
     } finally q.stop()
   }
+
+  test("native session_window: emission is watermark-gated only, no early flush") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_swnative").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(sec: Long) = new java.sql.Timestamp(t0 + sec * 1000)
+    Seq(
+      (1L, ts(0), 1L, "a", 1.0, ""),      // user 1, first session (2 events)
+      (2L, ts(10), 1L, "a", 2.0, ""),
+      // > 30 min later: second session for user 1 — under the CUSTOM
+      // state-timeout form this event would flush session 1 early;
+      // the native form must NOT emit it until the watermark passes
+      (3L, ts(2400), 1L, "a", 4.0, ""),
+      // watermark driver: far enough that session 1's window end
+      // (ts(10) + 30 min) < max − 10 min, but session 2's is not
+      (4L, ts(3600), 999L, "flush", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = EventStream.runToMemory(
+      EventStream.sessionWindows(EventStream.readEvents(spark, dir)),
+      "sw_native", OutputMode.Append)
+    try {
+      val rows = spark.sql(
+        "SELECT user_id, n_events, total_value FROM sw_native ORDER BY user_id")
+        .as[(Long, Long, Double)].collect().toSeq
+      // ONLY user 1's first session: its window end (00:40) is past the
+      // final watermark (00:50); session 2 (ends 01:10) and the flush
+      // event stay open even though newer same-user data arrived
+      assert(rows == Seq((1L, 2L, 3.0)), s"got $rows")
+    } finally q.stop()
+  }
 }
