@@ -915,6 +915,32 @@ object Dedup {
     }
   }
 
+  /** Top-`k` corpus-duplicated lines — the boilerplate report a
+    * curator reads BEFORE running [[lineDedup]]: which exact lines
+    * repeat, how often, and across how many documents. Emits
+    * `(line, n_docs, n_occurrences)` for lines occurring more than
+    * once, ordered (n_occurrences desc, line) and limited to `k` —
+    * a total order, so the row set is deterministic.
+    *
+    * Scale: map-side partial aggregation collapses a hot line to one
+    * row per input partition before the shuffle (count + distinct-doc
+    * approx? no — exact distinct via two-level agg: (line, doc) first,
+    * then line), and the top-k is a TakeOrderedAndProject, never a
+    * global sort. Line text rides the shuffle only after the per-doc
+    * condense — one row per (line, doc), bounded by the dup report's
+    * own subject matter. */
+  def duplicatedLines(docs: DataFrame, k: Int = 25): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    docs
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .groupBy(col("line"), col("doc_id")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("line"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__c")).as("n_occurrences"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy(col("n_occurrences").desc, col("line"))
+      .limit(k)
+  }
+
   /** Shared tail of the line-dedup family: per-doc re-assembly of the
     * `__kept` lines in position order. */
   private def reassemble(flagged: DataFrame): DataFrame =

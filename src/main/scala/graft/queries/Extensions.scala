@@ -4336,6 +4336,28 @@ object Extensions {
       .orderBy(col("user_id"), col("session_end_w"))
   }
 
+  // ---------------------------------------------------------------- x137
+  // Duplicated-lines boilerplate report over the same synthesized
+  // 3-word lines as x123 — the audit run before the cut. (n_occ desc,
+  // line) totally orders the LIMIT set; the per-(line, doc) condense
+  // keeps the shuffle bounded and the top-k is a TakeOrderedAndProject.
+  val x137 = Q.df(
+    "x137_duplicated_lines",
+    """WITH d AS (SELECT doc_id,
+      |    regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g') AS t
+      |  FROM documents),
+      |l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM d),
+      |g AS (SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      |  FROM l GROUP BY line)
+      |SELECT line, n_docs, n_occurrences FROM g
+      |WHERE n_occurrences > 1
+      |ORDER BY n_occurrences DESC, line LIMIT 25""".stripMargin) { (spark, dir) =>
+    Dedup.duplicatedLines(Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), regexp_replace(col("text"),
+        "(\\S+ \\S+ \\S+) ", "$1\n").as("text")), k = 25)
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -4347,5 +4369,6 @@ object Extensions {
     x95, x96, x97, x98, x98b, x98c, x99, x100, x101, x102, x103, x104, x105, x106,
     x107, x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
     x119, x120, x121, x121b, x121c, x121d, x122, x122b, x123, x124, x125,
-    x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136)
+    x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136,
+    x137)
 }

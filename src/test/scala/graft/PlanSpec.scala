@@ -483,6 +483,12 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 key exchange, got $exchanges:\n$p")
   }
 
+  test("x137: duplicated-lines report is a distributed top-k, not a global sort") {
+    val p = plan(graft.queries.Extensions.x137)
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort:\n$p")
+  }
+
   test("x126: fertility is a projection into one group-keyed aggregate") {
     val p = plan(graft.queries.Extensions.x126)
     // no join, no window — the merge table is a literal in the projection

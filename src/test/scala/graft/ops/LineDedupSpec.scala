@@ -52,6 +52,17 @@ class LineDedupSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum == 40L) // n_lines totals the corpus
   }
 
+  test("duplicatedLines: exact doc/occurrence counts, singletons excluded, k-capped") {
+    val rows = Seq((1L, "a\nb\na"), (2L, "a\nc"), (3L, "b\nunique"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedLines(rows, k = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 2L, 3L), ("b", 2L, 2L))) // c/unique: singletons
+    val capped = Dedup.duplicatedLines(rows, k = 1)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(capped == Seq(("a", 2L, 3L)))
+  }
+
   private def runAgainst(batch: Seq[(Long, String)],
       corpus: Seq[(Long, String)]): Map[Long, (String, Long, Long)] =
     Dedup.lineDedupAgainst(batch.toDF("doc_id", "text"),
