@@ -104,7 +104,15 @@ object Bench {
     // zero headroom, so a heavier query mix would trip the gate on SELF
     // load and pay the 30 s sleep + resample with no foreign contamination
     // present; gating on the delta above loadStart distinguishes the two).
-    val gateBar = math.max(quietBar, loadStart + 0.75)
+    // The lift applies ONLY when the quiet wait actually reached the bar
+    // (ADVICE r09): if the wait timed out with genuine foreign load still
+    // running, loadStart IS that foreign load — folding it into the gate
+    // would stop the clean-window resample from ever firing for equally
+    // contaminated query windows, re-admitting the r02-r06 class of
+    // inflated timings. On a timed-out wait the absolute bar stands.
+    val gateBar =
+      if (waitedS < waitBudgetS) math.max(quietBar, loadStart + 0.75)
+      else quietBar
     results.foreach { rec =>
       if (!rec.failed && rec.sec > 0.05 && rec.windowLoad > gateBar) {
         var w = 0

@@ -4302,13 +4302,17 @@ object Extensions {
   // its oracle has the sess_no < last_no clause, this one must not).
   // Final watermark = ms-floored max event time − 10 min (single input
   // side). Break is > 30 min (inclusive window merge, the measured
-  // x135 contract).
+  // x135 contract). The oracle restates the operator's NULL-ts/NULL-user
+  // drop in BOTH the session CTE and the watermark CTE (ADVICE r09: the
+  // watermark operator sees the POST-filter stream, so a null-user row
+  // holding the global max ts would move the cut — pin the contract
+  // instead of relying on fixture luck, the x94 lesson).
   val x136 = Q.df(
     "x136_stream_session_window",
     """WITH s AS (SELECT user_id, ts, value, event_id,
       |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |              > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS nb
-      |  FROM events),
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
       |n AS (SELECT user_id, ts, value, SUM(nb) OVER (PARTITION BY user_id
       |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS g
       |  FROM s),
@@ -4318,7 +4322,8 @@ object Extensions {
       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |  FROM n GROUP BY user_id, g),
       |m AS (SELECT date_trunc('milliseconds', max(ts))
-      |    - INTERVAL '10 minutes' AS cut FROM events)
+      |    - INTERVAL '10 minutes' AS cut FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL)
       |SELECT user_id, session_end_w, n_events, total_value
       |FROM agg, m WHERE session_end_w < cut
       |ORDER BY user_id, session_end_w""".stripMargin) { (spark, dir) =>

@@ -371,6 +371,20 @@ class PlanSpec extends AnyFunSuite {
       .exists(_.contains("text#")), s"text column crossed a shuffle:\n$p")
   }
 
+  test("x01/x57/x110: exact-dedup family carries no trailing global sort") {
+    // VERDICT r09 "what's wrong" #1: the survivors' orderBy(keep_id) was
+    // a full range exchange over every distinct document at scale (plus
+    // the AQE boundary-sampling re-execution hazard) bought for nothing —
+    // the driver comparator sorts rows itself. Same pin r08 gave the
+    // pair-set ops (x03/x118).
+    for (q <- Seq(graft.queries.Extensions.x01, graft.queries.Extensions.x57,
+        graft.queries.Extensions.x110)) {
+      val p = plan(q)
+      assert(!p.contains("Exchange rangepartitioning"),
+        s"global sort reappeared in ${q.name}:\n$p")
+    }
+  }
+
   test("x113: tolerance as-of join keeps the one-window shape (no range join)") {
     val p = plan(graft.queries.Extensions.x113)
     assert(!p.contains("BroadcastNestedLoopJoin"), s"range join appeared:\n$p")

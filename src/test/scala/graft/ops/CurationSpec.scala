@@ -114,7 +114,7 @@ class CurationSpec extends AnyFunSuite {
       (2L, "hello world"),
       (3L, "unrelated text")).toDF("doc_id", "text")
     val got = Dedup.exactNormalized(docs)
-      .as[(Long, Long)].collect().toSeq
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
     assert(got == Seq(1L -> 2L, 3L -> 1L))
   }
 
@@ -125,7 +125,7 @@ class CurationSpec extends AnyFunSuite {
       (5L, "!!!"), (6L, "???"),                 // pure punctuation
       (7L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val got = Dedup.exactNormalized(docs)
-      .as[(Long, Long)].collect().toSeq
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
     // the old [^a-z0-9\s] complement normalized EVERY row here to "":
     // one survivor, six docs silently deleted. Now: CJK docs stay
     // distinct, the Cyrillic variants merge, punctuation-only and null

@@ -114,4 +114,75 @@ class LineDedupSpec extends AnyFunSuite {
       assert(viaIngest(id) == scratch(id), s"doc $id")
     }
   }
+
+  test("NULL text reads as '' — the doc survives with one empty line (ADVICE r09)") {
+    // split(NULL) generates no rows, so without the coalesce doc 2 would
+    // VANISH from the per-document output — the family's "one row per
+    // input document" contract demands it survive as the empty line.
+    val got = run(Seq((1L, "a\nb"), (2L, null), (3L, null)))
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == (("a\nb", 2L, 2L)))
+    assert(got(2L) == (("", 1L, 1L))) // first '' occurrence: kept
+    assert(got(3L) == (("", 1L, 0L))) // second: cut (same line corpus-wide)
+    // ingest side: a corpus NULL doc contributes the '' line to the index
+    val viaIngest = runAgainst(Seq((10L, null), (11L, "x")), Seq((1L, null)))
+    assert(viaIngest(10L) == (("", 1L, 0L))) // '' is a corpus member
+    assert(viaIngest(11L) == (("x", 1L, 1L)))
+  }
+
+  test("line-hash index persists to checkpointDir; second run reads the artifact") {
+    val dir = java.nio.file.Files.createTempDirectory("xlinededup").toString
+    try {
+      val cPath = s"$dir/corpus.parquet"
+      Seq((1L, "c1\nc2")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(cPath)
+      val c = spark.read.parquet(cPath)
+      val batch = Seq((10L, "new1\nnew2")).toDF("doc_id", "text")
+      val ckpt = Some(s"$dir/idx")
+      val first = Dedup.lineDedupAgainst(batch, c, checkpointDir = ckpt)
+        .as[(Long, String, Long, Long)].collect().toSeq
+      assert(first == Seq((10L, "new1\nnew2", 2L, 2L)))
+      val fp = Artifacts.fingerprint(c, "linehash-v1")
+      assert(Artifacts.isValid(spark, s"$dir/idx/line_hash_index", fp),
+        "marker absent or mismatched after the build")
+      // Poison the artifact (keep the marker): add new2's hash to the
+      // stored index. If the second run recomputed from the corpus the
+      // output would be unchanged; reading the artifact, new2 is cut —
+      // proving the read path, not just the marker's existence.
+      import org.apache.spark.sql.functions.{explode, split}
+      val poisoned = c
+        .select(explode(split(col("text"), "\n")).as("line"))
+        .select(org.apache.spark.sql.functions.xxhash64(col("line")).as("__lh"))
+        .union(batch.select(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.lit("new2")).as("__lh")))
+        .distinct()
+      poisoned.write.mode("overwrite").parquet(s"$dir/idx/line_hash_index")
+      val p = new org.apache.hadoop.fs.Path(s"$dir/idx/line_hash_index/_graft_fingerprint")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val second = Dedup.lineDedupAgainst(batch, c, checkpointDir = ckpt)
+        .as[(Long, String, Long, Long)].collect().toSeq
+      assert(second == Seq((10L, "new1", 2L, 1L)),
+        "second run did not read the (poisoned) artifact — it recomputed")
+      // bloom variant shares the artifact read path
+      val bloomed = Dedup.lineDedupAgainstBloom(batch, c,
+          expectedCorpusLines = 1024, checkpointDir = ckpt)
+        .as[(Long, String, Long, Long)].collect().toSeq
+      assert(bloomed == second)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("bloom transport ceiling: oversize expectedCorpusLines is refused") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lineDedupAgainstBloom(df, df, expectedCorpusLines = (1L << 26) + 1)
+    }
+    assert(e.getMessage.contains("lineDedupAgainst"),
+      "the refusal must route callers to the exact-index fallback")
+  }
 }
