@@ -724,6 +724,56 @@ object Similarity {
     (IvfIndex(idx.centroids, idx.index.unionByName(assignedNew)), drift)
   }
 
+  /** The retrain POLICY over an [[ivfAppend]] drift report (VERDICT r09
+    * #6): the report gives a steady-state ingest pipeline the numbers;
+    * this gives it the decision. One row:
+    * `(max_mean_shift, max_share_delta, needs_retrain)` where
+    * `max_share_delta` is the largest per-cell difference between the
+    * batch's share of arrivals and the base corpus's share
+    * (`|new/Σnew − base/Σbase|` — scale-free, so a 10× bigger batch
+    * with the SAME distribution scores 0), and `needs_retrain` is true
+    * iff either statistic exceeds its threshold.
+    *
+    * Threshold grounding (from the x122b drift-zero invariant):
+    * appending the index's own corpus yields both statistics EXACTLY
+    * 0.0 (decimal-accumulated means; identical integer shares), so any
+    * nonzero reading is real distribution movement, not float noise.
+    * The defaults flag a batch whose per-cell mean moved past half a
+    * unit of embedding L2 (`maxMeanShift = 0.5`) or whose arrivals
+    * concentrate 25 share-points away from the trained balance
+    * (`maxShareDelta = 0.25` — a batch landing entirely in one of 8
+    * cells reads ~0.875). An EMPTY batch reports false.
+    *
+    * Scale: the drift frame is ≤ nlist rows but its LINEAGE is two
+    * corpus-sized aggregates — the lazy localCheckpoint makes the
+    * totals pass and the per-cell pass share one materialization (the
+    * x124 two-consumer rule). */
+  def retrainVerdict(drift: DataFrame, maxMeanShift: Double = 0.5,
+      maxShareDelta: Double = 0.25): DataFrame = {
+    require(maxMeanShift >= 0 && maxShareDelta >= 0,
+      s"thresholds must be >= 0, got ($maxMeanShift, $maxShareDelta)")
+    val d = drift.localCheckpoint(eager = false)
+    val totals = d.agg(sum(col("base_count")).as("__tb"),
+      sum(col("new_count")).as("__tn"))
+    d.crossJoin(broadcast(totals))
+      .select(col("mean_shift"),
+        when(col("__tn") > 0 && col("__tb") > 0,
+          abs(col("new_count") / col("__tn") - col("base_count") / col("__tb")))
+          .as("__sd"))
+      .agg(coalesce(max(col("mean_shift")), lit(0.0)).as("max_mean_shift"),
+        coalesce(max(col("__sd")), lit(0.0)).as("max_share_delta"))
+      .select(col("max_mean_shift"), col("max_share_delta"),
+        (col("max_mean_shift") > maxMeanShift
+          || col("max_share_delta") > maxShareDelta).as("needs_retrain"))
+  }
+
+  /** Boolean convenience over [[retrainVerdict]] — the one driver-side
+    * bit a scheduled ingest job branches on. */
+  def needsRetrain(drift: DataFrame, maxMeanShift: Double = 0.5,
+      maxShareDelta: Double = 0.25): Boolean =
+    retrainVerdict(drift, maxMeanShift, maxShareDelta)
+      .head().getAs[Boolean]("needs_retrain")
+
   /**
    * Embedding-cosine near-dup mining (the vector-space sibling of
    * MinHash dedup): random-hyperplane bucket self-join proposes

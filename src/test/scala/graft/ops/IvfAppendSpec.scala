@@ -52,6 +52,30 @@ class IvfAppendSpec extends AnyFunSuite {
       == r.getAs[Long]("new_count") - r.getAs[Long]("base_count")))
   }
 
+  test("retrain policy: self-append says no, a concentrated shifted batch says yes") {
+    // appending the original corpus: both statistics exactly 0.0 (the
+    // x122b invariant), so the verdict is false at ANY positive threshold
+    val selfDrift = Similarity.ivfAppend(idx, emb)._2
+    val v = Similarity.retrainVerdict(selfDrift).collect().head
+    assert(v.getAs[Double]("max_mean_shift") == 0.0)
+    assert(v.getAs[Double]("max_share_delta") == 0.0)
+    assert(!v.getAs[Boolean]("needs_retrain"))
+    assert(!Similarity.needsRetrain(selfDrift, 1e-9, 1e-9))
+    // the x122b plant: a batch of two copies of one vector lands in ONE
+    // cell — its arrival share is 1.0 vs the trained balance (~1/8), so
+    // max_share_delta ≈ 0.875 trips the default 0.25 threshold
+    val one = emb.filter(col("vec_id") === 0)
+    val twins = one.withColumn("vec_id", lit(910001L))
+      .unionByName(one.withColumn("vec_id", lit(910002L)))
+    val twinDrift = Similarity.ivfAppend(idx, twins)._2
+    assert(Similarity.needsRetrain(twinDrift))
+    val tv = Similarity.retrainVerdict(twinDrift).collect().head
+    assert(tv.getAs[Double]("max_share_delta") > 0.25)
+    // an empty batch is a no-op, never a retrain
+    val emptyDrift = Similarity.ivfAppend(idx, emb.filter(col("vec_id") < 0))._2
+    assert(!Similarity.needsRetrain(emptyDrift))
+  }
+
   test("ivfAppend itself runs NO Spark job (assignment stays lazy; only the " +
       "prebuilt nlist-by-dim centroid literal is driver-resident)") {
     idx // force the one-time Lloyd build OUTSIDE the counted window
