@@ -26,9 +26,15 @@ import graft.functions.BpeExprs
  *    boundaries, never mid-word).
  *
  * Scale: the merge table rides as one foldable literal into a per-row
- * imperative expression — no shuffle, no join, no driver round-trip; a
- * real ~50k-merge table is a few MB of task closure, the same transport
- * class as the IVF centroid matrix.
+ * imperative expression — no shuffle, no join, no driver round-trip.
+ * MEASURED at real table scale (graft.tools.BpeProbe, r10 — NOTES.md):
+ * a 50,000-merge table is ~177 KiB of literal pair bytes in the
+ * serialized expression tree and ~6.9 MiB of per-thread rank map once
+ * built (the IVF-centroid transport class, as claimed), encodes the
+ * sf0.1 documents corpus at ~0.8 µs/char wall on local[32], and a
+ * 116k-distinct-word corpus (cache capacity exceeded ~2x) costs only
+ * ~23% over the cache-friendly run — the 64k clear-and-refill bound
+ * degrades gracefully, it does not cliff.
  */
 object Bpe {
 
@@ -62,6 +68,67 @@ object Bpe {
   def chunkByTokenBudget(spark: SparkSession, text: Column,
       merges: Seq[(String, String)], budget: Int): Column =
     BpeExprs.bpeChunksByBudget(spark, text, mergesLit(merges), budget)
+
+  /** Learn a merge table FROM a corpus — the distributed Sennrich,
+    * Haddow & Birch 2016 learn loop (VERDICT r09 #1b), closing the
+    * "a pipeline with no published merges.txt has no way to GET a merge
+    * table" gap: `k` iterations, each taking the most frequent adjacent
+    * symbol pair over the current segmentation of the word VOCABULARY
+    * (frequency-weighted), appending it as the next merge. Ties break
+    * deterministically on (count desc, left asc, right asc), and the
+    * loop stops early when the best pair's frequency falls below
+    * `minFrequency` (the reference algorithm's stopping rule — merging
+    * singletons memorizes the corpus).
+    *
+    * Pair statistics are computed on the segmentation the repo's own
+    * pinned greedy encode produces under the merges learned so far —
+    * self-consistent by construction with the [[tokenCount]] /
+    * [[tokens]] / [[chunkByTokenBudget]] encoder that will consume the
+    * table (re-encoding from the rank table each round also keeps the
+    * plan lineage flat: iteration i depends on the merge LIST, not on
+    * iteration i-1's DataFrame).
+    *
+    * Scale shape: ONE corpus pass builds the `(word, count)` vocabulary
+    * (a partial→final hash aggregate; the only corpus-sized stage),
+    * pinned behind a lazy localCheckpoint because all k rounds consume
+    * it. Each round is then a vocab-sized job: per-word re-encode (the
+    * merge literal + per-thread cache), adjacent-pair explode, hash
+    * aggregate, and a TakeOrderedAndProject(1) — the driver receives
+    * exactly one (left, right, count) row per round. Cost is
+    * O(k · vocab · avg symbols), independent of corpus size after the
+    * first pass. */
+  def learnMerges(corpus: DataFrame, k: Int, minFrequency: Long = 2,
+      textCol: String = "text"): Seq[(String, String)] = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    require(minFrequency >= 1, s"minFrequency must be >= 1, got $minFrequency")
+    val spark = corpus.sparkSession
+    val vocab = corpus
+      .select(explode(split(coalesce(col(textCol), lit("")),
+        "[ \\t\\n\\u000B\\f\\r]+")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(eager = false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var go = true
+    while (go && merges.length < k) {
+      val toks = BpeExprs.bpeTokens(spark, col("__w"), mergesLit(merges.toSeq))
+      val best = vocab
+        .select(col("__n"), toks.as("__t"))
+        // adjacent pairs of the symbol sequence; every word has >= 2
+        // symbols (>= 1 code point + </w>), so the slices are well-formed
+        .select(col("__n"), explode(zip_with(
+          slice(col("__t"), lit(1), size(col("__t")) - 1),
+          slice(col("__t"), lit(2), size(col("__t")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("__p"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(sum(col("__n")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty || best.head.getAs[Long]("c") < minFrequency) go = false
+      else merges += ((best.head.getAs[String]("l"), best.head.getAs[String]("r")))
+    }
+    merges.toList
+  }
 
   /** Per-group tokenizer fertility audit — tokens-per-word and
     * tokens-per-non-whitespace-char under `merges`, the number that

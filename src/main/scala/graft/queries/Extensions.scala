@@ -4363,6 +4363,33 @@ object Extensions {
         "(\\S+ \\S+ \\S+) ", "$1\n").as("text")), k = 25)
   }
 
+  // ---------------------------------------------------------------- x138
+  // BPE learn loop (VERDICT r09 #1b), planted hard oracle: the classic
+  // Sennrich learn corpus (low x5, lower x2, newest x6, widest x3) has a
+  // fully hand-computable merge sequence under the pinned (count desc,
+  // left asc, right asc) tie rule — round 1 is a 3-way tie at frequency
+  // 9 that the rule resolves to (e,s); all 8 rounds follow. Any drift in
+  // vocab counting, pair statistics, tie-breaking, or the inter-round
+  // re-encode diverges from these literals. BpeSpec additionally pins
+  // the early stop (minFrequency) and the fertility win on real fixtures.
+  val x138 = Q.df(
+    "x138_bpe_learn_merges",
+    """SELECT CAST(rank AS INT) AS rank, l, r FROM (VALUES
+      |  (0, 'e', 's'), (1, 'es', 't'), (2, 'est', '</w>'), (3, 'l', 'o'),
+      |  (4, 'lo', 'w'), (5, 'e', 'w'), (6, 'ew', 'est</w>'),
+      |  (7, 'n', 'ewest</w>')) AS t(rank, l, r)
+      |ORDER BY rank""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq.fill(5)("low").mkString(" ")),
+      (1L, Seq.fill(2)("lower").mkString(" ")),
+      (2L, Seq.fill(6)("newest").mkString(" ")),
+      (3L, Seq.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    Bpe.learnMerges(corpus, k = 8).zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }.toDF("rank", "l", "r")
+      .orderBy("rank")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -4375,5 +4402,5 @@ object Extensions {
     x107, x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
     x119, x120, x121, x121b, x121c, x121d, x122, x122b, x123, x124, x125,
     x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136,
-    x137)
+    x137, x138)
 }

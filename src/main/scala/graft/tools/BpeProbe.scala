@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Bpe
+import graft.tables.Tables
+
+/**
+ * Measurement probe for BPE at REAL merge-table scale (VERDICT r09 #1a):
+ * the scaladoc claim that "a ~50k-merge table is a few MB of task
+ * closure, the same transport class as the IVF centroid matrix" was
+ * unmeasured, as was the per-row encode cost under a production-sized
+ * vocabulary and the bounded word cache's clear behavior when the
+ * corpus vocabulary exceeds its 64k-entry cap.
+ *
+ * The synthesized table is deterministic and structurally like a learned
+ * one: level 1 merges every letter pair (676), level 2 every 2-char
+ * symbol with a following letter (17,576), level 3 the first 31,748
+ * 2-char × 2-char combinations — 50,000 ranked merges whose symbols
+ * chain, so the greedy loop genuinely iterates per word.
+ *
+ * Prints a markdown table for NOTES.md. Run:
+ *   sbt "runMain graft.tools.BpeProbe [sfDir]"
+ */
+object BpeProbe {
+  def synthMerges(target: Int = 50000): Seq[(String, String)] = {
+    val letters = ('a' to 'z').map(_.toString)
+    val l1 = for (a <- letters; b <- letters) yield (a, b)
+    val twos = l1.map { case (a, b) => a + b }
+    val l2 = for (ab <- twos; c <- letters) yield (ab, c)
+    val l3 = for (ab <- twos; cd <- twos) yield (ab, cd)
+    (l1 ++ l2 ++ l3).take(target)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val merges50k = synthMerges()
+    // transport cost of the literal: the raw pair bytes (what travels
+    // inside the serialized expression tree) and the JVM-resident size
+    // of the per-thread rank map each task thread builds once
+    val pairBytes = merges50k.map { case (l, r) =>
+      l.getBytes("UTF-8").length + r.getBytes("UTF-8").length }.sum
+    val ranks = new java.util.HashMap[(String, String), Integer]()
+    merges50k.zipWithIndex.foreach { case (p, i) => ranks.put(p, i) }
+    val rankMapBytes = org.apache.spark.util.SizeEstimator.estimate(ranks)
+
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val nDocs = docs.count()
+    val nChars = docs.agg(sum(length(col("text")))).head().getLong(0)
+    def timeCount(merges: Seq[(String, String)], d: DataFrame): Double = {
+      def once: Double = {
+        val t0 = System.nanoTime()
+        // sum of counts forces a full encode of every row, result is 1 row
+        d.agg(sum(Bpe.tokenCount(spark, col("text"), merges))).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once; math.min(once, once) // warmup + min of two
+    }
+    val tEmpty = timeCount(Seq.empty, docs)
+    val tDemo = timeCount(Bpe.demoMerges, docs)
+    val t50k = timeCount(merges50k, docs)
+    // cache-clear behavior: salt every word with its doc id so the
+    // corpus vocabulary far exceeds the 64k-entry word cache — most
+    // encodes miss, and the cache clears repeatedly per task thread
+    val saltedSql = docs.selectExpr("doc_id",
+      "regexp_replace(text, '([a-z]+)', concat('w', cast(doc_id as string), '$1')) as text")
+    val distinctWords = saltedSql
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "").agg(countDistinct(col("w"))).head().getLong(0)
+    val tSalted = timeCount(merges50k, saltedSql.select(col("doc_id"), col("text")))
+
+    println(s"| metric | value |")
+    println(s"|---|---|")
+    println(s"| merge table | ${merges50k.size} ranked pairs (synthetic, 3-level) |")
+    println(f"| literal pair bytes | ${pairBytes / 1024.0}%.1f KiB |")
+    println(f"| per-thread rank map (SizeEstimator) | ${rankMapBytes / 1024.0 / 1024.0}%.2f MiB |")
+    println(s"| corpus | $nDocs docs, $nChars chars ($sfDir) |")
+    println(f"| encode, empty table | $tEmpty%.2f s |")
+    println(f"| encode, 22-merge demo | $tDemo%.2f s |")
+    println(f"| encode, 50k merges | $t50k%.2f s (${t50k * 1e9 / nChars}%.1f ns/char) |")
+    println(f"| encode, 50k merges, $distinctWords distinct words (cache thrash) | $tSalted%.2f s |")
+    spark.stop()
+  }
+}

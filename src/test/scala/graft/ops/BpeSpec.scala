@@ -178,4 +178,49 @@ class BpeSpec extends AnyFunSuite {
     real.foreach { case (g, f) => assert(f < floor(g), s"group $g") }
     real.values.foreach(f => assert(f >= 1.0)) // ≥ one token per word
   }
+
+  test("learnMerges reproduces the hand-computed Sennrich learn sequence") {
+    // the classic learn corpus: low x5, lower x2, newest x6, widest x3.
+    // Hand-run of the reference algorithm with the (count desc, left
+    // asc, right asc) tie rule — round 1 is a 3-way tie at 9 between
+    // (e,s), (s,t), (t,</w>); the lexicographic rule picks (e,s), and
+    // every later round follows deterministically. Any drift in pair
+    // counting, tie-breaking, or the re-encode between rounds diverges
+    // from this sequence.
+    val corpus = Seq(
+      (0L, Seq.fill(5)("low").mkString(" ")),
+      (1L, Seq.fill(2)("lower").mkString(" ")),
+      (2L, Seq.fill(6)("newest").mkString(" ")),
+      (3L, Seq.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val learned = Bpe.learnMerges(corpus, k = 8)
+    assert(learned == Seq(
+      ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"),
+      ("e", "w"), ("ew", "est</w>"), ("n", "ewest</w>")))
+    // the learned table drives the pinned encoder directly
+    assert(toksOf("newest", learned) == Seq("newest</w>")) // merge 8 closes it
+    assert(toksOf("lowest", learned) == Seq("low", "est</w>"))
+  }
+
+  test("learnMerges stops at minFrequency instead of memorizing singletons") {
+    val corpus = Seq((0L, "ab ab ab xy")).toDF("doc_id", "text")
+    // (a,b) occurs 3x; every pair of the singleton word occurs once —
+    // with the default minFrequency=2 only merges with support survive
+    val learned = Bpe.learnMerges(corpus, k = 10)
+    assert(learned == Seq(("a", "b"), ("ab", "</w>")))
+    // k caps the table even when support remains
+    assert(Bpe.learnMerges(corpus, k = 1) == Seq(("a", "b")))
+    assert(Bpe.learnMerges(corpus, k = 0) == Seq.empty)
+  }
+
+  test("a learned table lowers corpus fertility vs the empty-table floor") {
+    val docs = graft.tables.Tables.load(spark, graft.TestSessions.sf0001,
+      "documents").select(lit("all").as("g"), col("text"))
+    val learned = Bpe.learnMerges(docs, k = 24)
+    assert(learned.size == 24) // a real corpus has >= 24 supported merges
+    val floor = Bpe.fertility(spark, docs, "g", Seq.empty)
+      .select("fertility").as[Double].head()
+    val real = Bpe.fertility(spark, docs, "g", learned)
+      .select("fertility").as[Double].head()
+    assert(real < floor, s"learned table did not compress: $real vs $floor")
+  }
 }
