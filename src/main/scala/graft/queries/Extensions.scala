@@ -3806,6 +3806,60 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- x121e
+  // chunkByTokenBudget graduated to a FULL oracle (VERDICT r09 #7): with
+  // the EMPTY merge table each word's weight is the DuckDB-expressible
+  // symbol floor (code points + 1), and the greedy chunker's state
+  // machine — flush when cur + n would exceed the budget, force-flush at
+  // cur >= budget, oversized single words get their own chunk — is a
+  // per-word recurrence a recursive CTE restates exactly. Hash-checks
+  // the chunk COUNTS and sums end to end; real-merge chunking rides the
+  // identical code path with only the weights differing (x121 pins the
+  // merge loop, x121c keeps the real-merge invariant).
+  val x121e = Q.df(
+    "x121e_bpe_chunk_budget_floor",
+    """WITH RECURSIVE
+      |wl AS (SELECT doc_id, list_filter(
+      |    string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS ws
+      |  FROM documents),
+      |wt AS (SELECT doc_id,
+      |    CAST(unnest(generate_series(1, len(ws))) AS INT) AS i,
+      |    CAST(length(unnest(ws)) + 1 AS INT) AS n FROM wl),
+      |r AS (
+      |  SELECT doc_id, i, n, 1 AS c,
+      |    CASE WHEN n >= 16 THEN 0 ELSE n END AS a FROM wt WHERE i = 1
+      |  UNION ALL
+      |  SELECT t.doc_id, t.i, t.n,
+      |    CASE WHEN r.a = 0 OR r.a + t.n > 16 THEN r.c + 1 ELSE r.c END AS c,
+      |    CASE WHEN (CASE WHEN r.a = 0 OR r.a + t.n > 16 THEN t.n
+      |                    ELSE r.a + t.n END) >= 16 THEN 0
+      |         ELSE CASE WHEN r.a = 0 OR r.a + t.n > 16 THEN t.n
+      |                   ELSE r.a + t.n END END AS a
+      |  FROM r JOIN wt t ON t.doc_id = r.doc_id AND t.i = r.i + 1),
+      |ch AS (SELECT doc_id, c, SUM(n) AS ct FROM r GROUP BY doc_id, c),
+      |pd AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS n_chunks,
+      |    CAST(SUM(ct) AS BIGINT) AS total_chunk_tokens,
+      |    CAST(MAX(ct) AS INT) AS max_chunk_tokens FROM ch GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(p.total_chunk_tokens, 0) AS INT) AS doc_tokens,
+      |  coalesce(p.n_chunks, 0) AS n_chunks,
+      |  coalesce(p.total_chunk_tokens, 0) AS total_chunk_tokens,
+      |  coalesce(p.max_chunk_tokens, 0) AS max_chunk_tokens
+      |FROM documents d LEFT JOIN pd p USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        Bpe.tokenCount(spark, col("text"), Seq.empty).as("doc_tokens"),
+        inline_outer(Bpe.chunkByTokenBudget(spark, col("text"),
+          Seq.empty, budget = 16)))
+      .groupBy("doc_id")
+      .agg(first(col("doc_tokens")).as("doc_tokens"),
+        count(col("chunk_idx")).as("n_chunks"),
+        coalesce(sum(col("chunk_tokens")), lit(0L)).as("total_chunk_tokens"),
+        coalesce(max(col("chunk_tokens")), lit(0)).as("max_chunk_tokens"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------------- x121d
   // BPE-weighted budget selection, full oracle: budgetSelect's `weight`
   // column takes the BPE count directly (the wiring the whole family
@@ -4400,7 +4454,7 @@ object Extensions {
     x83, x84, x85, x85b, x86, x87, x88, x89, x90, x91, x92, x93, x94,
     x95, x96, x97, x98, x98b, x98c, x99, x100, x101, x102, x103, x104, x105, x106,
     x107, x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
-    x119, x120, x121, x121b, x121c, x121d, x122, x122b, x123, x124, x125,
+    x119, x120, x121, x121b, x121c, x121d, x121e, x122, x122b, x123, x124, x125,
     x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136,
     x137, x138)
 }
