@@ -26,7 +26,14 @@ import org.apache.spark.sql.types.DecimalType
  * [[TextAnalysis.bigramSurprisalTokens]] precedent): ONE `ln` per
  * bucket, pinned @7 at its source; products rounded @9 and accumulated
  * in DECIMAL(28,9) so the sum is partition-order independent; final
- * weight rounded @6.
+ * weight rounded @6 IN DECIMAL SPACE, then cast to double (r10: the
+ * sf0.1 up-probe caught one row whose exact 9-decimal sum ended in
+ * ...500 at digit 7 — a true half-tie that Spark's shortest-repr
+ * HALF_UP and DuckDB's scaled-double round resolve differently when
+ * the re-round happens on the DOUBLE; rounding the decimal itself is
+ * exact on both engines. Unlike the avg_nll family, there is no
+ * division after the sum here, so half-ties are systematic, not
+ * measure-zero).
  *
  * 100 TB shape: the corpus explodes to hashed-gram rows ONCE (lazy
  * localCheckpoint — the per-doc feature table feeds both the raw
@@ -106,8 +113,8 @@ object Dsir {
     fr.join(broadcast(ratio), "bucket")
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_grams"),
-        round(sum(round(col("c") * col("lr"), 9).cast(DecimalType(28, 9)))
-          .cast("double"), 6).as("log_weight"))
+        round(sum(round(col("c") * col("lr"), 9).cast(DecimalType(28, 9))), 6)
+          .cast("double").as("log_weight"))
   }
 
   /** Top-`k` raw documents by DSIR weight (ties broken by doc_id) —

@@ -4065,7 +4065,7 @@ object Extensions {
       |           / ((cr.cr + 1) * CAST(t + 512 AS DOUBLE))), 7) AS lr
       |  FROM cr LEFT JOIN ct USING (bucket), tot)
       |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
-      |  round(CAST(SUM(CAST(round(c * lr, 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
+      |  CAST(round(SUM(CAST(round(c * lr, 9) AS DECIMAL(28,9))), 6) AS DOUBLE)
       |    AS log_weight
       |FROM fr JOIN ratio USING (bucket)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
