@@ -4444,6 +4444,35 @@ object Extensions {
       .orderBy("rank")
   }
 
+  // ---------------------------------------------------------------- x139
+  // IVF retrain POLICY (VERDICT r09 #6) under the x122b planted frame:
+  // appending the index's own corpus yields BOTH policy statistics
+  // exactly 0.0 (decimal-exact means; identical integer shares) so the
+  // verdict is false, while a batch of two copies of one vector lands
+  // in one cell — arrival share 1.0 vs the trained ~1/8 balance — and
+  // trips the default 0.25 share-delta threshold for ANY learned
+  // centroids. The self-side doubles as a hash-check that the verdict
+  // frame's statistics are exact zeros, not merely under threshold.
+  val x139 = Q.df(
+    "x139_ivf_retrain_verdict",
+    """SELECT CAST(0.0 AS DOUBLE) AS self_max_mean_shift,
+      |  CAST(0.0 AS DOUBLE) AS self_max_share_delta,
+      |  false AS self_retrain, true AS shifted_retrain""".stripMargin) { (spark, dir) =>
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val idx = Similarity.buildIvfIndex(emb, nlist = 8, iters = 2)
+    val self = Similarity.retrainVerdict(Similarity.ivfAppend(idx, emb)._2)
+      .select(col("max_mean_shift").as("self_max_mean_shift"),
+        col("max_share_delta").as("self_max_share_delta"),
+        col("needs_retrain").as("self_retrain"))
+    val twins = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .unionByName(emb.filter(col("vec_id") === 0)
+        .withColumn("vec_id", col("vec_id") + 2000000L))
+    val shifted = Similarity.retrainVerdict(Similarity.ivfAppend(idx, twins)._2)
+      .select(col("needs_retrain").as("shifted_retrain"))
+    self.crossJoin(shifted) // two 1-row verdict frames
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -4456,5 +4485,5 @@ object Extensions {
     x107, x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
     x119, x120, x121, x121b, x121c, x121d, x121e, x122, x122b, x123, x124, x125,
     x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136,
-    x137, x138)
+    x137, x138, x139)
 }
