@@ -79,6 +79,18 @@ object BpeProbe {
       .filter(col("w") =!= "").agg(countDistinct(col("w"))).head().getLong(0)
     val tSalted = timeCount(merges50k, saltedSql.select(col("doc_id"), col("text")))
 
+    // learn-loop cost: the distributed per-round loop vs the
+    // vocab-local delta-update loop at production k, on the
+    // large-vocabulary salted corpus (the hard case for both)
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val saltedDocs = saltedSql.select(col("doc_id"), col("text"))
+    val (distMerges, tDist32) = timed(Bpe.learnMerges(saltedDocs, 32))
+    val (locMerges, tLoc2k) = timed(Bpe.learnMergesLocal(saltedDocs, 2000))
+    val agree = distMerges == locMerges.take(distMerges.length)
+
     println(s"| metric | value |")
     println(s"|---|---|")
     println(s"| merge table | ${merges50k.size} ranked pairs (synthetic, 3-level) |")
@@ -89,6 +101,9 @@ object BpeProbe {
     println(f"| encode, 22-merge demo | $tDemo%.2f s |")
     println(f"| encode, 50k merges | $t50k%.2f s (${t50k * 1e9 / nChars}%.1f ns/char) |")
     println(f"| encode, 50k merges, $distinctWords distinct words (cache thrash) | $tSalted%.2f s |")
+    println(f"| learnMerges (distributed), k=32, salted vocab | $tDist32%.2f s (${tDist32 / 32}%.3f s/round) |")
+    println(f"| learnMergesLocal, k=2000, salted vocab | $tLoc2k%.2f s (${tLoc2k * 1000 / 2000}%.2f ms/merge) |")
+    println(s"| local prefix == distributed 32-merge sequence | $agree |")
     spark.stop()
   }
 }

@@ -212,6 +212,33 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.learnMerges(corpus, k = 0) == Seq.empty)
   }
 
+  test("learnMergesLocal equals the distributed loop: planted corpus and real fixtures") {
+    val corpus = Seq(
+      (0L, Seq.fill(5)("low").mkString(" ")),
+      (1L, Seq.fill(2)("lower").mkString(" ")),
+      (2L, Seq.fill(6)("newest").mkString(" ")),
+      (3L, Seq.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    assert(Bpe.learnMergesLocal(corpus, k = 8)
+      == Bpe.learnMerges(corpus, k = 8))
+    // early stop + k cap behave identically
+    val tiny = Seq((0L, "ab ab ab xy")).toDF("doc_id", "text")
+    assert(Bpe.learnMergesLocal(tiny, k = 10) == Seq(("a", "b"), ("ab", "</w>")))
+    assert(Bpe.learnMergesLocal(tiny, k = 1) == Seq(("a", "b")))
+    // real fixture text, k past anything hand-checkable: the delta-update
+    // loop and the re-encode loop must walk the same sequence
+    val docs = graft.tables.Tables.load(spark, graft.TestSessions.sf0001,
+      "documents").select("doc_id", "text")
+    assert(Bpe.learnMergesLocal(docs, k = 24) == Bpe.learnMerges(docs, k = 24))
+  }
+
+  test("learnMergesLocal maxVocab cap keeps only the top words' evidence") {
+    // top-1 word by count is "ab" (3x) — with maxVocab=1 the learner
+    // never sees "xy", so only ab-derived merges emerge
+    val tiny = Seq((0L, "ab ab ab xy xy")).toDF("doc_id", "text")
+    assert(Bpe.learnMergesLocal(tiny, k = 10, maxVocab = 1)
+      == Seq(("a", "b"), ("ab", "</w>")))
+  }
+
   test("a learned table lowers corpus fertility vs the empty-table floor") {
     val docs = graft.tables.Tables.load(spark, graft.TestSessions.sf0001,
       "documents").select(lit("all").as("g"), col("text"))
