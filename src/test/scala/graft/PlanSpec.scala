@@ -385,6 +385,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x121e: budget chunking is one Generate into one hash aggregate") {
+    val p = plan(graft.queries.Extensions.x121e)
+    assert(p.contains("Generate inline"), s"plan:\n$p")
+    assert("Generate ".r.findAllIn(p).length == 1,
+      s"chunker evaluated more than once:\n$p")
+    assert(p.contains("HashAggregate"), s"plan:\n$p")
+    assert(!p.contains("Window"), s"window crept into the per-doc stats:\n$p")
+    assert(!p.contains("Join"), s"join crept into the per-doc stats:\n$p")
+  }
+
   test("x113: tolerance as-of join keeps the one-window shape (no range join)") {
     val p = plan(graft.queries.Extensions.x113)
     assert(!p.contains("BroadcastNestedLoopJoin"), s"range join appeared:\n$p")
