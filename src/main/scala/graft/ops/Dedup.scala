@@ -972,7 +972,11 @@ object Dedup {
     * repeat, how often, and across how many documents. Emits
     * `(line, n_docs, n_occurrences)` for lines occurring more than
     * once, ordered (n_occurrences desc, line) and limited to `k` —
-    * a total order, so the row set is deterministic.
+    * a total order, so the row set is deterministic. NULL-text docs
+    * contribute NO lines here — deliberately unlike the dedup
+    * operators' coalesce-to-"" contract: this is a report about line
+    * content, and counting absent text as shared empty-line
+    * "boilerplate" would be noise, not signal.
     *
     * Scale: map-side partial aggregation collapses a hot line to one
     * row per input partition before the shuffle (count + distinct-doc
