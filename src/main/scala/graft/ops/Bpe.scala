@@ -250,6 +250,27 @@ object Bpe {
     merges.toList
   }
 
+  /** Persist a merge table as a tiny `(rank, l, r)` parquet — the
+    * durable form of a [[learnMerges]]/[[learnMergesLocal]] result (or
+    * an imported public `merges.txt`): learn once, reload in every
+    * later session or on every executor-side pipeline run. Rank order
+    * IS the table's semantics, so it's stored explicitly rather than
+    * relying on file row order. */
+  def saveMerges(spark: SparkSession, merges: Seq[(String, String)],
+      path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "l", "r")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveMerges]] table back in rank order. */
+  def loadMerges(spark: SparkSession, path: String): Seq[(String, String)] = {
+    import spark.implicits._
+    spark.read.parquet(path).orderBy("rank")
+      .select(col("l"), col("r")).as[(String, String)].collect().toSeq
+  }
+
   /** Per-group tokenizer fertility audit — tokens-per-word and
     * tokens-per-non-whitespace-char under `merges`, the number that
     * tells a curator how unevenly a tokenizer taxes each language

@@ -231,6 +231,21 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.learnMergesLocal(docs, k = 24) == Bpe.learnMerges(docs, k = 24))
   }
 
+  test("merge tables round-trip through the parquet artifact in rank order") {
+    val corpus = Seq((0L, "ab ab ab xy")).toDF("doc_id", "text")
+    val learned = Bpe.learnMergesLocal(corpus, k = 10)
+    val dir = java.nio.file.Files.createTempDirectory("xbpe").toString
+    try {
+      Bpe.saveMerges(spark, learned, s"$dir/merges")
+      val back = Bpe.loadMerges(spark, s"$dir/merges")
+      assert(back == learned)
+      // the reloaded table drives the encoder identically
+      assert(toksOf("abab", back) == toksOf("abab", learned))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("learnMergesLocal maxVocab cap keeps only the top words' evidence") {
     // top-1 word by count is "ab" (3x) — with maxVocab=1 the learner
     // never sees "xy", so only ab-derived merges emerge
