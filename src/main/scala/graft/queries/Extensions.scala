@@ -4207,6 +4207,11 @@ object Extensions {
   // short-circuits definite non-members; positives verify against the
   // exact index). A bloom false positive that slipped the verify, or a
   // hash-path divergence between the two variants, fails this row.
+  // Runs with the DURABLE line-hash artifact (r10; the x14/x15/x45
+  // precedent): x130 keeps the recompute path driver-exercised, this
+  // row exercises the steady-state artifact read — the identical-output
+  // oracle now also guards the artifact round trip, and bench re-runs
+  // measure the read-not-rebuild shape the operator ships for.
   val x131 = Q.df("x131_line_dedup_ingest_bloom", x130OracleSql) { (spark, dir) =>
     val docs = Tables.load(spark, dir, "documents")
     val lined = (c: org.apache.spark.sql.Column) =>
@@ -4216,7 +4221,8 @@ object Extensions {
       .select((col("doc_id") + 500000L).as("doc_id"),
         lined(concat(col("text"), lit(" novel"),
           col("doc_id").cast("string"), lit(" tokens here"))).as("text"))
-    Dedup.lineDedupAgainstBloom(batch, corpus, expectedCorpusLines = 1L << 18)
+    Dedup.lineDedupAgainstBloom(batch, corpus, expectedCorpusLines = 1L << 18,
+        checkpointDir = Some(ckptDir("x131", dir)))
       .orderBy("doc_id")
   }
 
