@@ -225,26 +225,26 @@ object Bpe {
         // rejects) and diverge from [[learnMerges]] — drop, don't pick
         order.remove((cnt, a, b))
       } else {
-      chosen += ((a, b))
-      merges += ((a, b))
-      val touched = pairWords.getOrElse((a, b),
-        scala.collection.mutable.BitSet.empty).toArray
-      touched.foreach { wi =>
-        val old = words(wi)
-        val merged = mergeAll(old, a, b)
-        if (merged.length != old.length) {
-          pairsOf(old).foreach { p =>
-            bump(p, -wordCount(wi))
-            pairWords.get(p).foreach(_ -= wi)
+        chosen += ((a, b))
+        merges += ((a, b))
+        val touched = pairWords.getOrElse((a, b),
+          scala.collection.mutable.BitSet.empty).toArray
+        touched.foreach { wi =>
+          val old = words(wi)
+          val merged = mergeAll(old, a, b)
+          if (merged.length != old.length) {
+            pairsOf(old).foreach { p =>
+              bump(p, -wordCount(wi))
+              pairWords.get(p).foreach(_ -= wi)
+            }
+            pairsOf(merged).foreach { p =>
+              bump(p, wordCount(wi))
+              pairWords.getOrElseUpdate(p,
+                scala.collection.mutable.BitSet.empty) += wi
+            }
+            words(wi) = merged
           }
-          pairsOf(merged).foreach { p =>
-            bump(p, wordCount(wi))
-            pairWords.getOrElseUpdate(p,
-              scala.collection.mutable.BitSet.empty) += wi
-          }
-          words(wi) = merged
         }
-      }
       }
     }
     merges.toList
