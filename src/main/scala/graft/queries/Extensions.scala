@@ -4479,6 +4479,67 @@ object Extensions {
     self.crossJoin(shifted) // two 1-row verdict frames
   }
 
+  // ---------------------------------------------------------------- x140
+  // Chunk -> pack END-TO-END under one oracle (the x51/x129 composition
+  // pattern): documents are cut into word-boundary chunks under a BPE
+  // token budget (empty merge table = the DuckDB-expressible symbol
+  // floor, x121e's recursive-CTE restatement), then the CHUNKS become
+  // the packing items — each receives its training-sequence id/offset/
+  // straddle flag from packSequences' distributed exclusive prefix sum
+  // (x22's restatement over the chunk stream). Chunk boundaries decide
+  // item weights, item weights decide the global token layout — a
+  // chunker bug or a prefix-sum bug anywhere in the chain fails the
+  // hash. Wordless docs have no chunks and pack nothing (inline, not
+  // inline_outer, on both sides). The doc_id*1000+chunk_idx item key is
+  // fixture math (max ~50 chunks/doc here — the x130 +500000 style); a
+  // production caller keys chunks by a real composite.
+  val x140 = Q.df(
+    "x140_chunk_pack_compose",
+    """WITH RECURSIVE
+      |wl AS (SELECT doc_id, list_filter(
+      |    string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS ws
+      |  FROM documents),
+      |wt AS (SELECT doc_id,
+      |    CAST(unnest(generate_series(1, len(ws))) AS INT) AS i,
+      |    CAST(length(unnest(ws)) + 1 AS INT) AS n FROM wl),
+      |r AS (
+      |  SELECT doc_id, i, n, 1 AS c,
+      |    CASE WHEN n >= 16 THEN 0 ELSE n END AS a FROM wt WHERE i = 1
+      |  UNION ALL
+      |  SELECT t.doc_id, t.i, t.n,
+      |    CASE WHEN r.a = 0 OR r.a + t.n > 16 THEN r.c + 1 ELSE r.c END AS c,
+      |    CASE WHEN (CASE WHEN r.a = 0 OR r.a + t.n > 16 THEN t.n
+      |                    ELSE r.a + t.n END) >= 16 THEN 0
+      |         ELSE CASE WHEN r.a = 0 OR r.a + t.n > 16 THEN t.n
+      |                   ELSE r.a + t.n END END AS a
+      |  FROM r JOIN wt t ON t.doc_id = r.doc_id AND t.i = r.i + 1),
+      |ch AS (SELECT doc_id, c - 1 AS chunk_idx, CAST(SUM(n) AS BIGINT) AS toks
+      |  FROM r GROUP BY doc_id, c),
+      |t AS (SELECT doc_id, chunk_idx, toks,
+      |    substr(md5('k' || CAST(doc_id * 1000 + chunk_idx AS VARCHAR)
+      |      || ':5'), 1, 8) AS pk
+      |  FROM ch),
+      |cum AS (SELECT doc_id, chunk_idx, toks,
+      |    COALESCE(SUM(toks) OVER (ORDER BY pk, doc_id * 1000 + chunk_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      |  FROM t)
+      |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+      |  CAST(toks AS INT) AS chunk_tokens,
+      |  CAST(s // 256 AS BIGINT) AS seq_id, CAST(s % 256 AS BIGINT) AS seq_offset,
+      |  (s % 256) + toks > 256 AS straddles
+      |FROM cum ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
+    val chunks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), inline(Bpe.chunkByTokenBudget(spark, col("text"),
+        Seq.empty, budget = 16)))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+        (col("doc_id") * 1000 + col("chunk_idx")).as("chunk_key"))
+    Packing.packSequences(chunks, col("chunk_key"), col("chunk_tokens"),
+        budget = 256, seed = 5)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+        col("seq_id"), col("seq_offset"), col("straddles"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -4491,5 +4552,5 @@ object Extensions {
     x107, x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
     x119, x120, x121, x121b, x121c, x121d, x121e, x122, x122b, x123, x124, x125,
     x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136,
-    x137, x138, x139)
+    x137, x138, x139, x140)
 }
