@@ -417,13 +417,34 @@ object Sampling {
     df.filter(domain.isNotNull)
       .groupBy(domain.as("domain"))
       .agg(sum(weight).as("tokens"))
-      .withColumn("__mp_p", pow(t, lit(alpha)))
-      .withColumn("__mp_z", sum(col("__mp_p"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      // pow() is the one non-IEEE-exact op here (JVM vs libm differ in
+      // the last ulp — the x48 pow-ulp contract), and a float SUM of
+      // the pps is addition-order-dependent; the r10 sf0.001 probe
+      // measured the resulting one-ulp z flipping target_tokens' last
+      // digit. Standard repo treatment: pin the transcendental at @7
+      // (floor form — no round() convention) and accumulate the
+      // normalizer exactly in DECIMAL, so share = pp/z is bit-identical
+      // IEEE on both engines.
+      .withColumn("__mp_p",
+        floor(pow(t, lit(alpha)) * lit(1.0e7) + lit(0.5)) / lit(1.0e7))
+      .withColumn("__mp_z", sum(col("__mp_p")
+          .cast(org.apache.spark.sql.types.DecimalType(28, 7)))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy())
+        .cast("double"))
       .select(col("domain"), col("tokens"),
-        round(share, 9).as("share"),
-        round(share * budget, 9).as("target_tokens"),
-        round(share * budget / t, 9).as("rate"))
+        // floor(x·10⁹+0.5)/10⁹ instead of round(x, 9) (r10): pow() is
+        // correctly-rounded enough to be bit-identical cross-engine,
+        // but the sf0.001 probe measured a target_tokens quotient whose
+        // shortest repr ends in '5' at digit 10 — Spark's HALF_UP and
+        // DuckDB's scaled round split exactly there. The floor form is
+        // pure IEEE arithmetic both engines compute identically (the
+        // hexThresholdCol precedent); all quantities are nonnegative so
+        // toward-+∞ halves equal half-away-from-zero.
+        (floor(share * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("share"),
+        (floor(share * budget * lit(1.0e9) + lit(0.5)) / lit(1.0e9))
+          .as("target_tokens"),
+        (floor(share * budget / t * lit(1.0e9) + lit(0.5)) / lit(1.0e9))
+          .as("rate"))
       .withColumn("epochs", ceil(col("rate")).cast("int"))
       .orderBy(col("domain"))
   }

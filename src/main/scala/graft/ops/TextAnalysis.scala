@@ -673,9 +673,10 @@ object TextAnalysis {
         // log pinned @7 for the same reason as unigramSurprisalTokens:
         // p is bit-identical cross-engine (pure IEEE arithmetic in a
         // stated order), ln is not — sf0.1 measured one flipped 9th
-        // digit before this pin
-        round(sum(round(col("tf") * round(log(lit(1.0) / p), 7), 9)
-            .cast(DecimalType(28, 9))).cast("double") / sum(col("tf")), 6)
+        // digit before this pin. Final mean floor-rounded (r10, see
+        // portableRound6) so no round() convention survives the chain.
+        portableRound6(sum(round(col("tf") * round(log(lit(1.0) / p), 7), 9)
+            .cast(DecimalType(28, 9))).cast("double") / sum(col("tf")))
           .as("avg_nll"))
       .orderBy(col("doc_id"))
   }
@@ -843,15 +844,30 @@ object TextAnalysis {
       .agg(
         sum(col("tf")).as("n_toks"),
         // the final mean divides the (exact) decimal sum by the count,
-        // so its value sits anywhere relative to a rounding grid; @6
-        // keeps cross-engine round semantics (decimal-string vs binary)
-        // out of the disagreement window, where @9 measurably flipped
-        // a last digit at sf0.1 scale
-        round(sum(round(col("tf") * round(log(col("total").cast("double") / col("cnt")), 7), 9)
-            .cast(DecimalType(28, 9))).cast("double") / sum(col("tf")), 6)
+        // so its value sits anywhere relative to a rounding grid. @6
+        // narrowed the disagreement window (r07) but one sf0.001 row
+        // still landed a quotient whose shortest repr ends in '5' at
+        // digit 7 — Spark's BigDecimal HALF_UP and DuckDB's scaled
+        // round disagree exactly there. floor(x·10⁶+0.5)/10⁶ (r10, the
+        // hexThreshold precedent) is pure IEEE arithmetic on the
+        // bit-identical quotient, so BOTH engines derive the identical
+        // double — no round() convention in the chain at all.
+        portableRound6(sum(round(col("tf") * round(log(col("total").cast("double") / col("cnt")), 7), 9)
+            .cast(DecimalType(28, 9))).cast("double") / sum(col("tf")))
           .as("avg_nll"))
       .orderBy(col("doc_id"))
   }
+
+  /** Engine-portable 6-decimal rounding: `floor(x·10⁶ + 0.5) / 10⁶` —
+    * pure IEEE ops every engine computes bit-identically, where
+    * `round(x, 6)` pits Spark's shortest-repr HALF_UP against DuckDB's
+    * scaled-double rounding on boundary quotients (the
+    * `Sampling.hexThresholdCol` floor precedent, applied r10 after the
+    * sf0.001 probe measured one flipped last digit). Half-way values
+    * round toward +∞ — for the nonnegative quantities this family
+    * emits, identical to half-away-from-zero. */
+  private def portableRound6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
 
   /** Out-of-vocabulary rate per document — the tokenizer-design /
     * domain-shift metric: with the corpus's own top-`vocabSize` tokens
@@ -1043,10 +1059,10 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(
         sum(col("tf")).as("n_toks"),
-        round(sum(round(col("tf") * round(log(
+        portableRound6(sum(round(col("tf") * round(log(
             (col("__t") + col("__v")).cast("double")
               / (col("ct") + 1).cast("double")), 7), 9)
-            .cast(DecimalType(28, 9))).cast("double") / sum(col("tf")), 6)
+            .cast(DecimalType(28, 9))).cast("double") / sum(col("tf")))
           .as("avg_nll"))
       .orderBy(col("doc_id"))
   }

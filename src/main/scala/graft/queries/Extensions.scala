@@ -790,8 +790,9 @@ object Extensions {
       |c AS (SELECT token, SUM(tf) AS cnt FROM dt GROUP BY 1),
       |tot AS (SELECT SUM(cnt) AS total FROM c)
       |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_toks,
-      |  ROUND(CAST(SUM(CAST(ROUND(tf * ROUND(ln(CAST(total AS DOUBLE) / cnt), 7), 9)
-      |    AS DECIMAL(28,9))) AS DOUBLE) / SUM(tf), 6) AS avg_nll
+      |  floor(CAST(SUM(CAST(ROUND(tf * ROUND(ln(CAST(total AS DOUBLE) / cnt), 7), 9)
+      |    AS DECIMAL(28,9))) AS DOUBLE) / SUM(tf) * 1000000.0 + 0.5)
+      |    / 1000000.0 AS avg_nll
       |FROM dt JOIN c USING (token) CROSS JOIN tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     TextAnalysis.unigramSurprisal(Tables.load(spark, dir, "documents"))
@@ -1838,9 +1839,10 @@ object Extensions {
       |dbg AS (SELECT doc_id, a, b, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
       |n2 AS (SELECT a, b, SUM(tf) AS n2 FROM dbg GROUP BY 1, 2)
       |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-      |  ROUND(CAST(SUM(CAST(ROUND(tf * ROUND(ln(1.0 /
+      |  floor(CAST(SUM(CAST(ROUND(tf * ROUND(ln(1.0 /
       |      (0.75 * n2 / ca.c1 + 0.25 * cb.c1 / CAST(total AS DOUBLE))), 7), 9)
-      |    AS DECIMAL(28,9))) AS DOUBLE) / SUM(tf), 6) AS avg_nll
+      |    AS DECIMAL(28,9))) AS DOUBLE) / SUM(tf) * 1000000.0 + 0.5)
+      |    / 1000000.0 AS avg_nll
       |FROM dbg JOIN n2 USING (a, b)
       |JOIN c1 ca ON ca.token = dbg.a
       |JOIN c1 cb ON cb.token = dbg.b
@@ -2285,13 +2287,18 @@ object Extensions {
     "x79_mixture_plan",
     """WITH a AS (SELECT source AS domain, CAST(SUM(n_chars) AS BIGINT) AS tokens
       |  FROM documents WHERE source IS NOT NULL GROUP BY source),
-      |p AS (SELECT domain, tokens, pow(CAST(tokens AS DOUBLE), 0.5) AS pp FROM a),
-      |z AS (SELECT SUM(pp) AS z FROM p)
-      |SELECT domain, tokens, ROUND(pp / z, 9) AS share,
-      |  ROUND(pp / z * 1000000.0, 9) AS target_tokens,
-      |  ROUND(pp / z * 1000000.0 / CAST(tokens AS DOUBLE), 9) AS rate,
-      |  CAST(CEIL(ROUND(pp / z * 1000000.0 / CAST(tokens AS DOUBLE), 9)) AS INT)
-      |    AS epochs
+      |p AS (SELECT domain, tokens,
+      |    floor(pow(CAST(tokens AS DOUBLE), 0.5) * 10000000.0 + 0.5)
+      |      / 10000000.0 AS pp FROM a),
+      |z AS (SELECT CAST(SUM(CAST(pp AS DECIMAL(28,7))) AS DOUBLE) AS z FROM p)
+      |SELECT domain, tokens,
+      |  floor(pp / z * 1000000000.0 + 0.5) / 1000000000.0 AS share,
+      |  floor(pp / z * 1000000.0 * 1000000000.0 + 0.5) / 1000000000.0
+      |    AS target_tokens,
+      |  floor(pp / z * 1000000.0 / CAST(tokens AS DOUBLE) * 1000000000.0 + 0.5)
+      |    / 1000000000.0 AS rate,
+      |  CAST(CEIL(floor(pp / z * 1000000.0 / CAST(tokens AS DOUBLE)
+      |    * 1000000000.0 + 0.5) / 1000000000.0) AS INT) AS epochs
       |FROM p CROSS JOIN z ORDER BY domain""".stripMargin) { (spark, dir) =>
     Sampling.mixturePlan(Tables.load(spark, dir, "documents"),
       col("source"), col("n_chars"), budget = 1000000.0, alpha = 0.5)
@@ -4246,9 +4253,10 @@ object Extensions {
       |  (SELECT COUNT(*) FROM
       |    (SELECT token FROM tf UNION SELECT token FROM tg)) AS v)
       |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_toks,
-      |  round(CAST(SUM(CAST(round(tf * round(ln(
+      |  floor(CAST(SUM(CAST(round(tf * round(ln(
       |      CAST(t + v AS DOUBLE) / (coalesce(ct, 0) + 1)), 7), 9)
-      |    AS DECIMAL(28,9))) AS DOUBLE) / SUM(tf), 6) AS avg_nll
+      |    AS DECIMAL(28,9))) AS DOUBLE) / SUM(tf) * 1000000.0 + 0.5)
+      |    / 1000000.0 AS avg_nll
       |FROM tf LEFT JOIN tg USING (token), tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val docs = Tables.load(spark, dir, "documents")

@@ -18,8 +18,8 @@ class SurprisalSpec extends AnyFunSuite {
     BigDecimal(d).setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
   private def r9(d: Double) =
     BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-  private def r6(d: Double) =
-    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  // mirror the engine's r10 portable final rounding: floor(x·10⁶+0.5)/10⁶
+  private def r6(d: Double) = math.floor(d * 1e6 + 0.5) / 1e6
   // mirror the engine: cast double -> DECIMAL(28,9) via the shortest
   // decimal representation (Spark's Decimal(double) semantics)
   private def dec9(d: Double) =
