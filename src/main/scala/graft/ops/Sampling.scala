@@ -413,7 +413,11 @@ object Sampling {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
     require(budget > 0.0, s"budget must be positive, got $budget")
     val t = col("tokens").cast("double")
-    val share = col("__mp_p") / col("__mp_z")
+    // nullif: an all-zero-weight corpus has no distribution to plan —
+    // shares come back null (honest), where 0/0 would be NaN and the
+    // r10 floor-form rounding would silently coerce NaN to 0 (Spark's
+    // floor on double returns LONG; NaN.toLong is 0)
+    val share = col("__mp_p") / nullif(col("__mp_z"), lit(0.0))
     df.filter(domain.isNotNull)
       .groupBy(domain.as("domain"))
       .agg(sum(weight).as("tokens"))

@@ -23,6 +23,13 @@ class MixturePlanSpec extends AnyFunSuite {
       ("c", 250L, 0.166666667, 125.0, 0.5, 1)))
   }
 
+  test("an all-zero-weight corpus reports null shares, not NaN-coerced zeros") {
+    val z = Seq(("a", 0L), ("b", 0L)).toDF("src", "w")
+    val got = Sampling.mixturePlan(z, col("src"), col("w"), budget = 100.0)
+      .select("share").collect().map(r => r.isNullAt(0))
+    assert(got.length == 2 && got.forall(identity))
+  }
+
   test("a rate above 1 reports the epoch count a repeat needs") {
     // alpha=0.5 makes the small domains over-allocated relative to mass:
     // a realizes its target in one pass, b/c need two epochs
