@@ -378,12 +378,21 @@ object Sampling {
     val rates = df.filter(domain.isNotNull)
       .groupBy(domain.as("__mix_domain"))
       .agg(sum(weight).as("__mix_total"))
-      .withColumn("__mix_p", pow(t, lit(alpha)))
-      .withColumn("__mix_z", sum(col("__mix_p"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      // same r10 treatment as mixturePlan (measured there at sf0.001):
+      // pow is not correctly rounded across libms and a float Σ is
+      // addition-order-dependent — pin the transcendental @7 (floor
+      // form) and accumulate z exactly in DECIMAL so the rate quotient
+      // is bit-identical IEEE before its own floor-form @9
+      .withColumn("__mix_p",
+        floor(pow(t, lit(alpha)) * lit(1.0e7) + lit(0.5)) / lit(1.0e7))
+      .withColumn("__mix_z", sum(col("__mix_p")
+          .cast(org.apache.spark.sql.types.DecimalType(28, 7)))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy())
+        .cast("double"))
       .select(col("__mix_domain"),
-        round(least(lit(1.0),
-          col("__mix_p") / col("__mix_z") * lit(budget) / t), 9).as("__mix_rate"))
+        (floor(least(lit(1.0),
+          col("__mix_p") / col("__mix_z") * lit(budget) / t)
+          * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("__mix_rate"))
     val hex = bucketHex(key, seed)
     // same null-rate guard as mixtureSample (see there)
     df.join(broadcast(rates), domain === col("__mix_domain"))
@@ -399,11 +408,12 @@ object Sampling {
     * target token allocation under `budget`, the sampling rate that
     * realizes it, and `epochs` = ⌈rate⌉ (a rate above 1 means the
     * domain must repeat — the capacity warning a mixture designer
-    * reads BEFORE launching the 100 TB sampling pass). Same pow-ulp
-    * contract as [[temperatureMixture]]: every derived double is
-    * rounded @9 after the pow/Σ arithmetic (x48's precedent), and
-    * `epochs` is the ceiling of the ROUNDED rate. NULL domains are
-    * excluded (un-attributable mass cannot be allocated).
+    * reads BEFORE launching the 100 TB sampling pass). Same r10
+    * determinism contract as [[temperatureMixture]]: pow pinned @7
+    * (floor form), normalizer accumulated in DECIMAL, every derived
+    * double floor-rounded @9, and `epochs` is the ceiling of the
+    * ROUNDED rate. NULL domains are excluded (un-attributable mass
+    * cannot be allocated).
     *
     * Scale: one map-side-combining aggregate to |domains| rows; the
     * normalization window runs over that tiny frame. The corpus is

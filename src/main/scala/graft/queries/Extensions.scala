@@ -1360,10 +1360,14 @@ object Extensions {
     "x48_temperature_mixture",
     """WITH tot AS (SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS total
       |  FROM documents GROUP BY 1),
-      |r AS (SELECT source, ROUND(LEAST(CAST(1.0 AS DOUBLE),
-      |    pow(total, 0.5) / SUM(pow(total, 0.5)) OVER ()
-      |      * CAST(60000 AS DOUBLE) / total), 9) AS rate
-      |  FROM tot)
+      |pp AS (SELECT source, total,
+      |    floor(pow(total, 0.5) * 10000000.0 + 0.5) / 10000000.0 AS p
+      |  FROM tot),
+      |r AS (SELECT source, floor(LEAST(CAST(1.0 AS DOUBLE),
+      |    p / CAST(SUM(CAST(p AS DECIMAL(28,7))) OVER () AS DOUBLE)
+      |      * CAST(60000 AS DOUBLE) / total) * 1000000000.0 + 0.5)
+      |    / 1000000000.0 AS rate
+      |  FROM pp)
       |SELECT d.doc_id, d.source, d.n_chars, r.rate AS keep_rate
       |FROM documents d JOIN r USING (source)
       |WHERE r.rate >= 1.0
