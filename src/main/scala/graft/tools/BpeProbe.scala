@@ -90,6 +90,10 @@ object BpeProbe {
     val (distMerges, tDist32) = timed(Bpe.learnMerges(saltedDocs, 32))
     val (locMerges, tLoc2k) = timed(Bpe.learnMergesLocal(saltedDocs, 2000))
     val agree = distMerges == locMerges.take(distMerges.length)
+    // the production regime, actually run (not projected): k=50000 —
+    // the learner stops early if supported pairs dry out, and the
+    // realized merge count is part of the measurement
+    val (loc50k, tLoc50k) = timed(Bpe.learnMergesLocal(saltedDocs, 50000))
 
     println(s"| metric | value |")
     println(s"|---|---|")
@@ -103,6 +107,7 @@ object BpeProbe {
     println(f"| encode, 50k merges, $distinctWords distinct words (cache thrash) | $tSalted%.2f s |")
     println(f"| learnMerges (distributed), k=32, salted vocab | $tDist32%.2f s (${tDist32 / 32}%.3f s/round) |")
     println(f"| learnMergesLocal, k=2000, salted vocab | $tLoc2k%.2f s (${tLoc2k * 1000 / 2000}%.2f ms/merge) |")
+    println(f"| learnMergesLocal, k=50000, salted vocab | $tLoc50k%.2f s (${loc50k.size} merges realized, ${tLoc50k * 1000 / math.max(1, loc50k.size)}%.2f ms/merge) |")
     println(s"| local prefix == distributed 32-merge sequence | $agree |")
     spark.stop()
   }
