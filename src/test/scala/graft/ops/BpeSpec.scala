@@ -246,6 +246,24 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("property: the two learn loops agree on randomized small corpora") {
+    // the delta-update loop maintains segmentation SEQUENTIALLY while
+    // the distributed loop re-encodes greedily by rank — equal on any
+    // corpus where no symbol string re-derives across rank order. Tiny
+    // alphabets + repeated words maximize pair collisions and tie
+    // traffic, the regime where a divergence would surface.
+    for (seed <- Seq(7, 19, 83)) {
+      val rnd = new scala.util.Random(seed)
+      val words = Seq.fill(30)(
+        Seq.fill(1 + rnd.nextInt(5))("abc" (rnd.nextInt(3))).mkString)
+      val text = words.flatMap(w => Seq.fill(1 + rnd.nextInt(4))(w))
+      val corpus = Seq((0L, text.mkString(" "))).toDF("doc_id", "text")
+      val dist = Bpe.learnMerges(corpus, k = 12)
+      val local = Bpe.learnMergesLocal(corpus, k = 12)
+      assert(local == dist, s"seed $seed: $local vs $dist")
+    }
+  }
+
   test("learnMergesLocal maxVocab cap keeps only the top words' evidence") {
     // top-1 word by count is "ab" (3x) — with maxVocab=1 the learner
     // never sees "xy", so only ab-derived merges emerge
