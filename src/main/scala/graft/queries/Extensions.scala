@@ -467,6 +467,13 @@ object Extensions {
     s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$key"
   }
 
+  /** /tmp STAGING dir for the streaming rows' bounded-replay inputs,
+    * keyed by the SF dir exactly like [[ckptDir]] (r10): the previous
+    * fixed `graft_xNN_stage` names meant two JVMs over DIFFERENT scale
+    * factors could overwrite each other's staged events mid-read. */
+  private def stageDir(tag: String, dir: String): String =
+    ckptDir(tag + "_stage", dir)
+
   val x14 = Q.df(
     "x14_dedup_pipeline",
     """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id FROM documents
@@ -731,8 +738,7 @@ object Extensions {
       |  CAST(count(*) AS BIGINT) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
-    val staged = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_x26_stage").toString
+    val staged = stageDir("x26", dir)
     Tables.load(spark, dir, "events").coalesce(2)
       .write.mode("overwrite").parquet(staged)
     val q = graft.streaming.EventStream.runToMemory(
@@ -1282,8 +1288,7 @@ object Extensions {
       |HAVING time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes'
       |       <= (SELECT max(ts) - INTERVAL '10 minutes' FROM events)
       |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
-    val staged = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_x46_stage").toString
+    val staged = stageDir("x46", dir)
     Tables.load(spark, dir, "events").coalesce(2)
       .write.mode("overwrite").parquet(staged)
     val q = graft.streaming.EventStream.runToMemory(
@@ -1504,8 +1509,7 @@ object Extensions {
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
-    val staged = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_x52_stage").toString
+    val staged = stageDir("x52", dir)
     val ev = Tables.load(spark, dir, "events")
     // two part-files: the first holds (mostly) the original copy, the
     // second the duplicates; maxFilesPerTrigger=1 then replays them as
@@ -1555,8 +1559,7 @@ object Extensions {
       |WHERE sess_no < last_no
       |   OR session_end + INTERVAL '30 minutes' < mx - INTERVAL '10 minutes'
       |ORDER BY user_id, n_events""".stripMargin) { (spark, dir) =>
-    val staged = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_x53_stage").toString
+    val staged = stageDir("x53", dir)
     Tables.load(spark, dir, "events").coalesce(2)
       .write.mode("overwrite").parquet(staged)
     val q = graft.streaming.EventStream.runToMemory(
@@ -1780,8 +1783,7 @@ object Extensions {
     """SELECT CAST(doc_id + 100000 AS BIGINT) AS doc_id,
       |  CAST(doc_id AS BIGINT) AS corpus_id, CAST(1.0 AS DOUBLE) AS jaccard
       |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val staged = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_x61_stage").toString
+    val staged = stageDir("x61", dir)
     val docs = Tables.load(spark, dir, "documents")
     docs.filter(col("doc_id") % 25 === 0)
       .select((col("doc_id") + 100000L).as("doc_id"),
@@ -2652,8 +2654,7 @@ object Extensions {
       |  AND a.event_type = 'view' AND b.event_type = 'click'
       |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '720 minutes'
       |ORDER BY l_id, r_id""".stripMargin) { (spark, dir) =>
-    val staged = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_x90_stage").toString
+    val staged = stageDir("x90", dir)
     Tables.load(spark, dir, "events")
       .repartitionByRange(2, col("ts")).sortWithinPartitions(col("ts"))
       .write.mode("overwrite").parquet(staged)
@@ -2812,8 +2813,7 @@ object Extensions {
       |        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '720 minutes'))
       |SELECT * FROM m UNION ALL SELECT * FROM u
       |ORDER BY l_id, r_id""".stripMargin) { (spark, dir) =>
-    val staged = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_x94_stage").toString
+    val staged = stageDir("x94", dir)
     Tables.load(spark, dir, "events")
       .repartitionByRange(2, col("ts")).sortWithinPartitions(col("ts"))
       .write.mode("overwrite").parquet(staged)
@@ -4399,8 +4399,7 @@ object Extensions {
       |SELECT user_id, session_end_w, n_events, total_value
       |FROM agg, m WHERE session_end_w < cut
       |ORDER BY user_id, session_end_w""".stripMargin) { (spark, dir) =>
-    val staged = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_x136_stage").toString
+    val staged = stageDir("x136", dir)
     Tables.load(spark, dir, "events")
       .repartitionByRange(2, col("ts")).sortWithinPartitions(col("ts"))
       .write.mode("overwrite").parquet(staged)
