@@ -25,7 +25,11 @@ object EngineOps {
     new SqlEngine(spark)
   }
 
-  /** Round-trip dump of `nation` under a per-format temp dir. */
+  /** Round-trip dump of `nation` under a per-format temp dir. The
+    * fixed name is safe for the same reason as `hiveOut` below:
+    * `nation` is SF-INVARIANT (25 rows at every scale factor), so a
+    * run at another SF overwriting the dump leaves the oracle
+    * comparison unaffected. */
   private def dump(spark: SparkSession, dir: String, fmt: String): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_engineops_${fmt}_nation"
     val w = Tables.load(spark, dir, "nation")
