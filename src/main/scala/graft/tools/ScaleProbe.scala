@@ -24,12 +24,16 @@ import graft.tables.Tables
  * have constant per-bucket caps (bands/maxDf/pigeonhole) and keep their
  * x-query parameters unchanged.
  *
- * Run: sbt "runMain graft.tools.ScaleProbe [sfDir] [factor]"
+ * Run: sbt "runMain graft.tools.ScaleProbe [sfDir] [factor] [onlySubstr]"
+ * (the optional third arg filters probe rows by operator-name
+ * substring, so a new probe can run without re-paying the whole r09
+ * battery).
  */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val only = args.lift(2)
     val out = "/tmp/graft_scaleprobe"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -80,34 +84,64 @@ object ScaleProbe {
     val n1 = d1.count(); val nN = dN.count()
     val m1 = e1.count(); val mN = eN.count()
 
-    val rows = Seq(
-      ("minhashLsh(64,16,0.7)", s"$n1 docs", t(Dedup.minhashLsh(d1, 64, 16, 0.7)),
-        s"$nN docs", t(Dedup.minhashLsh(dN, 64, 16, 0.7)), "Σ bucket² (16 bands)"),
-      ("containmentPairs(0.9,df≤5)", s"$n1 docs", t(Dedup.containmentPairs(d1, 0.9, 5)),
-        s"$nN docs", t(Dedup.containmentPairs(dN, 0.9, 5)), "Σ df², df-capped"),
-      ("editDistancePairs(≤2)", s"$n1 docs", t(Dedup.editDistancePairs(d1, 2)),
-        s"$nN docs", t(Dedup.editDistancePairs(dN, 2)), "pigeonhole min-k grams"),
-      ("semanticDedup(0.95)", s"$m1 vecs, nlist 16",
+    def ingestBatch(base: DataFrame): DataFrame = lined(
+      base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          concat(col("text"), lit(" fresh"),
+            col("doc_id").cast("string")).as("text")))
+    def tArtifact(dX: DataFrame, path: String): Double = {
+      val batch = ingestBatch(d1) // batch FIXED across corpus scales
+      // untimed first call builds the artifact; the timed call reads it
+      Dedup.lineDedupAgainst(batch, lined(dX), Some(path))
+        .write.format("noop").mode("overwrite").save()
+      t(Dedup.lineDedupAgainst(batch, lined(dX), Some(path)))
+    }
+    // thunked so the `only` filter skips unselected probes entirely
+    val rows: Seq[(String, () => (String, Double, String, Double, String))] = Seq(
+      ("minhashLsh(64,16,0.7)", () => (s"$n1 docs", t(Dedup.minhashLsh(d1, 64, 16, 0.7)),
+        s"$nN docs", t(Dedup.minhashLsh(dN, 64, 16, 0.7)), "Σ bucket² (16 bands)")),
+      ("containmentPairs(0.9,df≤5)", () => (s"$n1 docs", t(Dedup.containmentPairs(d1, 0.9, 5)),
+        s"$nN docs", t(Dedup.containmentPairs(dN, 0.9, 5)), "Σ df², df-capped")),
+      ("editDistancePairs(≤2)", () => (s"$n1 docs", t(Dedup.editDistancePairs(d1, 2)),
+        s"$nN docs", t(Dedup.editDistancePairs(dN, 2)), "pigeonhole min-k grams")),
+      ("semanticDedup(0.95)", () => (s"$m1 vecs, nlist 16",
         t(Similarity.semanticDedup(e1, 0.95, nlist = 16, iters = 2)),
         s"$mN vecs, nlist ${16 * factor}",
         t(Similarity.semanticDedup(eN, 0.95, nlist = 16 * factor, iters = 2)),
-        "Σ cell², nlist ∝ n"),
+        "Σ cell², nlist ∝ n")),
       // r09 additions — linear ops; salted copies share no lines/grams,
       // so the duplicate/feature densities stay constant across scales
-      ("lineDedup(3-word lines)", s"$n1 docs", t(Dedup.lineDedup(lined(d1))),
-        s"$nN docs", t(Dedup.lineDedup(lined(dN))), "hash agg + hash join, linear"),
-      ("dsirWeights(512)", s"$n1 docs",
+      ("lineDedup(3-word lines)", () => (s"$n1 docs", t(Dedup.lineDedup(lined(d1))),
+        s"$nN docs", t(Dedup.lineDedup(lined(dN))), "hash agg + hash join, linear")),
+      ("dsirWeights(512)", () => (s"$n1 docs",
         t(Dsir.importanceWeights(d1, d1.filter(col("doc_id") % 10 === 0), 512)),
         s"$nN docs",
         t(Dsir.importanceWeights(dN, dN.filter(col("doc_id") % 10 === 0), 512)),
-        "broadcast ratio join, linear"),
-      ("heavyHitters(25)", s"$n1 docs", t(TextAnalysis.heavyHitters(d1, 25)),
+        "broadcast ratio join, linear")),
+      ("heavyHitters(25)", () => (s"$n1 docs", t(TextAnalysis.heavyHitters(d1, 25)),
         s"$nN docs", t(TextAnalysis.heavyHitters(dN, 25)),
-        "MG candidates ≤ k·parts, linear"))
+        "MG candidates ≤ k·parts, linear")),
+      // r10: steady-state line-dedup ingest — the BATCH is fixed while
+      // the corpus scales; without the artifact the index rebuild is
+      // linear in the corpus, WITH it the second call reads the parquet
+      // index and should be ~flat across corpus scale (the measured
+      // form of the "maintained artifact, not a recompute" claim)
+      ("lineDedupAgainst(rebuild)", () => (s"$n1-doc corpus",
+        t(Dedup.lineDedupAgainst(ingestBatch(d1), lined(d1))),
+        s"$nN-doc corpus",
+        t(Dedup.lineDedupAgainst(ingestBatch(d1), lined(dN))),
+        "index build linear in corpus")),
+      ("lineDedupAgainst(artifact READ)", () => (s"$n1-doc corpus",
+        tArtifact(d1, s"$out/lha_1"),
+        s"$nN-doc corpus",
+        tArtifact(dN, s"$out/lha_N"),
+        "batch-sized: ~flat across corpus scale")))
 
     println("| operator | 1x size | 1x sec | 10x size | 10x sec | ratio | bound |")
     println("|---|---|---|---|---|---|---|")
-    rows.foreach { case (op, s1, t1, s10, t10, bound) =>
+    val shown = only.fold(rows)(f => rows.filter(_._1.contains(f)))
+    shown.foreach { case (op, thunk) =>
+      val (s1, t1, s10, t10, bound) = thunk()
       println(f"| $op | $s1 | $t1%.2f | $s10 | $t10%.2f | ${t10 / t1}%.1fx | $bound |")
     }
     spark.stop()
