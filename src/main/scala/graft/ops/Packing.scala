@@ -41,6 +41,11 @@ object Packing {
       // first two hex chars: 256 contiguous ranges of the global key
       // order, near-uniform because the key is an md5 bucket
       .withColumn("__pack_b", substring(col("pack_key"), 1, 2))
+      // TWO consumers below (local cumsum window + bucket totals) —
+      // without the barrier the whole upstream lineage runs twice,
+      // which x140 turned from cheap (a token count) into a full BPE
+      // chunking pass (the x124 two-consumer rule, applied r10)
+      .localCheckpoint(eager = false)
     // ROWS frame + the raw key as tiebreak: the default RANGE frame
     // hands every pack_key TIE one pooled cumulative sum — overlapping
     // sequence ranges the moment two keys share an 8-hex bucket, which
