@@ -62,7 +62,12 @@ object Selection {
     val bucket =
       when(col("__bs_s").isNull, lit(-1))
         .otherwise(if (bounds.isEmpty) lit(0) else search(0, bounds.length))
+    // TWO consumers below (local cumsum window + bucket totals) — the
+    // barrier keeps the weight column to ONE evaluation per row, which
+    // matters once callers pass a real BPE token count as the weight
+    // (x121d; the x124 two-consumer rule, applied r10)
     val bucketed = keyed.withColumn("__bs_b", bucket)
+      .localCheckpoint(eager = false)
     val wLocal = Window.partitionBy(col("__bs_b"))
       .orderBy(col("__bs_s").desc_nulls_last, key)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
