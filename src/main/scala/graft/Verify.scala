@@ -10,9 +10,16 @@ object Verify {
     // the driver always passes exactly two args)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_SHUFFLE decouples shuffle partitioning from thread
+    // count for the partition-topology probe (VERDICT r10 #4): results
+    // must be oracle-exact at ANY parallelism, so once per round the
+    // full sweep runs at a hostile topology (e.g. 7 partitions on
+    // local[8]) to flush out order-dependent accumulation. The driver
+    // passes no env, so gate behavior is unchanged.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

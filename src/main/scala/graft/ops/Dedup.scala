@@ -219,6 +219,12 @@ object Dedup {
    *    and corpus — cost follows actual cross-corpus signature
    *    collisions, never |batch| × |corpus| — and are verified with
    *    exact Jaccard over the shingle sets before anything is dropped.
+   *
+   * Returns an UNORDERED (keep_id) frame — the r10 exact-family ruling
+   * (see [[exact]]) applies verbatim: the survivor set of a steady-state
+   * ingest batch is batch-sized, a trailing `orderBy(keep_id)` is a full
+   * range exchange over it (plus AQE's boundary-sampling re-execution of
+   * the verify lineage), and every consumer is order-insensitive.
    */
   def dedupAgainst(batch: DataFrame, corpus: DataFrame, numPerm: Int = 64,
       bands: Int = 16, minJaccard: Double = 0.7,
@@ -251,7 +257,6 @@ object Dedup {
       .select(col("b_id").as("doc_id")).distinct()
     fresh.join(dupped, Seq("doc_id"), "left_anti")
       .select(col("doc_id").as("keep_id"))
-      .orderBy(col("keep_id"))
   }
 
   /** Per-doc 64-bit SimHash signatures (doc_id, simhash). Each token
@@ -266,7 +271,11 @@ object Dedup {
    * End-to-end corpus dedup: near-dup pairs (MinHash+LSH) → connected
    * components (iterative min-label propagation — dup clusters have tiny
    * diameters, so this converges in a handful of join rounds) → keep the
-   * smallest doc_id per cluster. Returns the surviving (doc_id) set.
+   * smallest doc_id per cluster. Returns the surviving (doc_id) set,
+   * UNORDERED — the survivor set of a corpus dedup is corpus-sized at
+   * 100 TB, so the r10 exact-family ruling (see [[exact]]) applies: a
+   * trailing `orderBy(keep_id)` would be a full range exchange over
+   * every survivor, bought for nothing.
    *
    * Scale: every iteration is one shuffle join of the PAIR set (bounded
    * by actual duplicates, not corpus size) against the label table; the
@@ -318,7 +327,7 @@ object Dedup {
     val survivors = survivorSet(docs.select(col("doc_id")), labels, reps)
       .localCheckpoint()
     pairs.unpersist(blocking = false)
-    survivors.orderBy(col("keep_id"))
+    survivors
   }
 
   /** Shared survivor-set assembly over a [[connectedComponents]]
@@ -663,7 +672,8 @@ object Dedup {
    * `scoreCol` (ties broken by smallest doc_id — a total order, so the
    * survivor set is deterministic). This is what production pipelines
    * actually do — keep the longest / highest-quality duplicate, not an
-   * arbitrary one. Returns (keep_id), ordered. `scoreCol` must be
+   * arbitrary one. Returns (keep_id), UNORDERED like [[dedupCorpus]]
+   * (same corpus-sized survivor set, same ruling). `scoreCol` must be
    * non-null on cluster members (struct-ordered max_by has no defined
    * null placement) — coalesce a default upstream if scores can miss.
    *
@@ -689,7 +699,6 @@ object Dedup {
         struct(col("__db_s"), -col("doc_id"))).as("doc_id"))
       .select(col("doc_id"))
     survivorSet(docs.select(col("doc_id")), labels, reps)
-      .orderBy(col("keep_id"))
   }
 
   /**

@@ -28,6 +28,29 @@ object JoinStrategies {
       .format("parquet").saveAsTable(table) // managed, under spark.sql.warehouse.dir
   }
 
+  /** [[writeBucketed]] behind the Artifacts fingerprint marker: the
+    * table is written ONCE per (input files/sizes/mtimes, plan, key,
+    * buckets) and silently reused by every later call — bucketing is a
+    * write-time investment, and re-paying it per query (or per bench
+    * sample, VERDICT r10 #5) times the table write, not the
+    * exchange-free join it buys. The marker rides inside the managed
+    * table's warehouse location (underscore-prefixed, invisible to the
+    * file index); catalog existence is required too, so a dropped table
+    * with a stale marker dir rebuilds. */
+  def writeBucketedOnce(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    val fp = Artifacts.fingerprint(df, s"bucketed-v1|key=$key|buckets=$buckets")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table)
+    if (spark.catalog.tableExists(table) &&
+      Artifacts.isValid(spark, loc.toString, fp)) return
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    writeBucketed(df, table, key, buckets)
+    Artifacts.stamp(spark, loc.toString, fp)
+  }
+
   /** Shuffle-free equi-join of two equally-bucketed tables. The MERGE
     * hint pins the sort-merge path (bucket files stream straight into
     * the join with no Exchange) even at test scale, where AQE would

@@ -389,10 +389,21 @@ object Sampling {
           .cast(org.apache.spark.sql.types.DecimalType(28, 7)))
         .over(org.apache.spark.sql.expressions.Window.partitionBy())
         .cast("double"))
+      // nullif guards (mirroring mixturePlan's r10 treatment): a
+      // zero-weight domain (t=0, z>0) or an all-zero corpus (z=0) has no
+      // rate — 0/0 is NaN, and Spark's NaN-is-largest ordering would let
+      // least(1.0, NaN) silently keep the domain at rate 1.0. The null
+      // must gate OUTSIDE least (null-IGNORING, it would fall back to
+      // the 1.0 literal — the very clamp mixtureSample's guard comment
+      // warns about), so a when() holds the degenerate rate null and the
+      // existing isNotNull filter drops the domain.
+      .withColumn("__mix_raw",
+        col("__mix_p") / nullif(col("__mix_z"), lit(0.0)) * lit(budget)
+          / nullif(t, lit(0.0)))
       .select(col("__mix_domain"),
-        (floor(least(lit(1.0),
-          col("__mix_p") / col("__mix_z") * lit(budget) / t)
-          * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("__mix_rate"))
+        when(col("__mix_raw").isNotNull,
+          floor(least(lit(1.0), col("__mix_raw"))
+            * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("__mix_rate"))
     val hex = bucketHex(key, seed)
     // same null-rate guard as mixtureSample (see there)
     df.join(broadcast(rates), domain === col("__mix_domain"))

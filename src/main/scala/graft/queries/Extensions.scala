@@ -561,20 +561,18 @@ object Extensions {
   // the single biggest join lever (PlanSpec asserts the exchange-free
   // join plan; this row pins the RESULT against DuckDB joining the raw
   // parquet). The aggregate on top shuffles 5 rows — the fact shuffle
-  // is gone. Writes are idempotent (drop + location cleanup, as q54).
+  // is gone. The tables are written ONCE behind the Artifacts
+  // fingerprint marker (VERDICT r10 #5): bucketing is a write-time
+  // investment, and re-paying ~2 s of table writes inside the timed
+  // closure measured the writes, not the join; a different SF dir or
+  // regenerated fixtures still rebuild (the fingerprint pins the input
+  // files' paths/sizes/mtimes).
   private def writeBucketedPair(spark: SparkSession, dir: String): Unit = {
-    val hc = spark.sparkContext.hadoopConfiguration
-    Seq("bkt_lineitem", "bkt_orders").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.conf.warehousePath, t)
-      loc.getFileSystem(hc).delete(loc, true)
-    }
-    JoinStrategies.writeBucketed(
+    JoinStrategies.writeBucketedOnce(
       Tables.load(spark, dir, "lineitem")
         .select(col("l_orderkey").as("orderkey"), col("l_quantity")),
       "bkt_lineitem", "orderkey", buckets = 8)
-    JoinStrategies.writeBucketed(
+    JoinStrategies.writeBucketedOnce(
       Tables.load(spark, dir, "orders")
         .select(col("o_orderkey").as("orderkey"), col("o_orderpriority")),
       "bkt_orders", "orderkey", buckets = 8)
@@ -3859,8 +3857,13 @@ object Extensions {
       |FROM documents d LEFT JOIN pd p USING (doc_id)
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     Tables.load(spark, dir, "documents")
+      // coalesce to 0: the oracle's LEFT JOIN coalesces a NULL-text doc's
+      // tokens to 0, while tokenCount is null-preserving — keep the row
+      // oracle-exact if NULL-text rows ever enter the fixture (the same
+      // NULL-text contract the lineDedup family carries, ADVICE r10)
       .select(col("doc_id"),
-        Bpe.tokenCount(spark, col("text"), Seq.empty).as("doc_tokens"),
+        coalesce(Bpe.tokenCount(spark, col("text"), Seq.empty), lit(0))
+          .as("doc_tokens"),
         inline_outer(Bpe.chunkByTokenBudget(spark, col("text"),
           Seq.empty, budget = 16)))
       .groupBy("doc_id")
@@ -4551,6 +4554,83 @@ object Extensions {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  // ---------------------------------------------------------------- x141
+  // BPE learn -> save -> load -> encode ROUND-TRIP under one full oracle
+  // (VERDICT r10 next #2): x138 proves the learn loop and x121 proves the
+  // encoder under a handed table, but nothing yet pushed a LEARNED table
+  // through the persistence layer into the encoder. Here the production
+  // learner (learnMergesLocal) learns the x138 corpus's 8 hand-verified
+  // merges, saveMerges writes them as the (rank, l, r) parquet artifact,
+  // loadMerges reads them back IN RANK ORDER, and the reloaded table
+  // drives per-doc tokenCount. The counts are hand-computed under the
+  // learned table — low=2 (l,o / lo,w fire), lower=4 (low + e,r,</w>
+  // untouched), newest=1 (all 8 merges chain to one symbol), widest=4
+  // (w,i,d + est</w>) — so a bug ANYWHERE in the chain (learn order,
+  // rank persistence, load order, encode priority) moves a literal.
+  // Scale: learn is one vocab-sized aggregate + the measured driver
+  // loop; the artifact is merge-table-sized; encode transports the
+  // table as a foldable literal — no stage here grows with the corpus.
+  val x141 = Q.df(
+    "x141_bpe_learn_roundtrip",
+    """SELECT CAST(sid AS BIGINT) AS sid, CAST(n_tok AS INT) AS n_tok
+      |FROM (VALUES (0, 10), (1, 8), (2, 6), (3, 12)) AS t(sid, n_tok)
+      |ORDER BY sid""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq.fill(5)("low").mkString(" ")),
+      (1L, Seq.fill(2)("lower").mkString(" ")),
+      (2L, Seq.fill(6)("newest").mkString(" ")),
+      (3L, Seq.fill(3)("widest").mkString(" "))).toDF("sid", "text")
+    val learned = Bpe.learnMergesLocal(corpus.withColumnRenamed("sid", "doc_id"),
+      k = 8)
+    val path = ckptDir("x141", dir) + "/merges.parquet"
+    Bpe.saveMerges(spark, learned, path)
+    val reloaded = Bpe.loadMerges(spark, path)
+    corpus.select(col("sid"),
+        Bpe.tokenCount(spark, col("text"), reloaded).as("n_tok"))
+      .orderBy("sid")
+  }
+
+  // ---------------------------------------------------------------- x142
+  // chunkByTokenBudget under REAL (learned) merges, planted full oracle
+  // (VERDICT r10 next #3): x121e hash-checks the chunker's state machine
+  // under the EMPTY table and x121c keeps the real-merge invariant
+  // rows-only — this row hash-checks real-merge chunk BOUNDARIES and
+  // chunk TEXT. Under the x138 corpus's learned table the per-word
+  // counts are hand-computable (newest=1, low=2, lower=4, widest=4,
+  // abcdefgh=9: no learned pair fires), so every chunk of the planted
+  // docs is a literal: budget 5 exercises the pre-flush (3+4>5), the
+  // exact-fill force-flush (4+1=5), the oversized-word own-chunk path
+  // (9>5), the wordless-doc empty array, and whitespace-run collapse.
+  val x142 = Q.df(
+    "x142_bpe_chunk_real_merges",
+    """SELECT CAST(sid AS BIGINT) AS sid, CAST(chunk_idx AS INT) AS chunk_idx,
+      |  chunk, CAST(chunk_tokens AS INT) AS chunk_tokens
+      |FROM (VALUES
+      |  (0, 0, 'newest low', 3), (0, 1, 'lower', 4),
+      |  (0, 2, 'widest newest', 5), (0, 3, 'newest low', 3),
+      |  (1, 0, 'low', 2), (1, 1, 'abcdefgh', 9), (1, 2, 'low', 2),
+      |  (3, 0, 'low', 2), (3, 1, 'lower', 4)
+      |) AS t(sid, chunk_idx, chunk, chunk_tokens)
+      |ORDER BY sid, chunk_idx""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq.fill(5)("low").mkString(" ")),
+      (1L, Seq.fill(2)("lower").mkString(" ")),
+      (2L, Seq.fill(6)("newest").mkString(" ")),
+      (3L, Seq.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val learned = Bpe.learnMergesLocal(corpus, k = 8)
+    val planted = Seq(
+      (0L, "newest low lower widest newest newest low"),
+      (1L, "low abcdefgh low"),
+      (2L, ""), // wordless: EMPTY chunk array, no rows
+      (3L, "  low\t\tlower ")) // whitespace runs collapse in chunk text
+      .toDF("sid", "s")
+    planted.select(col("sid"),
+        inline(Bpe.chunkByTokenBudget(spark, col("s"), learned, budget = 5)))
+      .orderBy("sid", "chunk_idx")
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -4563,5 +4643,5 @@ object Extensions {
     x107, x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
     x119, x120, x121, x121b, x121c, x121d, x121e, x122, x122b, x123, x124, x125,
     x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136,
-    x137, x138, x139, x140)
+    x137, x138, x139, x140, x141, x142)
 }

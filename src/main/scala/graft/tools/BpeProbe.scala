@@ -95,6 +95,45 @@ object BpeProbe {
     // realized merge count is part of the measurement
     val (loc50k, tLoc50k) = timed(Bpe.learnMergesLocal(saltedDocs, 50000))
 
+    // ---- driver state at the DEFAULT maxVocab cap (VERDICT r10 #6):
+    // the 116k-word measurement above is ~1/9 of the 2^20 default, so
+    // the default's driver memory was argued, not measured. Synthesize
+    // exactly 2^20 distinct 5-letter words (26^5 > 2^20; base-26 digit
+    // expansion of the row id) and (a) SizeEstimator the initial
+    // learner state built exactly as learnMergesLocal builds it —
+    // per-word symbol arrays, pair counts, pair→word BitSet postings,
+    // candidate tree — and (b) time the k=50000 merge loop over it.
+    val n20 = 1 << 20
+    val wordExpr = (0 until 5)
+      .map(j => s"char(97 + cast(id / ${math.pow(26, j).toLong.max(1)} as int) % 26)")
+      .mkString("concat(", ", ", ")")
+    val vocab20 = spark.range(n20.toLong).selectExpr(s"$wordExpr as text")
+      .localCheckpoint()
+    val state20Bytes = {
+      val vw: Array[String] = vocab20.select(col("text"))
+        .collect().map(_.getString(0))
+      val words: Array[Array[String]] =
+        vw.map(w => (w.map(_.toString) :+ "</w>").toArray)
+      val pairCount = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      val pairWords = scala.collection.mutable.HashMap
+        .empty[(String, String), scala.collection.mutable.BitSet]
+      val order = scala.collection.mutable.TreeSet
+        .empty[(Long, String, String)](Ordering.Tuple3(
+          Ordering.Long.reverse, Ordering.String, Ordering.String))
+      words.indices.foreach { wi =>
+        (0 until words(wi).length - 1).foreach { i =>
+          val p = (words(wi)(i), words(wi)(i + 1))
+          pairCount(p) = pairCount.getOrElse(p, 0L) + 1L
+          pairWords.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += wi
+        }
+      }
+      pairCount.foreach { case ((l, r), c) => order.add((c, l, r)) }
+      org.apache.spark.util.SizeEstimator.estimate(
+        (words, pairCount, pairWords, order))
+    }
+    val (loc20cap, tLoc20cap) = timed(Bpe.learnMergesLocal(
+      vocab20, 50000, maxVocab = 1 << 20))
+
     println(s"| metric | value |")
     println(s"|---|---|")
     println(s"| merge table | ${merges50k.size} ranked pairs (synthetic, 3-level) |")
@@ -108,6 +147,8 @@ object BpeProbe {
     println(f"| learnMerges (distributed), k=32, salted vocab | $tDist32%.2f s (${tDist32 / 32}%.3f s/round) |")
     println(f"| learnMergesLocal, k=2000, salted vocab | $tLoc2k%.2f s (${tLoc2k * 1000 / 2000}%.2f ms/merge) |")
     println(f"| learnMergesLocal, k=50000, salted vocab | $tLoc50k%.2f s (${loc50k.size} merges realized, ${tLoc50k * 1000 / math.max(1, loc50k.size)}%.2f ms/merge) |")
+    println(f"| driver state @ maxVocab=2^20 (SizeEstimator: words+pairCount+pairWords+order) | ${state20Bytes / 1024.0 / 1024.0}%.1f MiB |")
+    println(f"| learnMergesLocal, k=50000, 2^20-word vocab | $tLoc20cap%.2f s (${loc20cap.size} merges realized) |")
     println(s"| local prefix == distributed 32-merge sequence | $agree |")
     spark.stop()
   }

@@ -96,6 +96,31 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
       t(Dedup.lineDedupAgainst(batch, lined(dX), Some(path)))
     }
+    // r11 (VERDICT r10 #7): bloom-vs-exact ingest crossover. The bloom's
+    // claimed win is that batch lines missing the filter never shuffle
+    // toward the index join at all — which only pays when the batch has
+    // LOW overlap with the corpus, so the probe batch is fully salted
+    // (shares no line with any corpus copy). Both routes read the same
+    // prebuilt index artifact; what differs per call is the exact
+    // route's batch⋈index hash join vs the bloom route's filter BUILD
+    // (one index scan into an aggregate — the per-call price of the
+    // literal transport) plus a tiny residual join of bloom positives.
+    def lowOverlapBatch(base: DataFrame): DataFrame = lined(
+      base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          regexp_replace(col("text"), "([a-z]+)", "q$1").as("text")))
+    def tExactLow(dX: DataFrame, path: String): Double = {
+      val batch = lowOverlapBatch(d1)
+      Dedup.lineDedupAgainst(batch, lined(dX), Some(path))
+        .write.format("noop").mode("overwrite").save()
+      t(Dedup.lineDedupAgainst(batch, lined(dX), Some(path)))
+    }
+    def tBloomLow(dX: DataFrame, path: String): Double = {
+      val batch = lowOverlapBatch(d1)
+      Dedup.lineDedupAgainstBloom(batch, lined(dX), 1L << 23, Some(path))
+        .write.format("noop").mode("overwrite").save()
+      t(Dedup.lineDedupAgainstBloom(batch, lined(dX), 1L << 23, Some(path)))
+    }
     // thunked so the `only` filter skips unselected probes entirely
     val rows: Seq[(String, () => (String, Double, String, Double, String))] = Seq(
       ("minhashLsh(64,16,0.7)", () => (s"$n1 docs", t(Dedup.minhashLsh(d1, 64, 16, 0.7)),
@@ -135,7 +160,17 @@ object ScaleProbe {
         tArtifact(d1, s"$out/lha_1"),
         s"$nN-doc corpus",
         tArtifact(dN, s"$out/lha_N"),
-        "batch-sized: ~flat across corpus scale")))
+        "batch-sized: ~flat across corpus scale")),
+      ("lineDedupAgainst(low-overlap)", () => (s"$n1-doc corpus",
+        tExactLow(d1, s"$out/lhx_1"),
+        s"$nN-doc corpus",
+        tExactLow(dN, s"$out/lhx_N"),
+        "exact route: batch⋈index join per call")),
+      ("lineDedupAgainstBloom(low-overlap)", () => (s"$n1-doc corpus",
+        tBloomLow(d1, s"$out/lhb_1"),
+        s"$nN-doc corpus",
+        tBloomLow(dN, s"$out/lhb_N"),
+        "bloom route: filter build per call + residual join")))
 
     println("| operator | 1x size | 1x sec | 10x size | 10x sec | ratio | bound |")
     println("|---|---|---|---|---|---|---|")

@@ -246,6 +246,30 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("x141/x142 plants: learned-table encode and real-merge chunks match hand values") {
+    // the x138 corpus's 8 learned merges give hand-computable per-word
+    // counts (low=2, lower=4, newest=1, widest=4, abcdefgh=9 — no
+    // learned pair fires on unknown letters); the x141/x142 driver rows
+    // restate these, this spec guards them inside `sbt test`
+    val corpus = Seq(
+      (0L, Seq.fill(5)("low").mkString(" ")),
+      (1L, Seq.fill(2)("lower").mkString(" ")),
+      (2L, Seq.fill(6)("newest").mkString(" ")),
+      (3L, Seq.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val learned = Bpe.learnMergesLocal(corpus, k = 8)
+    assert(countOf("low", learned) == 2)
+    assert(countOf("lower", learned) == 4)
+    assert(countOf("newest", learned) == 1)
+    assert(countOf("widest", learned) == 4)
+    assert(countOf("abcdefgh", learned) == 9)
+    val rows = Seq("newest low lower widest newest newest low").toDF("s")
+      .select(inline(Bpe.chunkByTokenBudget(spark, col("s"), learned, 5)))
+      .collect()
+    assert(rows.map(r => (r.getAs[String]("chunk"), r.getAs[Int]("chunk_tokens")))
+      .toSeq == Seq(("newest low", 3), ("lower", 4), ("widest newest", 5),
+        ("newest low", 3)))
+  }
+
   test("property: the two learn loops agree on randomized small corpora") {
     // the delta-update loop maintains segmentation SEQUENTIALLY while
     // the distributed loop re-encodes greedily by rank — equal on any

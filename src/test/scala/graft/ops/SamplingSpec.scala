@@ -197,6 +197,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(kept - 2000L) < 200, s"kept $kept of 4000 at rate 0.5")
   }
 
+  test("temperatureMixture: a zero-weight domain drops via null rate, not NaN->1.0") {
+    // ADVICE r10: pow(0, a)=0 makes a zero-weight domain's rate 0/0 =
+    // NaN; Spark's NaN-is-largest ordering turned least(1.0, NaN) into a
+    // silent keep-everything at rate 1.0. The nullif guard (mirroring
+    // mixturePlan) surfaces the degenerate domain as a null rate, which
+    // the isNotNull filter drops — the documented honest-null posture.
+    val df = ((0L until 100L).map(i => (i, "real", 10L)) ++
+      (100L until 110L).map(i => (i, "empty", 0L)))
+      .toDF("id", "src", "w")
+    val kept = Sampling.temperatureMixture(df, col("src"), col("w"),
+      alpha = 0.5, budget = 2000.0, key = col("id"), seed = 3)
+    val bySrc = kept.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(!bySrc.contains("empty"), s"zero-weight domain kept rows: $bySrc")
+    assert(bySrc("real") == 100) // rate 2000/1000 = 2 -> clamp 1.0, all kept
+    // all-zero corpus: every domain degenerate -> empty result, no NaN
+    val allZero = (0L until 10L).map(i => (i, "z", 0L)).toDF("id", "src", "w")
+    assert(Sampling.temperatureMixture(allZero, col("src"), col("w"),
+      alpha = 0.5, budget = 5.0, key = col("id"), seed = 3).count() == 0)
+  }
+
   test("temperatureMixture rejects bad alpha and budget") {
     intercept[IllegalArgumentException](Sampling.temperatureMixture(
       ids(3), col("id"), lit(1), alpha = 0.0, budget = 1.0, key = col("id")))
