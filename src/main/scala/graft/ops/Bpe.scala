@@ -183,8 +183,17 @@ object Bpe {
       b.toArray
     }
     val pairCount = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    // postings are SPARSE sets (r11, measured): a dense BitSet's
+    // capacity is the max word index it ever holds, and the merge loop
+    // mints thousands of few-member pairs — at the 2^20 default cap
+    // that allocated ~128 KiB per pair and OOM'd an 8 GB driver
+    // (BpeProbe caught it); HashSet memory follows membership, which
+    // only shrinks as merges localize. Update order over postings is
+    // commutative (each touched word re-encodes independently and count
+    // deltas add), so the learned sequence is unchanged — BpeSpec's
+    // equality and property pins hold.
     val pairWords = scala.collection.mutable.HashMap
-      .empty[(String, String), scala.collection.mutable.BitSet]
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
     // candidate order: count desc, then (left, right) lexicographic asc
     val order = scala.collection.mutable.TreeSet
       .empty[(Long, String, String)](Ordering.Tuple3(
@@ -201,7 +210,7 @@ object Bpe {
     words.indices.foreach { wi =>
       pairsOf(words(wi)).foreach { p =>
         bump(p, wordCount(wi))
-        pairWords.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += wi
+        pairWords.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty[Int]) += wi
       }
     }
     def mergeAll(s: Array[String], a: String, b: String): Array[String] = {
@@ -228,7 +237,7 @@ object Bpe {
         chosen += ((a, b))
         merges += ((a, b))
         val touched = pairWords.getOrElse((a, b),
-          scala.collection.mutable.BitSet.empty).toArray
+          scala.collection.mutable.HashSet.empty[Int]).toArray
         touched.foreach { wi =>
           val old = words(wi)
           val merged = mergeAll(old, a, b)
@@ -240,7 +249,7 @@ object Bpe {
             pairsOf(merged).foreach { p =>
               bump(p, wordCount(wi))
               pairWords.getOrElseUpdate(p,
-                scala.collection.mutable.BitSet.empty) += wi
+                scala.collection.mutable.HashSet.empty[Int]) += wi
             }
             words(wi) = merged
           }

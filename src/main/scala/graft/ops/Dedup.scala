@@ -914,7 +914,14 @@ object Dedup {
     * fp·batch) lines instead of every batch line, and batch lines that
     * miss the bloom never shuffle toward the index at all. The filter
     * bytes (~1.2 bytes/line at 1% fp) ship as one literal, the
-    * [[graft.functions.TextHashExprs.bloomAgg]] transport. */
+    * [[graft.functions.TextHashExprs.bloomAgg]] transport. With
+    * `checkpointDir` BOTH derived tables persist under the Artifacts
+    * contract — `<dir>/line_hash_index` and `<dir>/line_hash_bloom` —
+    * because the bloom build is an index-wide aggregate: paid per
+    * batch it costs more than the exact route ever does (measured,
+    * ScaleProbe r11); paid once it amortizes across the ingest
+    * stream. Without a checkpointDir prefer [[lineDedupAgainst]]
+    * unless the same filter serves many batches in-session. */
   def lineDedupAgainstBloom(batch: DataFrame, corpus: DataFrame,
       expectedCorpusLines: Long = 1L << 20,
       checkpointDir: Option[String] = None): DataFrame = {
@@ -941,10 +948,25 @@ object Dedup {
       case some @ Some(_) => lineHashIndex(corpus, some)
       case None => lineHashIndex(corpus, None).localCheckpoint(eager = false)
     }
-    val bfBytes = idx
+    // The FILTER BYTES are themselves a durable artifact when a
+    // checkpointDir is given (r11, measured): rebuilding the bloom per
+    // ingest batch scans the whole index into an aggregate — ScaleProbe
+    // clocked that per-call build at ~5 s where the exact route's
+    // batch⋈index join costs 0.65 s, i.e. an UNCACHED bloom is strictly
+    // worse at any corpus scale. With the artifact the steady state
+    // reads one ~filter-sized parquet row per batch and the bloom's
+    // miss-short-circuit finally prices what the scaladoc sells.
+    def buildBloom = idx
       .agg(graft.functions.TextHashExprs.bloomAgg(spark, col("__lh"),
         expectedCorpusLines).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
+    val bfBytes = (checkpointDir match {
+      case Some(dir) =>
+        val fp = Artifacts.fingerprint(corpus,
+          s"linebloom-v1|n=$expectedCorpusLines")
+        Artifacts.parquetCheckpoint(spark, s"$dir/line_hash_bloom", fp)(
+          buildBloom)
+      case None => buildBloom
+    }).head().getAs[Array[Byte]]("bf")
     val bLines = batch
       .select(col("doc_id"),
         posexplode(split(coalesce(col("text"), lit("")), "\n")).as(Seq("pos", "line")))

@@ -1121,4 +1121,96 @@ object TextAnalysis {
       .select(col("token"), col("cnt"))
       .orderBy(col("cnt").desc, col("token"))
   }
+
+  /** Zipf-law fit over the corpus's top-`k` token frequencies — the
+    * corpus-health datasheet stat: least-squares slope/intercept of
+    * ln(count) against ln(rank), rank 1 = most frequent token (ties
+    * break token-ascending — a total order, so the top-k SET and the
+    * ranking are deterministic). Natural-language corpora slope near
+    * −1 (Zipf 1949); a boilerplate/template flood flattens the head
+    * toward 0 and a dedup failure steepens it — the one-number drift
+    * alarm a corpus datasheet tracks across snapshots. One row:
+    * `(k_used, zipf_slope, zipf_intercept)`.
+    *
+    * Determinism (the repo's r10 transcendental contract): ln pins @7
+    * at source (floor form — the only non-IEEE-exact op here); the
+    * four normal-equation sums accumulate floor-form-@9 terms in
+    * DECIMAL(38,9) (exact, order-independent); the closed-form
+    * slope/intercept divisions run double/double in one written order
+    * on both engines, final floor-form @9.
+    *
+    * 100 TB shape: token instances condense map-side into ONE
+    * vocabulary-sized count aggregate; the top-k plans as
+    * TakeOrderedAndProject (per-partition heaps, never a global
+    * sort); the rank window and the fit run over the k-row frame —
+    * the single-partition window is k rows by construction. */
+  def zipfFit(docs: DataFrame, k: Int = 200): DataFrame =
+    zipfFitTokens(docs.select(Text.tokens(col("text")).as("w")), k)
+
+  /** [[zipfFit]] over a pre-tokenized frame `(w: array<string>)`. */
+  def zipfFitTokens(toks: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val counts = toks.select(explode(col("w")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(k)
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    def pin7(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1.0e7) + lit(0.5)) / lit(1.0e7)
+    def t9(c: org.apache.spark.sql.Column) =
+      (floor(c * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).cast(DecimalType(38, 9))
+    val s = counts
+      .withColumn("__zx", pin7(log(row_number().over(win).cast("double"))))
+      .withColumn("__zy", pin7(log(col("cnt").cast("double"))))
+      .agg(count(lit(1)).as("n"),
+        sum(t9(col("__zx"))).as("sx"), sum(t9(col("__zy"))).as("sy"),
+        sum(t9(col("__zx") * col("__zx"))).as("sxx"),
+        sum(t9(col("__zx") * col("__zy"))).as("sxy"))
+      .select(col("n"), col("sx").cast("double").as("sxd"),
+        col("sy").cast("double").as("syd"),
+        col("sxx").cast("double").as("sxxd"),
+        col("sxy").cast("double").as("sxyd"))
+    val n = col("n").cast("double")
+    val slope = (n * col("sxyd") - col("sxd") * col("syd")) /
+      (n * col("sxxd") - col("sxd") * col("sxd"))
+    s.select(col("n").cast("long").as("k_used"),
+      (floor(slope * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("zipf_slope"),
+      (floor((col("syd") - slope * col("sxd")) / n * lit(1.0e9) + lit(0.5))
+        / lit(1.0e9)).as("zipf_intercept"))
+  }
+
+  /** Per-document encoding-anomaly audit — the mojibake / transcoding-
+    * damage gate a multilingual crawl runs before any content filter:
+    * counts of U+FFFD replacement characters (a decoder already gave
+    * up), non-whitespace C0/DEL control characters (binary bleed,
+    * terminal garbage), and U+00C2/U+00C3 marks (the signature lead
+    * bytes of UTF-8 text re-decoded as Latin-1 — "Ã©" for "é"),
+    * plus their pooled per-char rate. Emits `(doc_id, n_chars,
+    * n_replacement, n_control, n_mojibake_marks, anomaly_rate)`;
+    * NULL text drops (the [[scriptProfile]] contract). The character
+    * classes are explicit codepoint escapes, engine-portable (Java
+    * regex and RE2 read `\x{..}`/`\xNN` ranges identically; no
+    * property classes whose tables drift across engines).
+    *
+    * 100 TB shape: a pure shuffle-free projection (three counting
+    * regex passes per row); streams at any corpus size — the same
+    * shape as [[scriptProfile]]. */
+  def encodingAnomalies(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    def cnt(pattern: String) =
+      (length(t) - length(regexp_replace(t, pattern, ""))).cast("long")
+    docs.filter(t.isNotNull)
+      .select(col("doc_id"),
+        length(t).cast("long").as("n_chars"),
+        cnt("\\x{FFFD}").as("n_replacement"),
+        cnt("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]").as("n_control"),
+        cnt("[\\x{C2}\\x{C3}]").as("n_mojibake_marks"))
+      .withColumn("anomaly_rate",
+        when(col("n_chars") > 0,
+          round((col("n_replacement") + col("n_control")
+            + col("n_mojibake_marks")).cast("double")
+            / col("n_chars").cast("double"), 9))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -3800,7 +3800,10 @@ object Extensions {
   // oracle (rows-only); the load-bearing invariant rides in the output:
   // total_chunk_tokens == doc_tokens for every row (chunks PARTITION the
   // word stream and encoding is per-word), and BpeSpec asserts it plus
-  // the budget bound corpus-wide at sf0.001.
+  // the budget bound corpus-wide at sf0.001. Real-merge chunk BOUNDARIES
+  // are hash-checked by the planted x142 (learned table, literal chunk
+  // rows); this row stays as the large-fixture invariant over the full
+  // documents table.
   val x121c = Q.dfOnly("x121c_bpe_chunk_budget") { (spark, dir) =>
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
@@ -4631,6 +4634,94 @@ object Extensions {
       .orderBy("sid", "chunk_idx")
   }
 
+  // ---------------------------------------------------------------- x143
+  // Zipf-law fit over the top-200 token frequencies — the corpus-health
+  // number a datasheet tracks across snapshots (natural text slopes
+  // near -1; template floods flatten it, dedup failures steepen it).
+  // Full oracle: both engines rank the same deterministic top-k set
+  // (count desc, token asc), pin ln@7 floor-form, accumulate the four
+  // normal-equation sums as @9 terms in DECIMAL(38,9), and divide in
+  // one written order — the slope/intercept hash-compare exactly.
+  val x143 = Q.df(
+    "x143_zipf_fit",
+    """WITH w AS (SELECT list_filter(
+      |    string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM documents),
+      |t AS (SELECT unnest(w) AS token FROM w),
+      |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token
+      |  ORDER BY cnt DESC, token LIMIT 200),
+      |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rk
+      |  FROM c),
+      |p AS (SELECT floor(ln(rk) * 1e7 + 0.5) / 1e7 AS x,
+      |    floor(ln(cnt) * 1e7 + 0.5) / 1e7 AS y FROM r),
+      |s AS (SELECT count(*) AS n,
+      |    SUM(CAST(floor(x * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9))) AS sx,
+      |    SUM(CAST(floor(y * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9))) AS sy,
+      |    SUM(CAST(floor(x * x * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9))) AS sxx,
+      |    SUM(CAST(floor(x * y * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9))) AS sxy
+      |  FROM p),
+      |f AS (SELECT n, CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS sl
+      |  FROM s)
+      |SELECT CAST(n AS BIGINT) AS k_used,
+      |  floor(sl * 1e9 + 0.5) / 1e9 AS zipf_slope,
+      |  floor((syd - sl * sxd) / CAST(n AS DOUBLE) * 1e9 + 0.5) / 1e9
+      |    AS zipf_intercept
+      |FROM f""".stripMargin) { (spark, dir) =>
+    TextAnalysis.zipfFit(Tables.load(spark, dir, "documents"), k = 200)
+  }
+
+  // ---------------------------------------------------------------- x144
+  // Per-document encoding-anomaly audit (mojibake gate): U+FFFD
+  // replacement chars, non-whitespace C0/DEL controls, and the
+  // U+00C2/U+00C3 UTF-8-as-Latin-1 signature marks, with the pooled
+  // per-char rate. The fixture corpus is clean, so four planted rows
+  // pin each counter on both sides (chr() builds the same code points
+  // DuckDB-side that the Scala escapes embed Spark-side); the regex
+  // classes are explicit codepoint escapes both engines read
+  // identically. Integer counts + one exact-input ROUND(,9) division —
+  // full oracle.
+  val x144 = Q.df(
+    "x144_encoding_anomalies",
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+      |  UNION ALL
+      |  SELECT CAST(doc_id AS BIGINT), text FROM (VALUES
+      |    (900001, 'clean ascii text'),
+      |    (900002, 'bad ' || chr(65533) || ' twice ' || chr(65533)),
+      |    (900003, 'bell ' || chr(7) || ' and ' || chr(1) || chr(127)
+      |      || ' controls'),
+      |    (900004, 'moja ' || chr(195) || chr(169) || ' and ' || chr(194)
+      |      || chr(183) || ' marks')) v(doc_id, text)),
+      |m AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(length(text) - length(regexp_replace(text, '\x{FFFD}', '', 'g'))
+      |    AS BIGINT) AS n_replacement,
+      |  CAST(length(text) - length(regexp_replace(text,
+      |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))
+      |    AS BIGINT) AS n_control,
+      |  CAST(length(text) - length(regexp_replace(text, '[\x{C2}\x{C3}]',
+      |    '', 'g')) AS BIGINT) AS n_mojibake_marks
+      |  FROM d)
+      |SELECT doc_id, n_chars, n_replacement, n_control, n_mojibake_marks,
+      |  CASE WHEN n_chars > 0 THEN ROUND(CAST(n_replacement + n_control
+      |    + n_mojibake_marks AS DOUBLE) / CAST(n_chars AS DOUBLE), 9)
+      |    ELSE 0.0 END AS anomaly_rate
+      |FROM m ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val planted = Seq(
+      (900001L, "clean ascii text"),
+      (900002L, "bad \uFFFD twice \uFFFD"),
+      (900003L, "bell \u0007 and \u0001\u007F controls"),
+      (900004L, "moja \u00C3\u00A9 and \u00C2\u00B7 marks"))
+      .toDF("doc_id", "text")
+    TextAnalysis.encodingAnomalies(
+      Tables.load(spark, dir, "documents").select("doc_id", "text")
+        .unionByName(planted))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -4643,5 +4734,5 @@ object Extensions {
     x107, x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
     x119, x120, x121, x121b, x121c, x121d, x121e, x122, x122b, x123, x124, x125,
     x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136,
-    x137, x138, x139, x140, x141, x142)
+    x137, x138, x139, x140, x141, x142, x143, x144)
 }

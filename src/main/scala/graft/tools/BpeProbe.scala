@@ -101,7 +101,7 @@ object BpeProbe {
     // exactly 2^20 distinct 5-letter words (26^5 > 2^20; base-26 digit
     // expansion of the row id) and (a) SizeEstimator the initial
     // learner state built exactly as learnMergesLocal builds it —
-    // per-word symbol arrays, pair counts, pair→word BitSet postings,
+    // per-word symbol arrays, pair counts, pair→word sparse postings,
     // candidate tree — and (b) time the k=50000 merge loop over it.
     val n20 = 1 << 20
     val wordExpr = (0 until 5)
@@ -116,7 +116,7 @@ object BpeProbe {
         vw.map(w => (w.map(_.toString) :+ "</w>").toArray)
       val pairCount = scala.collection.mutable.HashMap.empty[(String, String), Long]
       val pairWords = scala.collection.mutable.HashMap
-        .empty[(String, String), scala.collection.mutable.BitSet]
+        .empty[(String, String), scala.collection.mutable.HashSet[Int]]
       val order = scala.collection.mutable.TreeSet
         .empty[(Long, String, String)](Ordering.Tuple3(
           Ordering.Long.reverse, Ordering.String, Ordering.String))
@@ -124,7 +124,7 @@ object BpeProbe {
         (0 until words(wi).length - 1).foreach { i =>
           val p = (words(wi)(i), words(wi)(i + 1))
           pairCount(p) = pairCount.getOrElse(p, 0L) + 1L
-          pairWords.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += wi
+          pairWords.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty[Int]) += wi
         }
       }
       pairCount.foreach { case ((l, r), c) => order.add((c, l, r)) }

@@ -115,11 +115,11 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
       t(Dedup.lineDedupAgainst(batch, lined(dX), Some(path)))
     }
-    def tBloomLow(dX: DataFrame, path: String): Double = {
+    def tBloomLow(dX: DataFrame, path: String, expected: Long): Double = {
       val batch = lowOverlapBatch(d1)
-      Dedup.lineDedupAgainstBloom(batch, lined(dX), 1L << 23, Some(path))
+      Dedup.lineDedupAgainstBloom(batch, lined(dX), expected, Some(path))
         .write.format("noop").mode("overwrite").save()
-      t(Dedup.lineDedupAgainstBloom(batch, lined(dX), 1L << 23, Some(path)))
+      t(Dedup.lineDedupAgainstBloom(batch, lined(dX), expected, Some(path)))
     }
     // thunked so the `only` filter skips unselected probes entirely
     val rows: Seq[(String, () => (String, Double, String, Double, String))] = Seq(
@@ -166,11 +166,21 @@ object ScaleProbe {
         s"$nN-doc corpus",
         tExactLow(dN, s"$out/lhx_N"),
         "exact route: batch⋈index join per call")),
-      ("lineDedupAgainstBloom(low-overlap)", () => (s"$n1-doc corpus",
-        tBloomLow(d1, s"$out/lhb_1"),
+      // right-sized filter (2^17 ≈ the 1x line count, 2^21 ≈ 10x):
+      // per-call cost = artifact read + literal transport + probe
+      ("lineDedupAgainstBloom(low-overlap, right-sized)", () => (s"$n1-doc corpus",
+        tBloomLow(d1, s"$out/lhb_1", 1L << 17),
         s"$nN-doc corpus",
-        tBloomLow(dN, s"$out/lhb_N"),
-        "bloom route: filter build per call + residual join")))
+        tBloomLow(dN, s"$out/lhb_N", 1L << 21),
+        "bloom artifact read + size-proportional literal transport")),
+      // deliberately oversized (2^23 both): isolates the literal
+      // transport tax — the filter ships in the task binary, so an
+      // overestimated expectedCorpusLines is paid on EVERY query
+      ("lineDedupAgainstBloom(low-overlap, oversized 2^23)", () => (s"$n1-doc corpus",
+        tBloomLow(d1, s"$out/lhc_1", 1L << 23),
+        s"$nN-doc corpus",
+        tBloomLow(dN, s"$out/lhc_N", 1L << 23),
+        "same hits; ~7 MiB filter literal shipped per call")))
 
     println("| operator | 1x size | 1x sec | 10x size | 10x sec | ratio | bound |")
     println("|---|---|---|---|---|---|---|")

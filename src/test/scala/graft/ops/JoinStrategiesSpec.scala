@@ -37,6 +37,29 @@ class JoinStrategiesSpec extends AnyFunSuite {
     }
   }
 
+  test("writeBucketedOnce writes once, reuses on re-call, rebuilds on input change") {
+    val li = Tables.load(spark, TestSessions.sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    JoinStrategies.writeBucketedOnce(li, "b_once", "l_orderkey", 4)
+    val loc = new java.io.File(new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, "b_once").toUri.getPath)
+    def stamps() = loc.listFiles().map(f => f.getName -> f.lastModified).toMap
+    val s1 = stamps()
+    assert(s1.keys.exists(_ == "_graft_fingerprint"))
+    // identical input: part files untouched — the bench-closure contract
+    JoinStrategies.writeBucketedOnce(li, "b_once", "l_orderkey", 4)
+    assert(stamps() == s1, "second call rewrote an up-to-date bucketed table")
+    // changed plan (projection differs) -> fingerprint miss -> rebuild
+    JoinStrategies.writeBucketedOnce(
+      li.filter(col("l_quantity") > 10), "b_once", "l_orderkey", 4)
+    assert(stamps() != s1, "changed input did not rebuild")
+    // dropped table with a stale marker dir -> catalog check forces rebuild
+    spark.sql("DROP TABLE b_once")
+    JoinStrategies.writeBucketedOnce(li, "b_once", "l_orderkey", 4)
+    assert(spark.table("b_once").count() == li.count())
+    spark.sql("DROP TABLE IF EXISTS b_once")
+  }
+
   test("salted join equals the plain join result") {
     val li = Tables.load(spark, TestSessions.sf0001, "lineitem")
       .select(col("l_orderkey").as("k"), col("l_quantity"))

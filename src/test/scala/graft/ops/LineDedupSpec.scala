@@ -172,6 +172,20 @@ class LineDedupSpec extends AnyFunSuite {
           expectedCorpusLines = 1024, checkpointDir = ckpt)
         .as[(Long, String, Long, Long)].collect().toSeq
       assert(bloomed == second)
+      // the filter BYTES are a durable artifact too (r11): the build is
+      // an index-wide aggregate, so a steady-state ingest must pay it
+      // once — marker valid, part files untouched by a second call
+      val fpB = Artifacts.fingerprint(c, "linebloom-v1|n=1024")
+      assert(Artifacts.isValid(spark, s"$dir/idx/line_hash_bloom", fpB),
+        "bloom artifact marker absent or mismatched after the build")
+      def bStamps() = new java.io.File(s"$dir/idx/line_hash_bloom")
+        .listFiles().map(f => f.getName -> f.lastModified).toMap
+      val bs1 = bStamps()
+      val bloomed2 = Dedup.lineDedupAgainstBloom(batch, c,
+          expectedCorpusLines = 1024, checkpointDir = ckpt)
+        .as[(Long, String, Long, Long)].collect().toSeq
+      assert(bloomed2 == second)
+      assert(bStamps() == bs1, "bloom artifact rebuilt on an unchanged corpus")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
