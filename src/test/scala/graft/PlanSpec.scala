@@ -418,6 +418,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"join crept into the per-doc stats:\n$p")
   }
 
+  test("x143: zipf top-k is TakeOrderedAndProject; the fit window sees only k rows") {
+    val p = plan(graft.queries.Extensions.x143)
+    // the vocabulary aggregate's top-k must be per-partition heaps, and
+    // the single-partition rank window may exist only ABOVE the limit
+    // (k rows), never over the corpus vocabulary
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+    val win = p.indexOf("Window")
+    val topk = p.indexOf("TakeOrderedAndProject")
+    assert(win >= 0 && topk > win,
+      s"rank window not above the top-k limit:\n$p")
+  }
+
+  test("x144: encoding anomalies is a shuffle-free projection") {
+    val df = graft.ops.TextAnalysis.encodingAnomalies(
+      spark.read.parquet(TestSessions.sf001 + "/documents.parquet")
+        .select("doc_id", "text"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), s"plan:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), s"plan:\n$p")
+  }
+
   test("x113: tolerance as-of join keeps the one-window shape (no range join)") {
     val p = plan(graft.queries.Extensions.x113)
     assert(!p.contains("BroadcastNestedLoopJoin"), s"range join appeared:\n$p")
