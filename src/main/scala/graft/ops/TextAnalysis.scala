@@ -1171,12 +1171,89 @@ object TextAnalysis {
         col("sxx").cast("double").as("sxxd"),
         col("sxy").cast("double").as("sxyd"))
     val n = col("n").cast("double")
+    // nullif: a 0/1-token vocabulary has no line to fit — the
+    // denominator is exactly 0 and the quotient would be NaN; the
+    // honest-null posture (the temperatureMixture r11 lesson) surfaces
+    // the degenerate fit as null slope/intercept instead
     val slope = (n * col("sxyd") - col("sxd") * col("syd")) /
-      (n * col("sxxd") - col("sxd") * col("sxd"))
+      nullif(n * col("sxxd") - col("sxd") * col("sxd"), lit(0.0))
     s.select(col("n").cast("long").as("k_used"),
       (floor(slope * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("zipf_slope"),
       (floor((col("syd") - slope * col("sxd")) / n * lit(1.0e9) + lit(0.5))
         / lit(1.0e9)).as("zipf_intercept"))
+  }
+
+  /** Per-document maximum consecutive-identical-token run — the
+    * degenerate-repetition gate ("the the the …", LM-generation loops,
+    * copy-paste stutter) that [[repetition]]'s duplicate-n-gram
+    * FRACTIONS deliberately don't isolate: a single long loop in an
+    * otherwise clean document moves the fractions little but is
+    * exactly what a training-data filter must drop. Emits
+    * `(doc_id, n_tokens, max_run)`; tokenless docs (empty/NULL text)
+    * report (0, 0) — a run over nothing is zero, not undefined,
+    * because the filter semantics are "no degenerate run found".
+    *
+    * 100 TB shape: ONE `aggregate` higher-order fold per row over the
+    * token array — a shuffle-free projection. The windowed SQL form
+    * (explode → lag → run-group sum → two aggregates) ships every
+    * TOKEN INSTANCE through a doc-keyed exchange — at corpus scale
+    * that is the corpus as shuffle traffic (the charEntropy argument);
+    * the fold keeps it row-local. The lambda is interpreted (HOFs
+    * don't codegen) but touches each token once. */
+  def maxTokenRun(docs: DataFrame): DataFrame = {
+    val w = Text.tokens(col("text"))
+    val ini = struct(lit(null).cast("string").as("p"),
+      lit(0).as("c"), lit(0).as("b"))
+    val fold = aggregate(w, ini,
+      (st, t) => {
+        val c = when(t === st.getField("p"), st.getField("c") + 1)
+          .otherwise(lit(1))
+        struct(t.as("p"), c.as("c"),
+          greatest(st.getField("b"), c).as("b"))
+      },
+      st => st.getField("b"))
+    docs.select(col("doc_id"),
+        coalesce(size(w), lit(0)).as("n_tokens"),
+        coalesce(fold, lit(0)).as("max_run"))
+      .withColumn("n_tokens", when(col("n_tokens") < 0, 0)
+        .otherwise(col("n_tokens")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Vocabulary coverage curve — for each requested vocab size `k`,
+    * the fraction of corpus TOKEN INSTANCES covered by the top-k token
+    * TYPES (by instance count, ties token-ascending — a total order,
+    * so every prefix set is deterministic). THE number a tokenizer /
+    * vocab-size decision reads: "32k types cover 97.1% of running
+    * text" — and its drift across snapshots is a cheap distribution
+    * alarm. Emits one row per k: `(vocab_k, types_used, covered,
+    * total, coverage)`; `types_used` < k when the vocabulary is
+    * smaller than k. Exact integer sums; the only division is one
+    * exact-input ROUND(,9) per row.
+    *
+    * 100 TB shape: token instances condense map-side into ONE
+    * vocabulary-sized count table (lazy localCheckpoint — every k
+    * consumes it; the two-consumer lesson), each k's prefix is a
+    * TakeOrderedAndProject top-k (per-partition heaps) into a
+    * one-row sum, and the instance total broadcasts. */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1, got $ks")
+    val counts = docs
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val total = counts.agg(coalesce(sum(col("cnt")), lit(0L)).as("total"))
+    val perK = ks.map { k =>
+      counts.orderBy(col("cnt").desc, col("token")).limit(k)
+        .agg(lit(k).as("vocab_k"), count(lit(1)).as("types_used"),
+          coalesce(sum(col("cnt")), lit(0L)).as("covered"))
+    }.reduce(_ unionByName _)
+    perK.crossJoin(broadcast(total))
+      .withColumn("coverage",
+        when(col("total") > 0,
+          round(col("covered").cast("double") / col("total").cast("double"), 9))
+          .otherwise(lit(0.0)))
+      .orderBy(col("vocab_k"))
   }
 
   /** Per-document encoding-anomaly audit — the mojibake / transcoding-

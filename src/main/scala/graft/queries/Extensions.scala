@@ -4722,6 +4722,81 @@ object Extensions {
         .unionByName(planted))
   }
 
+  // ---------------------------------------------------------------- x145
+  // Max consecutive-identical-token run — the degenerate-repetition
+  // gate (LM-generation loops, copy-paste stutter) x17's duplicate
+  // FRACTIONS deliberately don't isolate. Spark computes it as one
+  // per-row fold (shuffle-free); the oracle restates it as the classic
+  // gaps-and-islands window (lag-break → running group → run counts) —
+  // two INDEPENDENT formulations of the same integers, so a fold bug or
+  // an island bug fails the hash. Two planted rows pin a known run (4)
+  // and the tokenless-doc (0, 0) contract.
+  val x145 = Q.df(
+    "x145_max_token_run",
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT CAST(doc_id AS BIGINT), text FROM (VALUES
+      |    (900001, 'loop loop loop loop end'),
+      |    (900002, '')) v(doc_id, text)),
+      |w AS (SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '\W+'), x -> x <> '') AS w FROM d),
+      |t AS (SELECT doc_id, unnest(w) AS tok,
+      |    CAST(unnest(generate_series(1, len(w))) AS INT) AS pos FROM w),
+      |r AS (SELECT doc_id, pos, tok,
+      |    CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) = tok
+      |         THEN 0 ELSE 1 END AS brk FROM t),
+      |g AS (SELECT doc_id, pos,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM r),
+      |c AS (SELECT doc_id, grp, count(*) AS run FROM g GROUP BY doc_id, grp),
+      |m AS (SELECT doc_id, CAST(max(run) AS INT) AS max_run FROM c
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(len(list_filter(string_split_regex(lower(d.text),
+      |    '\W+'), x -> x <> '')), 0) AS INT) AS n_tokens,
+      |  coalesce(m.max_run, 0) AS max_run
+      |FROM d LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val planted = Seq(
+      (900001L, "loop loop loop loop end"),
+      (900002L, "")).toDF("doc_id", "text")
+    TextAnalysis.maxTokenRun(
+      Tables.load(spark, dir, "documents").select("doc_id", "text")
+        .unionByName(planted))
+  }
+
+  // ---------------------------------------------------------------- x146
+  // Vocabulary coverage curve: fraction of token INSTANCES covered by
+  // the top-k token TYPES at k = 100 / 1000 / 10000 — the number a
+  // vocab-size decision reads, and a cheap cross-snapshot drift alarm.
+  // Both engines rank the same deterministic (cnt desc, token) order;
+  // the oracle joins ranks <= k where Spark takes per-k
+  // TakeOrderedAndProject prefixes — independent formulations, exact
+  // integer sums, one ROUND(,9) division.
+  val x146 = Q.df(
+    "x146_vocab_coverage",
+    """WITH w AS (SELECT list_filter(
+      |    string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM documents),
+      |t AS (SELECT unnest(w) AS token FROM w),
+      |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+      |tot AS (SELECT coalesce(SUM(cnt), 0) AS total FROM c),
+      |k AS (SELECT unnest([100, 1000, 10000]) AS vocab_k),
+      |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rk
+      |  FROM c),
+      |p AS (SELECT k.vocab_k, count(r.rk) AS types_used,
+      |    coalesce(SUM(r.cnt), 0) AS covered
+      |  FROM k LEFT JOIN r ON r.rk <= k.vocab_k GROUP BY k.vocab_k)
+      |SELECT CAST(vocab_k AS INT) AS vocab_k,
+      |  CAST(types_used AS BIGINT) AS types_used,
+      |  CAST(covered AS BIGINT) AS covered, CAST(total AS BIGINT) AS total,
+      |  CASE WHEN total > 0 THEN ROUND(CAST(covered AS DOUBLE)
+      |    / CAST(total AS DOUBLE), 9) ELSE 0.0 END AS coverage
+      |FROM p, tot ORDER BY vocab_k""".stripMargin) { (spark, dir) =>
+    TextAnalysis.vocabCoverage(Tables.load(spark, dir, "documents"),
+      ks = Seq(100, 1000, 10000))
+  }
+
   def defs: Seq[Q] = Seq(x01, x02, x02b, x03, x03b, x04, x05, x06, x07, x07b,
     x08, x09, x10, x11, x12, x13, x14, x15, x15b, x16, x17, x18, x19, x20,
     x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
@@ -4734,5 +4809,5 @@ object Extensions {
     x107, x108, x109, x110, x111, x112, x113, x114, x115, x116, x117, x118,
     x119, x120, x121, x121b, x121c, x121d, x121e, x122, x122b, x123, x124, x125,
     x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136,
-    x137, x138, x139, x140, x141, x142, x143, x144)
+    x137, x138, x139, x140, x141, x142, x143, x144, x145, x146)
 }

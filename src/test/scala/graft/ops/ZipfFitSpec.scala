@@ -30,6 +30,17 @@ class ZipfFitSpec extends AnyFunSuite {
     assert(TextAnalysis.zipfFit(docs, k = 50).head().getAs[Long]("k_used") == 3L)
   }
 
+  test("a 1-token vocabulary has no line to fit: null slope, not NaN") {
+    // denominator n·Sxx − Sx² is exactly 0 at one point — the nullif
+    // guard (the temperatureMixture r11 lesson) surfaces the degenerate
+    // fit as null instead of NaN arithmetic
+    val got = TextAnalysis.zipfFit(
+      Seq((1L, "same same same")).toDF("doc_id", "text"), k = 5).head()
+    assert(got.getAs[Long]("k_used") == 1L)
+    assert(got.isNullAt(got.fieldIndex("zipf_slope")))
+    assert(got.isNullAt(got.fieldIndex("zipf_intercept")))
+  }
+
   test("rejects k < 2 (a line needs two points)") {
     intercept[IllegalArgumentException](
       TextAnalysis.zipfFit(Seq((1L, "a b")).toDF("doc_id", "text"), k = 1))
