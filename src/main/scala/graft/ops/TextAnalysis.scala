@@ -1010,9 +1010,18 @@ object TextAnalysis {
         round(element_at(typedLit(weights.toSeq), (bucket + 1).cast("int")), 9)
           .as("term"))
       .groupBy(col("doc_id"))
+      // final @6 is FLOOR FORM, not round(): the sum/count quotient's
+      // shortest decimal repr can terminate in a 5 at digit 7 (e.g.
+      // 0.2534375), where Spark's round (BigDecimal of the shortest
+      // repr, HALF_UP) and DuckDB (binary-value round) resolve the
+      // apparent tie differently — the x127/x28 class, CAUGHT by the
+      // r11 fixture-skew probe on a real row. floor(x·1e6 + 0.5)/1e6
+      // is pure IEEE on the identical quotient double, so both engines
+      // agree bit-for-bit.
       .agg(count(lit(1)).as("n_toks"),
-        round(lit(bias) + sum(col("term").cast(DecimalType(28, 9)))
-          .cast("double") / count(lit(1)), 6).as("score"))
+        (floor((lit(bias) + sum(col("term").cast(DecimalType(28, 9)))
+          .cast("double") / count(lit(1))) * lit(1.0e6) + lit(0.5))
+          / lit(1.0e6)).as("score"))
       .orderBy(col("doc_id"))
   }
 

@@ -3332,8 +3332,8 @@ object Extensions {
       |                    * power(16.0, 8 - i) for i in generate_series(1, 8) ]) AS BIGINT) % 64 AS bkt
       |  FROM h)
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
-      |  ROUND(0.25 + CAST(SUM(CAST(ROUND((bkt * 37) % 64 / 64.0 - 0.5, 9)
-      |    AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6) AS score
+      |  floor((0.25 + CAST(SUM(CAST(ROUND((bkt * 37) % 64 / 64.0 - 0.5, 9)
+      |    AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS score
       |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     TextAnalysis.linearScore(Tables.load(spark, dir, "documents"),
       weights = Array.tabulate(64)(i => (i * 37 % 64) / 64.0 - 0.5),
