@@ -310,10 +310,10 @@ object Bpe {
         // a group of only empty/whitespace docs has no words (or chars):
         // its ratio is undefined, not Infinity — emit null
         when(col("words") > 0,
-          round(col("tokens").cast("double") / col("words").cast("double"), 9))
+          Portable.r9(col("tokens").cast("double") / col("words").cast("double")))
           .as("fertility"),
         when(col("__chars") > 0,
-          round(col("tokens").cast("double") / col("__chars").cast("double"), 9))
+          Portable.r9(col("tokens").cast("double") / col("__chars").cast("double")))
           .as("tokens_per_char"))
   }
 }

@@ -120,9 +120,9 @@ object Curation {
         extraCols = Seq("__ds_w"),
         extraAggs = Seq(
           "total_chars" -> sum(when(one, col("__ds_w"))),
-          "avg_chars" -> round(
+          "avg_chars" -> Portable.r9(
             sum(when(one, col("__ds_w"))).cast("double") /
-              count(when(one, col("__ds_w"))), 9)))
+              count(when(one, col("__ds_w"))))))
       .select(col(groupCol), col("n_docs"), col("total_chars"),
         col("avg_chars"), round(col("median_chars"), 9).as("median_chars"))
       .orderBy(col(groupCol))
@@ -174,7 +174,7 @@ object Curation {
       .withColumn("n_in", col("__fu_total") - coalesce(sum(col("n_dropped")).over(w), lit(0L)))
       .withColumn("n_out", col("n_in") - col("n_dropped"))
       .withColumn("drop_rate", when(col("n_in") === 0, lit(null))
-        .otherwise(round(col("n_dropped").cast("double") / col("n_in"), 9)))
+        .otherwise(Portable.r9(col("n_dropped").cast("double") / col("n_in"))))
       .select(col("stage_idx"), col("stage"), col("n_in"), col("n_dropped"),
         col("n_out"), col("drop_rate"))
       // the Window.orderBy above already single-partitioned and sorted
@@ -225,6 +225,6 @@ object Curation {
     sharded.groupBy(col("shard_id"), col("num_shards"))
       .agg(count(lit(1)).as("docs"), sum(bytes.cast("long")).as("bytes"))
       .select(col("shard_id"), col("num_shards"), col("docs"), col("bytes"),
-        round(col("bytes").cast("double") / targetBytes, 9).as("fill_ratio"))
+        Portable.r9(col("bytes").cast("double") / targetBytes).as("fill_ratio"))
       .orderBy(col("shard_id"))
 }

@@ -662,7 +662,7 @@ object Dedup {
         sum(when(col("doc_id") =!= col("__dr_keep"), 1L).otherwise(0L))
           .as("n_dups"))
       .withColumn("dup_rate",
-        round(col("n_dups").cast("double") / col("n_docs"), 9))
+        Portable.r9(col("n_dups").cast("double") / col("n_docs")))
       .orderBy(col(groupCol))
   }
 

@@ -173,8 +173,8 @@ object JoinStrategies {
       count(lit(1)).as("n_keys"))
     counts.crossJoin(broadcast(totals))
       .select(col("key"), col("cnt"),
-        round(col("cnt").cast("double") / col("total"), 9).as("share"),
-        round(col("cnt").cast("double") * col("n_keys") / col("total"), 9)
+        Portable.r9(col("cnt").cast("double") / col("total")).as("share"),
+        Portable.r9(col("cnt").cast("double") * col("n_keys") / col("total"))
           .as("skew_x"))
       .orderBy(col("cnt").desc, col("key"))
       .limit(k)

@@ -185,7 +185,7 @@ object Sampling {
     val u = (b + lit(1.0)) / lit(4294967296.0)
     df.filter(w.isNotNull && !isnan(w) && w > lit(0.0))
       .withColumn("samp_key",
-        round(-round(log(u), 7) / w, 9) + lit(0.0))
+        Portable.r9(-round(log(u), 7) / w) + lit(0.0))
   }
 
   /** Duplicate-aware "soft dedup" sampling: [[weightedSample]] with
@@ -336,7 +336,7 @@ object Sampling {
       .filter(col("__mix_rate").isNotNull &&
         (col("__mix_rate") >= lit(1.0) ||
           hex < hexThresholdCol(col("__mix_rate"))))
-      .withColumn("keep_rate", round(col("__mix_rate"), 9))
+      .withColumn("keep_rate", Portable.r9(col("__mix_rate")))
       .drop("__mix_domain", "__mix_rate")
   }
 
@@ -530,7 +530,7 @@ object Sampling {
     // propagates null (matching SQL GREATEST), and the filter then
     // drops the row as documented
     val clamped = when(ageSec < lit(0.0), lit(0.0)).otherwise(ageSec)
-    val rate = round(pow(lit(2.0), -clamped / lit(halflifeSeconds)), 9)
+    val rate = Portable.r9(pow(lit(2.0), -clamped / lit(halflifeSeconds)))
     // the explicit isNotNull is load-bearing: a null rate reaching
     // hexThresholdCol would clamp through Spark's null-IGNORING least()
     // to the max threshold and keep the row

@@ -184,10 +184,16 @@ object Selection {
     df.join(broadcast(bounds), group)
       .filter(col(value).cast("double").between(col("__tm_lo"), col("__tm_hi")))
       .groupBy(col(group))
+      // final @6 is FLOOR FORM, not round(): a sum/count quotient whose
+      // shortest decimal repr terminates in a 5 at digit 7 reads as a
+      // true tie to Spark's round but not DuckDB's binary-value round —
+      // the x108 class the r11 skew probe measured (quotients of exact
+      // 9-decimal sums by integer counts terminate often)
       .agg(count(lit(1)).as("n_kept"),
-        round(sum(round(col(value).cast("double"), 9)
+        (floor(sum(round(col(value).cast("double"), 9)
             .cast(org.apache.spark.sql.types.DecimalType(28, 9)))
-          .cast("double") / count(lit(1)), 6).as("trimmed_mean"))
+          .cast("double") / count(lit(1)) * lit(1.0e6) + lit(0.5))
+          / lit(1.0e6)).as("trimmed_mean"))
       .orderBy(col(group))
   }
 
@@ -286,7 +292,7 @@ object Selection {
       .reduce(_ + _) / lit(wsum)
     df.crossJoin(broadcast(bounds))
       .select(df.columns.map(col) ++ bucketCols: _*)
-      .withColumn(outName, round(blend, 9))
+      .withColumn(outName, Portable.r9(blend))
   }
 
   /** Keep the best `n` rows of every group ("best 5 docs per domain" —
@@ -378,8 +384,8 @@ object Selection {
     cut.join(kept, Seq(groupCol), "left")
       .select(col(groupCol), round(col("cutoff"), 9).as("cutoff"), col("total"),
         coalesce(col("kept"), lit(0L)).as("kept"),
-        round(coalesce(col("kept"), lit(0L)).cast("double")
-          / col("total").cast("double"), 9).as("observed_retention"))
+        Portable.r9(coalesce(col("kept"), lit(0L)).cast("double")
+          / col("total").cast("double")).as("observed_retention"))
   }
 
   /** Rows of `df` that clear their group's [[retentionThreshold]]

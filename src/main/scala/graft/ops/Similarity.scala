@@ -79,8 +79,8 @@ object Similarity {
         sum(round(col("x") * col("x"), 9).cast(DecimalType(28, 9))).as("s2"),
         min(col("x")).as("mn"), max(col("x")).as("mx"))
       .select(col("dim"), col("n"),
-        round(m1, 9).as("mean"),
-        round(col("s2").cast("double") / col("n") - m1 * m1, 9).as("variance"),
+        Portable.r9(m1).as("mean"),
+        Portable.r9(col("s2").cast("double") / col("n") - m1 * m1).as("variance"),
         col("mn"), col("mx"))
       .orderBy(col("dim"))
   }
@@ -123,7 +123,7 @@ object Similarity {
     val mj = col("sj").cast("double") / col("n")
     pairMoments(embeddings, dims)
       .select(col("i"), col("j"),
-        round(col("s").cast("double") / col("n") - mi * mj, 9).as("cov"))
+        Portable.r9(col("s").cast("double") / col("n") - mi * mj).as("cov"))
       .orderBy(col("i"), col("j"))
   }
 
@@ -398,8 +398,8 @@ object Similarity {
       // or zero-norm embedding) is unmeasurable — counting it while
       // sum() skips it would bias mean_abs_delta low (r07 review)
       .agg(count(col("delta")).as("n_pairs"),
-        round(sum(col("delta").cast(DecimalType(28, 9))).cast("double")
-          / count(col("delta")), 9).as("mean_abs_delta"),
+        Portable.r9(sum(col("delta").cast(DecimalType(28, 9))).cast("double")
+          / count(col("delta"))).as("mean_abs_delta"),
         round(max(col("delta")), 9).as("max_abs_delta"))
       .orderBy(col("dim"))
   }

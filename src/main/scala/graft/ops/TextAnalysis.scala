@@ -58,7 +58,7 @@ object TextAnalysis {
         col("doc_id"),
         when(col("best.score") === 0.0, lit("und"))
           .otherwise(col("best.lang")).as("pred_lang"),
-        round(col("best.score"), 9).as("best_score"))
+        Portable.r9(col("best.score")).as("best_score"))
       .orderBy(col("doc_id"))
   }
 
@@ -67,15 +67,15 @@ object TextAnalysis {
   def quality(docs: DataFrame): DataFrame =
     metrics(docs).select(
         col("doc_id"), col("n_char"), col("n_tokens"), col("n_types"), col("n_punct"),
-        round(col("n_types").cast("double") / greatest(col("n_tokens"), lit(1)), 9).as("ttr"),
-        round(col("n_punct").cast("double") / greatest(col("n_char"), lit(1)), 9).as("punct_ratio"),
-        round(col("stop_en").cast("double") /
-          greatest(col("n_toks"), lit(1)).cast("double"), 9).as("stop_ratio"),
-        round(col("tok_len_sum").cast("double") /
-          greatest(col("n_toks"), lit(1)), 9).as("avg_word_len"))
+        Portable.r9(col("n_types").cast("double") / greatest(col("n_tokens"), lit(1))).as("ttr"),
+        Portable.r9(col("n_punct").cast("double") / greatest(col("n_char"), lit(1))).as("punct_ratio"),
+        Portable.r9(col("stop_en").cast("double") /
+          greatest(col("n_toks"), lit(1)).cast("double")).as("stop_ratio"),
+        Portable.r9(col("tok_len_sum").cast("double") /
+          greatest(col("n_toks"), lit(1))).as("avg_word_len"))
       .withColumn("quality_score",
-        round(least(col("n_tokens").cast("double") / 100.0, lit(1.0)) *
-          (lit(1.0) - col("punct_ratio")), 9))
+        Portable.r9(least(col("n_tokens").cast("double") / 100.0, lit(1.0)) *
+          (lit(1.0) - col("punct_ratio"))))
       .orderBy(col("doc_id"))
 
   /** Token counts: whitespace tokens vs a BPE-ish regex (word runs or
@@ -84,7 +84,7 @@ object TextAnalysis {
     metrics(docs).select(
         col("doc_id"), col("ws_tokens"), col("re_tokens"), col("n_char"))
       .withColumn("chars_per_token",
-        round(col("n_char").cast("double") / greatest(col("re_tokens"), lit(1)), 9))
+        Portable.r9(col("n_char").cast("double") / greatest(col("re_tokens"), lit(1))))
       .orderBy(col("doc_id"))
 
   /** Content fingerprint: md5 over the sorted distinct token set — a
@@ -135,7 +135,7 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
       .select(col("token"), col("df"),
-        round(col("df").cast("double") / col("n"), 9).as("doc_frac"))
+        Portable.r9(col("df").cast("double") / col("n")).as("doc_frac"))
       .orderBy(col("df").desc, col("token"))
       .limit(k)
   }
@@ -181,7 +181,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("dup_grams"))
       .withColumn("dup_frac",
-        round(col("dup_grams").cast("double") / col("n_grams"), 9))
+        Portable.r9(col("dup_grams").cast("double") / col("n_grams")))
       .orderBy(col("doc_id"))
   }
 
@@ -568,10 +568,10 @@ object TextAnalysis {
         sum(round(cd * round(log(cd), 7), 9)
           .cast(DecimalType(28, 9))).as("__te_sm"))
       .select(col(groupCol), col("n_tokens"), col("n_types"),
-        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 9)
+        Portable.r9(col("n_types").cast("double") / col("n_tokens").cast("double"))
           .as("ttr"),
-        (round(round(log(col("n_tokens").cast("double")), 7)
-            - col("__te_sm").cast("double") / col("n_tokens").cast("double"), 6)
+        (Portable.r6(round(log(col("n_tokens").cast("double")), 7)
+            - col("__te_sm").cast("double") / col("n_tokens").cast("double"))
           + lit(0.0)).as("entropy"))
       .orderBy(col(groupCol))
   }
@@ -814,7 +814,7 @@ object TextAnalysis {
     tf.join(dfreq, "token")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
-        round((col("tf") * col("n")).cast("double") / col("df"), 9).as("score"))
+        Portable.r9((col("tf") * col("n")).cast("double") / col("df")).as("score"))
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
       .select("doc_id", "token", "tf", "df", "score", "rank")
@@ -906,7 +906,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("__ov_in").isNull, 1L).otherwise(0L)).as("oov_tokens"))
       .withColumn("oov_rate",
-        round(col("oov_tokens").cast("double") / col("n_tokens"), 9))
+        Portable.r9(col("oov_tokens").cast("double") / col("n_tokens")))
       .orderBy(col("doc_id"))
   }
 
@@ -1260,7 +1260,7 @@ object TextAnalysis {
     perK.crossJoin(broadcast(total))
       .withColumn("coverage",
         when(col("total") > 0,
-          round(col("covered").cast("double") / col("total").cast("double"), 9))
+          Portable.r9(col("covered").cast("double") / col("total").cast("double")))
           .otherwise(lit(0.0)))
       .orderBy(col("vocab_k"))
   }
@@ -1293,9 +1293,9 @@ object TextAnalysis {
         cnt("[\\x{C2}\\x{C3}]").as("n_mojibake_marks"))
       .withColumn("anomaly_rate",
         when(col("n_chars") > 0,
-          round((col("n_replacement") + col("n_control")
+          Portable.r9((col("n_replacement") + col("n_control")
             + col("n_mojibake_marks")).cast("double")
-            / col("n_chars").cast("double"), 9))
+            / col("n_chars").cast("double")))
           .otherwise(lit(0.0)))
       .orderBy(col("doc_id"))
   }

@@ -230,7 +230,7 @@ object Extensions {
       |  CASE WHEN m = 0 THEN 'und'
       |       WHEN s_zh = m THEN 'zh' WHEN s_fr = m THEN 'fr' WHEN s_es = m THEN 'es'
       |       WHEN s_en = m THEN 'en' ELSE 'de' END AS pred_lang,
-      |  ROUND(m, 9) AS best_score
+      |  floor(m * 1e9 + 0.5) / 1e9 AS best_score
       |FROM (SELECT *, greatest(s_en, s_fr, s_es, s_de, s_zh) AS m FROM s)
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     TextAnalysis.languageId(Tables.load(spark, dir, "documents"))
@@ -247,17 +247,18 @@ object Extensions {
       |  CAST(len(regexp_extract_all(text, '\w+')) AS INT) AS n_tokens,
       |  CAST(len(list_distinct(regexp_extract_all(lower(text), '\w+'))) AS INT) AS n_types,
       |  CAST(len(regexp_extract_all(text, '[^\w\s]')) AS INT) AS n_punct,
-      |  ROUND(CAST(len(list_distinct(regexp_extract_all(lower(text), '\w+'))) AS DOUBLE)
-      |        / greatest(len(regexp_extract_all(text, '\w+')), 1), 9) AS ttr,
-      |  ROUND(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
-      |        / greatest(length(text), 1), 9) AS punct_ratio,
-      |  ROUND(CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','or','to','in','is','it'))) AS DOUBLE)
-      |        / greatest(len(toks), 1), 9) AS stop_ratio,
-      |  ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-      |        / greatest(len(toks), 1), 9) AS avg_word_len,
-      |  ROUND(least(CAST(len(regexp_extract_all(text, '\w+')) AS DOUBLE) / 100.0, 1.0)
-      |        * (1.0 - ROUND(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
-      |                       / greatest(length(text), 1), 9)), 9) AS quality_score
+      |  floor(CAST(len(list_distinct(regexp_extract_all(lower(text), '\w+'))) AS DOUBLE)
+      |        / greatest(len(regexp_extract_all(text, '\w+')), 1) * 1e9 + 0.5) / 1e9 AS ttr,
+      |  floor(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+      |        / greatest(length(text), 1) * 1e9 + 0.5) / 1e9 AS punct_ratio,
+      |  floor(CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','or','to','in','is','it'))) AS DOUBLE)
+      |        / greatest(len(toks), 1) * 1e9 + 0.5) / 1e9 AS stop_ratio,
+      |  floor(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+      |        / greatest(len(toks), 1) * 1e9 + 0.5) / 1e9 AS avg_word_len,
+      |  floor(least(CAST(len(regexp_extract_all(text, '\w+')) AS DOUBLE) / 100.0, 1.0)
+      |        * (1.0 - floor(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+      |                       / greatest(length(text), 1) * 1e9 + 0.5) / 1e9)
+      |        * 1e9 + 0.5) / 1e9 AS quality_score
       |FROM t ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     TextAnalysis.quality(Tables.load(spark, dir, "documents"))
   }
@@ -269,8 +270,8 @@ object Extensions {
       |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS ws_tokens,
       |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS re_tokens,
       |  CAST(length(text) AS INT) AS n_char,
-      |  ROUND(CAST(length(text) AS DOUBLE)
-      |        / greatest(len(regexp_extract_all(text, '\w+|[^\w\s]')), 1), 9) AS chars_per_token
+      |  floor(CAST(length(text) AS DOUBLE)
+      |        / greatest(len(regexp_extract_all(text, '\w+|[^\w\s]')), 1) * 1e9 + 0.5) / 1e9 AS chars_per_token
       |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     TextAnalysis.tokenCounts(Tables.load(spark, dir, "documents"))
   }
@@ -712,7 +713,7 @@ object Extensions {
       |t AS (SELECT doc_id, unnest(w) AS token FROM w),
       |n AS (SELECT count(*) AS n FROM documents)
       |SELECT token, CAST(count(*) AS BIGINT) AS df,
-      |  ROUND(CAST(count(*) AS DOUBLE) / (SELECT n FROM n), 9) AS doc_frac
+      |  floor(CAST(count(*) AS DOUBLE) / (SELECT n FROM n) * 1e9 + 0.5) / 1e9 AS doc_frac
       |FROM t GROUP BY token
       |ORDER BY df DESC, token LIMIT 50""".stripMargin) { (spark, dir) =>
     TextAnalysis.documentFrequency(Tables.load(spark, dir, "documents"), k = 50)
@@ -880,7 +881,7 @@ object Extensions {
       |                WHEN 'src4' THEN CAST(0.8 AS DOUBLE) END
       |      * CAST(12000 AS DOUBLE) / CAST(total AS DOUBLE)) AS rate
       |  FROM tot WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4'))
-      |SELECT d.doc_id, d.source, d.n_chars, ROUND(r.rate, 9) AS keep_rate
+      |SELECT d.doc_id, d.source, d.n_chars, floor(r.rate * 1e9 + 0.5) / 1e9 AS keep_rate
       |FROM documents d JOIN r USING (source)
       |WHERE r.rate >= 1.0
       |   OR substring(md5('k' || CAST(d.doc_id AS VARCHAR) || ':7'), 1, 8)
@@ -916,8 +917,8 @@ object Extensions {
       |f AS (SELECT gram, count(*) AS df FROM e GROUP BY 1)
       |SELECT e.doc_id, count(*) AS n_grams,
       |  CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
-      |  ROUND(CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-      |        / count(*), 9) AS dup_frac
+      |  floor(CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / count(*) * 1e9 + 0.5) / 1e9 AS dup_frac
       |FROM e JOIN f USING (gram)
       |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin) { (spark, dir) =>
     TextAnalysis.duplicatedNgrams(Tables.load(spark, dir, "documents"))
@@ -1598,7 +1599,7 @@ object Extensions {
     "x55_datasheet",
     """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-      |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / count(n_chars), 9) AS avg_chars,
+      |  floor(CAST(SUM(n_chars) AS DOUBLE) / count(n_chars) * 1e9 + 0.5) / 1e9 AS avg_chars,
       |  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 9)
       |    AS median_chars
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
@@ -1716,9 +1717,10 @@ object Extensions {
   val x59 = Q.df(
     "x59_quality_budget_select",
     """WITH q AS (SELECT doc_id, n_chars,
-      |    ROUND(least(CAST(len(regexp_extract_all(text, '\w+')) AS DOUBLE) / 100.0, 1.0)
-      |          * (1.0 - ROUND(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
-      |                         / greatest(length(text), 1), 9)), 9) AS quality_score
+      |    floor(least(CAST(len(regexp_extract_all(text, '\w+')) AS DOUBLE) / 100.0, 1.0)
+      |          * (1.0 - floor(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+      |                         / greatest(length(text), 1) * 1e9 + 0.5) / 1e9)
+      |          * 1e9 + 0.5) / 1e9 AS quality_score
       |  FROM documents),
       |c AS (SELECT doc_id, quality_score, n_chars,
       |    CAST(SUM(n_chars) OVER (ORDER BY quality_score DESC, doc_id
@@ -1749,8 +1751,8 @@ object Extensions {
     "x60_decay_sample",
     """WITH m AS (SELECT max(ts) AS mx FROM events),
       |r AS (SELECT event_id, event_type,
-      |    ROUND(pow(2.0, -greatest(CAST(date_diff('microsecond', ts, mx)
-      |        AS DOUBLE) / 1000000.0, 0.0) / 86400.0), 9) AS keep_rate
+      |    floor(pow(2.0, -greatest(CAST(date_diff('microsecond', ts, mx)
+      |        AS DOUBLE) / 1000000.0, 0.0) / 86400.0) * 1e9 + 0.5) / 1e9 AS keep_rate
       |  FROM events, m)
       |SELECT event_id, event_type, keep_rate FROM r
       |WHERE keep_rate >= 1.0
@@ -2072,7 +2074,7 @@ object Extensions {
       |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
       |n AS (SELECT COUNT(*) AS n FROM w),
       |s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
-      |    ROUND(CAST(tf.tf * n.n AS DOUBLE) / df.df, 9) AS score
+      |    floor(CAST(tf.tf * n.n AS DOUBLE) / df.df * 1e9 + 0.5) / 1e9 AS score
       |  FROM tf JOIN df USING (token) CROSS JOIN n),
       |r AS (SELECT *, CAST(ROW_NUMBER() OVER (
       |    PARTITION BY doc_id ORDER BY score DESC, token) AS INT) AS rank FROM s)
@@ -2126,9 +2128,9 @@ object Extensions {
       |    SUM(CAST(ROUND(x*x, 9) AS DECIMAL(28,9))) AS s2,
       |    MIN(x) AS mn, MAX(x) AS mx
       |  FROM v GROUP BY dim)
-      |SELECT dim, n, ROUND(CAST(s1 AS DOUBLE) / n, 9) AS mean,
-      |  ROUND(CAST(s2 AS DOUBLE) / n
-      |    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 9) AS variance,
+      |SELECT dim, n, floor(CAST(s1 AS DOUBLE) / n * 1e9 + 0.5) / 1e9 AS mean,
+      |  floor((CAST(s2 AS DOUBLE) / n
+      |    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) * 1e9 + 0.5) / 1e9 AS variance,
       |  mn, mx FROM a ORDER BY dim""".stripMargin) { (spark, dir) =>
     Similarity.dimensionStats(Tables.load(spark, dir, "embeddings"))
   }
@@ -2143,8 +2145,8 @@ object Extensions {
     """WITH c AS (SELECT l_suppkey AS "key", COUNT(*) AS cnt
       |  FROM lineitem GROUP BY l_suppkey),
       |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys FROM c)
-      |SELECT "key", cnt, ROUND(CAST(cnt AS DOUBLE) / total, 9) AS share,
-      |  ROUND(CAST(cnt AS DOUBLE) * n_keys / total, 9) AS skew_x
+      |SELECT "key", cnt, floor(CAST(cnt AS DOUBLE) / total * 1e9 + 0.5) / 1e9 AS share,
+      |  floor(CAST(cnt AS DOUBLE) * n_keys / total * 1e9 + 0.5) / 1e9 AS skew_x
       |FROM c CROSS JOIN t ORDER BY cnt DESC, "key" LIMIT 20""".stripMargin) { (spark, dir) =>
     JoinStrategies.skewAudit(
       Tables.load(spark, dir, "lineitem"), col("l_suppkey"), k = 20)
@@ -2185,9 +2187,9 @@ object Extensions {
       |  FROM embeddings),
       |a AS (SELECT dim, COUNT(*) AS n, SUM(CAST(x AS DECIMAL(28,9))) AS s1,
       |    SUM(CAST(ROUND(x*x, 9) AS DECIMAL(28,9))) AS s2 FROM v GROUP BY dim),
-      |st AS (SELECT dim, ROUND(CAST(s1 AS DOUBLE) / n, 9) AS mean,
-      |    ROUND(CAST(s2 AS DOUBLE) / n
-      |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 9) AS variance
+      |st AS (SELECT dim, floor(CAST(s1 AS DOUBLE) / n * 1e9 + 0.5) / 1e9 AS mean,
+      |    floor((CAST(s2 AS DOUBLE) / n
+      |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) * 1e9 + 0.5) / 1e9 AS variance
       |  FROM a)
       |SELECT v.vec_id, v.dim,
       |  ROUND((v.x - st.mean) / sqrt(st.variance + 1e-9), 9) AS x_std
@@ -2531,8 +2533,8 @@ object Extensions {
     "x87_rank_blend",
     """WITH t AS (SELECT doc_id,
       |    CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS re_tokens,
-      |    ROUND(CAST(length(text) AS DOUBLE)
-      |          / greatest(len(regexp_extract_all(text, '\w+|[^\w\s]')), 1), 9) AS chars_per_token
+      |    floor(CAST(length(text) AS DOUBLE)
+      |          / greatest(len(regexp_extract_all(text, '\w+|[^\w\s]')), 1) * 1e9 + 0.5) / 1e9 AS chars_per_token
       |  FROM documents),
       |b AS (SELECT
       |    round(percentile_cont(0.1) WITHIN GROUP (ORDER BY re_tokens), 9) AS a1,
@@ -2569,7 +2571,7 @@ object Extensions {
       |         WHEN t.chars_per_token <= b.c9 THEN 9 ELSE 10 END AS INT) AS b_den
       |  FROM t, b)
       |SELECT doc_id, b_tok, b_den,
-      |  ROUND((3.0 * b_tok + 2.0 * b_den) / 5.0, 9) AS blend
+      |  floor((3.0 * b_tok + 2.0 * b_den) / 5.0 * 1e9 + 0.5) / 1e9 AS blend
       |FROM k ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val t = TextAnalysis.tokenCounts(Tables.load(spark, dir, "documents"))
     Selection.rankBlend(t,
@@ -2625,8 +2627,8 @@ object Extensions {
       |SELECT doc_id,
       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
       |  CAST(SUM(CASE WHEN in_v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
-      |  ROUND(CAST(SUM(CASE WHEN in_v IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-      |        / COUNT(*), 9) AS oov_rate
+      |  floor(CAST(SUM(CASE WHEN in_v IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / COUNT(*) * 1e9 + 0.5) / 1e9 AS oov_rate
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     TextAnalysis.oovRate(Tables.load(spark, dir, "documents"), vocabSize = 100)
   }
@@ -2764,7 +2766,7 @@ object Extensions {
       |           * sqrt(list_sum(list_transform(generate_series(1, len(eb)), i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))))), 9)), 9) AS delta
       |  FROM d)
       |SELECT CAST(dim AS INT) AS dim, CAST(COUNT(delta) AS BIGINT) AS n_pairs,
-      |  ROUND(CAST(SUM(CAST(delta AS DECIMAL(28,9))) AS DOUBLE) / COUNT(delta), 9) AS mean_abs_delta,
+      |  floor(CAST(SUM(CAST(delta AS DECIMAL(28,9))) AS DOUBLE) / COUNT(delta) * 1e9 + 0.5) / 1e9 AS mean_abs_delta,
       |  ROUND(MAX(delta), 9) AS max_abs_delta
       |FROM c GROUP BY dim ORDER BY dim""".stripMargin) { (spark, dir) =>
     Similarity.truncationAudit(Tables.load(spark, dir, "embeddings"),
@@ -2854,7 +2856,7 @@ object Extensions {
       |  CAST(n_in AS BIGINT) AS n_in, CAST(n_dropped AS BIGINT) AS n_dropped,
       |  CAST(n_in - n_dropped AS BIGINT) AS n_out,
       |  CASE WHEN n_in = 0 THEN NULL
-      |       ELSE ROUND(CAST(n_dropped AS DOUBLE) / n_in, 9) END AS drop_rate
+      |       ELSE floor(CAST(n_dropped AS DOUBLE) / n_in * 1e9 + 0.5) / 1e9 END AS drop_rate
       |FROM k ORDER BY stage_idx""".stripMargin) { (spark, dir) =>
     graft.ops.Curation.funnel(Tables.load(spark, dir, "documents"), Seq(
       "has_text" -> (col("text").isNotNull && col("n_chars") > 0),
@@ -2928,8 +2930,8 @@ object Extensions {
       |  FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.dim <= b.dim
       |  GROUP BY 1, 2)
       |SELECT i, j,
-      |  ROUND(CAST(s AS DOUBLE) / n
-      |    - (CAST(si AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n), 9) AS cov
+      |  floor((CAST(s AS DOUBLE) / n
+      |    - (CAST(si AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n)) * 1e9 + 0.5) / 1e9 AS cov
       |FROM p ORDER BY i, j""".stripMargin) { (spark, dir) =>
     Similarity.covariance(Tables.load(spark, dir, "embeddings"), dims = 16)
   }
@@ -3157,7 +3159,7 @@ object Extensions {
       |      / 4294967296.0 AS u
       |  FROM h)
       |SELECT doc_id, w AS weight,
-      |  ROUND(-ROUND(ln(u), 7) / w, 9) + 0.0 AS samp_key
+      |  floor(-ROUND(ln(u), 7) / w * 1e9 + 0.5) / 1e9 + 0.0 AS samp_key
       |FROM u ORDER BY samp_key, doc_id LIMIT 100""".stripMargin) {
     (spark, dir) =>
       Sampling.weightedSample(Tables.load(spark, dir, "documents"),
@@ -3227,7 +3229,7 @@ object Extensions {
       |      / 4294967296.0 AS u
       |  FROM c)
       |SELECT doc_id, CAST(cnt AS BIGINT) AS cluster_size,
-      |  ROUND(-ROUND(ln(u), 7) / (1.0 / cnt), 9) + 0.0 AS samp_key
+      |  floor(-ROUND(ln(u), 7) / (1.0 / cnt) * 1e9 + 0.5) / 1e9 + 0.0 AS samp_key
       |FROM u ORDER BY samp_key, doc_id LIMIT 100""".stripMargin) {
     (spark, dir) =>
       val d = Tables.load(spark, dir, "documents").select("doc_id", "text")
@@ -3271,7 +3273,7 @@ object Extensions {
       |      / 4294967296.0 AS u
       |  FROM h),
       |s AS (SELECT doc_id, lang,
-      |    ROUND(-ROUND(ln(u), 7) / w, 9) + 0.0 AS samp_key FROM u),
+      |    floor(-ROUND(ln(u), 7) / w * 1e9 + 0.5) / 1e9 + 0.0 AS samp_key FROM u),
       |r AS (SELECT doc_id, lang, samp_key,
       |    ROW_NUMBER() OVER (PARTITION BY lang
       |      ORDER BY samp_key, doc_id) AS rn FROM s)
@@ -3579,8 +3581,9 @@ object Extensions {
       |    ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY n_chars), 9) AS hi
       |  FROM documents GROUP BY 1)
       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
-      |  ROUND(CAST(SUM(CAST(ROUND(CAST(n_chars AS DOUBLE), 9)
-      |    AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6) AS trimmed_mean
+      |  floor(CAST(SUM(CAST(ROUND(CAST(n_chars AS DOUBLE), 9)
+      |    AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+      |    AS trimmed_mean
       |FROM documents d JOIN f USING (source)
       |WHERE CAST(n_chars AS DOUBLE) BETWEEN lo AND hi
       |GROUP BY d.source ORDER BY d.source""".stripMargin) { (spark, dir) =>
@@ -3630,9 +3633,9 @@ object Extensions {
       |      AS DECIMAL(28,9))) AS sm
       |  FROM cnt GROUP BY 1)
       |SELECT source, CAST(n AS BIGINT) AS n_tokens, CAST(d AS BIGINT) AS n_types,
-      |  ROUND(CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 9) AS ttr,
-      |  ROUND(ROUND(ln(CAST(n AS DOUBLE)), 7)
-      |    - CAST(sm AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS entropy
+      |  floor(CAST(d AS DOUBLE) / CAST(n AS DOUBLE) * 1e9 + 0.5) / 1e9 AS ttr,
+      |  floor((ROUND(ln(CAST(n AS DOUBLE)), 7)
+      |    - CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 + 0.0 AS entropy
       |FROM s ORDER BY source""".stripMargin) { (spark, dir) =>
     TextAnalysis.tokenEntropy(Tables.load(spark, dir, "documents"), "source")
   }
@@ -3999,7 +4002,7 @@ object Extensions {
       |  WHERE CAST(d.n_chars AS DOUBLE) >= c.cutoff GROUP BY d.lang)
       |SELECT lang, round(cutoff, 9) AS cutoff, CAST(total AS BIGINT) AS total,
       |  CAST(kept AS BIGINT) AS kept,
-      |  round(kept * 1.0 / total, 9) AS observed_retention
+      |  floor(kept * 1.0 / total * 1e9 + 0.5) / 1e9 AS observed_retention
       |FROM c JOIN k USING (lang) ORDER BY lang""".stripMargin) { (spark, dir) =>
     Selection.retentionThreshold(Tables.load(spark, dir, "documents"),
         groupCol = "lang", scoreCol = "n_chars", targetRetention = 0.3)
@@ -4021,7 +4024,7 @@ object Extensions {
       |  CAST(n AS BIGINT) AS num_shards,
       |  CAST(COUNT(*) AS BIGINT) AS docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS bytes,
-      |  round(SUM(n_chars) / 12000.0, 9) AS fill_ratio
+      |  floor(SUM(n_chars) / 12000.0 * 1e9 + 0.5) / 1e9 AS fill_ratio
       |FROM documents, t GROUP BY 1, 2 ORDER BY shard_id""".stripMargin) { (spark, dir) =>
     val docs = Tables.load(spark, dir, "documents")
     Curation.shardManifest(
@@ -4045,8 +4048,8 @@ object Extensions {
       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
       |  CAST(SUM(nc + nw) AS BIGINT) AS tokens,
       |  CAST(SUM(nw) AS BIGINT) AS words,
-      |  round(SUM(nc + nw) * 1.0 / SUM(nw), 9) AS fertility,
-      |  round(SUM(nc + nw) * 1.0 / SUM(nc), 9) AS tokens_per_char
+      |  floor(SUM(nc + nw) * 1.0 / SUM(nw) * 1e9 + 0.5) / 1e9 AS fertility,
+      |  floor(SUM(nc + nw) * 1.0 / SUM(nc) * 1e9 + 0.5) / 1e9 AS tokens_per_char
       |FROM w GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
     Bpe.fertility(spark, Tables.load(spark, dir, "documents"),
         groupCol = "lang", merges = Seq.empty)
@@ -4160,7 +4163,7 @@ object Extensions {
       |  CAST(n AS BIGINT) AS num_shards,
       |  CAST(COUNT(*) AS BIGINT) AS docs,
       |  CAST(SUM(length(ct)) AS BIGINT) AS bytes,
-      |  round(SUM(length(ct)) / 6000.0, 9) AS fill_ratio
+      |  floor(SUM(length(ct)) / 6000.0 * 1e9 + 0.5) / 1e9 AS fill_ratio
       |FROM clean, t GROUP BY 1, 2 ORDER BY shard_id""".stripMargin) { (spark, dir) =>
     val docs = Tables.load(spark, dir, "documents")
     val kept = Selection.retentionFilter(docs, "lang", "n_chars", 0.5)
@@ -4706,8 +4709,8 @@ object Extensions {
       |    '', 'g')) AS BIGINT) AS n_mojibake_marks
       |  FROM d)
       |SELECT doc_id, n_chars, n_replacement, n_control, n_mojibake_marks,
-      |  CASE WHEN n_chars > 0 THEN ROUND(CAST(n_replacement + n_control
-      |    + n_mojibake_marks AS DOUBLE) / CAST(n_chars AS DOUBLE), 9)
+      |  CASE WHEN n_chars > 0 THEN floor(CAST(n_replacement + n_control
+      |    + n_mojibake_marks AS DOUBLE) / CAST(n_chars AS DOUBLE) * 1e9 + 0.5) / 1e9
       |    ELSE 0.0 END AS anomaly_rate
       |FROM m ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     import spark.implicits._
@@ -4790,8 +4793,8 @@ object Extensions {
       |SELECT CAST(vocab_k AS INT) AS vocab_k,
       |  CAST(types_used AS BIGINT) AS types_used,
       |  CAST(covered AS BIGINT) AS covered, CAST(total AS BIGINT) AS total,
-      |  CASE WHEN total > 0 THEN ROUND(CAST(covered AS DOUBLE)
-      |    / CAST(total AS DOUBLE), 9) ELSE 0.0 END AS coverage
+      |  CASE WHEN total > 0 THEN floor(CAST(covered AS DOUBLE)
+      |    / CAST(total AS DOUBLE) * 1e9 + 0.5) / 1e9 ELSE 0.0 END AS coverage
       |FROM p, tot ORDER BY vocab_k""".stripMargin) { (spark, dir) =>
     TextAnalysis.vocabCoverage(Tables.load(spark, dir, "documents"),
       ks = Seq(100, 1000, 10000))
