@@ -560,16 +560,21 @@ object Similarity {
 
     var it = 0
     while (it < iters) {
+      // ONE (cid, pos)-keyed aggregate per iteration; the per-cid array
+      // assembly happens on the driver over the collected nlist·dim mean
+      // rows (metadata-sized). The previous second groupBy(cid) +
+      // sort_array(collect_list) pass bought nothing but an extra
+      // Exchange + stage per iteration — the values are the identical
+      // per-(cid, pos) avg either way.
       val updated = vecs
         .select(nearestCentroid(col("embedding"), centroids).as("cid"),
           posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cid", "pos")
         .agg(avg(col("v").cast("double")).as("m"))
-        .groupBy("cid")
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), col("pm.m").as("centroid"))
-        .as[(Int, Seq[Double])].collect()
-      val byId = updated.toMap // keep stale centroids for empty lists
+        .as[(Int, Int, Double)].collect()
+      val byId = updated.groupBy(_._1).map { case (cid, rows) =>
+        cid -> rows.sortBy(_._2).map(_._3).toSeq
+      } // keep stale centroids for empty lists
       centroids = centroids.map { case (cid, old) => (cid, byId.getOrElse(cid, old)) }
       it += 1
     }
@@ -868,7 +873,10 @@ object Similarity {
    */
   def recallAudit(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
-      tables: Int = 8, bits: Int = 6): DataFrame = {
+      tables: Int = 8, bits: Int = 6,
+      methods: Seq[String] = Seq("brute", "ivf", "lsh")): DataFrame = {
+    require(methods.nonEmpty && methods.forall(Seq("brute", "ivf", "lsh").contains),
+      s"methods must be a non-empty subset of brute/ivf/lsh, got $methods")
     val brute = bruteForceTopK(corpus, queries, k).select(col("qid"), col("cid"))
       .localCheckpoint(eager = false) // feeds every per-method semi-join
     val nBrute = brute.groupBy().agg(count(lit(1)).as("n_brute"))
@@ -880,10 +888,19 @@ object Similarity {
         .select(lit(name).as("method"), col("n_hits"), col("n_brute"),
           round(col("n_hits").cast("double") / col("n_brute"), 9).as("recall"))
     // the brute row audits the checkpointed frame against itself — by
-    // construction 1.0, and it costs a semi-join, not a second corpus pass
-    row("brute", brute)
-      .unionByName(row("ivf", ivfTopK(corpus, queries, k, nlist, nprobe, iters)))
-      .unionByName(row("lsh", lshTopK(corpus, queries, k, tables, bits)))
+    // construction 1.0, and it costs a semi-join, not a second corpus
+    // pass. Methods are built LAZILY per request: an approximate index's
+    // build is driver-eager (Lloyd collects its centroid literals at
+    // plan-construction time), so a caller auditing one method must not
+    // pay the others' builds only for Catalyst to prune their pre-folded
+    // branches (the x56b shape: filter(method = 'brute') pruned the ivf
+    // and lsh SUBTREES but never refunded the eager Lloyd).
+    val builders = Seq[(String, () => DataFrame)](
+      "brute" -> (() => row("brute", brute)),
+      "ivf"   -> (() => row("ivf", ivfTopK(corpus, queries, k, nlist, nprobe, iters))),
+      "lsh"   -> (() => row("lsh", lshTopK(corpus, queries, k, tables, bits))))
+    builders.collect { case (n, b) if methods.contains(n) => b() }
+      .reduce(_.unionByName(_))
       .orderBy(col("method"))
   }
 

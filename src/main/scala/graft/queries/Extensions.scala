@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
-import graft.ops.{AsOf, Bpe, Curation, Decontamination, Dedup, JoinStrategies, Multimodal, Packing, Quantization, Redaction, Relevance, Sampling, Selection, Sessions, Similarity, Snapshot, TextAnalysis, Text}
+import graft.ops.{AsOf, Bpe, Curation, Decontamination, Dedup, JoinStrategies, Multimodal, Packing, Quantization, Redaction, Relevance, Sampling, Selection, Sessions, Similarity, Snapshot, Staging, TextAnalysis, Text}
 import graft.tables.Tables
 
 /**
@@ -738,8 +738,8 @@ object Extensions {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
     val staged = stageDir("x26", dir)
-    Tables.load(spark, dir, "events").coalesce(2)
-      .write.mode("overwrite").parquet(staged)
+    Staging.writeParquetOnce(
+      Tables.load(spark, dir, "events").coalesce(2), staged, "x26")
     val q = graft.streaming.EventStream.runToMemory(
       graft.streaming.EventStream.windowedCounts(
         graft.streaming.EventStream.readEvents(spark, staged)),
@@ -1288,8 +1288,8 @@ object Extensions {
       |       <= (SELECT max(ts) - INTERVAL '10 minutes' FROM events)
       |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
     val staged = stageDir("x46", dir)
-    Tables.load(spark, dir, "events").coalesce(2)
-      .write.mode("overwrite").parquet(staged)
+    Staging.writeParquetOnce(
+      Tables.load(spark, dir, "events").coalesce(2), staged, "x46")
     val q = graft.streaming.EventStream.runToMemory(
       graft.streaming.EventStream.windowedCounts(
         graft.streaming.EventStream.readEvents(spark, staged)),
@@ -1515,7 +1515,7 @@ object Extensions {
     // SEPARATE micro-batches, so the second copy must die against
     // cross-batch dedup state / the advanced watermark — not merely
     // within-batch dedup
-    ev.unionByName(ev).coalesce(2).write.mode("overwrite").parquet(staged)
+    Staging.writeParquetOnce(ev.unionByName(ev).coalesce(2), staged, "x52")
     val q = graft.streaming.EventStream.runToMemory(
       graft.streaming.EventStream.dedupedEvents(
         graft.streaming.EventStream.readEvents(spark, staged,
@@ -1559,8 +1559,8 @@ object Extensions {
       |   OR session_end + INTERVAL '30 minutes' < mx - INTERVAL '10 minutes'
       |ORDER BY user_id, n_events""".stripMargin) { (spark, dir) =>
     val staged = stageDir("x53", dir)
-    Tables.load(spark, dir, "events").coalesce(2)
-      .write.mode("overwrite").parquet(staged)
+    Staging.writeParquetOnce(
+      Tables.load(spark, dir, "events").coalesce(2), staged, "x53")
     val q = graft.streaming.EventStream.runToMemory(
       graft.streaming.EventStream.sessionize(spark,
         graft.streaming.EventStream.readEvents(spark, staged)),
@@ -1632,10 +1632,14 @@ object Extensions {
       |  CAST(COUNT(*) * 5 AS BIGINT) AS n_brute, 1.0 AS recall
       |FROM embeddings WHERE vec_id < 10""".stripMargin) { (spark, dir) =>
     val e = Tables.load(spark, dir, "embeddings")
+    // methods = brute only: the row's whole point is the SQL-derivable
+    // brute counts — the old filter(method = 'brute') pruned the ivf/lsh
+    // result branches but still paid their eager index builds (Lloyd
+    // collect + RHP setup) at plan-construction time
     Similarity.recallAudit(
         e.filter(col("vec_id") >= 10),
         e.filter(col("vec_id") < 10), k = 5,
-        nlist = 16, nprobe = 4, iters = 2)
+        nlist = 16, nprobe = 4, iters = 2, methods = Seq("brute"))
       .filter(col("method") === "brute")
   }
 
@@ -1785,10 +1789,11 @@ object Extensions {
       |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val staged = stageDir("x61", dir)
     val docs = Tables.load(spark, dir, "documents")
-    docs.filter(col("doc_id") % 25 === 0)
-      .select((col("doc_id") + 100000L).as("doc_id"),
-        lit("2024-01-01 00:00:00").cast("timestamp").as("ts"), col("text"))
-      .coalesce(1).write.mode("overwrite").parquet(staged)
+    Staging.writeParquetOnce(
+      docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("ts"), col("text"))
+        .coalesce(1), staged, "x61")
     val stream = spark.readStream
       .schema("doc_id BIGINT, ts TIMESTAMP, text STRING").parquet(staged)
     val (dups, caches) = graft.streaming.EventStream
@@ -2655,9 +2660,9 @@ object Extensions {
       |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '720 minutes'
       |ORDER BY l_id, r_id""".stripMargin) { (spark, dir) =>
     val staged = stageDir("x90", dir)
-    Tables.load(spark, dir, "events")
-      .repartitionByRange(2, col("ts")).sortWithinPartitions(col("ts"))
-      .write.mode("overwrite").parquet(staged)
+    Staging.writeParquetOnce(Tables.load(spark, dir, "events")
+      .repartitionByRange(2, col("ts")).sortWithinPartitions(col("ts")),
+      staged, "x90")
     val q = graft.streaming.EventStream.runToMemory(
       graft.streaming.EventStream.correlate(
         graft.streaming.EventStream.readEvents(spark, staged, Some(1)),
@@ -2814,9 +2819,9 @@ object Extensions {
       |SELECT * FROM m UNION ALL SELECT * FROM u
       |ORDER BY l_id, r_id""".stripMargin) { (spark, dir) =>
     val staged = stageDir("x94", dir)
-    Tables.load(spark, dir, "events")
-      .repartitionByRange(2, col("ts")).sortWithinPartitions(col("ts"))
-      .write.mode("overwrite").parquet(staged)
+    Staging.writeParquetOnce(Tables.load(spark, dir, "events")
+      .repartitionByRange(2, col("ts")).sortWithinPartitions(col("ts")),
+      staged, "x94")
     val q = graft.streaming.EventStream.runToMemory(
       graft.streaming.EventStream.correlate(
         graft.streaming.EventStream.readEvents(spark, staged, Some(1)),
@@ -3936,7 +3941,11 @@ object Extensions {
       |  CAST(0.0 AS DOUBLE) AS max_mean_shift,
       |  CAST(1 AS BIGINT) AS twin_cells, CAST(2 AS BIGINT) AS twin_count""".stripMargin) { (spark, dir) =>
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
-    val idx = Similarity.buildIvfIndex(emb, nlist = 8, iters = 2)
+    // the assigned index feeds BOTH ivfAppend calls (self + twins), each
+    // of whose drift re-reads the base cellStats — one materialization of
+    // the assignment (the repo's two-consumer localCheckpoint rule)
+    val idx0 = Similarity.buildIvfIndex(emb, nlist = 8, iters = 2)
+    val idx = idx0.copy(index = idx0.index.localCheckpoint(eager = false))
     val selfDrift = Similarity.ivfAppend(idx, emb)._2
       .agg(sum(abs(col("count_delta"))).as("total_count_delta"),
         max(col("mean_shift")).as("max_mean_shift"))
@@ -4409,9 +4418,9 @@ object Extensions {
       |FROM agg, m WHERE session_end_w < cut
       |ORDER BY user_id, session_end_w""".stripMargin) { (spark, dir) =>
     val staged = stageDir("x136", dir)
-    Tables.load(spark, dir, "events")
-      .repartitionByRange(2, col("ts")).sortWithinPartitions(col("ts"))
-      .write.mode("overwrite").parquet(staged)
+    Staging.writeParquetOnce(Tables.load(spark, dir, "events")
+      .repartitionByRange(2, col("ts")).sortWithinPartitions(col("ts")),
+      staged, "x136")
     val q = graft.streaming.EventStream.runToMemory(
       graft.streaming.EventStream.sessionWindows(
         graft.streaming.EventStream.readEvents(spark, staged, Some(1))),
@@ -4485,7 +4494,10 @@ object Extensions {
       |  CAST(0.0 AS DOUBLE) AS self_max_share_delta,
       |  false AS self_retrain, true AS shifted_retrain""".stripMargin) { (spark, dir) =>
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
-    val idx = Similarity.buildIvfIndex(emb, nlist = 8, iters = 2)
+    // same two-consumer materialization as x122b: both appends' drifts
+    // read the base assignment, so it is assigned once, not per verdict
+    val idx0 = Similarity.buildIvfIndex(emb, nlist = 8, iters = 2)
+    val idx = idx0.copy(index = idx0.index.localCheckpoint(eager = false))
     val self = Similarity.retrainVerdict(Similarity.ivfAppend(idx, emb)._2)
       .select(col("max_mean_shift").as("self_max_mean_shift"),
         col("max_share_delta").as("self_max_share_delta"),

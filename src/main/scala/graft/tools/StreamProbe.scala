@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Dev probe: attribute the stream-replay rows' wall time to micro-batches
+  * (per-batch durationMs breakdown from StreamingQueryProgress) — guide §1
+  * measurement for the x90/x94/x136 family. */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val staged = s"${System.getProperty("java.io.tmpdir")}/graft_probe_stage"
+    graft.tables.Tables.load(spark, dir, "events")
+      .repartitionByRange(2, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(staged)
+    (1 to 3).foreach { round =>
+      val t0 = System.nanoTime()
+      val joined = graft.streaming.EventStream.correlate(
+        graft.streaming.EventStream.readEvents(spark, staged, Some(1)),
+        graft.streaming.EventStream.readEvents(spark, staged, Some(1)),
+        "view", "click", maxGapMinutes = 720, joinType = "left_outer")
+      val q = graft.streaming.EventStream.runToMemory(
+        joined, "probe_sink", OutputMode.Append)
+      val total = (System.nanoTime() - t0) / 1e9
+      println(f"ROUND $round total=$total%.2f s, batches=${q.recentProgress.length}")
+      q.recentProgress.foreach { p =>
+        println(s"  batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durationMs=${p.durationMs} stateRows=${p.stateOperators.map(_.numRowsTotal).mkString(",")} " +
+          s"commitMs=${p.stateOperators.map(_.commitTimeMs).mkString(",")}")
+      }
+      q.stop()
+    }
+    spark.stop()
+  }
+}
