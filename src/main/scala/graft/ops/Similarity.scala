@@ -179,6 +179,29 @@ object Similarity {
         count(lit(1)).as("n"))
   }
 
+  /** [[pairMoments]] reduced to exactly what a PCA fit consumes: per
+    * pair the decimal product sum + count, and the per-dim mean sum on
+    * the DIAGONAL groups only (`sum(when(i = j, xi))` — under
+    * [[fitRowFilter]] every fit row carries all `dims` values, so the
+    * pair-local mean sum equals the diagonal one; the full aggregate
+    * paid two corpus-wide DECIMAL(28,9) mean sums per off-diagonal
+    * pair that the fit derived nothing from). Same Generate + one
+    * hash aggregate shape, same group keys, same decimal values. */
+  private def fitMoments(embeddings: DataFrame, dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val spark = embeddings.sparkSession
+    embeddings
+      .filter(fitRowFilter(dims))
+      .select(explode(
+        TextHashExprs.pairTerms(spark, col("embedding"), dims)).as("t"))
+      .select(col("t.i"), col("t.j"), col("t.p"), col("t.xi"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p").cast(DecimalType(28, 9))).as("s"),
+        sum(when(col("i") === col("j"), col("xi"))
+          .cast(DecimalType(28, 9))).as("si_diag"),
+        count(lit(1)).as("n"))
+  }
+
   /** The covariance/correlation/PCA fit-set contract, defined once:
     * a row participates iff its embedding is non-null, has at least
     * `dims` elements, AND the leading `dims` block has no NULL
@@ -211,22 +234,37 @@ object Similarity {
     // ONE corpus pass at fit time (r07 review: the covariance +
     // dimensionStats pair scanned twice; the diagonal cells of the
     // same pair-moment aggregate already carry the mean sums)
-    val rows = pairMoments(embeddings, dims).collect()
+    // [[fitMoments]], not the full pairMoments: a bare collect() would
+    // materialize every moment column — including the sii/sjj square
+    // sums only `correlation` consumes and per-pair mean sums the fit
+    // derives from the diagonal anyway. Catalyst prunes those for
+    // covariance() but cannot prune through a collect (the unpruned
+    // fit measured ~2x this one at sf0.1). Identical decimal values:
+    // same product sums, same counts, and the diagonal mean sums equal
+    // the per-pair ones under the fit-row contract.
+    val rows = fitMoments(embeddings, dims).collect()
     require(rows.nonEmpty,
       s"pcaModel: no embedding rows with >= $dims non-null dimensions to fit on")
     def round9(x: Double): Double =
       java.math.BigDecimal.valueOf(x)
         .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
-    val cells = rows.map { r =>
-      val n = r.getLong(7).toDouble
-      val mi = r.getDecimal(3).doubleValue() / n
-      val mj = r.getDecimal(4).doubleValue() / n
+    // (i, j) -> (product sum, n); diagonal rows additionally carry the
+    // dim's mean sum
+    val byPair = rows.map { r =>
       ((r.getInt(0), r.getInt(1)),
-        (round9(r.getDecimal(2).doubleValue() / n - mi * mj), mi))
+        (r.getDecimal(2).doubleValue(), r.getLong(4).toDouble,
+          Option(r.getDecimal(3)).map(_.doubleValue())))
     }.toMap
-    val cov = Array.tabulate(dims, dims)((i, j) =>
-      cells(((i min j) + 1, (i max j) + 1))._1)
-    val means = Array.tabulate(dims)(i => cells((i + 1, i + 1))._2)
+    val means = Array.tabulate(dims) { i =>
+      val (_, n, si) = byPair((i + 1, i + 1))
+      si.get / n
+    }
+    val cov = Array.tabulate(dims, dims) { (i, j) =>
+      val (s, n, _) = byPair(((i min j) + 1, (i max j) + 1))
+      // identical double chain to the previous per-pair spelling:
+      // (decimal s).double / n  −  mean_lo * mean_hi in (i, j) order
+      round9(s / n - means(i min j) * means(i max j))
+    }
     val (vals, vecs) = jacobiEigen(cov)
     val order = vals.zipWithIndex.sortBy { case (v, i) => (-v, i) }.take(k)
     val comps = order.map { case (_, c) =>

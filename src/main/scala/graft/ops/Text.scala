@@ -31,14 +31,25 @@ object Text {
     * re-execute the regex split per element_at reference otherwise;
     * CollapseProject cannot inline through a Generate). */
   def positionedGramHashes(df: DataFrame, idCol: Column, textCol: Column,
+      n: Int): DataFrame =
+    positionedGramHashesTokens(
+      df.select(idCol.as("doc_id"),
+        inline(array(struct(tokens(textCol).as("__pg_w"))))),
+      "__pg_w", n)
+
+  /** [[positionedGramHashes]] over a PRE-TOKENIZED `(doc_id,
+    * <tokenCol>: array<string>)` frame — a caller whose pipeline also
+    * consumes the token arrays elsewhere (the x101 locate-then-cut
+    * shape) persists the token frame once and derives grams from it,
+    * instead of paying a second tokenize inside the locator. */
+  def positionedGramHashesTokens(toked: DataFrame, tokenCol: String,
       n: Int): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
-    val toked = df.select(idCol.as("doc_id"),
-      inline(array(struct(tokens(textCol).as("__pg_w")))))
-    val gramArr = when(size(col("__pg_w")) >= n,
-      transform(sequence(lit(1), size(col("__pg_w")) - (n - 1)), i =>
+    val w = col(tokenCol)
+    val gramArr = when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)), i =>
         xxhash64(concat_ws(" ",
-          (0 until n).map(o => element_at(col("__pg_w"), i + o)): _*))))
+          (0 until n).map(o => element_at(w, i + o)): _*))))
       .otherwise(array().cast("array<bigint>"))
     toked.select(col("doc_id"), posexplode(gramArr))
       .select(col("doc_id"), (col("pos") + 1).as("start"),

@@ -214,14 +214,20 @@ object TextAnalysis {
     * shuffle join, never a cartesian, when a boilerplate-heavy corpus
     * makes it large. Only MATCHING (doc, position) rows reach the
     * span merge, whose two stacked windows share one (doc_id)
-    * exchange+sort. Two passes over the gram stream are inherent
-    * (corpus scored against its own statistics) — lineage-pure by repo
-    * convention; [[duplicatedSpansGrams]] takes a persisted positioned
-    * frame so the tokenize is paid once. */
+    * exchange+sort. Two passes over the gram STREAM are inherent
+    * (corpus scored against its own statistics), but the tokenize +
+    * gram hashing is not: the positioned gram frame materializes ONCE
+    * behind a lazy localCheckpoint (two consumers — the df aggregate
+    * and the join back — would each re-tokenize the corpus otherwise;
+    * the [[graft.ops.Dedup.minhashLsh]] signature-table precedent,
+    * including its lineage-truncation durability trade).
+    * [[duplicatedSpansGrams]] still takes a caller-persisted positioned
+    * frame when the grams feed further consumers (the x101 cut shape). */
   def duplicatedSpans(docs: DataFrame, n: Int = 5,
       minDocs: Int = 2): DataFrame =
     duplicatedSpansGrams(
-      Text.positionedGramHashes(docs, col("doc_id"), col("text"), n),
+      Text.positionedGramHashes(docs, col("doc_id"), col("text"), n)
+        .localCheckpoint(eager = false),
       n, minDocs)
 
   /** [[duplicatedSpans]] over a PRE-COMPUTED positioned gram frame —

@@ -3141,8 +3141,20 @@ object Extensions {
       |FROM nn LEFT JOIN ag USING (doc_id)
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val docs = Tables.load(spark, dir, "documents")
-    TextAnalysis.cutSpans(docs,
-        TextAnalysis.duplicatedSpans(docs, n = 5, minDocs = 2))
+    // ONE tokenize for the whole locate-then-cut pipeline: the token
+    // frame feeds gram hashing AND the rebuild (cutSpans would re-split
+    // the corpus otherwise), and the positioned gram frame feeds the
+    // locator's df-pass + join-back — each materialized once (lazy
+    // localCheckpoint, the repo's two-consumer rule). Values identical
+    // to the cutSpans(duplicatedSpans(docs)) spelling: same token and
+    // gram expressions, evaluated once instead of three times.
+    val toked = docs.select(col("doc_id"),
+        inline(array(struct(Text.tokens(col("text")).as("__cs_w")))))
+      .localCheckpoint(eager = false)
+    val grams = Text.positionedGramHashesTokens(toked, "__cs_w", n = 5)
+      .localCheckpoint(eager = false)
+    TextAnalysis.cutSpansTokens(toked,
+        TextAnalysis.duplicatedSpansGrams(grams, n = 5, minDocs = 2))
       .orderBy(col("doc_id"))
   }
 
