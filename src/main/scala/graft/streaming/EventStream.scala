@@ -266,7 +266,19 @@ object EventStream {
     * state store on every micro-batch, so per-batch overhead scales
     * with the shuffle-partition count — at local[32] the stream-stream
     * join replay spends ~7 s in 128 store commits for ~2k state rows.
-    * Results are partitioning-independent; a production caller starts
+    * The cap default is 4 (r11 optimization round, measured by
+    * `graft.tools.StreamProbe` on the x94 left-outer replay, 3 rounds
+    * per config in BOTH warmup orders to cancel JIT bias: descending
+    * order read 8/4/2 ≈ 15.1–19.6 / 8.5–13.9 / 7.9–9.6 s, ascending
+    * read 2/4/8 ≈ 5.7–8.0 / 6.5–8.2 / 7.1–27.3 s — 2 and 4 are within
+    * noise of each other and both clearly beat 8, so the commit COUNT,
+    * not state size, is the floor for this ~2k-row replay state; 4
+    * keeps more per-batch compute parallelism than 2 for the 100k-row
+    * micro-batches. Because the cap is min(current, cap), every bench
+    * topology gets the SAME state partitioning, which also removes a
+    * per-core-count confound from the driver's scaling measurement.
+    * Results are partitioning-independent (pinned by the r11 four-axis
+    * sweep incl. the hostile-topology run); a production caller starts
     * queries under its own conf and never passes through here.
     *
     * Concurrency contract (ADVICE r07): the cap temporarily mutates the
@@ -280,7 +292,7 @@ object EventStream {
   private val replayLock = new Object
   def runToMemory(df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Append,
-      statePartitions: Int = 8): StreamingQuery = replayLock.synchronized {
+      statePartitions: Int = 4): StreamingQuery = replayLock.synchronized {
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val capped = math.min(prev.toInt, statePartitions).toString

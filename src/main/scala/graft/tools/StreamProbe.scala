@@ -19,16 +19,16 @@ object StreamProbe {
     graft.tables.Tables.load(spark, dir, "events")
       .repartitionByRange(2, col("ts")).sortWithinPartitions(col("ts"))
       .write.mode("overwrite").parquet(staged)
-    (1 to 3).foreach { round =>
+    for (round <- 1 to 3; parts <- Seq(2, 4, 8)) {
       val t0 = System.nanoTime()
       val joined = graft.streaming.EventStream.correlate(
         graft.streaming.EventStream.readEvents(spark, staged, Some(1)),
         graft.streaming.EventStream.readEvents(spark, staged, Some(1)),
         "view", "click", maxGapMinutes = 720, joinType = "left_outer")
       val q = graft.streaming.EventStream.runToMemory(
-        joined, "probe_sink", OutputMode.Append)
+        joined, "probe_sink", OutputMode.Append, statePartitions = parts)
       val total = (System.nanoTime() - t0) / 1e9
-      println(f"ROUND $round total=$total%.2f s, batches=${q.recentProgress.length}")
+      println(f"ROUND $round parts=$parts total=$total%.2f s, batches=${q.recentProgress.length}")
       q.recentProgress.foreach { p =>
         println(s"  batch=${p.batchId} rows=${p.numInputRows} " +
           s"durationMs=${p.durationMs} stateRows=${p.stateOperators.map(_.numRowsTotal).mkString(",")} " +
