@@ -320,8 +320,17 @@ object TextAnalysis {
     * array transform per row behind the Generate barrier. `t2` sums
     * the UNfiltered bigram counts, so `minCount` prunes candidates
     * without biasing the denominator. */
+  // The docs→tokens convenience wrappers of the multi-consumer corpus-
+  // stats ops materialize the token frame ONCE behind a lazy
+  // localCheckpoint (r11 optimization round): their *Tokens bodies feed
+  // two+ independent exchanges (pair counts AND unigram counts; instance
+  // stream AND vocabulary), each of which re-ran the tokenize otherwise —
+  // the minhashLsh signature-table precedent, with the same
+  // lineage-truncation durability trade. Callers who already hold a
+  // persisted token table keep using the *Tokens forms directly.
   def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 50): DataFrame =
-    collocationsTokens(docs.select(Text.tokens(col("text")).as("w")), minCount, k)
+    collocationsTokens(docs.select(Text.tokens(col("text")).as("w"))
+      .localCheckpoint(eager = false), minCount, k)
 
   /** [[collocations]] over a PRE-TOKENIZED frame — any frame with a
     * `w: array<string>` column ([[Text.tokens]]' output shape). All four
@@ -384,7 +393,8 @@ object TextAnalysis {
     * convention — [[cooccurrenceTokens]] takes a persisted frame). */
   def cooccurrence(docs: DataFrame, window: Int = 4, minCount: Long = 5,
       k: Int = 50): DataFrame =
-    cooccurrenceTokens(docs.select(Text.tokens(col("text")).as("w")),
+    cooccurrenceTokens(docs.select(Text.tokens(col("text")).as("w"))
+      .localCheckpoint(eager = false), // see collocations: two consumers
       window, minCount, k)
 
   /** [[cooccurrence]] over a pre-tokenized `(w: array<string>)` frame. */
@@ -649,7 +659,9 @@ object TextAnalysis {
     * 250k terms at sf0.1). */
   def bigramSurprisal(docs: DataFrame, lambda: Double = 0.75): DataFrame =
     bigramSurprisalTokens(
-      docs.select(col("doc_id"), Text.tokens(col("text")).as("w")), lambda)
+      docs.select(col("doc_id"), Text.tokens(col("text")).as("w"))
+        .localCheckpoint(eager = false), // see collocations: two consumers
+      lambda)
 
   /** [[bigramSurprisal]] over a PRE-TOKENIZED `(doc_id, w)` frame (the
     * persisted-token-table form, VERDICT r06 next #4's contract). */
@@ -897,7 +909,9 @@ object TextAnalysis {
     * persisted token frame to pay tokenize once. */
   def oovRate(docs: DataFrame, vocabSize: Int): DataFrame =
     oovRateTokens(docs.select(col("doc_id"),
-      Text.tokens(col("text")).as("w")), vocabSize)
+        Text.tokens(col("text")).as("w"))
+      .localCheckpoint(eager = false), // see collocations: two consumers
+      vocabSize)
 
   /** [[oovRate]] over a pre-tokenized frame `(doc_id, w: array)`. */
   def oovRateTokens(toks: DataFrame, vocabSize: Int): DataFrame = {
