@@ -100,6 +100,15 @@ object Sessions {
       .filter(col(ts).isNotNull && col(group).isNotNull)
       .select(col(group).as("grp"), win.as("win"))
       .groupBy(col("grp"), col("win")).agg(count(lit(1)).as("cnt"))
+    // NOT materialized, deliberately (r11 optimization round): the count
+    // frame feeds ~5 evaluations inside robustZScore (median/MAD probes
+    // + rank passes + joins), but a localCheckpoint barrier MEASURED
+    // SLOWER at bench scale (x83 1.4–2.0 s → 2.2–2.9 s A/B): the
+    // re-evaluated aggregate is a cheap partial→final count while the
+    // barrier pays a materialization job plus stats-free LogicalRDD
+    // planning on every branch. At much larger event volumes the
+    // trade flips — a caller can pass a persisted count frame through
+    // robustZScore directly.
     Percentiles.robustZScore(counts, Seq("grp"), "cnt")
       .filter(abs(col("z_robust")) >= minAbsZ)
       .select(col("grp"), col("win"), col("cnt"), col("z_robust"))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -97,13 +98,14 @@ object Similarity {
     * One corpus pass, STRUCTURALLY: each row generates its `d(d+1)/2`
     * upper-triangle terms `(i, j, x_i·x_j, x_i, x_j)` from a single
     * Generate, and one partial→final hash aggregate keyed on (i, j)
-    * decimal-sums all three measures — the mean sums ride INSIDE each
-    * pair's aggregate state instead of joining back from a second
-    * corpus pass (a j-tagged mean branch canonicalizes differently
-    * once Catalyst pushes the tag filters below the aggregates, so AQE
-    * cannot reuse the stage and the corpus would scan 3×; carrying the
-    * sums costs d duplicate additions per row and removes the join
-    * entirely). The shuffle carries `d²/2 × partitions` partial rows no
+    * decimal-sums the product terms plus a diagonal-only mean sum
+    * ([[fitMoments]]); the means re-attach from the diagonal rows by
+    * two windows over the metadata-sized aggregate output (never a
+    * second corpus branch — the r07 hazard where a j-tagged mean
+    * branch canonicalized differently, AQE could not reuse the stage,
+    * and the corpus scanned 3×; one aggregate subtree keeps the single
+    * scan structural).
+    * The shuffle carries `d²/2 × partitions` partial rows no
     * matter the corpus size. Per-term work is O(d²) per row — that is
     * the mathematical content of a covariance matrix, not an
     * implementation artifact; `dims` bounds it when only a leading
@@ -119,10 +121,29 @@ object Similarity {
     * state the same predicate); per-pair `n` is therefore the same for
     * every cell. */
   def covariance(embeddings: DataFrame, dims: Int): DataFrame = {
-    val mi = col("si").cast("double") / col("n")
-    val mj = col("sj").cast("double") / col("n")
-    pairMoments(embeddings, dims)
-      .select(col("i"), col("j"),
+    // r11 optimization round: the corpus-dominant aggregate is the SLIM
+    // [[fitMoments]] (product sum + count + diagonal-only mean sum), not
+    // the full [[pairMoments]] — the per-pair ride-along mean sums cost
+    // two corpus-wide DECIMAL(28,9) sums per off-diagonal cell whose
+    // values the diagonal groups already carry (under [[fitRowFilter]]
+    // every fit row has all `dims` values, so the decimal sums are
+    // EQUAL, not merely close). The means re-attach from the diagonal
+    // rows by two windows over the d²/2-row aggregate OUTPUT (exactly
+    // one diagonal row per i-partition / j-partition, so max(when(i=j))
+    // picks it) — still ONE aggregate subtree, one corpus scan
+    // structurally, no join, no second corpus branch (the r07 hazard);
+    // the windows shuffle d²/2 metadata rows, never corpus rows.
+    val m = fitMoments(embeddings, dims)
+    val wi = Window.partitionBy(col("i"))
+    val wj = Window.partitionBy(col("j"))
+    // identical IEEE chain to the per-pair spelling: decimal sums are
+    // order-independent and the diagonal mean sums equal the pair-local
+    // ones, so every operand is bit-identical
+    val mi = max(when(col("i") === col("j"), col("si_diag"))).over(wi)
+      .cast("double") / col("n")
+    val mj = max(when(col("i") === col("j"), col("si_diag"))).over(wj)
+      .cast("double") / col("n")
+    m.select(col("i"), col("j"),
         Portable.r9(col("s").cast("double") / col("n") - mi * mj).as("cov"))
       .orderBy(col("i"), col("j"))
   }
@@ -130,63 +151,52 @@ object Similarity {
   /** Pearson correlation matrix of the first `dims` embedding
     * dimensions — `(i, j, corr)` upper triangle, the scale-free
     * counterpart of [[covariance]] (redundancy reads directly as
-    * |corr| without consulting the variances). Same ONE-pass
-    * [[pairMoments]] aggregate — the per-pair second moments ride
-    * along, so the variances come from the SAME aggregate row and no
-    * diagonal join (which would break AQE stage reuse and re-scan the
-    * corpus) exists. `corr = (E[xy] − E[x]E[y]) / √(var_x·var_y)`,
+    * |corr| without consulting the variances). Same ONE-pass slim
+    * [[fitMoments]] aggregate — the per-dim means AND second moments
+    * both live on the diagonal rows (the diagonal product sum IS the
+    * square sum), re-attached by the same metadata-sized diagonal
+    * windows. `corr = (E[xy] − E[x]E[y]) / √(var_x·var_y)`,
     * every op IEEE exactly-rounded on identical operands (√ included —
     * correctly rounded per IEEE 754), rounded @9 once at the end; a
     * zero-variance dimension yields NULL (both engines, guarded). */
   def correlation(embeddings: DataFrame, dims: Int): DataFrame = {
-    val mi = col("si").cast("double") / col("n")
-    val mj = col("sj").cast("double") / col("n")
-    val vi = col("sii").cast("double") / col("n") - mi * mi
-    val vj = col("sjj").cast("double") / col("n") - mj * mj
+    // Same slim-aggregate + diagonal window re-attach as [[covariance]]
+    // — doubly so here: the full aggregate paid FOUR ride-along decimal
+    // sums per off-diagonal cell (si, sj, sii, sjj), and the diagonal
+    // rows carry every one of their values: si_diag is the mean sum,
+    // and the diagonal PRODUCT sum is the square sum (p(i,i) =
+    // round9(x_i²), the same HALF_UP step as the old round(xi*xi, 9)
+    // terms — bit-identical decimal sums, hence bit-identical vi/vj).
+    val m = fitMoments(embeddings, dims)
+    val wi = Window.partitionBy(col("i"))
+    val wj = Window.partitionBy(col("j"))
+    def diagOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec) =
+      max(when(col("i") === col("j"), c)).over(w).cast("double") / col("n")
+    val mi = diagOver(col("si_diag"), wi)
+    val mj = diagOver(col("si_diag"), wj)
+    val vi = diagOver(col("s"), wi) - mi * mi
+    val vj = diagOver(col("s"), wj) - mj * mj
     val num = col("s").cast("double") / col("n") - mi * mj
-    pairMoments(embeddings, dims)
-      .select(col("i"), col("j"),
+    m.select(col("i"), col("j"),
         when(vi <= 0 || vj <= 0, lit(null).cast("double"))
           .otherwise(round(num / sqrt(vi * vj), 9)).as("corr"))
       .orderBy(col("i"), col("j"))
   }
 
-  /** Shared one-pass pair-moment aggregate for
-    * [[covariance]]/[[correlation]]: per upper-triangle (i, j), the
-    * decimal sums of `x_i·x_j`, `x_i`, `x_j`, `x_i²`, `x_j²` and the
-    * row count, from a single Generate + (i, j)-keyed aggregate. The
-    * pair terms come from one imperative `PairTerms` kernel eval per
-    * row (real doGenCode — the nested-`transform` HOF formulation ran
-    * interpreted per pair and measured ~3× the whole query's runtime);
-    * the squared moments derive from the struct's source-rounded
-    * `x` fields by the same `round@9(x·x)` step as x72. */
-  private def pairMoments(embeddings: DataFrame, dims: Int): DataFrame = {
-    require(dims >= 1, s"dims must be >= 1, got $dims")
-    val spark = embeddings.sparkSession
-    embeddings
-      .filter(fitRowFilter(dims))
-      .select(explode(
-        TextHashExprs.pairTerms(spark, col("embedding"), dims)).as("t"))
-      .select(col("t.i"), col("t.j"), col("t.p"), col("t.xi"), col("t.xj"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("p").cast(DecimalType(28, 9))).as("s"),
-        sum(col("xi").cast(DecimalType(28, 9))).as("si"),
-        sum(col("xj").cast(DecimalType(28, 9))).as("sj"),
-        sum(round(col("xi") * col("xi"), 9)
-          .cast(DecimalType(28, 9))).as("sii"),
-        sum(round(col("xj") * col("xj"), 9)
-          .cast(DecimalType(28, 9))).as("sjj"),
-        count(lit(1)).as("n"))
-  }
-
-  /** [[pairMoments]] reduced to exactly what a PCA fit consumes: per
-    * pair the decimal product sum + count, and the per-dim mean sum on
-    * the DIAGONAL groups only (`sum(when(i = j, xi))` — under
+  /** The shared slim pair-moment aggregate for [[covariance]] /
+    * [[correlation]] / [[pcaModel]]: per upper-triangle (i, j) the
+    * decimal product sum + count, and the per-dim mean sum on the
+    * DIAGONAL groups only (`sum(when(i = j, xi))` — under
     * [[fitRowFilter]] every fit row carries all `dims` values, so the
-    * pair-local mean sum equals the diagonal one; the full aggregate
-    * paid two corpus-wide DECIMAL(28,9) mean sums per off-diagonal
-    * pair that the fit derived nothing from). Same Generate + one
-    * hash aggregate shape, same group keys, same decimal values. */
+    * pair-local mean sum equals the diagonal one; the previous full
+    * aggregate paid two-to-four corpus-wide DECIMAL(28,9) ride-along
+    * sums per off-diagonal pair that the diagonal already carried,
+    * and the diagonal product sum doubles as the square-moment sum:
+    * p(i,i) = round9(x_i²), the x72 rounding step). The pair terms
+    * come from one imperative `PairTerms` kernel eval per row (real
+    * doGenCode — the nested-`transform` HOF formulation ran
+    * interpreted per pair and measured ~3× the whole query's
+    * runtime). */
   private def fitMoments(embeddings: DataFrame, dims: Int): DataFrame = {
     require(dims >= 1, s"dims must be >= 1, got $dims")
     val spark = embeddings.sparkSession
@@ -1061,9 +1071,11 @@ object Similarity {
    * LSH-bucketed ANN: L hash tables of `bits`-bit random-hyperplane
    * buckets (tight-loop `TextHashExprs.RhpBuckets` expression, seeded
    * deterministically); candidates = corpus vectors sharing any
-   * (table, bucket) with a query, deduped as bare (qid, cid) pairs,
-   * re-ranked by exact cosine after re-joining the vectors, top-k per
-   * query. The vector dimension is read from the data at eval time.
+   * (table, bucket) with a query, deduped as (cid → qid-set) rows keyed
+   * on cid so the dedup exchange doubles as the corpus re-join's
+   * required partitioning, re-ranked by exact cosine after re-joining
+   * the vectors, top-k per query. The vector dimension is read from the
+   * data at eval time.
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       tables: Int = 8, bits: Int = 6): DataFrame = {
@@ -1080,11 +1092,19 @@ object Similarity {
     // therefore already evaluates once per corpus scan (plan-asserted in
     // OpsSpec); a localCheckpoint would only add a materialization pass.
     val cb = banded(spread(corpus), "cid")
+    // Candidate dedup keyed on cid ALONE (collect_set of matching qids),
+    // not a (qid, cid) distinct: a pair-keyed distinct partitions by
+    // (qid, cid), which does NOT satisfy the corpus re-join's cid
+    // clustering, so the candidate set paid a SECOND exchange to get
+    // there. The cid-keyed aggregate's exchange IS the join's required
+    // partitioning (EnsureRequirements adds nothing), dropping one
+    // exchange; the (qid, cid) pair set is identical — explode rebuilds
+    // it after the vectors attach (r11 optimization round).
     val cand = cb.join(broadcast(qb), Seq("t", "bucket"))
-      .select(col("qid"), col("cid"))
-      .distinct()
+      .groupBy(col("cid")).agg(collect_set(col("qid")).as("qids"))
     val scored = cand
       .join(withNorm(corpus, "cid", "ce", "cn"), "cid")
+      .select(explode(col("qids")).as("qid"), col("cid"), col("ce"), col("cn"))
       .join(broadcast(withNorm(queries, "qid", "qe", "qn")), "qid")
       .select(col("qid"), col("cid"),
         round(TextHashExprs.dotProd(spark, col("qe"), col("ce")) /

@@ -741,9 +741,15 @@ object TextAnalysis {
     * instances against that vocabulary-sized df table; reassembly is
     * one hash aggregate whose per-GROUP array is bounded by a single
     * document (the [[Text.assemble]] shape — no window, no global
-    * sort). The `(doc_id, n_blocks)` base rides a second pure
-    * projection of the corpus — lineage-pure by repo convention;
-    * persist the block frame upstream if the tokenize pass dominates. */
+    * sort). The block frame feeds TWO heavy consumers in [[stripTail]]
+    * (the df aggregate and the keep join — no shared exchange, so AQE
+    * cannot collapse them), so this wrapper materializes it ONCE behind
+    * a lazy localCheckpoint (the r11 multi-consumer corpus-stats rule;
+    * previously the split+slice+array_join explode ran twice). The
+    * `(doc_id, n_blocks)` base stays a lineage-pure light projection of
+    * the corpus (size(split) only — no block assembly), preserving the
+    * NULL-text contract (a null-text doc keeps its null n_blocks row,
+    * which a blocks-frame-derived base would silently drop). */
   def stripBoilerplate(docs: DataFrame, blockTokens: Int = 8,
       maxDocs: Int = 1): DataFrame = {
     require(blockTokens > 0, s"blockTokens must be positive, got $blockTokens")
@@ -756,6 +762,7 @@ object TextAnalysis {
         i.cast("int").as("idx"),
         array_join(slice(toks, i * blockTokens + 1, lit(blockTokens)), " ")
           .as("blk")))))
+      .localCheckpoint(eager = false)
     stripTail(blocks, docs.select(col("doc_id"), nb.as("n_blocks")), maxDocs)
   }
 

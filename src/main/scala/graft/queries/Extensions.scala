@@ -2578,7 +2578,15 @@ object Extensions {
       |SELECT doc_id, b_tok, b_den,
       |  floor((3.0 * b_tok + 2.0 * b_den) / 5.0 * 1e9 + 0.5) / 1e9 AS blend
       |FROM k ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    // the tokenCounts frame (one text_metrics kernel eval per row) feeds
+    // FOUR evaluations inside rankBlend — the eager boundary probe, the
+    // melted rank pass, the totals aggregate, and the main bucket-assign
+    // branch — so materialize the narrow (doc_id, counts) frame once
+    // (r11 optimization round; the x49 bare-table sibling stays
+    // lineage-pure because a pruned parquet re-scan is cheaper than a
+    // corpus-wide materialization)
     val t = TextAnalysis.tokenCounts(Tables.load(spark, dir, "documents"))
+      .localCheckpoint(eager = false)
     Selection.rankBlend(t,
         Seq("re_tokens" -> 3.0, "chars_per_token" -> 2.0), n = 10)
       .select(col("doc_id"), col("blend_b0").as("b_tok"),

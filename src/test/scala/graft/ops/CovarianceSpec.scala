@@ -52,17 +52,28 @@ class CovarianceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Similarity.covariance(vecs, 0))
   }
 
-  test("one corpus scan, no join: the mean sums ride the pair aggregate") {
-    val df = Similarity.covariance(
-      graft.tables.Tables.load(spark, "/root/testdata/sf0.001", "embeddings"),
-      dims = 8)
-    df.collect()
-    // AdaptiveSparkPlan.toString appends "== Initial Plan ==" — count
-    // only the final executed section
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    val scans = "FileScan parquet".r.findAllIn(p).size
-    assert(scans == 1, s"expected exactly 1 scan, got $scans in:\n$p")
-    assert(!p.contains("Join"), s"expected no join in:\n$p")
+  test("one corpus scan, no join: means re-attach via diagonal windows") {
+    // r11 optimization round: the corpus-dominant aggregate is the slim
+    // fitMoments (no per-pair ride-along mean/square sums); the means
+    // re-attach from the diagonal rows by windows over the d²/2-row
+    // aggregate OUTPUT. Still one aggregate subtree — pin (a) exactly
+    // one parquet scan and (b) no join of any kind (the r07 ruling: a
+    // second corpus branch for the means broke AQE stage reuse).
+    for (df <- Seq(
+        Similarity.covariance(
+          graft.tables.Tables.load(spark, "/root/testdata/sf0.001", "embeddings"),
+          dims = 8),
+        Similarity.correlation(
+          graft.tables.Tables.load(spark, "/root/testdata/sf0.001", "embeddings"),
+          dims = 8))) {
+      df.collect()
+      // AdaptiveSparkPlan.toString appends "== Initial Plan ==" — count
+      // only the final executed section
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val scans = "FileScan parquet".r.findAllIn(p).size
+      assert(scans == 1, s"expected exactly 1 scan, got $scans in:\n$p")
+      assert(!p.contains("Join"), s"expected no join in:\n$p")
+    }
   }
 
   test("correlation: exact-linear pair reads 1.0, diagonal reads 1.0") {

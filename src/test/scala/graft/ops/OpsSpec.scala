@@ -236,9 +236,26 @@ class OpsSpec extends AnyFunSuite {
         s"vector column crosses the dedup exchange: $l"))
     }
     distinctExchangesCarryNoVectors(Similarity.cosineNearDups(emb), "vec_a", "vec_b")
-    distinctExchangesCarryNoVectors(
-      Similarity.lshTopK(emb.filter(col("vec_id") >= 5), emb.filter(col("vec_id") < 5), k = 3),
-      "qid", "cid")
+    // lshTopK (r11 optimization round): the candidate dedup is keyed on
+    // cid ALONE (collect_set of qids) so its exchange doubles as the
+    // corpus re-join's required partitioning — assert the pair-keyed
+    // (qid, cid) exchange is GONE, the cid-keyed dedup exchange exists
+    // and carries no vector payload.
+    locally {
+      val lines = Similarity.lshTopK(
+          emb.filter(col("vec_id") >= 5), emb.filter(col("vec_id") < 5), k = 3)
+        .queryExecution.executedPlan.toString.linesIterator.toSeq
+      val exchanges = lines.filter(_.contains("Exchange hashpartitioning"))
+      assert(!exchanges.exists(l => l.contains("qid") && l.contains("cid")),
+        "lshTopK still pays a (qid, cid) pair-keyed dedup exchange:\n" +
+          exchanges.mkString("\n"))
+      val cidExchanges = exchanges.filter(l => l.contains("cid") && !l.contains("qid"))
+      assert(cidExchanges.nonEmpty,
+        "expected a cid-keyed candidate-dedup exchange in:\n" + lines.mkString("\n"))
+      cidExchanges.foreach(l => assert(!l.contains("embedding") &&
+        !l.contains(", qe") && !l.contains(", ce"),
+        s"vector column crosses the candidate-dedup exchange: $l"))
+    }
   }
 
   test("IVF index built once serves multiple query batches identically") {
