@@ -680,6 +680,18 @@ object TextAnalysis {
     val total = uni.agg(sum(col("c1")).as("total"))
     val p = lit(lambda) * col("n2") / col("c1a") +
       lit(1.0 - lambda) * col("c1b") / col("total").cast("double")
+    // Join order kept AS IS, deliberately (r11 optimization round): p
+    // is a function of the bigram alone, so attaching c1a/c1b/total to
+    // the bigram VOCAB first and joining the doc×bigram table once on
+    // (a, b) looks strictly better at scale (the instance table would
+    // cross one join exchange instead of three). The restatement was
+    // implemented and A/B-measured SLOWER at bench scale (1.3–1.5 s →
+    // 2.0–2.2 s): with every count table under the broadcast threshold
+    // the instance table crosses NO exchange today, and the reorder
+    // instead made the planner broadcast the doc-level aggregate and
+    // re-derive it inside the vocab branch. Revisit only with a plan
+    // dump showing the three joins actually shuffling the instance
+    // table (i.e. vocab above the broadcast threshold).
     docBg
       .join(bgCnt, Seq("a", "b"))
       .join(uni.select(col("token").as("a"), col("c1").as("c1a")), "a")

@@ -6,7 +6,13 @@ import org.apache.spark.sql.streaming.OutputMode
 
 /** Dev probe: attribute the stream-replay rows' wall time to micro-batches
   * (per-batch durationMs breakdown from StreamingQueryProgress) — guide §1
-  * measurement for the x90/x94/x136 family. */
+  * measurement for the x90/x94/x136 family.
+  *
+  * No args: sweep statePartitions 2/4/8 under the default (HDFS-backed)
+  * state store. With provider-name args (`default` / `rocksdb`): sweep
+  * PROVIDERS at the production cap (parts = 4) instead — the r11 round-2
+  * state-store evaluation (the provider conf is session-global, read at
+  * query start, so each run pins it explicitly). */
 object StreamProbe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,7 +25,20 @@ object StreamProbe {
     graft.tables.Tables.load(spark, dir, "events")
       .repartitionByRange(2, col("ts")).sortWithinPartitions(col("ts"))
       .write.mode("overwrite").parquet(staged)
-    for (round <- 1 to 3; parts <- Seq(2, 4, 8)) {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val defaultProvider = spark.conf.get(providerKey)
+    val providers: Seq[(String, String)] =
+      if (args.isEmpty) Seq("default" -> defaultProvider)
+      else args.toSeq.map {
+        case "rocksdb" => "rocksdb" -> ("org.apache.spark.sql.execution" +
+          ".streaming.state.RocksDBStateStoreProvider")
+        case "default" => "default" -> defaultProvider
+        case other => throw new IllegalArgumentException(
+          s"unknown provider '$other' (expected default|rocksdb)")
+      }
+    val partSweep = if (args.isEmpty) Seq(2, 4, 8) else Seq(4)
+    for (round <- 1 to 3; (pname, pclass) <- providers; parts <- partSweep) {
+      spark.conf.set(providerKey, pclass)
       val t0 = System.nanoTime()
       val joined = graft.streaming.EventStream.correlate(
         graft.streaming.EventStream.readEvents(spark, staged, Some(1)),
@@ -28,7 +47,8 @@ object StreamProbe {
       val q = graft.streaming.EventStream.runToMemory(
         joined, "probe_sink", OutputMode.Append, statePartitions = parts)
       val total = (System.nanoTime() - t0) / 1e9
-      println(f"ROUND $round parts=$parts total=$total%.2f s, batches=${q.recentProgress.length}")
+      println(f"ROUND $round provider=$pname parts=$parts total=$total%.2f s, " +
+        s"batches=${q.recentProgress.length}")
       q.recentProgress.foreach { p =>
         println(s"  batch=${p.batchId} rows=${p.numInputRows} " +
           s"durationMs=${p.durationMs} stateRows=${p.stateOperators.map(_.numRowsTotal).mkString(",")} " +
