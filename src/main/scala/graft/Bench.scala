@@ -196,7 +196,27 @@ object Bench {
     // local[32] JVM inflates late-alphabet x-queries 4-30x; publishing
     // cores + load average makes a polluted run self-evident.
     val load = loadAvg
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","procs":$procs,"load_avg":$load,"load_avg_start":$loadStart,"waited_s":$waitedS,"suspect":$suspectJson}""")
+    // "procs" is the local[N] actually used — the env-derived core count
+    // the whole session runs under. VERDICT r11 #2: it used to print
+    // availableProcessors, so the driver's local[8] scaling run carried
+    // "procs":32 and read as if $SPARK_GRAFT_CPUS were ignored. The host
+    // core count stays available under "host_procs".
+    // numeric even if someone exports SPARK_GRAFT_CPUS=* (local[*] is a
+    // valid master but would break the JSON line)
+    val usedProcs = scala.util.Try(cpus.trim.toInt).getOrElse(procs)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","procs":$usedProcs,"host_procs":$procs,"load_avg":$load,"load_avg_start":$loadStart,"waited_s":$waitedS,"suspect":$suspectJson}"""
+    println(line)
+    // VERDICT r11 #1: the driver stores only a TRUNCATED stdout tail, so
+    // in 11 rounds it never recovered the one-line JSON ("parsed": null
+    // in every BENCH_r*.json; PERF per_query/scaling empty). Defensively
+    // ALSO land the exact same line as a file in the history dir (repo
+    // root by default), overwritten per run — machine-recoverable without
+    // touching the stdout contract. Best-effort: a read-only checkout
+    // must not fail the bench.
+    try java.nio.file.Files.write(
+      histDir.toPath.resolve("bench_out.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

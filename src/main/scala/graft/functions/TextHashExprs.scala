@@ -685,14 +685,20 @@ object TextHashExprs {
     * what makes the x29 oracle a hard hash compare. */
   /** Upper-triangle pair-moment terms for the covariance/correlation
     * aggregate: per row, `dims·(dims+1)/2` structs
-    * `(i, j, p = round9(x_i·x_j), x_i, x_j)` with each `x` read from the
+    * `(i, j, p = round9(x_i·x_j), xi)` with each `x` read from the
     * leading `dims` elements and rounded @9 at source — one imperative
     * loop per row replacing a nested `transform` whose lambdas run
     * interpreted per pair (measured ~3× the whole query's runtime at
     * sf0.1). Rounding is BigDecimal HALF_UP, bit-identical to Spark's
     * `round(_, 9)` and DuckDB's `ROUND(_, 9)` (the x72 convention).
     * Null or shorter-than-`dims` input → null row (the op layer filters
-    * those up front). */
+    * those up front).
+    *
+    * 4-field structs, no `xj` (r12 optimization round, VERDICT r11 #5):
+    * since the r11 slim `fitMoments` every consumer reads (i, j, p, xi)
+    * only — the mean sums come from the DIAGONAL rows, where xi == xj by
+    * construction — so the fifth field was d·(d+1)/2 dead boxed doubles
+    * allocated per corpus row. */
   case class PairTerms(child: Expression, dims: Int)
       extends UnaryExpression {
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -700,8 +706,7 @@ object TextHashExprs {
       StructField("i", IntegerType, nullable = false),
       StructField("j", IntegerType, nullable = false),
       StructField("p", DoubleType, nullable = false),
-      StructField("xi", DoubleType, nullable = false),
-      StructField("xj", DoubleType, nullable = false))),
+      StructField("xi", DoubleType, nullable = false))),
       containsNull = false)
     override def nullable: Boolean = true
     override def checkInputDataTypes() =
@@ -730,7 +735,7 @@ object TextHashExprs {
         var j = i
         while (j < dims) {
           out(idx) = new GenericInternalRow(Array[Any](
-            i + 1, j + 1, round9(x(i) * x(j)), x(i), x(j)))
+            i + 1, j + 1, round9(x(i) * x(j)), x(i)))
           idx += 1
           j += 1
         }
@@ -770,7 +775,7 @@ object TextHashExprs {
            |      $out[$idx++] =
            |        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
            |          new Object[]{ $i + 1, $j + 1, $r9($x[$i] * $x[$j]),
-           |            $x[$i], $x[$j] });
+           |            $x[$i] });
            |    }
            |  }
            |}
