@@ -1076,6 +1076,15 @@ object Similarity {
    * required partitioning, re-ranked by exact cosine after re-joining
    * the vectors, top-k per query. The vector dimension is read from the
    * data at eval time.
+   *
+   * Memory bound of the cid-keyed dedup (VERDICT r11 #6, made
+   * explicit): each `collect_set(qid)` holds at most the DISTINCT query
+   * ids — `|qids| ≤ |queries|` per cid row — and the operator's
+   * contract is a broadcast-small query side (the probe join and the
+   * final score join both `broadcast()` it, pinned in OpsSpec), so the
+   * per-row set is bounded by the same quantity every executor already
+   * holds as the broadcast relation. A query batch too large to
+   * broadcast is out of contract for this operator; split the batch.
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       tables: Int = 8, bits: Int = 6): DataFrame = {

@@ -761,7 +761,20 @@ object TextAnalysis {
     * `(doc_id, n_blocks)` base stays a lineage-pure light projection of
     * the corpus (size(split) only — no block assembly), preserving the
     * NULL-text contract (a null-text doc keeps its null n_blocks row,
-    * which a blocks-frame-derived base would silently drop). */
+    * which a blocks-frame-derived base would silently drop).
+    *
+    * Cache-footprint / fault-tolerance caveat (ADVICE r11): unlike the
+    * metadata-sized frames this convention usually wraps, the
+    * checkpointed block frame here is the fully-exploded CORPUS — the
+    * lazy localCheckpoint pins it MEMORY_AND_DISK for the call's
+    * lifetime and truncates lineage (an executor lost after
+    * materialization fails the job instead of recomputing; the x83
+    * trade in [[graft.ops.Sessions]], on the winning side here: the
+    * duplicated work is an expensive split+slice+array_join explode,
+    * measured 1.61 → 0.94–1.30 s at sf0.1). A 100 TB caller should use
+    * [[stripBoilerplateBlocks]] with caller-managed persistence (a
+    * durable parquet block frame) instead of this wrapper's
+    * executor-storage pin. */
   def stripBoilerplate(docs: DataFrame, blockTokens: Int = 8,
       maxDocs: Int = 1): DataFrame = {
     require(blockTokens > 0, s"blockTokens must be positive, got $blockTokens")
