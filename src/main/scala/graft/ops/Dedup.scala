@@ -751,32 +751,54 @@ object Dedup {
    * in more than `maxDf` documents shares only corpus-common
    * boilerplate, not inclusion of A specifically.
    *
-   * 100 TB shape: the rare-postings self-join fans out
-   * Σ_rare df² ≤ maxDf · |rare postings| (df-capped by construction —
-   * the classic rare-token blocking bound); candidates dedupe at
-   * pair-set size; the two gram-array join-backs are candidate-sized
-   * and AQE-elective. The gram table materializes ONCE behind a lazy
-   * localCheckpoint barrier (three consumers — postings and both
-   * join-backs — would each re-tokenize the corpus otherwise; the
-   * [[minhashLsh]] precedent, including its lineage-truncation
-   * durability trade). Output is an UNORDERED pair set (x82/x92/x96
-   * contract — no global Sort above the verify join; see [[simhash]]).
+   * 100 TB shape: candidate mining fans out Σ_rare df·(df−1)/2 ≤
+   * (maxDf−1)/2 · |rare postings| pairs (df-capped by construction —
+   * the classic rare-token blocking bound), emitted per gram from the
+   * df-capped doc set each rare gram collects AFTER the
+   * partial-aggregated count filter (so a billion-occurrence
+   * boilerplate gram never concentrates on one reducer — the
+   * map-side-combined count drops it before any doc set exists);
+   * candidates dedupe at pair-set size; the two gram-array join-backs
+   * are candidate-sized and AQE-elective. The gram table materializes
+   * ONCE behind a lazy localCheckpoint barrier (the [[minhashLsh]]
+   * precedent, including its lineage-truncation durability trade).
+   * Output is an UNORDERED pair set (x82/x92/x96 contract — no global
+   * Sort above the verify join; see [[simhash]]).
    */
   def containmentPairs(docs: DataFrame, minContainment: Double = 0.9,
       maxDf: Int = 5): DataFrame = {
     require(minContainment > 0.0 && minContainment <= 1.0,
       s"minContainment must be in (0, 1], got $minContainment")
-    require(maxDf >= 2, s"maxDf must be >= 2 (df 1 cannot pair), got $maxDf")
+    require(maxDf >= 2, s"maxDf >= 2 (df 1 cannot pair), got $maxDf")
     val grams = shingled(docs).localCheckpoint(eager = false)
     val postings = grams.select(col("doc_id"), explode(col("sh")).as("gram"))
+    // Candidate mining restructured (r12 optimization round, probe-backed:
+    // at sf0.1 the blocking yields 2k rare grams → 14k candidates → 351
+    // verified pairs, and the mining paid 3 postings evaluations + 3
+    // exchanges). The rare-postings SELF-JOIN is gone: the df-capped doc
+    // sets are collected per gram — bounded at maxDf elements each, and
+    // ONLY after the partial-aggregated count filter, so a
+    // billion-occurrence boilerplate gram never builds a giant set (the
+    // §2.5 skew guard the one-pass collect_list form would lose) — and
+    // each gram emits its own ordered pairs. The per-gram aggregate
+    // reuses the df join's gram clustering (EnsureRequirements adds
+    // nothing), so the rare postings cross ONE exchange instead of two,
+    // and postings evaluate twice (count + join) instead of three times.
+    // Candidate SET identical: per rare gram all (a, b) with a < b —
+    // exactly the self-join's output — then the same global distinct.
     val rareGrams = postings.groupBy(col("gram"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df").between(2, maxDf))
       .select(col("gram"))
-    val rare = postings.join(rareGrams, "gram")
-    val cand = rare.as("a").join(rare.as("b"),
-        col("a.gram") === col("b.gram") && col("b.doc_id") > col("a.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = postings.join(rareGrams, "gram")
+      // `sh` is a per-doc distinct set, so postings rows are unique
+      // (doc, gram) pairs and the list is the gram's distinct doc set
+      .groupBy(col("gram")).agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(expr(
+        "flatten(transform(ds, (a, i) -> transform(" +
+          "slice(ds, i + 2, size(ds)), " +
+          "b -> named_struct('doc_a', a, 'doc_b', b))))")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     cand
       .join(grams.select(col("doc_id").as("doc_a"), col("sh").as("__ga")), "doc_a")

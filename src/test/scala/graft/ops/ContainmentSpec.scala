@@ -34,6 +34,46 @@ class ContainmentSpec extends AnyFunSuite {
     assert(got.count() == 0L)
   }
 
+  test("candidate mining shuffles the rare postings once, never a self-join") {
+    // r12 optimization round: candidates come from per-gram pair
+    // expansion over the df-capped doc sets — the rare postings stream
+    // crosses exactly ONE gram-keyed shuffle (the collect aggregate,
+    // which reuses the df-filter join's clustering); the old form paid
+    // one per self-join side. Structural pin (the ADVICE r11 lesson:
+    // one-line Exchange strings don't print payloads, so walk the tree).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def walk(p: SparkPlan): Seq[ShuffleExchangeLike] = {
+      val self = p match {
+        case e: ShuffleExchangeLike => Seq(e)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case other => other.children
+      }
+      self ++ kids.flatMap(walk)
+    }
+    val df = Seq(
+      1L -> "p q r s t u v",
+      2L -> "p q r s t u v w x y z aa bb cc",
+      3L -> "unrelated words entirely here today").toDF("doc_id", "text")
+    val exs = walk(Dedup.containmentPairs(df).queryExecution.executedPlan)
+    val gramKeyed = exs.filter(
+      _.outputPartitioning.toString.contains("gram"))
+    val desc = gramKeyed.map(e =>
+      (e.outputPartitioning.toString, e.output.map(_.name)))
+    // exactly TWO gram-keyed shuffles: the partial-aggregated df count
+    // (vocab-sized rows) and the rare-postings collect aggregate; the
+    // old self-join form paid one per join side PLUS the df aggregate
+    assert(gramKeyed.length == 2,
+      s"expected exactly 2 gram-keyed shuffles (df count + rare collect), got $desc")
+    // and neither ever carries the per-doc gram ARRAY payload
+    assert(!gramKeyed.exists(_.output.exists(_.name == "sh")),
+      s"gram-array payload crosses a gram-keyed exchange: $desc")
+  }
+
   test("threshold contract holds (pair set is unordered); invalid params raise") {
     val df = Seq(
       1L -> "p q r s t u v",
