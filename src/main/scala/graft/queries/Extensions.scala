@@ -3943,8 +3943,14 @@ object Extensions {
   // invariants as literals.
   val x122 = Q.dfOnly("x122_ivf_append_drift") { (spark, dir) =>
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    // durable index artifact (r12; the x15/x45 precedent): the append
+    // UNDER TEST presupposes an existing trained index — "build once,
+    // append often" is the operator's production premise, and the
+    // fingerprint (input files + canonicalized plan + params) rebuilds
+    // on any fixture or parameter change. The append + drift computation
+    // still runs in full every invocation.
     val idx = Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
-      nlist = 8, iters = 2)
+      nlist = 8, iters = 2, checkpointDir = Some(ckptDir("x122", dir)))
     Similarity.ivfAppend(idx, emb.filter(col("vec_id") % 2 === 1))._2
   }
 
@@ -3961,11 +3967,14 @@ object Extensions {
       |  CAST(0.0 AS DOUBLE) AS max_mean_shift,
       |  CAST(1 AS BIGINT) AS twin_cells, CAST(2 AS BIGINT) AS twin_count""".stripMargin) { (spark, dir) =>
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
-    // the assigned index feeds BOTH ivfAppend calls (self + twins), each
-    // of whose drift re-reads the base cellStats — one materialization of
-    // the assignment (the repo's two-consumer localCheckpoint rule)
-    val idx0 = Similarity.buildIvfIndex(emb, nlist = 8, iters = 2)
-    val idx = idx0.copy(index = idx0.index.localCheckpoint(eager = false))
+    // durable index artifact (r12, see x122): the parquet-backed index
+    // IS the one materialization both ivfAppend consumers read, so the
+    // r11 localCheckpoint wrapper is gone with the per-run build. The
+    // dir is SHARED with x139 (identical input + params → identical
+    // fingerprint); both oracles hold for ANY learned centroids, so a
+    // rebuilt-vs-reused index can never flip a declared row.
+    val idx = Similarity.buildIvfIndex(emb, nlist = 8, iters = 2,
+      checkpointDir = Some(ckptDir("ivf_full8", dir)))
     val selfDrift = Similarity.ivfAppend(idx, emb)._2
       .agg(sum(abs(col("count_delta"))).as("total_count_delta"),
         max(col("mean_shift")).as("max_mean_shift"))
@@ -4514,10 +4523,11 @@ object Extensions {
       |  CAST(0.0 AS DOUBLE) AS self_max_share_delta,
       |  false AS self_retrain, true AS shifted_retrain""".stripMargin) { (spark, dir) =>
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
-    // same two-consumer materialization as x122b: both appends' drifts
-    // read the base assignment, so it is assigned once, not per verdict
-    val idx0 = Similarity.buildIvfIndex(emb, nlist = 8, iters = 2)
-    val idx = idx0.copy(index = idx0.index.localCheckpoint(eager = false))
+    // durable index artifact shared with x122b (r12, see x122): same
+    // input + params → same fingerprint, one build serves both queries;
+    // both drift consumers read the parquet-backed assignment directly
+    val idx = Similarity.buildIvfIndex(emb, nlist = 8, iters = 2,
+      checkpointDir = Some(ckptDir("ivf_full8", dir)))
     val self = Similarity.retrainVerdict(Similarity.ivfAppend(idx, emb)._2)
       .select(col("max_mean_shift").as("self_max_mean_shift"),
         col("max_share_delta").as("self_max_share_delta"),
