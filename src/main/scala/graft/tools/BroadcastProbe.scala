@@ -167,7 +167,8 @@ object BroadcastProbe {
         val reorderB = vocabFirst(tk, 0.75, barrier = true)
         val diff = shipped.exceptAll(reorder).count() +
           reorder.exceptAll(shipped).count() +
-          shipped.exceptAll(reorderB).count()
+          shipped.exceptAll(reorderB).count() +
+          reorderB.exceptAll(shipped).count()
         println(s"bigramSurprisal[$tag] shipped: ${joinSummary(shipped)}")
         println(s"bigramSurprisal[$tag] reorder: ${joinSummary(reorder)}")
         println(f"bigramSurprisal[$tag] rows-diff(shipped vs reorders)=$diff " +

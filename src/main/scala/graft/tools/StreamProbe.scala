@@ -35,6 +35,9 @@ object StreamProbe {
     val codecSweep = args.toSeq.collect {
       case a if a.startsWith("codec:") => a.stripPrefix("codec:")
     }
+    require(codecSweep.isEmpty || codecSweep.length == args.length,
+      "provider args cannot be mixed with codec: args — the codec sweep " +
+      "runs on the default provider only (one axis per invocation)")
     val providers: Seq[(String, String)] =
       if (args.isEmpty || codecSweep.nonEmpty) Seq("default" -> defaultProvider)
       else args.toSeq.map {
